@@ -1,0 +1,698 @@
+"""Relational operator catalog (SURVEY.md §2.1-2.7) over the driver fixtures.
+
+Each query re-expresses a reference operator pattern (cites in
+docstrings refer to /root/reference files) on the TPC-H-ish fixture
+tables, Spark-first: declarative DataFrame/SQL plans that Catalyst
+optimizes (pushdown, pruning, broadcast selection, partial aggs).
+
+Scale notes per query are in docstrings; the common ones:
+- small dims (nation/region/supplier) get explicit broadcast() hints;
+- aggregations rely on Catalyst partial (map-side) aggregation;
+- filters are expressed on base columns so they reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: shared-attribute match (synthetic-identity detection spine).
+# Reference: 01_aml_network_analysis.py:51-68 — entities sharing an email;
+# here customers sharing a (nationkey, mktsegment) attribute combo.
+# Exercises S1, A1 (groupBy count), A3 (having), J4 (semi join), W1 (sort).
+# ---------------------------------------------------------------------------
+@register(
+    "shared_attr_match",
+    headline=True,
+    tags=("A1", "A3", "J4", "W1", "S1"),
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment
+    FROM customer c
+    JOIN (
+        SELECT c_nationkey, c_mktsegment
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+        HAVING count(*) > 1
+    ) d ON c.c_nationkey = d.c_nationkey AND c.c_mktsegment = d.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+)
+def shared_attr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers sharing an attribute combo with >=1 other customer.
+
+    Scale: the duplicated-attribute dimension is tiny relative to the
+    fact side, so the semi join broadcasts; the groupBy does partial
+    aggregation map-side. No full-table shuffle of `customer` except
+    the one agg on the (low-cardinality) key.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    keys = ["c_nationkey", "c_mktsegment"]
+    dupes = cust.groupBy(*keys).agg(F.count(F.lit(1)).alias("ct")).filter(F.col("ct") > 1).drop("ct")
+    return (
+        cust.join(F.broadcast(dupes), keys, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/F5/P3: wide aggregation with arithmetic (TPC-H Q1 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    headline=True,
+    tags=("A1", "F5", "P3"),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS sum_disc_price,
+           round(avg(l_quantity) + 1e-10, 4) AS avg_qty,
+           round(avg(l_discount) + 1e-10, 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: 2-key groupBy, 6 aggregates, pushed-down date filter.
+
+    Scale: classic map-side-combine agg on a 4-group key; the shipdate
+    predicate reaches the parquet scan (min/max row-group pruning).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity") + 1e-10, 4).alias("avg_qty"),
+            F.round(F.avg("l_discount") + 1e-10, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P3/P5: projection + literal/null predicates (01:91-107, 02:28).
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project_null",
+    tags=("P1", "P3", "P5"),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 AND o_orderdate IS NOT NULL
+    """,
+)
+def filter_project_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select/filter/null-predicate; all three predicates push to the scan."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0))
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F3/P7/P8: translate chain (02:29), cast (01:396), rename/drop (01:202).
+# ---------------------------------------------------------------------------
+@register(
+    "derived_translate_cast",
+    tags=("F1", "F3", "P7", "P8"),
+    oracle="""
+    SELECT c_custkey AS entity_id,
+           translate(translate(c_name, ',', ''), ' ', '+') AS url_name,
+           CAST(floor(c_acctbal) AS INTEGER) AS bal_floor
+    FROM customer
+    WHERE c_acctbal IS NOT NULL
+    """,
+)
+def derived_translate_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-encoding translate chain + integer cast, reference's address
+    cleanup (02_aml_address_verification.py:29). floor() on both sides
+    because Spark CAST truncates while DuckDB rounds."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .withColumn("url_name", F.translate(F.translate(F.col("c_name"), ",", ""), " ", "+"))
+        .withColumn("bal_floor", F.floor("c_acctbal").cast("int"))
+        .withColumnRenamed("c_custkey", "entity_id")
+        .select("entity_id", "url_name", "bal_floor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/F4: conditional aggregate + HAVING (01:169-173).
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_agg_having",
+    tags=("A2", "A3", "F4"),
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_cust,
+           count(CASE WHEN c_acctbal > 0 THEN 1 END) AS n_positive,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(CASE WHEN c_acctbal > 0 THEN 1 END) > 1
+    """,
+)
+def conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(CASE WHEN ...) per group with post-agg HAVING filter —
+    the reference's person-count-per-component gate (01:169-173)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive"),
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("n_building"),
+        )
+        .filter(F.col("n_positive") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/A4: UNION with DISTINCT semantics (01:91-107) vs U2 UNION ALL (01:344).
+# ---------------------------------------------------------------------------
+@register(
+    "union_distinct_keys",
+    tags=("U1", "A4"),
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNION = union + distinct; the reference's edge/node assembly
+    relies on exactly this (SURVEY §1.3 semantics note)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "union_all_tagged",
+    tags=("U2", "U3", "A1"),
+    oracle="""
+    SELECT side, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum FROM (
+        SELECT 'o' AS side, o_custkey AS k FROM orders
+        UNION ALL
+        SELECT 'l' AS side, l_suppkey AS k FROM lineitem
+    ) u GROUP BY side
+    """,
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL keeps duplicates (01:344); aggregate per source tag."""
+    o = _t(spark, sf_dir, "orders").select(F.lit("o").alias("side"), F.col("o_custkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.lit("l").alias("side"), F.col("l_suppkey").alias("k"))
+    return o.unionAll(li).groupBy("side").agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("key_sum"))
+
+
+# ---------------------------------------------------------------------------
+# J4: IN-subquery => left-semi join (01:53-67, :175-176).
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_subquery",
+    tags=("J4",),
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    """,
+)
+def semi_join_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery decorrelated to a left-semi join (Catalyst
+    RewritePredicateSubquery does the same to the SQL form)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Anti join (engine extension; 'for free' per SURVEY §2.3 note).
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_no_orders",
+    tags=("J-ext",),
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — NOT EXISTS as a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Outer join + agg (engine extension).
+# ---------------------------------------------------------------------------
+@register(
+    "outer_join_nation_counts",
+    tags=("J-ext", "A1"),
+    oracle="""
+    SELECT n.n_name, count(c.c_custkey) AS n_cust,
+           round(coalesce(sum(c.c_acctbal), 0.0), 2) AS bal_sum
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving empty nations; count() skips nulls.
+
+    Scale: nation is 25 rows — broadcast; the agg keys on n_name
+    (25 groups) so partial agg collapses nearly everything map-side.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(nation)
+        .join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_cust"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("bal_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/P6: self-join with aliases + theta residual (01:316-320).
+# ---------------------------------------------------------------------------
+@register(
+    "self_join_pair_amounts",
+    headline=True,
+    tags=("J3", "P6"),
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS ln1, b.l_linenumber AS ln2,
+           round(a.l_extendedprice + b.l_extendedprice, 2) AS pair_price
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_linenumber < b.l_linenumber
+      AND a.l_extendedprice + b.l_extendedprice > 150000.0
+    """,
+)
+def self_join_pair_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aliased self-join on the order key with an arithmetic theta
+    residual — the reference's structuring pair filter
+    (01_aml_network_analysis.py:316-320: g1.g.id = g2.g.id then
+    amt+amt > 10000).
+
+    Scale: equi part (l_orderkey) is the shuffle key; the theta
+    predicate stays a post-join filter, so no cartesian blowup. Skewed
+    hot orders would be AQE-split.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(
+            (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_extendedprice") + F.col("b.l_extendedprice") > 150000.0)
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_linenumber").alias("ln1"),
+            F.col("b.l_linenumber").alias("ln2"),
+            F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 2).alias("pair_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: multi-way join (01:335-355 joins motif matches to entities x4).
+# ---------------------------------------------------------------------------
+@register(
+    "multiway_join_revenue",
+    headline=True,
+    tags=("J2", "A1"),
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS revenue,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table join tree, revenue per nation/region.
+
+    Scale: fact-fact joins (orders x lineitem) shuffle on their keys;
+    nation/region are broadcast so the dimension joins never shuffle.
+    Date filter pushes into the orders scan before the join.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 + nested structs: struct pack / `s.*` expansion (01:322).
+# ---------------------------------------------------------------------------
+@register(
+    "struct_pack_expand",
+    tags=("P2",),
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey < 5
+    """,
+)
+def struct_pack_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack columns into a struct then expand with selectExpr('s.*') —
+    the motif-output access pattern (01:318-322 graph1.*)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    packed = cust.select(F.struct("c_custkey", "c_name", "c_mktsegment").alias("s"))
+    return packed.selectExpr("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (engine extension per SURVEY §2.5 note).
+# ---------------------------------------------------------------------------
+@register(
+    "window_topk_per_group",
+    headline=True,
+    tags=("W-ext",),
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — AML velocity/top-k building block.
+
+    Scale: row_number over partitioned window = one shuffle on
+    o_custkey; rank filter applied before any further join. The
+    o_orderkey tiebreak makes results deterministic.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    tags=("W-ext",),
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time (velocity-rule primitive)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+    )
+
+
+@register(
+    "sessionize_events",
+    headline=True,
+    tags=("W-ext",),
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative-sum of gap flags (30-min gap).
+
+    Scale: two window passes over the same (user_id, ts) ordering reuse
+    one shuffle/sort; final agg keys on (user_id, session_id).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn("is_new", F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wsum).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage: json, date_trunc, string/math/conditional fns.
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    tags=("F-ext",),
+    oracle="""
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_bucket,
+           count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column
+    (fixture analog of semi-structured AML txn metadata)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+
+@register(
+    "date_trunc_daily",
+    tags=("F-ext",),
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(avg(value) + 1e-10, 4) AS avg_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup of the event stream (time-bucketed monitoring)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value") + 1e-10, 4).alias("avg_value"))
+    )
+
+
+@register(
+    "scalar_function_suite",
+    tags=("F1", "F2", "F4", "F5", "F-ext"),
+    oracle="""
+    SELECT c_custkey,
+           upper(substr(c_name, 1, 8)) AS name8,
+           length(c_name) AS name_len,
+           round(abs(c_acctbal), 2) AS bal_abs,
+           round(greatest(c_acctbal, 0.0), 2) AS bal_pos,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS tier
+    FROM customer
+    """,
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage in one projection: string fns, abs/
+    greatest (F6), coalesce/nullif (F2), CASE WHEN tiers (F4)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name8"),
+        F.length("c_name").alias("name_len"),
+        F.round(F.abs("c_acctbal"), 2).alias("bal_abs"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("bal_pos"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+        F.when(F.col("c_acctbal") > 5000, "high").when(F.col("c_acctbal") > 0, "mid").otherwise("low").alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-set extensions (SURVEY §2.4 'not present' list — one-liners).
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_pricing",
+    tags=("A-ext",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "pivot_segment_counts",
+    tags=("A-ext",),
+    oracle="""
+    SELECT c_nationkey,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS BUILDING,
+           CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS FURNITURE,
+           CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS HOUSEHOLD,
+           CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS MACHINERY
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list so no extra distinct-values job);
+    nulls filled with 0 to match the conditional-agg oracle."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    df = _t(spark, sf_dir, "customer").groupBy("c_nationkey").pivot("c_mktsegment", segs).count()
+    return df.na.fill(0, segs)
+
+
+# ---------------------------------------------------------------------------
+# Set-op extensions: INTERSECT / EXCEPT (SURVEY §2.6 'not present').
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_except_keys",
+    tags=("U-ext",),
+    oracle="""
+    SELECT k, 'both' AS tag FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0
+        INTERSECT
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    )
+    UNION ALL
+    SELECT k, 'only_big_orders' AS tag FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0
+        EXCEPT
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    )
+    """,
+)
+def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct semantics) tagged into one result."""
+    big = (
+        _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0).select(F.col("o_custkey").alias("k"))
+    )
+    pos = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    both = big.intersect(pos).withColumn("tag", F.lit("both"))
+    only = big.subtract(pos).withColumn("tag", F.lit("only_big_orders"))
+    return both.unionAll(only)
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: global sort + limit with deterministic tiebreak (01:66; 03:59).
+# ---------------------------------------------------------------------------
+@register(
+    "order_limit_top10",
+    tags=("W1", "W2"),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def order_limit_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: Spark plans TakeOrderedAndProject — no full sort
+    materialization, each partition contributes its local top-10."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6/S7 SQL-string entry: temp view + CTE query (lifecycle §3.1).
+# ---------------------------------------------------------------------------
+@register(
+    "sql_cte_view_entry",
+    tags=("S5", "S6", "S7"),
+    oracle="""
+    WITH order_stats AS (
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, s.n_orders, s.total_spend
+    FROM customer c JOIN order_stats s ON s.o_custkey = c.c_custkey
+    WHERE s.n_orders >= 5
+    """,
+)
+def sql_cte_view_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text entry point: register temp views, run a CTE query —
+    the reference's dominant query style (01:51-68 via sql())."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH order_stats AS (
+            SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+            FROM v_orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, s.n_orders, s.total_spend
+        FROM v_customer c JOIN order_stats s ON s.o_custkey = c.c_custkey
+        WHERE s.n_orders >= 5
+        """
+    )
