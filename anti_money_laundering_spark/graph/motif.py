@@ -1,0 +1,174 @@
+"""Motif pattern compiler: GraphFrames-style ``find`` as a join chain
+(SURVEY §2.8 G5).
+
+The reference expresses structuring fan-in and round-trip detection as
+motif patterns (01_aml_network_analysis.py:308-311, :376-379):
+
+    "(a)-[e1]->(b); (b)-[e2]->(c)"            # chain
+    "(a)-[e1]->(b); (b)-[e2]->(a)"            # cycle
+    "(a)-[]->(b); !(b)-[]->(a)"               # negated term
+
+This compiler parses the pattern into an ordered chain of equi-joins
+over the edge table — exactly what GraphFrames' Scala motif planner
+emits — then struct-packs each *named* vertex/edge so the result schema
+matches GraphFrames' (columns ``a``, ``e1``, ... of struct type,
+accessed as ``col("a.id")``, expanded via ``selectExpr("a.*")``).
+
+Semantics (matching GraphFrames):
+- named vertex variables unify across terms; anonymous ``()`` are
+  fresh existentials each time;
+- named edge variables must be unique; anonymous ``[]`` edges are
+  unconstrained;
+- morphism semantics: distinct variables MAY bind the same graph
+  element (GraphFrames does not enforce vertex distinctness — add
+  explicit filters like ``col("a.id") != col("c.id")`` when needed);
+- ``!(x)-[]->(y)`` = no edge x→y (left-anti join); both endpoints must
+  already be bound by positive terms, and negated edges cannot be named.
+
+Scale: each term adds one equi-join keyed on the shared vertex var;
+Catalyst/AQE order and size the joins (broadcast for tiny edge subsets,
+sort-merge otherwise). Nothing is materialized until the caller acts.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from anti_money_laundering_spark.graph import Graph
+
+_TERM_RE = re.compile(r"^(?P<neg>!?)\((?P<src>\w*)\)-\[(?P<edge>\w*)\]->\((?P<dst>\w*)\)$")
+
+
+def _parse(pattern: str) -> list[dict]:
+    terms = []
+    for raw in pattern.split(";"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        m = _TERM_RE.match(raw)
+        if not m:
+            raise ValueError(f"cannot parse motif term: {raw!r}")
+        terms.append(
+            {
+                "neg": m.group("neg") == "!",
+                "src": m.group("src") or None,
+                "edge": m.group("edge") or None,
+                "dst": m.group("dst") or None,
+            }
+        )
+    if not terms:
+        raise ValueError("empty motif pattern")
+    return terms
+
+
+def find_motif(graph: "Graph", pattern: str) -> DataFrame:
+    """Compile ``pattern`` against ``graph`` into a DataFrame whose
+    columns are structs for each named vertex/edge variable, in order
+    of first appearance (GraphFrames-compatible output shape)."""
+    terms = _parse(pattern)
+    edge_cols = graph.edges.columns
+    vertex_cols = graph.vertices.columns
+
+    named_order: list[str] = []  # output column order (first appearance)
+    bound: set[str] = set()  # bound vertex vars
+    seen_edges: set[str] = set()
+    anon_count = 0
+    result: DataFrame | None = None
+
+    def fresh_anon() -> str:
+        nonlocal anon_count
+        anon_count += 1
+        return f"__anon{anon_count}"
+
+    for t in terms:
+        src = t["src"] or fresh_anon()
+        dst = t["dst"] or fresh_anon()
+        if t["neg"]:
+            if t["edge"]:
+                raise ValueError("negated motif edges cannot be named")
+            if src.startswith("__anon") or dst.startswith("__anon"):
+                raise ValueError("negated motif terms require named vertices")
+            if result is None or src not in bound or dst not in bound:
+                raise ValueError("negated terms must follow positive terms binding both vertices")
+            anti = graph.edges.select(F.col("src").alias("__n_src"), F.col("dst").alias("__n_dst"))
+            result = result.join(
+                anti,
+                (F.col(f"__v_{src}") == F.col("__n_src")) & (F.col(f"__v_{dst}") == F.col("__n_dst")),
+                "left_anti",
+            )
+            continue
+
+        edge_var = t["edge"]
+        if edge_var:
+            if edge_var in seen_edges:
+                raise ValueError(f"duplicate edge variable: {edge_var}")
+            seen_edges.add(edge_var)
+        term_df = graph.edges.select(
+            F.col("src").alias("__t_src"),
+            F.col("dst").alias("__t_dst"),
+            F.struct(*edge_cols).alias("__t_edge"),
+        )
+        if result is None:
+            if src == dst:  # self-loop term (a)-[]->(a)
+                result = term_df.filter(F.col("__t_src") == F.col("__t_dst")).select(
+                    F.col("__t_src").alias(f"__v_{src}"), F.col("__t_edge")
+                )
+            else:
+                result = term_df.select(
+                    F.col("__t_src").alias(f"__v_{src}"),
+                    F.col("__t_dst").alias(f"__v_{dst}"),
+                    F.col("__t_edge"),
+                )
+        else:
+            conds = []
+            if src in bound:
+                conds.append(F.col(f"__v_{src}") == term_df["__t_src"])
+            if dst in bound and dst != src:
+                conds.append(F.col(f"__v_{dst}") == term_df["__t_dst"])
+            if src == dst:
+                conds.append(term_df["__t_src"] == term_df["__t_dst"])
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                result = result.join(term_df, cond)
+            else:
+                result = result.crossJoin(term_df)
+            sel = [result[c] for c in result.columns if c != "__t_src" and c != "__t_dst" and c != "__t_edge"]
+            if src not in bound:
+                sel.append(F.col("__t_src").alias(f"__v_{src}"))
+            if dst not in bound and dst != src:
+                sel.append(F.col("__t_dst").alias(f"__v_{dst}"))
+            sel.append(F.col("__t_edge"))
+            result = result.select(*sel)
+
+        if edge_var:
+            result = result.withColumnRenamed("__t_edge", f"__e_{edge_var}")
+        else:
+            result = result.drop("__t_edge")
+
+        for v in (src, dst):
+            bound.add(v)
+            if not v.startswith("__anon") and v not in named_order:
+                named_order.append(v)
+        if edge_var:
+            named_order.append(edge_var)
+
+    assert result is not None
+    # Attach vertex attribute structs for named vertex vars.
+    out_cols: list = []
+    for var in named_order:
+        if var in seen_edges:
+            out_cols.append(F.col(f"__e_{var}").alias(var))
+            continue
+        vstruct = graph.vertices.select(
+            F.col("id").alias(f"__vid_{var}"), F.struct(*vertex_cols).alias(var)
+        )
+        result = result.join(vstruct, F.col(f"__v_{var}") == F.col(f"__vid_{var}"))
+        out_cols.append(F.col(var))
+    return result.select(*out_cols)

@@ -1,1 +1,257 @@
-"""Placeholder — populated in a later milestone."""
+"""Graph operator catalog (SURVEY.md §2.8) — degrees, motifs, connected
+components, Pregel — each over a fixture graph with a DuckDB oracle
+(plain joins for motifs, recursive CTE for CC, unrolled rounds for
+Pregel's fixed iteration count)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.graph import risk_propagation
+from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.plans.fixture_graphs import (
+    FLOW_EDGES_SQL,
+    IDENTITY_EDGES_SQL,
+    TXN_EDGES_SQL,
+    flow_graph,
+    identity_graph,
+    txn_graph,
+)
+from anti_money_laundering_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# G2: degrees (01_aml_network_analysis.py:123)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degrees",
+    tags=("G1", "G2"),
+    oracle=f"""
+    WITH edges AS ({TXN_EDGES_SQL})
+    SELECT id, count(*) AS degree FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+    ) GROUP BY id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree of the transaction graph — explode+count, no join."""
+    return txn_graph(spark, sf_dir).degrees()
+
+
+@register(
+    "graph_degree_pruned",
+    tags=("G3",),
+    oracle=f"""
+    WITH edges AS ({TXN_EDGES_SQL}),
+    deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        ) GROUP BY id
+    )
+    SELECT id FROM deg WHERE degree <> 1
+    """,
+)
+def graph_degree_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-1 pruning pre-pass (01:119-127): surviving vertex ids."""
+    return txn_graph(spark, sf_dir).prune_degree_one().vertices.select("id")
+
+
+# ---------------------------------------------------------------------------
+# G5: motif fan-in (structuring/smurfing, 01:308-322). Two deposits into
+# the same middle account which then forwards — aggregate over threshold.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "motif_fanin_structuring",
+    headline=True,
+    tags=("G5", "J2", "P6"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL})
+    SELECT e1.src AS a_id, e2.src AS b_id, e1.dst AS c_id, e3.dst AS g_id,
+           e1.txn_id AS t1, e2.txn_id AS t2, e3.txn_id AS t3,
+           round(e1.amount + e2.amount, 2) AS in_amount
+    FROM edges e1
+    JOIN edges e2 ON e2.dst = e1.dst
+    JOIN edges e3 ON e3.src = e1.dst
+    WHERE e1.src < e2.src AND e1.amount + e2.amount > 400.0
+    """,
+)
+def motif_fanin_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring fan-in via the motif compiler:
+    (a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g), post-filtered on
+    a.id < b.id (dedupe symmetric pairs, same trick as the reference's
+    self-join at 01:316-320) and combined inflow > threshold."""
+    g = flow_graph(spark, sf_dir)
+    m = g.find("(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)")
+    return (
+        m.filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("e1.amount") + F.col("e2.amount") > 400.0)
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("c.id").alias("c_id"),
+            F.col("g.id").alias("g_id"),
+            F.col("e1.txn_id").alias("t1"),
+            F.col("e2.txn_id").alias("t2"),
+            F.col("e3.txn_id").alias("t3"),
+            F.round(F.col("e1.amount") + F.col("e2.amount"), 2).alias("in_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5: motif cycle (round-tripping, 01:376-379).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "motif_roundtrip_cycle",
+    headline=True,
+    tags=("G5", "J2"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL})
+    SELECT e1.src AS a_id, e2.src AS b_id, e3.src AS c_id,
+           e1.txn_id AS t1, e2.txn_id AS t2, e3.txn_id AS t3,
+           round(e1.amount + e2.amount + e3.amount, 2) AS cycle_amount
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    """,
+)
+def motif_roundtrip_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip detection: money looping a→b→c→a (the reference's
+    4-cycle at 01:376, tightened to 3 hops on the denser fixture
+    graph). Cycle closure = the join back onto a's id."""
+    g = flow_graph(spark, sf_dir)
+    m = g.find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(a)")
+    return m.select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("c.id").alias("c_id"),
+        F.col("e1.txn_id").alias("t1"),
+        F.col("e2.txn_id").alias("t2"),
+        F.col("e3.txn_id").alias("t3"),
+        F.round(F.col("e1.amount") + F.col("e2.amount") + F.col("e3.amount"), 2).alias("cycle_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4: connected components over the identity graph (01:146) + the
+# synthetic-ID score built on it (01:218-228).
+# ---------------------------------------------------------------------------
+
+_CC_REACH_SQL = f"""
+    edges0 AS ({IDENTITY_EDGES_SQL}),
+    edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "connected_components",
+    headline=True,
+    tags=("G4",),
+    oracle=f"""
+    WITH RECURSIVE {_CC_REACH_SQL}
+    SELECT id, component FROM comp
+    """,
+)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the identity graph; label = min member
+    id. Oracle: DuckDB recursive-CTE reachability (min reachable id)."""
+    return identity_graph(spark, sf_dir).connected_components()
+
+
+@register(
+    "synth_id_scores",
+    tags=("G4", "A1", "A2", "A3"),
+    oracle=f"""
+    WITH RECURSIVE {_CC_REACH_SQL},
+    sizes AS (
+        SELECT component,
+               count(*) AS n,
+               count(CASE WHEN id < 1000000 THEN 1 END) AS person_ct
+        FROM comp GROUP BY component
+    )
+    SELECT c.component, c.id AS id0, CAST(s.n - 1 AS BIGINT) AS synth_score
+    FROM comp c JOIN sizes s ON s.component = c.component
+    WHERE c.id < 1000000 AND s.person_ct > 1
+    """,
+)
+def synth_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's synthetic-identity score end-to-end (01:164-228):
+    components with >1 person; each person's score = number of other
+    members (shared attributes + co-members) in its component."""
+    cc = identity_graph(spark, sf_dir).connected_components()
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("id") < 1000000, 1)).alias("person_ct"),
+    )
+    return (
+        cc.filter(F.col("id") < 1000000)
+        .join(sizes.filter(F.col("person_ct") > 1), "component")
+        .select("component", F.col("id").alias("id0"), (F.col("n") - 1).cast("long").alias("synth_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6: Pregel risk propagation (01:450-459); oracle = 3 unrolled rounds.
+# ---------------------------------------------------------------------------
+
+_PREGEL_ROUND = """
+    m{i} AS (
+        SELECT e.dst AS id, sum(r.score / 2) AS msg
+        FROM edges e JOIN r{p} r ON r.id = e.src GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT r.id, r.risk, coalesce(m.msg + r.risk, r.score) AS score
+        FROM r{p} r LEFT JOIN m{i} m ON m.id = r.id
+    )
+"""
+
+
+@register(
+    "pregel_risk_propagation",
+    headline=True,
+    tags=("G6",),
+    oracle=f"""
+    WITH
+    edges AS ({FLOW_EDGES_SQL}),
+    verts AS (
+        SELECT id, coalesce(c.c_acctbal / 1000, 0.0) AS risk FROM (
+            SELECT src AS id FROM edges UNION SELECT dst FROM edges
+        ) v LEFT JOIN customer c ON c.c_custkey = v.id
+    ),
+    r0 AS (SELECT id, risk, risk AS score FROM verts),
+    {_PREGEL_ROUND.format(i=1, p=0)},
+    {_PREGEL_ROUND.format(i=2, p=1)},
+    {_PREGEL_ROUND.format(i=3, p=2)}
+    SELECT id, round(score + 1e-9, 3) AS risk_score FROM r3
+    """,
+)
+def pregel_risk_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk propagation, reference semantics exactly (01:454-459):
+    3 supersteps, msg = src.risk_score/2 to out-neighbors, agg = sum,
+    update = coalesce(msg + initial_risk, previous_score). Seeds come
+    from customer acctbal (risk_score analog, FIXTURES.md role map)."""
+    g = flow_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    vertices = (
+        g.vertices.join(cust, g.vertices.id == cust.c_custkey, "left")
+        .select("id", F.coalesce(F.col("c_acctbal") / 1000, F.lit(0.0)).alias("risk"))
+    )
+    from anti_money_laundering_spark.graph import Graph
+
+    ranks = risk_propagation(Graph(vertices, g.edges), risk_col="risk", max_iter=3)
+    return ranks.select("id", F.round(F.col("risk_score") + 1e-9, 3).alias("risk_score"))

@@ -1,0 +1,112 @@
+"""Graph module unit tests on tiny hand-built graphs with closed-form
+expected results (SURVEY §5 invariant checks for iterative ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.graph import Graph, risk_propagation
+
+
+def g(spark, edges, vertices=None):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if vertices is None:
+        v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    else:
+        v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    return Graph(v, e)
+
+
+def test_graph_validation(spark):
+    v = spark.createDataFrame([(1,)], "id long")
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    Graph(v, e)
+    with pytest.raises(ValueError):
+        Graph(v.withColumnRenamed("id", "x"), e)
+    with pytest.raises(ValueError):
+        Graph(v, e.withColumnRenamed("src", "x"))
+
+
+def test_degrees(spark):
+    gr = g(spark, [(1, 2), (2, 3), (1, 3), (1, 2)])
+    deg = {r.id: r.degree for r in gr.degrees().collect()}
+    assert deg == {1: 3, 2: 3, 3: 2}
+
+
+def test_connected_components_two_islands(spark):
+    gr = g(spark, [(1, 2), (2, 3), (10, 11), (12, 11)], vertices=[1, 2, 3, 10, 11, 12, 99])
+    cc = {r.id: r.component for r in gr.connected_components().collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_chain_diameter(spark):
+    # long chain exercises multi-round propagation + checkpointing
+    chain = [(i, i + 1) for i in range(1, 12)]
+    gr = g(spark, chain)
+    cc = {r.id: r.component for r in gr.connected_components().collect()}
+    assert set(cc.values()) == {1}
+
+
+def test_motif_chain_and_attrs(spark):
+    v = spark.createDataFrame([(1, "p"), (2, "q"), (3, "r")], "id long, kind string")
+    e = spark.createDataFrame([(1, 2, 10.0), (2, 3, 20.0)], "src long, dst long, amount double")
+    gr = Graph(v, e)
+    m = gr.find("(a)-[e1]->(b); (b)-[e2]->(c)")
+    rows = m.select(
+        F.col("a.id").alias("a"), F.col("b.id"), F.col("c.id").alias("c"),
+        F.col("e1.amount").alias("amt1"), F.col("b.kind").alias("bk"),
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.c, r.amt1, r.bk) == (1, 3, 10.0, "q")
+
+
+def test_motif_cycle(spark):
+    gr = g(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    m = gr.find("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+    cycles = {(r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in m.collect()}
+    # each rotation of the 1->2->3 cycle matches
+    assert cycles == {(1, 2, 3), (2, 3, 1), (3, 1, 2)}
+
+
+def test_motif_anonymous_and_negation(spark):
+    gr = g(spark, [(1, 2), (2, 1), (2, 3)])
+    # pairs with an edge a->b but no reverse edge
+    m = gr.find("(a)-[]->(b); !(b)-[]->(a)")
+    pairs = {(r["a"]["id"], r["b"]["id"]) for r in m.collect()}
+    assert pairs == {(2, 3)}
+    # anonymous middle vertex: out-neighbors of vertices with in-edges
+    m2 = gr.find("(a)-[]->(); (a)-[]->(b)")
+    assert m2.count() == 5  # a in {1,2}: 1 has 1 out-edge (1 combo), 2 has 2 (4 combos)
+
+
+def test_motif_parse_errors(spark):
+    gr = g(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        gr.find("(a)-[e]->")
+    with pytest.raises(ValueError):
+        gr.find("(a)-[e]->(b); (b)-[e]->(c)")  # duplicate edge var
+    with pytest.raises(ValueError):
+        gr.find("!(a)-[]->(b)")  # negation before binding
+
+
+def test_pregel_risk_propagation_closed_form(spark):
+    # 1 -> 2 -> 3 chain, risks 8, 0, 0
+    v = spark.createDataFrame([(1, 8.0), (2, 0.0), (3, 0.0)], "id long, risk double")
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.id: r.risk_score for r in risk_propagation(Graph(v, e)).collect()}
+    # step1: v2 = 8/2+0 = 4, v3 = 0/2+0 = 0; v1 keeps 8 (no inbox)
+    # step2: v2 = 8/2+0 = 4, v3 = 4/2+0 = 2
+    # step3: v2 = 4,          v3 = 4/2+0 = 2
+    assert out == {1: 8.0, 2: 4.0, 3: 2.0}
+
+
+def test_prune_degree_one(spark):
+    gr = g(spark, [(1, 2), (2, 3), (2, 4)])
+    pruned = gr.prune_degree_one()
+    assert {r.id for r in pruned.vertices.collect()} == {2}
+    assert pruned.edges.count() == 0
+    kept = gr.prune_degree_one(keep=F.col("id") == 3)
+    assert {r.id for r in kept.vertices.collect()} == {2, 3}
+    assert kept.edges.count() == 1
