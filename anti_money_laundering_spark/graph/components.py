@@ -10,9 +10,9 @@ GraphFrames' packed partition<<32 longs (01:212).
 Scale posture:
 - each round is one shuffle-join (labels x edges) + one partial-agg'd
   min-groupBy — both keyed on vertex id, so AQE can coalesce/skew-split;
-- ``localCheckpoint`` every ``checkpoint_interval`` rounds truncates the
-  exponentially-growing lineage (SURVEY §4 O5), mirroring the
-  reference's mandatory setCheckpointDir (01:122, :145);
+- ``localCheckpoint`` per round truncates the exponentially-growing
+  lineage (SURVEY §4 O5), mirroring the reference's mandatory
+  setCheckpointDir (01:122, :145);
 - rounds needed = graph diameter. For short-diameter identity graphs
   (entity–attribute bipartite stars) this is a handful; for adversarial
   long chains an alternating large-star/small-star variant (Kiveris et
@@ -34,7 +34,6 @@ if TYPE_CHECKING:
 def connected_components(
     graph: "Graph",
     max_iter: int = 100,
-    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Return ``(id, component)`` with component = min id reachable.
 
@@ -50,7 +49,16 @@ def connected_components(
     labels = graph.vertices.select("id").distinct().withColumn("component", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
 
-    for i in range(max_iter):
+    # Labels are monotonically non-increasing (each round takes a min over
+    # a superset that includes the old label), so the label sum strictly
+    # decreases iff any label changed — a one-column agg is a much cheaper
+    # fixpoint test than a join-and-compare against the previous round.
+    # decimal(38,0) so the sum can't overflow with 64-bit ids at scale.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
         # Labels seen by each vertex via incoming propagation.
         incoming = (
             bi.join(labels, bi.src == labels.id)
@@ -62,20 +70,13 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        if (i + 1) % checkpoint_interval == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        old = labels
+        # Eager checkpoint = materialize this round once; the fixpoint agg
+        # and the next round both read the materialized blocks, and the
+        # join lineage is truncated (SURVEY §4 O5).
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        old.unpersist()
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

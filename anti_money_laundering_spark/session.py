@@ -38,7 +38,11 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Keep Spark's 10 MB default broadcast threshold: dims (region,
+        # nation, filtered orders/customer) broadcast, facts never do.
+        # A larger threshold makes fact-fact self-joins broadcast at
+        # small SF — a plan shape that collapses at cluster scale.
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         # parquet vectorized reader + pushdown are on by default; pin anyway

@@ -7,8 +7,10 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Each query is timed end-to-end (plan build + execution) with a
 ``count()`` action so results never collect to the driver. One warmup
-pass amortizes JVM/codegen startup out of the steady-state numbers —
-what a resident cluster would see.
+pass amortizes JVM/codegen startup, then each query is timed over
+PASSES runs and the minimum kept — the machine hosts other periodic
+work, and min-of-N isolates the engine's steady-state cost from
+neighbor noise.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from anti_money_laundering_spark.plans.catalog import get_catalog  # noqa: E402
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 
 def _sf_from_dir(path: str) -> float:
@@ -44,10 +47,12 @@ def main() -> None:
         q.fn(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
-    for name, q in headline.items():
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(PASSES):
+        for name, q in headline.items():
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).count()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(elapsed, timings.get(name, elapsed))
 
     total = round(sum(timings.values()), 3)
     print(
