@@ -1,0 +1,343 @@
+"""Probabilistic record linkage: Fellegi–Sunter with EM training
+(SURVEY.md §2.9, E1-E6).
+
+The reference delegates linkage to Splink 2.x
+(/root/reference/03_aml_entity_resolution.py:56-58, :131-133); this
+module is the same pipeline re-expressed as native DataFrame plans:
+
+1. **block** (E2) — candidate pairs via equi-join on blocking keys
+   (never the O(n²) cartesian; /root/reference/03:36-38);
+2. **compare** (E3) — per-column similarity discretized into ordered
+   agreement levels ("gamma"), using JVM-side expressions
+   (``levenshtein``, exact/abs-diff) so comparison stays codegen'd;
+3. **EM fit** (A6) — expectation-maximization for the m/u probabilities
+   and the match prior λ. Each iteration is ONE aggregate pass over the
+   pair table (conditional sums per comparison level) with the current
+   parameters folded in as literals — no per-row Python;
+4. **score** (E4) — posterior ``match_probability`` and log2
+   ``match_weight`` per pair, plus optional term-frequency adjustment
+   (E3): agreement on a frequent value is weaker evidence, so the
+   agreement-level u is replaced by the value's relative frequency.
+
+Scale posture: the pair table is only ever as large as the blocking
+rules allow; EM state is a handful of driver-side floats broadcast back
+into expressions (no shuffle of parameters); every pass is a single
+partial-aggregated scan of the cached gamma table.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Comparison",
+    "exact_comparison",
+    "levenshtein_comparison",
+    "numeric_bucket_comparison",
+    "candidate_pairs",
+    "gamma_table",
+    "em_fit",
+    "score_pairs",
+    "term_frequencies",
+    "link_dedupe",
+]
+
+
+# ---------------------------------------------------------------------------
+# Comparison specs (E3)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Comparison:
+    """One comparison column: an ordered list of agreement levels.
+
+    ``levels[i]`` is a predicate over ``<col>_l`` / ``<col>_r``; the
+    gamma value is the index of the FIRST matching predicate counting
+    from the strongest (len(levels)) down to 1, else 0 (disagreement).
+    ``n_levels`` = len(levels) + 1 including gamma=0.
+    """
+
+    name: str
+    levels: list[Column] = field(default_factory=list)
+    tf_col: str | None = None  #: apply term-frequency adjustment on this source column
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels) + 1
+
+    def gamma_expr(self) -> Column:
+        """CASE chain, strongest level first (Splink's convention:
+        higher gamma = stronger agreement)."""
+        expr = F.lit(0)
+        for i, cond in enumerate(self.levels):  # levels[0] is strongest
+            level_val = len(self.levels) - i
+            expr = F.when(cond, F.lit(level_val)) if i == 0 else expr.when(cond, F.lit(level_val))
+        return expr.otherwise(F.lit(0)).alias(f"gamma_{self.name}")
+
+
+def _l(col: str) -> Column:
+    return F.col(f"{col}_l")
+
+
+def _r(col: str) -> Column:
+    return F.col(f"{col}_r")
+
+
+def exact_comparison(col: str, tf_adjust: bool = False) -> Comparison:
+    """gamma 1 = exact equal, 0 otherwise (03:47-49 country column)."""
+    return Comparison(name=col, levels=[_l(col) == _r(col)], tf_col=col if tf_adjust else None)
+
+
+def levenshtein_comparison(col: str, close: int = 2, tf_adjust: bool = False) -> Comparison:
+    """gamma 2 = exact, 1 = levenshtein <= ``close``, 0 otherwise —
+    the fuzzy string comparison the reference applies to names and
+    addresses (03:39-46)."""
+    return Comparison(
+        name=col,
+        levels=[
+            _l(col) == _r(col),
+            F.levenshtein(_l(col), _r(col)) <= close,
+        ],
+        tf_col=col if tf_adjust else None,
+    )
+
+
+def numeric_bucket_comparison(col: str, tolerance: float) -> Comparison:
+    """gamma 2 = exact, 1 = |l-r| <= tolerance, 0 otherwise."""
+    return Comparison(
+        name=col,
+        levels=[
+            _l(col) == _r(col),
+            F.abs(_l(col) - _r(col)) <= tolerance,
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking (E1/E2)
+# ---------------------------------------------------------------------------
+
+
+def candidate_pairs(
+    df: DataFrame,
+    unique_id: str,
+    blocking_rules: list[list[str]],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Candidate pairs for dedupe (link_type=dedupe_only, 03:35): the
+    union of equi-self-joins over each blocking rule's key columns,
+    ordered ``uid_l < uid_r`` so each unordered pair appears once, then
+    de-duplicated across rules.
+
+    Output columns: ``uid_l``, ``uid_r``, and ``<col>_l``/``<col>_r``
+    for every compared column. The join is keyed on the blocking
+    columns, so Catalyst shuffles each side once on those keys — the
+    cartesian never materializes (SURVEY §4 O3).
+    """
+    cols = compare_cols or [c for c in df.columns if c != unique_id]
+    rule_keys = [k for rule in blocking_rules for k in rule]
+    keep = [unique_id, *dict.fromkeys([*cols, *rule_keys])]
+    base = df.select(*keep)
+    parts = []
+    for rule in blocking_rules:
+        left = base.select(
+            *[F.col(c).alias(f"{c}_l") for c in keep],
+            *[F.col(k).alias(f"__bk_{k}") for k in rule],
+        )
+        right = base.select(
+            *[F.col(c).alias(f"{c}_r") for c in keep],
+            *[F.col(k).alias(f"__bk_{k}") for k in rule],
+        )
+        pairs = (
+            left.join(right, [f"__bk_{k}" for k in rule])
+            .filter(F.col(f"{unique_id}_l") < F.col(f"{unique_id}_r"))
+            .drop(*[f"__bk_{k}" for k in rule])
+        )
+        parts.append(pairs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.dropDuplicates([f"{unique_id}_l", f"{unique_id}_r"])
+    return out.withColumnsRenamed({f"{unique_id}_l": "uid_l", f"{unique_id}_r": "uid_r"})
+
+
+def gamma_table(pairs: DataFrame, comparisons: list[Comparison]) -> DataFrame:
+    """Attach one ``gamma_<name>`` column per comparison (E3)."""
+    return pairs.select("*", *[c.gamma_expr() for c in comparisons])
+
+
+# ---------------------------------------------------------------------------
+# EM training (A6) + Fellegi-Sunter scoring (E4)
+# ---------------------------------------------------------------------------
+
+
+def _match_prob_expr(comparisons: list[Comparison], params: dict) -> Column:
+    """Posterior P(match | gammas) with params folded in as literals."""
+    lam = params["lambda"]
+    m_prod = F.lit(lam)
+    u_prod = F.lit(1.0 - lam)
+    for c in comparisons:
+        m_levels, u_levels = params["m"][c.name], params["u"][c.name]
+        g = F.col(f"gamma_{c.name}")
+        m_case = F.lit(m_levels[0])
+        u_case = F.lit(u_levels[0])
+        for lvl in range(1, c.n_levels):
+            m_case = F.when(g == lvl, F.lit(m_levels[lvl])).otherwise(m_case)
+            u_case = F.when(g == lvl, F.lit(u_levels[lvl])).otherwise(u_case)
+        m_prod = m_prod * m_case
+        u_prod = u_prod * u_case
+    return m_prod / (m_prod + u_prod)
+
+
+def _default_params(comparisons: list[Comparison]) -> dict:
+    """Deterministic init: m mass increases geometrically with the
+    agreement level, u mass decreases — with DIFFERENT ratios (3 vs 5)
+    so no level starts evidence-neutral (equal m and u at a level is an
+    EM saddle: that level then never separates the classes)."""
+    params: dict = {"lambda": 0.1, "m": {}, "u": {}}
+    for c in comparisons:
+        k = c.n_levels
+        m_raw = [3.0**lvl for lvl in range(k)]
+        u_raw = [5.0 ** (k - 1 - lvl) for lvl in range(k)]
+        params["m"][c.name] = [v / sum(m_raw) for v in m_raw]
+        params["u"][c.name] = [v / sum(u_raw) for v in u_raw]
+    return params
+
+
+_EPS = 1e-6
+
+
+def em_fit(
+    gammas: DataFrame,
+    comparisons: list[Comparison],
+    max_iter: int = 25,
+    tol: float = 1e-5,
+    init: dict | None = None,
+) -> dict:
+    """Fit λ and per-level m/u by EM over the (cached) gamma table.
+
+    Each iteration = one aggregate job: ``sum(p)``, ``count``, and per
+    comparison-level ``sum(p·1[γ=l])`` / ``sum((1-p)·1[γ=l])`` — the
+    sufficient statistics of the M-step — computed in a single
+    partial-aggregated scan. Parameters never leave the driver.
+    """
+    params = init or _default_params(comparisons)
+    gammas = gammas.select(
+        *[F.col(f"gamma_{c.name}") for c in comparisons]
+    ).localCheckpoint(eager=True)
+
+    prev_ll_proxy = None
+    for _ in range(max_iter):
+        p = _match_prob_expr(comparisons, params)
+        aggs = [F.sum(p).alias("__sum_p"), F.count(F.lit(1)).alias("__n")]
+        for c in comparisons:
+            g = F.col(f"gamma_{c.name}")
+            for lvl in range(c.n_levels):
+                ind = (g == lvl).cast("double")
+                aggs.append(F.sum(p * ind).alias(f"__m_{c.name}_{lvl}"))
+                aggs.append(F.sum((1 - p) * ind).alias(f"__u_{c.name}_{lvl}"))
+        row = gammas.agg(*aggs).collect()[0]
+        sum_p, n = row["__sum_p"], row["__n"]
+        new_params: dict = {"lambda": min(max(sum_p / n, _EPS), 1 - _EPS), "m": {}, "u": {}}
+        for c in comparisons:
+            m_tot = sum(row[f"__m_{c.name}_{lvl}"] for lvl in range(c.n_levels))
+            u_tot = sum(row[f"__u_{c.name}_{lvl}"] for lvl in range(c.n_levels))
+            new_params["m"][c.name] = [
+                min(max(row[f"__m_{c.name}_{lvl}"] / max(m_tot, _EPS), _EPS), 1 - _EPS)
+                for lvl in range(c.n_levels)
+            ]
+            new_params["u"][c.name] = [
+                min(max(row[f"__u_{c.name}_{lvl}"] / max(u_tot, _EPS), _EPS), 1 - _EPS)
+                for lvl in range(c.n_levels)
+            ]
+        delta = abs(new_params["lambda"] - params["lambda"])
+        params = new_params
+        if prev_ll_proxy is not None and delta < tol:
+            break
+        prev_ll_proxy = sum_p
+    return params
+
+
+def term_frequencies(df: DataFrame, col: str) -> DataFrame:
+    """Relative frequency of each value — the TF-adjustment input
+    (Splink's term_frequency_adjustments, 03:43, :53). Agreement on
+    'John Smith' is weaker evidence than on a rare name."""
+    from pyspark.sql.window import Window
+
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("value", "n", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("tf"))
+    )
+
+
+def score_pairs(
+    gammas: DataFrame,
+    comparisons: list[Comparison],
+    params: dict,
+    tf_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Attach ``match_probability`` and log2 ``match_weight`` (E4).
+
+    With ``tf_tables`` (column -> term_frequencies output), exact-level
+    agreement on column c swaps that comparison's u for the value's
+    relative frequency — rarer value ⇒ bigger weight (E3).
+    """
+    lam = params["lambda"]
+    log2 = math.log(2.0)
+    weight = F.lit(math.log(lam / (1.0 - lam)) / log2)
+    out = gammas
+    for c in comparisons:
+        m_levels, u_levels = params["m"][c.name], params["u"][c.name]
+        g = F.col(f"gamma_{c.name}")
+        top = c.n_levels - 1
+        u_col = F.lit(None).cast("double")
+        if tf_tables and c.tf_col and c.tf_col in tf_tables:
+            tf = tf_tables[c.tf_col].select(
+                F.col("value").alias(f"__tfv_{c.name}"), F.col("tf").alias(f"__tf_{c.name}")
+            )
+            out = out.join(
+                F.broadcast(tf), out[f"{c.tf_col}_l"] == tf[f"__tfv_{c.name}"], "left"
+            ).drop(f"__tfv_{c.name}")
+            u_col = F.col(f"__tf_{c.name}")
+        m_case = F.lit(m_levels[0])
+        u_case = F.lit(u_levels[0])
+        for lvl in range(1, c.n_levels):
+            m_case = F.when(g == lvl, F.lit(m_levels[lvl])).otherwise(m_case)
+            base_u = F.lit(u_levels[lvl])
+            # TF adjustment applies at the exact-agreement level only.
+            u_val = F.coalesce(u_col, base_u) if lvl == top else base_u
+            u_case = F.when(g == lvl, u_val).otherwise(u_case)
+        weight = weight + F.log(m_case / u_case) / F.lit(log2)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -weight))
+    out = out.withColumn("match_weight", weight).withColumn("match_probability", prob)
+    return out.drop(*[f"__tf_{c.name}" for c in comparisons])
+
+
+def link_dedupe(
+    df: DataFrame,
+    unique_id: str,
+    blocking_rules: list[list[str]],
+    comparisons: list[Comparison],
+    max_iter: int = 25,
+    tf_adjust: bool = True,
+) -> DataFrame:
+    """End-to-end dedupe linkage (the reference's Splink(settings, df)
+    + get_scored_comparisons(), 03:56-58): block -> gamma -> EM ->
+    score. Returns the scored pair table."""
+    compare_cols = list(dict.fromkeys(c.tf_col or c.name for c in comparisons))
+    pairs = candidate_pairs(df, unique_id, blocking_rules, compare_cols=compare_cols)
+    gammas = gamma_table(pairs, comparisons)
+    params = em_fit(gammas, comparisons, max_iter=max_iter)
+    tf_tables = (
+        {c.tf_col: term_frequencies(df, c.tf_col) for c in comparisons if c.tf_col}
+        if tf_adjust
+        else None
+    )
+    return score_pairs(gammas, comparisons, params, tf_tables=tf_tables)
