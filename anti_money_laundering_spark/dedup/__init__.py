@@ -1,0 +1,220 @@
+"""Deduplication pipelines for large text corpora (north-star operators
+— the reference has none of these; BASELINE.json extends it with the
+LLM-data-pipeline surface).
+
+Four families, all shuffle-bounded (never an unblocked O(n²) compare):
+
+- **exact** — hash-groupBy on a canonical fingerprint; one shuffle on
+  the fingerprint key.
+- **MinHash + LSH** — shingle → MinHash signature → band buckets →
+  equi-join on (band, band-hash): only docs sharing a band bucket are
+  compared, then candidates are verified with exact Jaccard. The
+  classic near-dup pipeline (Broder 1997; used by every major corpus
+  dedup since GPT-2's WebText).
+- **SimHash** — 64-bit signature, candidates = same value in any of 4
+  16-bit sub-bands (Hamming <= 3 guaranteed caught at 4 bands),
+  verified by bit_count(xor).
+- **n-gram Jaccard** — exact token-set Jaccard via explode +
+  equi-join on token, fully SQL-expressible (the DuckDB-oracle-checked
+  ground truth the approximate methods are validated against).
+
+Scale posture: every candidate-generation step is an equi-join on a
+derived key (band hash / sub-band / token), so Catalyst shuffles on
+that key and AQE handles skew (a stop-shingle that buckets half the
+corpus). Signatures are computed in one codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.functions import (
+    fingerprint_md5,
+    hamming64,
+    minhash_signature,
+    simhash64,
+    tokens_sql,
+    word_shingles,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_lsh_candidates",
+    "simhash_candidates",
+    "jaccard_pairs",
+    "near_duplicates_minhash",
+]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of documents with identical canonical text. Returns
+    (fingerprint, n_docs, doc_ids sorted, keep_id = min id) for groups
+    of size >= 2 — everything but ``keep_id`` is droppable."""
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    signature (num_hashes) → ``bands`` bands of num_hashes/bands rows
+    each; docs agreeing on ALL rows of any band become a candidate
+    pair. With r rows/band, P(candidate) = 1 - (1 - J^r)^bands — the
+    S-curve that makes LSH precise AND recall-y around its threshold
+    (~(1/bands)^(1/r)).
+
+    The pair search is an equi-self-join on (band_id, band_signature)
+    — one shuffle keyed on the band hash; no cartesian.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col),
+        word_shingles(text_col, k=shingle_k).alias("__shingles"),
+    ).select(
+        F.col(id_col),
+        minhash_signature("__shingles", num_hashes=num_hashes).alias("__sig"),
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(array_join("
+                f"slice(__sig, b * {rows_per_band} + 1, {rows_per_band}), ',')) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    sub_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via SimHash sub-band blocking: split
+    the 64-bit signature into ``sub_bands`` pieces; by pigeonhole, any
+    pair within Hamming distance < sub_bands shares at least one piece
+    exactly. Verified with bit_count(xor) <= max_hamming.
+    Returns (id_a, id_b, hamming)."""
+    width = 64 // sub_bands
+    sigs = docs.select(F.col(id_col), simhash64(text_col).alias("__sim"))
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("__sim"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {sub_bands - 1}), "
+                f"b -> struct(b AS band, (shiftright(__sim, b * {width}) "
+                f"& {(1 << width) - 1}) AS piece))"
+            )
+        ).alias("bp"),
+    ).select(F.col(id_col), "__sim", F.col("bp.band").alias("band"), F.col("bp.piece").alias("piece"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("sim_a"), "band", "piece")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("sim_b"), "band", "piece")
+    return (
+        left.join(right, ["band", "piece"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("sim_a", "sim_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    pairs: DataFrame | None = None,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact shingle-SET Jaccard similarity per document pair
+    (``shingle_k=1`` = token sets).
+
+    Without ``pairs``: candidates come from sharing at least one
+    shingle (explode + equi-join — the inverted-index join; fine for
+    verification corpora, use LSH candidates at scale). With ``pairs``
+    (id_a, id_b): verifies exactly those.
+
+    Returns (id_a, id_b, jaccard). Fully SQL-expressible ⇒ this is the
+    DuckDB-checkable ground truth for the approximate pipelines.
+    """
+    unit = (
+        F.expr(tokens_sql(text_col)) if shingle_k == 1 else word_shingles(text_col, k=shingle_k)
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(unit)).alias("tok"),
+    )
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        tok.select(F.col("doc").alias("id_a"), "tok")
+        .join(tok.select(F.col("doc").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates, then exact Jaccard
+    verification of ONLY the candidates — at the SAME shingle
+    granularity (a k-shingle signature bucket approximates k-shingle
+    Jaccard; mixing units silently destroys recall). Returns
+    (id_a, id_b, jaccard) pairs with jaccard >= min_jaccard."""
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    return jaccard_pairs(
+        docs, id_col, text_col, min_jaccard=min_jaccard, pairs=cands, shingle_k=shingle_k
+    )

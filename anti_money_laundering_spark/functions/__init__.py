@@ -1,0 +1,161 @@
+"""Text-analysis column expressions (LLM-data-pipeline operators).
+
+Everything here is a pure ``pyspark.sql`` Column expression — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. These are the
+building blocks for the dedup / quality / language operators over the
+``documents`` table (BASELINE.json north star; the reference itself has
+no text pipeline — its scalar-function surface is SURVEY.md §2.7).
+
+All helpers take the *name* (or SQL expression string) of the input
+column so higher-order functions (transform/filter/aggregate) can be
+composed as expression text.
+
+Determinism: hashes are ``xxhash64`` (Spark built-in, seed-stable), so
+MinHash/SimHash signatures are reproducible across runs and cluster
+sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_sql",
+    "tokens",
+    "token_count",
+    "distinct_token_count",
+    "word_shingles",
+    "minhash_signature",
+    "simhash64",
+    "hamming64",
+    "lang_id",
+    "quality_features",
+    "fingerprint_md5",
+    "STOPWORDS",
+]
+
+
+def tokens_sql(col: str) -> str:
+    """SQL text for: lowercased whitespace tokens of ``col``, empties
+    dropped. Composable inside higher-order expressions."""
+    return f"filter(split(lower({col}), '\\\\s+'), t -> t != '')"
+
+
+def tokens(col: str) -> Column:
+    return F.expr(tokens_sql(col))
+
+
+def token_count(col: str) -> Column:
+    return F.expr(f"size({tokens_sql(col)})").cast("long")
+
+
+def distinct_token_count(col: str) -> Column:
+    return F.expr(f"size(array_distinct({tokens_sql(col)}))").cast("long")
+
+
+def word_shingles(col: str, k: int = 3) -> Column:
+    """Word k-shingles (the MinHash input unit). Documents shorter than
+    k tokens yield their full token string as a single shingle."""
+    t = tokens_sql(col)
+    return F.expr(
+        f"CASE WHEN size({t}) < {k} THEN array(array_join({t}, ' ')) "
+        f"ELSE transform(sequence(0, size({t}) - {k}), "
+        f"i -> array_join(slice({t}, i + 1, {k}), ' ')) END"
+    )
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
+    """MinHash signature: element h = min over shingles of
+    xxhash64(h, shingle) — h seeds h independent hash functions;
+    P(sig_a[h] = sig_b[h]) = Jaccard(a, b) (Broder 1997).
+    ``shingle_col`` must be an array<string> column."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"h -> array_min(transform({shingle_col}, s -> xxhash64(h, s))))"
+    )
+
+
+def simhash64(col: str) -> Column:
+    """64-bit SimHash (Charikar 2002): bit b of the output is the sign
+    of the sum over tokens of +/-1 according to bit b of the token's
+    xxhash64. Near-duplicate docs differ in few bits."""
+    t = tokens_sql(col)
+    return F.expr(
+        f"""aggregate(
+              sequence(0, 63), 0L,
+              (acc, b) -> acc + CASE WHEN aggregate(
+                  {t},
+                  0L,
+                  (s, tok) -> s + CASE WHEN (shiftright(xxhash64(tok), b) & 1) = 1
+                                 THEN 1L ELSE -1L END
+              ) > 0 THEN shiftleft(1L, b) ELSE 0L END
+            )"""
+    )
+
+
+def hamming64(a: str, b: str) -> Column:
+    """Hamming distance between two int64 SimHash columns."""
+    return F.expr(f"bit_count({a} ^ {b})")
+
+
+#: Minimal per-language stopword lists for the stopword-counting
+#: language heuristic. Deliberately tiny and ASCII so the same counting
+#: is expressible in the DuckDB oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _stop_count_sql(col: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens_sql(col)}, t -> array_contains(array({arr}), t)))"
+
+
+def lang_id(col: str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword counts,
+    'und' (undetermined) when no stopwords hit. Ties break in
+    STOPWORDS key order (first language wins — deterministic)."""
+    expr = "CASE "
+    langs = list(STOPWORDS)
+    counts = {lang: _stop_count_sql(col, STOPWORDS[lang]) for lang in langs}
+    # lang wins if its count > 0 and strictly greater than every EARLIER
+    # lang's count and >= every LATER lang's count (first-wins ties).
+    for i, lang in enumerate(langs):
+        conds = [f"{counts[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[lang]} {op} {counts[other]}")
+        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return F.expr(expr)
+
+
+def quality_features(col: str) -> dict[str, Column]:
+    """Document-quality signals: length, token stats, punctuation and
+    stopword ratios, mean token length. All plain arithmetic — usable
+    as filter predicates for corpus cleaning."""
+    t = tokens_sql(col)
+    n_tok = F.expr(f"size({t})")
+    n_chars = F.length(F.col(col))
+    punct = n_chars - F.length(F.translate(F.col(col), ".,;:!?'\"", ""))
+    en_stops = F.expr(_stop_count_sql(col, STOPWORDS["en"]))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_distinct_tokens": F.expr(f"size(array_distinct({t}))").cast("long"),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": en_stops / F.greatest(n_tok, F.lit(1)),
+        "mean_token_len": (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)),
+    }
+
+
+def fingerprint_md5(col: str) -> Column:
+    """Canonical-form document fingerprint: md5 of the
+    whitespace-normalized, lowercased text — the exact-dedup key."""
+    return F.md5(F.expr(f"array_join({tokens_sql(col)}, ' ')"))

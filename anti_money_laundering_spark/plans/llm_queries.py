@@ -1,1 +1,332 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline catalog (north-star extension, BASELINE.json):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + LSH ANN), text analysis (lang-ID, quality,
+token stats, fingerprints) and multimodal plumbing — over the
+``documents`` and ``embeddings`` fixtures.
+
+Oracle notes: xxhash64-based signatures (MinHash/SimHash/LSH) have no
+DuckDB equivalent ⇒ rows-only checks + recall/containment invariants
+in tests/. Everything else is hash-compared against DuckDB, with
+cosine computed in double precision on BOTH sides so rounding at 1e-6
+is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    near_duplicates_minhash,
+    simhash_candidates,
+)
+from anti_money_laundering_spark.functions import (
+    STOPWORDS,
+    distinct_token_count,
+    fingerprint_md5,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from anti_money_laundering_spark.multimodal import attach_binary_payload, extract_features
+from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.sources import load_table
+from anti_money_laundering_spark.vector import ann_lsh_topk, cosine_topk_blas
+
+# DuckDB-side token expression mirroring functions.tokens_sql exactly.
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _duck_stop_count(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_DUCK_TOKS}, t -> list_contains([{arr}], t)))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    tags=("LLM", "text"),
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKS}) AS n_tokens,
+           len(list_distinct({_DUCK_TOKS})) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document — whitespace tokens, JVM-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    tags=("LLM", "text"),
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_DUCK_TOKS}) AS n_tokens,
+           round((length(text) - length(translate(text, '.,;:!?''"', ''))) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round({_duck_stop_count("en")} * 1.0
+                 / greatest(len({_DUCK_TOKS}), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals for corpus filtering: length, punct
+    ratio, stopword ratio — all codegen'd expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def _duck_lang_case() -> str:
+    langs = list(STOPWORDS)
+    counts = {lang: _duck_stop_count(lang) for lang in langs}
+    expr = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"{counts[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[lang]} {op} {counts[other]}")
+        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    return expr + "ELSE 'und' END"
+
+
+@register(
+    "text_lang_id",
+    tags=("LLM", "text"),
+    oracle=f"""
+    SELECT doc_id, {_duck_lang_case()} AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword counts
+    (first-wins ties), 'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "text_fingerprints",
+    tags=("LLM", "text", "dedup"),
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 fingerprint per document (exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    tags=("LLM", "dedup"),
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                               t -> t <> ''), ' ')) AS fingerprint
+        FROM corpus
+    )
+    SELECT fingerprint, count(*) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+           min(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint HAVING count(*) >= 2
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the canonical fingerprint. The
+    fixture corpus has no exact dups, so duplicates are injected
+    (every 7th doc re-appears with a shifted id) to exercise group
+    semantics end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    groups = exact_duplicates(docs.unionAll(dups), "doc_id", "text")
+    return groups.select(
+        "fingerprint",
+        "n_docs",
+        F.array_join("doc_ids", ",").alias("doc_ids"),
+        "keep_id",
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    tags=("LLM", "dedup"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id AS doc, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM tok GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.8 via the inverted-index join —
+    the SQL-checkable ground truth the LSH pipelines approximate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_near_dups",
+    tags=("LLM", "dedup"),
+    # xxhash64 signatures have no DuckDB equivalent; tests assert the
+    # candidate set's containment/recall against exact Jaccard.
+    oracle=None,
+)
+def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: banded signature buckets ->
+    candidate pairs -> exact-Jaccard verification (>= 0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_duplicates_minhash(docs, "doc_id", "text", min_jaccard=0.7).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash_candidates",
+    tags=("LLM", "dedup"),
+    oracle=None,
+)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 4x16-bit sub-band blocking,
+    verified at Hamming <= 3 (pigeonhole guarantees recall there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = "list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[])"
+
+
+@register(
+    "ann_cosine_topk",
+    headline=True,
+    tags=("LLM", "ann"),
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               {_DUCK_COS} AS cosine
+        FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+        WHERE q.label = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every label-0 query vector:
+    broadcast query matrix, per-partition numpy GEMM over Arrow
+    batches, per-batch partial top-k, window-rank merge. The exact
+    baseline the LSH path is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_blas(emb.filter(F.col("label") == 0), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    tags=("LLM", "ann"),
+    oracle=None,  # xxhash64 hyperplanes; recall asserted in tests/test_vector.py
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random hyperplanes, multi-probe
+    Hamming-1): the scale path — candidates share a signature bucket,
+    one equi-join shuffle instead of a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb.filter(F.col("label") == 0), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    tags=("LLM", "multimodal"),
+    oracle="""
+    SELECT doc_id AS media_id, 'text/plain' AS mime_type,
+           strlen(text) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column — the
+    multimodal-column convention (payload stays unparsed bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
+    return media.select("media_id", "mime_type", "n_bytes")
+
+
+@register(
+    "multimodal_features",
+    tags=("LLM", "multimodal"),
+    oracle=None,  # mapInPandas featurizer; byte-stat determinism tested in tests/
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed featurization of binary payloads via Arrow-batched
+    mapInPandas (replaces the reference's serial driver loop,
+    02_aml_address_verification.py:56-61, :107-132)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
+    return extract_features(media)

@@ -1,0 +1,139 @@
+"""Text-function and dedup-pipeline tests: closed-form token/shingle
+expectations, LSH recall against exact Jaccard, SimHash pigeonhole
+guarantee, multimodal featurizer determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    near_duplicates_minhash,
+    simhash_candidates,
+)
+from anti_money_laundering_spark.functions import (
+    fingerprint_md5,
+    lang_id,
+    minhash_signature,
+    simhash64,
+    token_count,
+    word_shingles,
+)
+from anti_money_laundering_spark.multimodal import attach_binary_payload, extract_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely unrelated text here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "der hund und die katze und das haus ist hier"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([(1, "  A b  c d  ")], "id long, text string")
+    row = df.select(
+        token_count("text").alias("n"),
+        word_shingles("text", k=2).alias("sh"),
+        word_shingles("text", k=9).alias("sh_long"),
+    ).collect()[0]
+    assert row.n == 4
+    assert row.sh == ["a b", "b c", "c d"]
+    assert row.sh_long == ["a b c d"]  # shorter than k -> whole doc
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([(1, "A  b\tC"), (2, "a b c")], "id long, text string")
+    fps = [r.fp for r in df.select(fingerprint_md5("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_id_heuristic(spark):
+    rows = [(1, "the cat of a house and to go"), (2, "der hund und die katze ist"),
+            (3, "xyzzy plugh qwerty")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_exact_duplicates_groups(docs):
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.doc_ids == [1, 4] and g.keep_id == 1 and g.n_docs == 2
+
+
+def test_jaccard_pairs_exact_values(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.0).collect()}
+    # docs 1 and 4 identical -> jaccard 1.0
+    assert pairs[(1, 4)] == 1.0
+    # docs 1 and 2: distinct-token sets {the,quick,brown,fox,jumps,over,lazy,dog|cat}
+    # 8 tokens each, 7 shared -> 7 / 9
+    assert abs(pairs[(1, 2)] - 7 / 9) < 1e-9
+    assert (1, 3) not in pairs or pairs[(1, 3)] == 0
+
+
+def test_minhash_identical_signatures(docs):
+    sigs = docs.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).select("doc_id", minhash_signature("sh", 16).alias("sig")).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert by_id[1] == by_id[4]  # identical docs -> identical signatures
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_candidates_find_exact_and_near_dups(docs):
+    cands = {(r.id_a, r.id_b) for r in
+             minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=16).collect()}
+    assert (1, 4) in cands  # identical: every band agrees
+    assert (1, 2) in cands  # near-dup: high jaccard, 16 bands of 2 rows catches it
+
+
+def test_near_duplicates_pipeline(docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           near_duplicates_minhash(docs, "doc_id", "text", min_jaccard=0.7).collect()}
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    assert out[(1, 4)] == 1.0
+
+
+def test_simhash_identical_and_pigeonhole(docs):
+    sims = {r.doc_id: r.s for r in docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert sims[1] == sims[4]
+    cands = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_candidates(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert cands[(1, 4)] == 0  # identical docs always candidates at hamming 0
+
+
+def test_lsh_recall_on_fixture_corpus(spark, sf_dir):
+    """LSH candidate set must contain every exact-Jaccard>=0.7 pair
+    (recall check of the approximate path against the ground truth)."""
+    from anti_money_laundering_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              near_duplicates_minhash(docs, "doc_id", "text", min_jaccard=0.7).collect()}
+    assert approx <= exact  # verification step guarantees precision
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = attach_binary_payload(df, "doc_id", "text")
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].n_bytes == 3
+    assert rows[1].byte_checksum == ord("a") + ord("b") + ord("c")
+    assert abs(rows[1].byte_mean - (97 + 98 + 99) / 3) < 1e-9
+    assert rows[1].head_hex == "616263"
+    assert rows[2].n_bytes == 0 and rows[2].byte_mean == 0.0
