@@ -1,1 +1,81 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-operator catalog (SURVEY.md §7.6): the SAME transformation
+functions the streaming façade runs incrementally, applied to the batch
+events table and DuckDB-oracle-checked. Batch/stream output parity is
+asserted in tests/test_streaming.py — together the two give the full
+correctness story for the incremental path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.sources import load_table
+from anti_money_laundering_spark.streaming import (
+    session_event_stats,
+    sliding_event_values,
+    tumbling_event_counts,
+)
+
+
+@register(
+    "stream_tumbling_counts",
+    tags=("STR",),
+    oracle="""
+    SELECT CAST(to_timestamp(floor(extract(epoch FROM ts) / 21600) * 21600) AS TIMESTAMP)
+               AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows per event_type (Spark windows align to
+    the epoch, so floor(epoch/21600) reproduces window.start)."""
+    return tumbling_event_counts(load_table(spark, sf_dir, "events"), window="6 hours")
+
+
+@register(
+    "stream_sliding_values",
+    tags=("STR",),
+    oracle="""
+    SELECT CAST(to_timestamp(floor(extract(epoch FROM ts) / 3600) * 3600 - off) AS TIMESTAMP)
+               AS window_start,
+           user_id, count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events CROSS JOIN (SELECT unnest([0, 3600]) AS off)
+    GROUP BY window_start, user_id
+    """,
+)
+def stream_sliding_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows every 1h per user: each event belongs to two
+    windows (the oracle unrolls the two slide offsets)."""
+    return sliding_event_values(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_stats",
+    tags=("STR",),
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user; the oracle builds
+    the same islands with lag + cumulative sum. NB session_window
+    closes a session when the NEXT event is >= gap away (strict
+    half-open [start, last+gap)), hence the >= in the oracle."""
+    return session_event_stats(load_table(spark, sf_dir, "events"), gap="30 minutes")

