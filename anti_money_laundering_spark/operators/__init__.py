@@ -1,0 +1,147 @@
+"""Custom relational operators Spark lacks as primitives (SURVEY.md
+§2.3 "not present" list → build-plan extensions §7.2).
+
+- **as-of join** — for each left row, the single latest right row at
+  or before its timestamp (direction='backward'; 'forward' mirrors).
+  Implemented as union + ordered window fill: ONE shuffle on the `by`
+  key, no join explosion, no per-left-row probe — the time-series
+  join shape that survives 100 TB (both sides sort within the same
+  partitioning; skew on a hot key is AQE-splittable).
+- **range join** — left rows matched to right [lo, hi) intervals.
+  Naive theta joins degenerate to per-key cartesians; here each
+  interval is exploded onto fixed-width buckets and the join is an
+  EQUI-join on (key, bucket) with an exact residual filter — the
+  standard bucketized interval-join trick (what Databricks' range-join
+  hints do under the hood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_time: str = "ts",
+    right_time: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    how: str = "inner",
+    suffix: str = "_matched",
+) -> DataFrame:
+    """As-of join: attach to every left row the nearest-in-time right
+    row per ``by`` group (backward: greatest right_time <= left_time;
+    forward: least right_time >= left_time).
+
+    Matched right columns come back as ``<col><suffix>`` plus
+    ``<right_time><suffix>``. ``how='left'`` keeps unmatched left rows
+    with nulls; ``tolerance_seconds`` voids matches farther than the
+    tolerance.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    rt = right_time or left_time
+    rcols = right_cols or [c for c in right.columns if c not in by and c != rt]
+
+    l_tagged = left.select(
+        *by,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(dict(right.dtypes)[rt]).alias("__rt"),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(rt).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.col(rt).alias("__rt"),
+    )
+    both = l_tagged.unionByName(r_tagged)
+
+    # Backward: ascending time, right rows (0) before left (1) at equal
+    # timestamps so an exactly-simultaneous right row matches
+    # (inclusive). Forward: descending time, same tag order.
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(t_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        "__is_left",
+        "__lrow",
+        "__t",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols],
+        F.last("__rt", ignorenulls=True).over(w).alias("__frt"),
+    ).filter(F.col("__is_left") == 1)
+
+    if tolerance_seconds is not None:
+        delta = F.abs(
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            - F.unix_micros(F.col("__frt").cast("timestamp"))
+        ) / 1_000_000.0
+        in_tol = F.col("__frt").isNotNull() & (delta <= tolerance_seconds)
+        filled = filled.select(
+            "__is_left",
+            "__lrow",
+            "__t",
+            *[F.when(in_tol, F.col(f"__f_{c}")).otherwise(F.lit(None)).alias(f"__f_{c}") for c in rcols],
+            F.when(in_tol, F.col("__frt")).otherwise(F.lit(None)).alias("__frt"),
+        )
+    if how == "inner":
+        filled = filled.filter(F.col("__frt").isNotNull())
+
+    return filled.select(
+        F.col("__lrow.*"),
+        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in rcols],
+        F.col("__frt").alias(f"{rt}{suffix}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    point: str,
+    lo: str,
+    hi: str,
+    bucket_width_seconds: int = 3600,
+) -> DataFrame:
+    """Join left rows (a ``point`` timestamp) to right intervals
+    [lo, hi) sharing the ``by`` keys.
+
+    Each interval is exploded onto the fixed-width time buckets it
+    covers; points join their single bucket (equi-join on by+bucket),
+    then the exact containment predicate filters residuals. Shuffle is
+    keyed on (by, bucket) — never the per-key cartesian a plain theta
+    join would shuffle. bucket_width should approximate the typical
+    interval length (wider = fewer duplicates, narrower = less
+    residual filtering).
+    """
+    bw = bucket_width_seconds
+    def _bucket(col: str) -> Column:
+        # cast: unix_micros needs TIMESTAMP; NTZ inputs are interpreted
+        # in the session zone (UTC per session defaults)
+        return F.floor(
+            F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1_000_000 * bw)
+        ).cast("long")
+
+    l_b = left.withColumn("__bucket", _bucket(point))
+    r_b = right.withColumn("__bucket", F.explode(F.sequence(_bucket(lo), _bucket(hi))))
+    return (
+        l_b.join(r_b, [*by, "__bucket"])
+        .filter((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
+        .drop("__bucket")
+    )

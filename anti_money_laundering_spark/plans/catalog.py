@@ -63,6 +63,7 @@ def get_catalog() -> dict[str, CatalogQuery]:
         graph_queries,
         linkage_queries,
         llm_queries,
+        operator_queries,
         relational_queries,
         streaming_queries,
     )

@@ -1,0 +1,89 @@
+"""As-of / range join unit tests with closed-form expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.operators import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [(1, ts(0), 10.0), (1, ts(10), 11.0), (1, ts(20), 12.0), (2, ts(5), 99.0)]
+    return spark.createDataFrame(rows, "sym long, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [(1, ts(0), "a"), (1, ts(9), "b"), (1, ts(10), "c"), (1, ts(25), "d"),
+            (2, ts(4), "e"), (3, ts(1), "f")]
+    return spark.createDataFrame(rows, "sym long, ts timestamp, tid string")
+
+
+def test_asof_backward(trades, quotes):
+    out = {r.tid: (r.px_matched, r.ts_matched)
+           for r in asof_join(trades, quotes, by=["sym"]).collect()}
+    assert out["a"] == (10.0, ts(0))   # equal time matches (inclusive)
+    assert out["b"] == (10.0, ts(0))
+    assert out["c"] == (11.0, ts(10))
+    assert out["d"] == (12.0, ts(20))
+    assert "e" not in out              # trade at :04, first quote :05 -> inner drops
+    assert "f" not in out              # no quotes for sym 3
+
+
+def test_asof_left_and_tolerance(trades, quotes):
+    out = {r.tid: r.px_matched
+           for r in asof_join(trades, quotes, by=["sym"], how="left").collect()}
+    assert out["e"] is None and out["f"] is None and len(out) == 6
+    tol = {r.tid: r.px_matched
+           for r in asof_join(trades, quotes, by=["sym"], how="left",
+                              tolerance_seconds=120).collect()}
+    assert tol["a"] == 10.0            # 0s away
+    assert tol["b"] is None            # 9 min > 2 min tolerance
+    assert tol["c"] == 11.0            # exact match at :10
+
+
+def test_asof_forward(trades, quotes):
+    out = {r.tid: r.px_matched
+           for r in asof_join(trades, quotes, by=["sym"], direction="forward").collect()}
+    assert out["a"] == 10.0            # inclusive at equal time
+    assert out["b"] == 11.0            # next quote at :10
+    assert out["c"] == 11.0
+    assert "d" not in out              # no quote after :25
+    assert out["e"] == 99.0
+
+
+def test_range_join_containment(spark, trades):
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(10), "w1"), (1, ts(8), ts(30), "w2"), (2, ts(0), ts(3), "w3")],
+        "sym long, lo timestamp, hi timestamp, tag string",
+    )
+    out = {(r.tid, r.tag) for r in
+           range_join(trades, intervals, by=["sym"], point="ts", lo="lo", hi="hi",
+                      bucket_width_seconds=300).collect()}
+    assert out == {("a", "w1"), ("b", "w1"), ("b", "w2"), ("c", "w2"), ("d", "w2")}
+    # half-open: trade 'a' at :00 in [0,10) yes; 'c' at :10 NOT in w1
+
+
+def test_range_join_bucket_width_invariance(spark, trades):
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(10), "w1"), (1, ts(8), ts(30), "w2")],
+        "sym long, lo timestamp, hi timestamp, tag string",
+    )
+    expected = None
+    for bw in (60, 600, 7200):
+        got = sorted((r.tid, r.tag) for r in
+                     range_join(trades, intervals, by=["sym"], point="ts",
+                                lo="lo", hi="hi", bucket_width_seconds=bw).collect())
+        if expected is None:
+            expected = got
+        assert got == expected
