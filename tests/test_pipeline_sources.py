@@ -1,0 +1,88 @@
+"""Pipeline-runner DAG semantics, source/sink round-trips, and the
+approx_count_distinct accuracy bound."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.pipeline import Pipeline, Stage
+from anti_money_laundering_spark.sources import load_table, read_csv, write_parquet
+
+
+def test_pipeline_topological_order_and_views(spark):
+    p = Pipeline()
+    calls = []
+
+    @p.stage("final", depends_on=("mid",))
+    def final(spark_, inputs):
+        calls.append("final")
+        return inputs["mid"].withColumn("y", F.col("x") * 2)
+
+    @p.stage("base")
+    def base(spark_, inputs):
+        calls.append("base")
+        return spark_.range(3).select(F.col("id").alias("x"))
+
+    @p.stage("mid", depends_on=("base",))
+    def mid(spark_, inputs):
+        calls.append("mid")
+        return inputs["base"].filter(F.col("x") > 0)
+
+    results = p.run(spark)
+    assert calls == ["base", "mid", "final"]  # declared out of order
+    assert results["final"].count() == 2
+    assert spark.table("mid").count() == 2  # handoff registered as view
+
+
+def test_pipeline_cycle_and_unknown_dep(spark):
+    p = Pipeline()
+    p.add(Stage("a", lambda s, i: s.range(1), depends_on=("b",)))
+    p.add(Stage("b", lambda s, i: s.range(1), depends_on=("a",)))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run(spark)
+    p2 = Pipeline()
+    p2.add(Stage("a", lambda s, i: s.range(1), depends_on=("ghost",)))
+    with pytest.raises(ValueError, match="unknown"):
+        p2.run(spark)
+
+
+def test_csv_roundtrip_inferschema(spark):
+    tmp = tempfile.mkdtemp(prefix="csv_src_")
+    path = os.path.join(tmp, "dedupe.csv")
+    with open(path, "w") as f:
+        f.write("org_name,country,amount\nbny mellon,uk,100.5\nhsbc,uk,7\n")
+    df = read_csv(spark, path)
+    assert df.count() == 2
+    schema = dict(df.dtypes)
+    assert schema["amount"] == "double"  # inferSchema (reference config:87-94)
+    assert schema["org_name"] == "string"
+
+
+def test_parquet_write_partitioned(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    tmp = tempfile.mkdtemp(prefix="pq_sink_")
+    out = os.path.join(tmp, "events_out")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # partition pruning: a type filter must read only that directory
+    types = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(types) >= 2
+
+
+def test_approx_count_distinct_rsd_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in pairs:
+        assert abs(r.approx - r.exact) <= max(5, 0.1 * r.exact), (r.l_suppkey, r.approx, r.exact)
