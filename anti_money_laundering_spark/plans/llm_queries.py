@@ -330,3 +330,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
     return extract_features(media)
+
+
+@register(
+    "multimodal_classify",
+    tags=("LLM", "multimodal", "M1"),
+    oracle=None,  # model inference stub; label-join parity tested in tests/
+)
+def multimodal_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch classification with once-per-task model setup — the
+    reference's VGG16 street-view labeling (02:107-132) without the
+    per-image model reload, followed by its label filter (02:150-152,
+    label != 'envelope')."""
+    from anti_money_laundering_spark.multimodal import classify_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
+    return classify_media(media).filter(F.col("label") != "envelope")
+
+
+@register(
+    "tfidf_similar_pairs",
+    tags=("LLM", "text", "ml"),
+    oracle=None,  # HashingTF bucket collisions are engine-specific; invariants in tests/
+)
+def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine over LSH candidate pairs: MLlib HashingTF/IDF
+    vectors (hashing trick — stateless, no vocabulary broadcast),
+    vectorized cosine in a Pandas UDF, candidates from MinHash-LSH."""
+    from anti_money_laundering_spark.dedup import minhash_lsh_candidates
+    from anti_money_laundering_spark.text_ml import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=1)
+    out = tfidf_cosine_pairs(docs, cands)
+    return out.select("id_a", "id_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))

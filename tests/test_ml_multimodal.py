@@ -1,0 +1,79 @@
+"""Model-inference plumbing (classify/fetch) and TF-IDF similarity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.multimodal import (
+    attach_binary_payload,
+    classify_media,
+    fetch_urls,
+)
+from anti_money_laundering_spark.text_ml import tfidf_cosine_pairs, tfidf_vectors
+
+
+def test_classify_media_deterministic_and_batched(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = attach_binary_payload(df, "doc_id", "text")
+    out1 = {r.media_id: (r.label, r.score) for r in classify_media(media).collect()}
+    out2 = {r.media_id: (r.label, r.score) for r in classify_media(media).collect()}
+    assert out1 == out2 and len(out1) == 20
+    assert all(0 <= s < 1 for _, s in out1.values())
+
+
+def test_classify_media_custom_model_called_per_task(spark):
+    import pandas as pd
+
+    def factory():
+        # stands in for an expensive model load; returns constant labels
+        def predict(payloads: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame({"label": ["x"] * len(payloads), "score": [1.0] * len(payloads)})
+
+        return predict
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    media = attach_binary_payload(df, "doc_id", "text")
+    rows = classify_media(media, model_factory=factory).collect()
+    assert {r.label for r in rows} == {"x"}
+
+
+def test_fetch_urls_stub(spark):
+    urls = spark.createDataFrame([("http://a",), ("http://b",)], "url string")
+    got = {r.url: (bytes(r.payload), r.status) for r in fetch_urls(urls).collect()}
+    assert got["http://a"] == (b"stub-payload:http://a", 200)
+
+
+def test_fetch_urls_error_isolation(spark):
+    def flaky(url):
+        if url.endswith("bad"):
+            raise RuntimeError("boom")
+        return b"ok"
+
+    urls = spark.createDataFrame([("http://good",), ("http://bad",)], "url string")
+    got = {r.url: r.status for r in fetch_urls(urls, fetcher=flaky).collect()}
+    assert got == {"http://good": 200, "http://bad": -1}
+
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.tfidf_cosine for r in tfidf_cosine_pairs(docs, pairs).collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] == pytest.approx(0.0)  # disjoint vocab (modulo hash collisions)
+
+
+def test_tfidf_vectors_shape(spark):
+    docs = spark.createDataFrame([(1, "a b c"), (2, "c d")], "doc_id long, text string")
+    vecs = tfidf_vectors(docs, num_features=64).collect()
+    assert len(vecs) == 2
+    assert all(r.tfidf.size == 64 for r in vecs)
