@@ -13,11 +13,10 @@ Scale posture:
 - ``localCheckpoint`` per round truncates the exponentially-growing
   lineage (SURVEY §4 O5), mirroring the reference's mandatory
   setCheckpointDir (01:122, :145);
-- rounds needed = graph diameter. For short-diameter identity graphs
-  (entity–attribute bipartite stars) this is a handful; for adversarial
-  long chains an alternating large-star/small-star variant (Kiveris et
-  al., "Connected Components in MapReduce and Beyond") converges in
-  O(log n) rounds — planned follow-up, same driver shape.
+- a pointer-jumping shortcut each round (label := label(label)) gives
+  O(log diameter) rounds — the same asymptotics as alternating
+  large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") with a simpler driver.
 """
 
 from __future__ import annotations
@@ -69,6 +68,18 @@ def connected_components(
             .union(incoming)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # Pointer jumping: component ids are themselves vertex ids with
+        # labels, and labels only decrease — so label(label(u)) <=
+        # label(u). One shortcut join per round halves path lengths,
+        # turning O(diameter) convergence into O(log diameter) on
+        # chain-like graphs (same effect as large-star/small-star).
+        parent = new_labels.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
+        new_labels = (
+            new_labels.join(parent, new_labels.component == F.col("__pid"), "left")
+            .select("id", F.coalesce("__pcomp", "component").alias("component"))
         )
         # Eager checkpoint = materialize this round once; the fixpoint agg
         # and the next round both read the materialized blocks, and the

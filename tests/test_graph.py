@@ -48,6 +48,16 @@ def test_connected_components_chain_diameter(spark):
     assert set(cc.values()) == {1}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # pointer jumping: a 200-node chain must converge in O(log n)
+    # rounds — max_iter=12 would never finish under plain propagation
+    chain = [(i, i + 1) for i in range(1, 200)]
+    gr = g(spark, chain)
+    cc = {r.id: r.component for r in gr.connected_components(max_iter=12).collect()}
+    assert set(cc.values()) == {1}
+    assert len(cc) == 200
+
+
 def test_motif_chain_and_attrs(spark):
     v = spark.createDataFrame([(1, "p"), (2, "q"), (3, "r")], "id long, kind string")
     e = spark.createDataFrame([(1, 2, 10.0), (2, 3, 20.0)], "src long, dst long, amount double")
