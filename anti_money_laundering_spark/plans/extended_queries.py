@@ -121,7 +121,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "structuring_alerts_named",
-    tags=("G5", "J2"),
+    tags=("G5", "J2", "J6"),
     oracle=f"""
     WITH edges AS ({FLOW_EDGES_SQL})
     SELECT 'user_' || CAST(e1.src AS VARCHAR) AS a_name,

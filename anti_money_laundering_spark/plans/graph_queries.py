@@ -67,7 +67,7 @@ def graph_degree_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "motif_fanin_structuring",
     headline=True,
-    tags=("G5", "J2", "P6"),
+    tags=("G5", "J2", "J6", "P6", "P9"),
     oracle=f"""
     WITH edges AS ({FLOW_EDGES_SQL})
     SELECT e1.src AS a_id, e2.src AS b_id, e1.dst AS c_id, e3.dst AS g_id,
@@ -112,7 +112,7 @@ def motif_fanin_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "motif_roundtrip_cycle",
     headline=True,
-    tags=("G5", "J2"),
+    tags=("G5", "J2", "J6"),
     oracle=f"""
     WITH edges AS ({FLOW_EDGES_SQL})
     SELECT e1.src AS a_id, e2.src AS b_id, e3.src AS c_id,
@@ -161,7 +161,7 @@ _CC_REACH_SQL = f"""
 @register(
     "connected_components",
     headline=True,
-    tags=("G4",),
+    tags=("G4", "G7"),
     oracle=f"""
     WITH RECURSIVE {_CC_REACH_SQL}
     SELECT id, component FROM comp
@@ -175,7 +175,7 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "synth_id_scores",
-    tags=("G4", "A1", "A2", "A3"),
+    tags=("G4", "A1", "A2", "A3", "J1", "P4"),
     oracle=f"""
     WITH RECURSIVE {_CC_REACH_SQL},
     sizes AS (
@@ -224,7 +224,7 @@ _PREGEL_ROUND = """
 @register(
     "pregel_risk_propagation",
     headline=True,
-    tags=("G6",),
+    tags=("G6", "A5", "F2", "G7"),
     oracle=f"""
     WITH
     edges AS ({FLOW_EDGES_SQL}),

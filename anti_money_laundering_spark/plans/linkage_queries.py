@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.linkage import (
     candidate_pairs,
+    em_fit,
+    exact_comparison,
     gamma_table,
     levenshtein_comparison,
     link_dedupe,
@@ -126,4 +128,59 @@ def linkage_em_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gamma_c_name",
         "gamma_c_acctbal",
         F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
+@register(
+    "linkage_em_params",
+    tags=("E5", "A6"),
+    # Fitted parameters are the output of iterative EM — rows-only
+    # check; tests/test_linkage.py asserts m/u separate known dupes.
+    oracle=None,
+)
+def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model diagnostics (E5): the fitted Fellegi-Sunter parameters
+    (λ and per-level m/u probabilities) exposed as a DataFrame — the
+    engine-core replacement for Splink's chart diagnostics
+    (03_aml_entity_resolution.py:72-75, :93-95)."""
+    cust = load_table(spark, sf_dir, "customer")
+    comparisons = _comparisons()
+    pairs = candidate_pairs(cust, "c_custkey", _BLOCKING, compare_cols=["c_name", "c_acctbal"])
+    params = em_fit(gamma_table(pairs, comparisons), comparisons, max_iter=10)
+    rows = [("__lambda__", -1, float(params["lambda"]), float("nan"))]
+    for c in comparisons:
+        for lvl in range(c.n_levels):
+            rows.append((c.name, lvl, float(params["m"][c.name][lvl]), float(params["u"][c.name][lvl])))
+    return spark.createDataFrame(rows, "comparison string, gamma_level int, m double, u double")
+
+
+@register(
+    "linkage_relink_segment",
+    tags=("E6", "E2", "E3"),
+    oracle="""
+    SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r,
+           CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gamma_c_mktsegment,
+           CASE WHEN l.c_acctbal = r.c_acctbal THEN 2
+                WHEN abs(l.c_acctbal - r.c_acctbal) <= 50.0 THEN 1
+                ELSE 0 END AS gamma_c_acctbal
+    FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey
+    WHERE l.c_custkey < r.c_custkey
+    """,
+)
+def linkage_relink_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-link on a different field set (E6): the reference enriches
+    with unique_id then links again on other columns
+    (03_aml_entity_resolution.py:104-105, :115-133) — here the same
+    pipeline parameterized with nation-only blocking and
+    segment/balance comparisons."""
+    cust = load_table(spark, sf_dir, "customer")
+    comparisons = [
+        exact_comparison("c_mktsegment"),
+        numeric_bucket_comparison("c_acctbal", tolerance=50.0),
+    ]
+    pairs = candidate_pairs(
+        cust, "c_custkey", [["c_nationkey"]], compare_cols=["c_mktsegment", "c_acctbal"]
+    )
+    return gamma_table(pairs, comparisons).select(
+        "uid_l", "uid_r", "gamma_c_mktsegment", "gamma_c_acctbal"
     )

@@ -320,7 +320,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    tags=("LLM", "multimodal"),
+    tags=("LLM", "multimodal", "M2"),
     oracle=None,  # mapInPandas featurizer; byte-stat determinism tested in tests/
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +334,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_classify",
-    tags=("LLM", "multimodal", "M1"),
+    tags=("LLM", "multimodal", "M1", "M3"),
     oracle=None,  # model inference stub; label-join parity tested in tests/
 )
 def multimodal_classify(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -301,7 +301,7 @@ def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "self_join_pair_amounts",
     headline=True,
-    tags=("J3", "P6"),
+    tags=("J3", "P4", "P6"),
     oracle="""
     SELECT a.l_orderkey, a.l_linenumber AS ln1, b.l_linenumber AS ln2,
            round(a.l_extendedprice + b.l_extendedprice, 2) AS pair_price
@@ -543,7 +543,7 @@ def date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_function_suite",
-    tags=("F1", "F2", "F4", "F5", "F-ext"),
+    tags=("F1", "F2", "F4", "F5", "F6", "F-ext"),
     oracle="""
     SELECT c_custkey,
            upper(substr(c_name, 1, 8)) AS name8,
@@ -669,7 +669,7 @@ def order_limit_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "sql_cte_view_entry",
-    tags=("S5", "S6", "S7"),
+    tags=("S5", "S6", "S7", "F7", "J1"),
     oracle="""
     WITH order_stats AS (
         SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend

@@ -74,6 +74,32 @@ def test_parquet_write_partitioned(spark, sf_dir):
     assert len(types) >= 2
 
 
+def test_catalog_ddl_database_lifecycle(spark, sf_dir):
+    # S8: CREATE/DROP DATABASE CASCADE + SHOW TABLES (reference
+    # config/aml_config.py:17, :45, :67) on the in-memory catalog.
+    spark.sql("CREATE DATABASE IF NOT EXISTS aml_test_db")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").format("parquet").saveAsTable("aml_test_db.nation_copy")
+    tables = [r.tableName for r in spark.sql("SHOW TABLES IN aml_test_db").collect()]
+    assert "nation_copy" in tables
+    assert spark.table("aml_test_db.nation_copy").count() == nation.count()  # S3 managed-table scan
+    spark.sql("DROP DATABASE aml_test_db CASCADE")
+    dbs = [d.name for d in spark.catalog.listDatabases()]
+    assert "aml_test_db" not in dbs
+
+
+def test_pandas_exchange_arrow_roundtrip(spark, sf_dir):
+    # S9: Spark -> pandas -> Spark with Arrow enabled (reference
+    # 02:31, :150-152; config/aml_config.py:67).
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pdf = nation.toPandas()
+    assert len(pdf) == 25
+    back = spark.createDataFrame(pdf)
+    assert back.count() == 25
+    assert dict(back.dtypes) == dict(nation.dtypes)
+
+
 def test_approx_count_distinct_rsd_bound(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
