@@ -1,0 +1,64 @@
+"""MLlib model-training pipeline over embedding columns (north-star
+"MLlib + Delta" approach, BASELINE.json).
+
+The reference's only model is driver-side PyTorch inference
+(02_aml_address_verification.py:97-132 — VGG16 loaded per image in a
+serial loop). Here the equivalent capability is a *distributed* MLlib
+Pipeline: feature assembly and scoring are per-row narrow transforms,
+training is MLlib's own distributed LBFGS — nothing funnels through
+the driver.
+
+Scale posture: ``array_to_vector`` is a narrow per-row cast (no
+shuffle); LogisticRegression training aggregates gradients tree-wise;
+the fitted model is a (n_classes x dim) coefficient matrix broadcast to
+executors for scoring. A deterministic hash split keeps train/test
+assignment stable across partitionings and engines (randomSplit is
+partition-order-dependent; pmod(hash) is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["embedding_classifier_predictions"]
+
+
+def embedding_classifier_predictions(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    test_mod: int = 5,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Train multinomial logistic regression on a deterministic train
+    split and return held-out predictions ``(id, label, prediction)``.
+
+    Split: rows with ``pmod(hash(id), test_mod) == 0`` are held out —
+    stable under repartitioning, unlike ``randomSplit``.
+    """
+    feat = vectors.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__label"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    ).withColumn("__is_test", F.pmod(F.hash(F.col(id_col)), F.lit(test_mod)) == 0)
+
+    lr = LogisticRegression(
+        featuresCol="__feat",
+        labelCol="__label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        family="multinomial",
+    )
+    model = Pipeline(stages=[lr]).fit(feat.filter(~F.col("__is_test")))
+    preds = model.transform(feat.filter(F.col("__is_test")))
+    return preds.select(
+        F.col(id_col),
+        F.col("__label").cast("int").alias(label_col),
+        F.col("prediction").cast("int").alias("prediction"),
+    )

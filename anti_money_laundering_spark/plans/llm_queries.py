@@ -33,7 +33,7 @@ from anti_money_laundering_spark.functions import (
 from anti_money_laundering_spark.multimodal import attach_binary_payload, extract_features
 from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.sources import load_table
-from anti_money_laundering_spark.vector import ann_lsh_topk, cosine_topk_blas
+from anti_money_laundering_spark.vector import ann_ivf_topk, ann_lsh_topk, cosine_topk_blas
 
 # DuckDB-side token expression mirroring functions.tokens_sql exactly.
 _DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -296,6 +296,20 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb.filter(F.col("label") == 0), emb, k=5)
 
 
+@register(
+    "ann_ivf_topk",
+    tags=("LLM", "ann", "ml"),
+    oracle=None,  # KMeans quantizer is engine-specific; recall asserted in tests/test_vector.py
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: MLlib KMeans coarse quantizer partitions
+    the corpus into inverted lists; each query probes its 4 nearest
+    centroid lists — per-query work drops to ~n_probe/n_lists of the
+    corpus, candidates come from one equi-join on list_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb.filter(F.col("label") == 0), emb, k=5, n_lists=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -347,6 +361,25 @@ def multimodal_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
     return classify_media(media).filter(F.col("label") != "envelope")
+
+
+@register(
+    "ml_embedding_classifier",
+    tags=("LLM", "ml", "M1"),
+    oracle=None,  # LBFGS-fitted model is engine-specific; contract tested in tests/test_ml_multimodal.py
+)
+def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MLlib classification pipeline over an embedding
+    column: deterministic hash train/test split, multinomial logistic
+    regression, held-out predictions. The fixture embeddings carry
+    near-zero label signal (measured: a numpy linear probe scores at
+    chance), so the capability under test is the distributed pipeline
+    contract, not model quality — the MLlib-native replacement for the
+    reference's driver-side per-image inference loop (02:107-132)."""
+    from anti_money_laundering_spark.ml import embedding_classifier_predictions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_classifier_predictions(emb)
 
 
 @register(

@@ -40,6 +40,23 @@ def test_classify_media_custom_model_called_per_task(spark):
     assert {r.label for r in rows} == {"x"}
 
 
+def test_embedding_classifier_contract(spark, sf_dir):
+    from anti_money_laundering_spark.ml import embedding_classifier_predictions
+    from anti_money_laundering_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    preds = embedding_classifier_predictions(emb)
+    rows = preds.collect()
+    # held-out fraction ~1/test_mod of the corpus, never empty or full
+    assert 0 < len(rows) < emb.count()
+    labels = {r.label for r in load_table(spark, sf_dir, "embeddings").select("label").distinct().collect()}
+    for r in rows:
+        assert r.prediction in labels  # predictions stay in the label domain
+    # deterministic: same split, same model, same predictions on re-run
+    again = {(r.vec_id, r.prediction) for r in embedding_classifier_predictions(emb).collect()}
+    assert {(r.vec_id, r.prediction) for r in rows} == again
+
+
 def test_fetch_urls_stub(spark):
     urls = spark.createDataFrame([("http://a",), ("http://b",)], "url string")
     got = {r.url: (bytes(r.payload), r.status) for r in fetch_urls(urls).collect()}

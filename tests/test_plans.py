@@ -1,0 +1,114 @@
+"""Physical-plan shape assertions: the 100 TB posture claims
+(README "Design stance") as regression tests.
+
+Each test renders the formatted explain of a catalog query and asserts
+the plan property that matters at scale: predicate pushdown into the
+parquet scan, column pruning in ReadSchema, broadcast joins for
+dimensions only, partial (map-side) aggregation, and no cartesian
+products in candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.linkage import candidate_pairs
+from anti_money_laundering_spark.plans.catalog import get_catalog
+from anti_money_laundering_spark.sources import load_table
+
+CATALOG = get_catalog()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain_str(CATALOG["filter_project_null"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # all three predicates push: status equality, price range, date not-null
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pushed and "o_totalprice" in pushed and "o_orderdate" in pushed
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    plan = explain_str(CATALOG["filter_project_null"].fn(spark, sf_dir))
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # projection is 3 cols + 2 filter-only cols; the wide rest stays unread
+    assert "o_comment" not in schema and "o_orderpriority" not in schema
+
+
+def test_dimension_joins_broadcast_fact_joins_shuffle(spark, sf_dir):
+    # dims (nation/region, explicit hints) broadcast at any threshold
+    plan = explain_str(CATALOG["multiway_join_revenue"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # with size-based broadcast off, the fact joins degrade to shuffle
+    # joins — the plan never *depends* on a fact side fitting in memory
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_nb = explain_str(CATALOG["multiway_join_revenue"].fn(spark, sf_dir))
+        assert "SortMergeJoin" in plan_nb or "ShuffledHashJoin" in plan_nb
+        # explicit dim hints still honored
+        assert plan_nb.count("BroadcastHashJoin") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+
+def test_partial_aggregation_map_side(spark, sf_dir):
+    plan = explain_str(CATALOG["pricing_summary"].fn(spark, sf_dir))
+    # Catalyst splits the agg into partial + final HashAggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = explain_str(CATALOG["semi_join_subquery"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark, sf_dir):
+    plan = explain_str(CATALOG["order_limit_top10"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_blocked_linkage_has_no_cartesian(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = candidate_pairs(
+        cust, "c_custkey", [["c_nationkey", "c_mktsegment"]], compare_cols=["c_name"]
+    )
+    plan = explain_str(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidates_join_on_derived_key(spark, sf_dir):
+    plan = explain_str(CATALOG["ann_lsh_topk"].fn(spark, sf_dir))
+    # candidate generation is an equi-join on (tbl, bucket) — never a
+    # cross join over the corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_text_exprs_stay_jvm_side(spark, sf_dir):
+    # higher-order lambdas (aggregate/transform) evaluate interpreted
+    # JVM-side — outside whole-stage codegen but never in Python
+    plan = explain_str(CATALOG["text_quality_scores"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the scan->project spine is still codegen'd ('*' markers)
+    assert "* ColumnarToRow" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark, sf_dir):
+    for name in ("shared_attr_match", "pricing_summary", "sessionize_events",
+                 "window_topk_per_group", "multiway_join_revenue"):
+        plan = explain_str(CATALOG[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"Python UDF leaked into {name}"
+
+
+def test_events_range_filter_prunes_row_groups(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    plan = explain_str(ev)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pushed

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.vector import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_similarity,
     cosine_topk,
@@ -67,3 +68,19 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
     recall = len(a & e) / len(e)
     # 12 tables x 6 planes, multi-probe: measured 0.95 on this fixture
     assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).limit(20)
+    exact = cosine_topk(queries, emb, k=5)
+    approx = ann_ivf_topk(queries, emb, k=5, n_lists=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & e) / len(e)
+    # probing 4/16 cosine-KMeans lists; boundary neighbors can land in
+    # unprobed lists, so the bound is looser than LSH multi-probe
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # every returned pair must be a real corpus pair with correct rank ordering
+    for r in approx.collect():
+        assert r.rank <= 5 and r.query_id != r.neighbor_id
