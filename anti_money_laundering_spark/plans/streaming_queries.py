@@ -13,6 +13,7 @@ from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.streaming import (
     session_event_stats,
     sliding_event_values,
+    stateful_user_totals,
     tumbling_event_counts,
 )
 
@@ -79,3 +80,22 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes a session when the NEXT event is >= gap away (strict
     half-open [start, last+gap)), hence the >= in the oracle."""
     return session_event_stats(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "stream_user_totals",
+    tags=("STR",),
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events,
+           sum(value) >= 1000.0 AS alert
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the custom stateful accumulator
+    (applyInPandasWithState on a stream): lifetime per-user totals with
+    a threshold alert flag. Stream/batch parity in tests/test_streaming.py."""
+    out = stateful_user_totals(load_table(spark, sf_dir, "events"), alert_threshold=1000.0)
+    from pyspark.sql import functions as F
+
+    return out.select("user_id", F.round("total_value", 2).alias("total_value"), "n_events", "alert")

@@ -27,6 +27,7 @@ __all__ = [
     "sliding_event_values",
     "session_event_stats",
     "dedup_events_stream",
+    "stateful_user_totals",
     "run_stream_to_memory",
 ]
 
@@ -113,6 +114,56 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
+
+
+def stateful_user_totals(events: DataFrame, alert_threshold: float = 1000.0) -> DataFrame:
+    """Custom stateful operator: running per-user totals with an alert
+    flag once the cumulative value crosses ``alert_threshold`` — the
+    AML velocity-accumulator that windowed aggs can't express (state
+    spans ALL of a user's history, not one window).
+
+    On a stream this is ``applyInPandasWithState``: state is one
+    (total_value, n_events) pair per user, updated per micro-batch in
+    Arrow-batched pandas, emitting the running total each trigger
+    (output mode ``update``). On batch input the same semantics reduce
+    to a groupBy aggregate — parity asserted in tests/test_streaming.py.
+
+    Scale posture: state is keyed by user_id (one shuffle), constant
+    size per user, store-backed (RocksDB in production); the pandas
+    update touches only the users present in the micro-batch.
+    """
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+            .withColumn("alert", F.col("total_value") >= alert_threshold)
+        )
+
+    import pandas as pd
+
+    out_schema = "user_id long, total_value double, n_events long, alert boolean"
+    state_schema = "total_value double, n_events long"
+
+    def update(key, pdf_iter, state):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_value": [total],
+                "n_events": [n],
+                "alert": [total >= alert_threshold],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
 
 
 def run_stream_to_memory(

@@ -16,6 +16,7 @@ from anti_money_laundering_spark.streaming import (
     read_events_stream,
     run_stream_to_memory,
     session_event_stats,
+    stateful_user_totals,
     tumbling_event_counts,
 )
 
@@ -75,6 +76,24 @@ def test_stream_dedup_within_watermark(spark, replay_dir):
     ).parquet(replay_dir).count()
     assert got.count() == batch_n
     assert got.select("event_id").distinct().count() == batch_n
+
+
+def test_stateful_totals_parity(spark, sf_dir, replay_dir):
+    """The applyInPandasWithState accumulator, replayed over 4
+    micro-batches in update mode, must end at the batch aggregate:
+    the LAST update per user (max n_events — monotone) equals the
+    batch groupBy totals."""
+    batch = stateful_user_totals(load_table(spark, sf_dir, "events"))
+    b = {r.user_id: (round(r.total_value, 2), r.n_events, r.alert) for r in batch.collect()}
+    stream = stateful_user_totals(read_events_stream(spark, replay_dir))
+    got = run_stream_to_memory(stream, "t_stateful", output_mode="update")
+    final = {}
+    for r in got.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][1]:
+            final[r.user_id] = (round(r.total_value, 2), r.n_events, r.alert)
+    assert final == b
+    # update mode emitted intermediate states too (4 micro-batches)
+    assert got.count() > len(b)
 
 
 def test_stream_dedup_drops_real_duplicates(spark):
