@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "salted_join"]
 
 
 def asof_join(
@@ -108,6 +108,37 @@ def asof_join(
         *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in rcols],
         F.col("__frt").alias(f"{rt}{suffix}"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-mitigating equi-join: split each hot left key across
+    ``salt`` sub-keys and replicate the right side once per sub-key, so
+    one pathological key (the AML mule account with 10^8 transactions)
+    spreads over ``salt`` reducers instead of stalling one.
+
+    Left rows get a uniform salt in [0, salt); right rows are exploded
+    onto all salt values; the join keys become ``on + [salt]``. Result
+    is row-identical to ``left.join(right, on, how)`` for inner/left —
+    the salt only changes WHERE rows meet, never which rows meet
+    (asserted against the plain join in tests/test_operators.py).
+
+    This is the manual fallback when AQE's skew-join can't kick in
+    (e.g. the skew only materializes after upstream transforms, or a
+    deterministic layout is needed); cost = right side inflated
+    ``salt``×, so keep the right side the smaller input.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    l_s = left.withColumn("__salt", F.floor(F.rand(seed) * salt).cast("int"))
+    r_s = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return l_s.join(r_s, [*on, "__salt"], how).drop("__salt")
 
 
 def range_join(

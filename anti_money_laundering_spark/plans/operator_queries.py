@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anti_money_laundering_spark.operators import asof_join, range_join
+from anti_money_laundering_spark.operators import asof_join, range_join, salted_join
 from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.sources import load_table
 
@@ -75,3 +75,24 @@ def range_join_events_in_order_week(spark: SparkSession, sf_dir: str) -> DataFra
         bucket_width_seconds=86400,
     )
     return out.select("event_id", "o_orderkey", "user_id", "ts", F.col("lo").alias("o_orderdate"))
+
+
+@register(
+    "salted_join_user_events",
+    tags=("OP", "J-ext"),
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, round(e.value, 2) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def salted_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join (operators.salted_join): events join
+    their user dimension with the hot keys spread over 8 salt
+    sub-keys — row-identical to the plain equi-join, which is exactly
+    what the oracle checks."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    out = salted_join(ev, cust, on=["user_id"], salt=8)
+    return out.select("event_id", "user_id", "c_name", F.round("value", 2).alias("value"))

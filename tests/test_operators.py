@@ -87,3 +87,47 @@ def test_range_join_bucket_width_invariance(spark, trades):
         if expected is None:
             expected = got
         assert got == expected
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from anti_money_laundering_spark.operators import salted_join
+    from anti_money_laundering_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = {(r.event_id, r.c_name) for r in ev.join(cust, "user_id").collect()}
+    salted = {(r.event_id, r.c_name) for r in salted_join(ev, cust, on=["user_id"], salt=8).collect()}
+    assert salted == plain
+    # left join keeps unmatched left rows exactly once
+    lp = ev.join(cust, "user_id", "left").count()
+    ls = salted_join(ev, cust, on=["user_id"], salt=8, how="left").count()
+    assert ls == lp
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    from anti_money_laundering_spark.sources import load_table, save_bucketed
+    from tests.test_plans import explain_str
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    save_bucketed(orders, "b_orders", 8, ["o_orderkey"], sort_by=["o_orderkey"])
+    save_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", 8, ["o_orderkey"], sort_by=["o_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = explain_str(joined)
+        # co-bucketed layout: the sort-merge join reads both sides
+        # directly — the per-query shuffle is gone
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
