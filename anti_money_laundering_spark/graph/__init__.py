@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.graph.components import connected_components
 from anti_money_laundering_spark.graph.motif import find_motif
-from anti_money_laundering_spark.graph.pregel import pregel, risk_propagation
+from anti_money_laundering_spark.graph.pregel import pagerank, pregel, risk_propagation
 
 
 @dataclass
@@ -79,4 +79,4 @@ class Graph:
         return find_motif(self, pattern)
 
 
-__all__ = ["Graph", "connected_components", "find_motif", "pregel", "risk_propagation"]
+__all__ = ["Graph", "connected_components", "find_motif", "pagerank", "pregel", "risk_propagation"]

@@ -107,3 +107,36 @@ def risk_propagation(graph: "Graph", risk_col: str = "risk", max_iter: int = 3) 
         agg_expr=F.sum(F.col("msg")),
         max_iter=max_iter,
     )
+
+
+def pagerank(graph: "Graph", max_iter: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank on the generic Pregel driver: msg = rank/out_degree to
+    out-neighbors, update = (1-d) + d·Σmsg (un-normalized damped form).
+    Demonstrates that :func:`pregel` is a reusable superstep engine,
+    not a risk-propagation one-off — same shuffles (send join +
+    receive agg per round), same checkpoint cadence.
+
+    Returns the vertex table + ``pagerank``. Vertices with no
+    out-edges contribute nothing (no sink redistribution) — matching
+    the unrolled-SQL oracle in plans/graph_queries.py.
+    """
+    from anti_money_laundering_spark.graph import Graph
+
+    outd = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    vertices = (
+        graph.vertices.join(outd, "id", "left")
+        .select(*graph.vertices.columns, F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+    )
+    out = pregel(
+        Graph(vertices, graph.edges),
+        state_col="pagerank",
+        initial_expr=F.lit(1.0),
+        # try_divide: Catalyst pushes this projection below the triplet
+        # join, where zero-out-degree vertices still exist — under ANSI
+        # a plain `/` then raises; NULL messages are filtered anyway
+        msg_to_dst=F.try_divide(F.col("src.pagerank"), F.col("src.out_degree")),
+        update_expr=F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0)),
+        agg_expr=F.sum(F.col("msg")),
+        max_iter=max_iter,
+    )
+    return out.drop("out_degree")

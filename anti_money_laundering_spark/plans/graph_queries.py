@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anti_money_laundering_spark.graph import risk_propagation
+from anti_money_laundering_spark.graph import pagerank, risk_propagation
 from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.plans.fixture_graphs import (
     FLOW_EDGES_SQL,
@@ -255,3 +255,47 @@ def pregel_risk_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = risk_propagation(Graph(vertices, g.edges), risk_col="risk", max_iter=3)
     return ranks.select("id", F.round(F.col("risk_score") + 1e-9, 3).alias("risk_score"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the generic Pregel driver (engine extension; proves the
+# superstep engine is reusable beyond the reference's risk rule).
+# ---------------------------------------------------------------------------
+
+_PR_ROUND = """
+    prm{i} AS (
+        SELECT e.dst AS id, sum(p.pr / p.outd) AS msg
+        FROM edges e JOIN pr{p} p ON p.id = e.src GROUP BY e.dst
+    ),
+    pr{i} AS (
+        SELECT p.id, p.outd, 0.15 + 0.85 * coalesce(m.msg, 0.0) AS pr
+        FROM pr{p} p LEFT JOIN prm{i} m ON m.id = p.id
+    )
+"""
+
+
+@register(
+    "pagerank_flow",
+    tags=("G6", "A5"),
+    oracle=f"""
+    WITH
+    edges AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src AS id, count(*) AS outd FROM edges GROUP BY src),
+    pr0 AS (
+        SELECT v.id, coalesce(d.outd, 0) AS outd, 1.0 AS pr
+        FROM verts v LEFT JOIN deg d ON d.id = v.id
+    ),
+    {_PR_ROUND.format(i=1, p=0)},
+    {_PR_ROUND.format(i=2, p=1)},
+    {_PR_ROUND.format(i=3, p=2)}
+    SELECT id, round(pr + 1e-9, 6) AS pagerank FROM pr3
+    """,
+)
+def pagerank_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round damped PageRank over the transaction-flow graph; the
+    oracle unrolls the supersteps as SQL CTEs (same shape as the
+    Pregel risk oracle)."""
+    g = flow_graph(spark, sf_dir)
+    pr = pagerank(g, max_iter=3)
+    return pr.select("id", F.round(F.col("pagerank") + 1e-9, 6).alias("pagerank"))
