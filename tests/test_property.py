@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): custom operators checked against
+independent in-Python oracles on randomized inputs — the corner-case
+net that fixed fixtures can't cast (empty groups, ties, singletons,
+self-loops, duplicate timestamps).
+
+Examples are kept small (each runs Spark jobs); determinism comes from
+hypothesis' own example database being disabled and derandomize=True.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# --- connected components vs union-find ------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 30), st.integers(1, 30)), min_size=1, max_size=60
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    label = {}
+    for v in list(parent):
+        r = find(v)
+        label[v] = min(label.get(r, r), r)
+        label[r] = label[v]
+    return {v: find(v) for v in parent}, find
+
+
+@settings(**SETTINGS)
+@given(edges=edges_strategy)
+def test_cc_matches_union_find(spark, edges):
+    from anti_money_laundering_spark.graph import Graph
+
+    verts = sorted({v for e in edges for v in e})
+    g = Graph(
+        spark.createDataFrame([(v,) for v in verts], "id long"),
+        spark.createDataFrame(edges, "src long, dst long"),
+    )
+    got = {r.id: r.component for r in g.connected_components().collect()}
+    # oracle: min vertex id reachable via union-find with path compression
+    parent, find = _union_find(edges)
+    roots = {}
+    for v in verts:
+        r = find(v)
+        roots.setdefault(r, []).append(v)
+    expect = {v: min(roots[find(v)]) for v in verts}
+    assert got == expect
+
+
+# --- as-of join vs pandas merge_asof ---------------------------------------
+
+series_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 1)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=series_strategy)
+def test_asof_matches_pandas_merge_asof(spark, rows):
+    from anti_money_laundering_spark.operators import asof_join
+
+    # split rows into left(points)/right(observations); dedupe (key, t)
+    # on the right because merge_asof keeps the LAST of equal
+    # timestamps while the window fill keeps the last in sort order —
+    # both are tie-arbitrary, so only unique (key,t) is comparable
+    left = [(k, t) for k, t, side in rows if side == 0]
+    right_d = {(k, t): (k, t, float(k * 100 + t)) for k, t, side in rows if side == 1}
+    right = list(right_d.values())
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(
+        [(k, (pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=t)).to_pydatetime()) for k, t in left],
+        "k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, (pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=t)).to_pydatetime(), v) for k, t, v in right],
+        "k long, ts timestamp, obs double",
+    )
+    got = {
+        (r.k, r.ts): r.obs_matched
+        for r in asof_join(ldf, rdf, by=["k"], right_cols=["obs"], how="left").collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "t", "obs"]).sort_values("t", kind="stable")
+    lp["ts"] = pd.Timestamp(2024, 1, 1) + pd.to_timedelta(lp["t"], unit="s")
+    rp["ts"] = pd.Timestamp(2024, 1, 1) + pd.to_timedelta(rp["t"], unit="s")
+    exp = pd.merge_asof(lp, rp[["k", "ts", "obs"]], on="ts", by="k", direction="backward")
+    # left rows may repeat (same key+ts): compare as sets of (k, ts, obs)
+    exp_map = {}
+    for _, row in exp.iterrows():
+        exp_map[(row.k, row.ts.to_pydatetime())] = None if pd.isna(row.obs) else row.obs
+    assert got == exp_map
+
+
+# --- salted join == plain join ---------------------------------------------
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(lrows=pairs_strategy, rrows=pairs_strategy, salt=st.integers(1, 5))
+def test_salted_join_equals_plain_join(spark, lrows, rrows, salt):
+    from anti_money_laundering_spark.operators import salted_join
+
+    if not lrows or not rrows:
+        return
+    ldf = spark.createDataFrame(lrows, "k long, lv long")
+    rdf = spark.createDataFrame(rrows, "k long, rv long")
+    plain = sorted((r.k, r.lv, r.rv) for r in ldf.join(rdf, "k").collect())
+    got = sorted((r.k, r.lv, r.rv) for r in salted_join(ldf, rdf, on=["k"], salt=salt).collect())
+    assert got == plain
