@@ -14,17 +14,29 @@ Two paths:
   Bucket join = one shuffle on the signature; at 100 TB this is the
   path — brute force is the correctness check.
 
-Hyperplanes are derived from xxhash64(h, d) — deterministic, no stored
-model, identical across executors by construction.
+Signatures are one numpy GEMM per Arrow batch (vector-matrix against
+the ±1 hyperplane matrix) inside a pandas_udf — a per-component
+higher-order expression evaluates interpreted and is >50× slower.
+Hyperplanes come from a fixed-seed RandomState regenerated inside each
+task: deterministic, identical across executors, no model to ship.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "cosine_topk_blas", "lsh_signature", "ann_lsh_topk", "ann_ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_blas",
+    "cosine_pairs_udf",
+    "table_buckets_udf",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+]
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -40,8 +52,28 @@ def _norm_sql(a: str) -> str:
 
 def cosine_similarity(a: str, b: str) -> F.Column:
     """Cosine similarity between two array<float|double> columns as a
-    single codegen'd expression."""
+    single JVM expression (interpreted higher-order — exact and
+    oracle-matchable, right for small/oracle paths; candidate
+    rescoring at volume uses :func:`cosine_pairs_udf`)."""
     return F.expr(f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})")
+
+
+def cosine_pairs_udf():
+    """Vectorized pairwise cosine: pandas_udf over two array columns,
+    one einsum + two norms per Arrow batch. Use for rescoring
+    candidate pairs at volume — the expression form evaluates its
+    lambda per element, interpreted."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return cos
 
 
 def cosine_topk(
@@ -93,8 +125,6 @@ def cosine_topk_blas(
     ``max_queries`` guards the driver collect — beyond it, chunk the
     query set or use :func:`ann_lsh_topk`.
     """
-    import numpy as np
-
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     if len(q_rows) > max_queries:
         raise ValueError(f"{len(q_rows)} queries exceed max_queries={max_queries}")
@@ -110,8 +140,6 @@ def cosine_topk_blas(
     )
 
     def score(batches):
-        import pandas as pd
-
         ids, mat = bc.value
         for pdf in batches:
             v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -142,33 +170,30 @@ def cosine_topk_blas(
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _lsh_signature_sql(vec_col: str, num_planes: int, seed: int) -> str:
-    return f"""aggregate(
-              sequence(0, {num_planes - 1}), 0L,
-              (acc, h) -> acc + CASE WHEN aggregate(
-                  zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
-                           (v, d) -> CASE WHEN (xxhash64({seed}, h, d) & 1) = 1
-                                     THEN cast(v AS double) ELSE -cast(v AS double) END),
-                  0.0D, (a, x) -> a + x
-              ) > 0.0D THEN shiftleft(1L, h) ELSE 0L END
-            )"""
+def table_buckets_udf(num_planes: int, num_tables: int, seed: int = 0):
+    """Vectorized random-hyperplane bucketing: a pandas_udf mapping an
+    ``array<float|double>`` column to ``array<long>`` of one packed
+    ``num_planes``-bit bucket per hash table.
 
+    Bit h of table t = sign of <v, r_{t,h}> with r entries ±1 from a
+    fixed-seed RandomState — regenerated identically inside every task,
+    so there is no fitted model to broadcast and executors always
+    agree. The whole batch scores against all tables' hyperplanes in
+    ONE numpy GEMM over the Arrow batch (P(bit agrees) = 1 - angle/π,
+    Charikar 2002)."""
+    from pyspark.sql.functions import pandas_udf
 
-def lsh_signature(vec_col: str, num_planes: int = 8, seed: int = 0) -> F.Column:
-    """Random-hyperplane signature: bit h = sign of <v, r_h> where
-    r_h[d] = ±1 chosen by xxhash64(seed, h, d). Returns an int bucket
-    in [0, 2^num_planes). P(bit agrees) = 1 - angle/π (Charikar 2002).
-    Distinct seeds give independent hash tables."""
-    return F.expr(_lsh_signature_sql(vec_col, num_planes, seed))
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        rng = np.random.RandomState(seed)
+        planes = rng.choice([-1.0, 1.0], size=(num_tables * num_planes, mat.shape[1]))
+        bits = (mat @ planes.T > 0).reshape(len(mat), num_tables, num_planes)
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        packed = bits.astype(np.int64) @ weights  # (n, num_tables)
+        return pd.Series(list(packed))
 
-
-def _table_buckets(vec_col: str, num_planes: int, num_tables: int) -> F.Column:
-    """array of (tbl, bucket) structs — one signature per hash table."""
-    sigs = ", ".join(
-        f"named_struct('tbl', {t}, 'bucket', {_lsh_signature_sql(vec_col, num_planes, seed=t)})"
-        for t in range(num_tables)
-    )
-    return F.expr(f"array({sigs})")
+    return buckets
 
 
 def ann_lsh_topk(
@@ -193,16 +218,17 @@ def ann_lsh_topk(
     equi-join shuffle on (tbl, bucket); recall is measured against
     cosine_topk in tests/test_vector.py.
     """
+    bucketer = table_buckets_udf(num_planes, num_tables)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vv"),
-        F.explode(_table_buckets(vec_col, num_planes, num_tables)).alias("tb"),
-    ).select("neighbor_id", "__vv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        F.posexplode(bucketer(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(_table_buckets(vec_col, num_planes, num_tables)).alias("tb"),
-    ).select("query_id", "__qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("__sig"))
+        F.posexplode(bucketer(F.col(vec_col))).alias("tbl", "__sig"),
+    )
     if multi_probe:
         # Probe the exact bucket plus every Hamming-1 neighbor bucket.
         q = q.select(
@@ -218,11 +244,12 @@ def ann_lsh_topk(
         )
     else:
         q = q.withColumnRenamed("__sig", "bucket")
+    cos = cosine_pairs_udf()
     scored = (
         q.join(v, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__vv").alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cos(F.col("__qv"), F.col("__vv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -289,10 +316,11 @@ def ann_ivf_topk(
         .filter(F.col("__pr") <= n_probe)
         .select("query_id", "__qv", "list_id")
     )
+    cos = cosine_pairs_udf()
     scored = (
         probes.join(assigned, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__vv").alias("cosine"))
+        .select("query_id", "neighbor_id", cos(F.col("__qv"), F.col("__vv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

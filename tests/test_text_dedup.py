@@ -90,6 +90,37 @@ def test_minhash_identical_signatures(docs):
     assert by_id[1] != by_id[3]
 
 
+def test_minhash_agg_path_matches_lambda_expression(docs):
+    """The codegen'd explode+min-agg signatures must equal the
+    higher-order-lambda formulation value-for-value (same xxhash64(h,s)
+    seeds) — the lambda stays as the semantic oracle, the agg path is
+    what ships."""
+    from anti_money_laundering_spark.dedup import minhash_signatures
+
+    expr_sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", word_shingles("text", 3).alias("sh")
+        ).select("doc_id", minhash_signature("sh", 16).alias("sig")).collect()
+    }
+    agg_sigs = {
+        r.doc_id: r["__sig"]
+        for r in minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_k=3).collect()
+    }
+    assert agg_sigs == expr_sigs
+
+
+def test_simhash_agg_path_matches_lambda_expression(spark, docs):
+    from anti_money_laundering_spark.dedup import simhash_signatures
+
+    expr_sims = {r.doc_id: r.s for r in docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    agg_sims = {r.doc_id: r["__sim"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert agg_sims == expr_sims
+    # token-less doc -> signature 0 on both paths
+    empty = spark.createDataFrame([(9, " ")], "doc_id long, text string")
+    assert simhash_signatures(empty, "doc_id", "text").collect()[0]["__sim"] == 0
+
+
 def test_lsh_candidates_find_exact_and_near_dups(docs):
     cands = {(r.id_a, r.id_b) for r in
              minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=16).collect()}
@@ -114,12 +145,13 @@ def test_simhash_identical_and_pigeonhole(docs):
 
 def test_lsh_recall_on_fixture_corpus(spark, sf_dir):
     """LSH candidate set must contain every exact-Jaccard>=0.7 pair
-    (recall check of the approximate path against the ground truth)."""
+    (recall check of the approximate path against the ground truth) —
+    both sides at trigram-shingle granularity, the pipeline default."""
     from anti_money_laundering_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     exact = {(r.id_a, r.id_b) for r in
-             jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7).collect()}
+             jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7, shingle_k=3).collect()}
     approx = {(r.id_a, r.id_b) for r in
               near_duplicates_minhash(docs, "doc_id", "text", min_jaccard=0.7).collect()}
     assert approx <= exact  # verification step guarantees precision
