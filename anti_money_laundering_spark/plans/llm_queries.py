@@ -217,6 +217,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_near_dups",
+    headline=True,
     tags=("LLM", "dedup"),
     # xxhash64 signatures have no DuckDB equivalent; tests assert the
     # candidate set's containment/recall against exact Jaccard.
@@ -285,6 +286,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
+    headline=True,
     tags=("LLM", "ann"),
     oracle=None,  # xxhash64 hyperplanes; recall asserted in tests/test_vector.py
 )
@@ -384,6 +386,7 @@ def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_similar_pairs",
+    headline=True,
     tags=("LLM", "text", "ml"),
     oracle=None,  # HashingTF bucket collisions are engine-specific; invariants in tests/
 )

@@ -84,6 +84,7 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_user_totals",
+    headline=True,
     tags=("STR",),
     oracle="""
     SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events,
