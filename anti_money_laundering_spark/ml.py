@@ -34,7 +34,7 @@ def embedding_classifier_predictions(
     label_col: str = "label",
     test_mod: int = 5,
     reg_param: float = 0.01,
-    max_iter: int = 50,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Train multinomial logistic regression on a deterministic train
     split and return held-out predictions ``(id, label, prediction)``.

@@ -189,13 +189,20 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_pairs",
     tags=("LLM", "dedup"),
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id AS doc, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+    WITH toks AS (
+        SELECT doc_id AS doc, {_DUCK_TOKS.replace("text", "text")} AS tk FROM documents
     ),
-    sizes AS (SELECT doc, count(*) AS n_tok FROM tok GROUP BY doc),
+    sh AS (
+        SELECT doc, unnest(list_distinct(
+            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+            END)) AS tok
+        FROM toks
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM sh GROUP BY doc),
     inter AS (
         SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
-        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc < b.doc
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc < b.doc
         GROUP BY a.doc, b.doc
     )
     SELECT id_a, id_b,
@@ -207,10 +214,13 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.8 via the inverted-index join —
-    the SQL-checkable ground truth the LSH pipelines approximate."""
+    """Exact trigram-shingle Jaccard >= 0.8 via the inverted-index join
+    — the SQL-checkable ground truth the LSH pipelines approximate, at
+    the pipeline's shingle granularity (unigram sets are corpus-
+    degenerate: mean pairwise Jaccard 0.64 makes the inverted index
+    quadratic AND the threshold meaningless)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.8).select(
+    return jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.8, shingle_k=3).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 

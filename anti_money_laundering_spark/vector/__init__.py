@@ -295,7 +295,10 @@ def ann_ivf_topk(
         featuresCol="__feat",
         predictionCol="list_id",
         distanceMeasure="cosine",
-        maxIter=20,
+        # coarse quantizer: recall depends on n_probe/n_lists, not on a
+        # fully-converged codebook — cap driver-side iteration cost
+        maxIter=10,
+        tol=1e-3,
     )
     model = km.fit(corpus.select("__feat"))
     assigned = model.transform(corpus).select("neighbor_id", "__vv", "list_id")
