@@ -45,36 +45,35 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "range_join_events_in_order_week",
+    "range_join_clicks_after_purchase",
     tags=("OP", "range"),
     oracle="""
-    SELECT e.event_id, o.o_orderkey, e.user_id, e.ts, o.o_orderdate
-    FROM events e
-    JOIN orders o
-      ON e.user_id = o.o_custkey % 150
-     AND e.ts >= o.o_orderdate
-     AND e.ts < o.o_orderdate + INTERVAL 2 DAY
+    SELECT c.event_id, p.event_id AS purchase_id, c.user_id, c.ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.lo AND c.ts < p.hi
     """,
 )
-def range_join_events_in_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events falling inside each order's 2-day window (key-sharded
-    interval containment). Bucketized equi-join on (key, day-bucket) +
-    exact residual — never the per-key cartesian (operators.range_join)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            (F.col("o_custkey") % 150).alias("user_id"),
-            F.col("o_orderdate").alias("lo"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("hi"),
-        )
+def range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing inside the 2-hour window after each purchase by
+    the same user (key-sharded interval containment — the AML
+    follow-the-money window). Bucketized equi-join on (key, hour
+    bucket) + exact residual — never the per-key cartesian
+    (operators.range_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
     )
     out = range_join(
-        ev, orders, by=["user_id"], point="ts", lo="lo", hi="hi",
-        bucket_width_seconds=86400,
+        clicks, purchases, by=["user_id"], point="ts", lo="lo", hi="hi",
+        bucket_width_seconds=7200,
     )
-    return out.select("event_id", "o_orderkey", "user_id", "ts", F.col("lo").alias("o_orderdate"))
+    return out.select("event_id", "purchase_id", "user_id", "ts")
 
 
 @register(
