@@ -253,13 +253,20 @@ def semi_join_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J-ext",),
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
     """,
 )
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — NOT EXISTS as a left-anti join."""
+    """Customers with no large order — NOT EXISTS as a left-anti join.
+    (Every fixture customer has SOME order, so the unfiltered variant
+    would be a trivially-empty parity check.)"""
     cust = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return cust.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
