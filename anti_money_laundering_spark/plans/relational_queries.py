@@ -577,6 +577,36 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "regex_array_funcs",
+    tags=("F-ext",),
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#0*([0-9]+)$', 1) AS BIGINT) AS name_num,
+           regexp_matches(c_name, '^Customer#') AS is_customer,
+           len(regexp_split_to_array(c_mktsegment, '')) AS seg_len,
+           array_to_string(['seg', lower(c_mktsegment)], ':') AS seg_tag,
+           list_contains(['BUILDING', 'MACHINERY'], c_mktsegment) AS industrial
+    FROM customer
+    """,
+)
+def regex_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + array-function coverage (SURVEY §2.7 'not present'
+    completions): capture-group extraction, boolean match, array
+    construction/join/containment — all codegen'd scalar expressions."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#0*([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.col("c_name").rlike("^Customer#").alias("is_customer"),
+        F.length("c_mktsegment").alias("seg_len"),
+        F.array_join(F.array(F.lit("seg"), F.lower("c_mktsegment")), ":").alias("seg_tag"),
+        F.array_contains(
+            F.array(F.lit("BUILDING"), F.lit("MACHINERY")), F.col("c_mktsegment")
+        ).alias("industrial"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping-set extensions (SURVEY §2.4 'not present' list — one-liners).
 # ---------------------------------------------------------------------------
