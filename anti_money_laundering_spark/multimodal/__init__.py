@@ -32,6 +32,8 @@ __all__ = [
     "extract_features",
     "classify_media",
     "fetch_urls",
+    "sample_frames",
+    "resize_media",
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
 ]
@@ -159,6 +161,67 @@ def classify_media(media: DataFrame, model_factory=None) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, label string, score double"
+    )
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, every_n: int = 1
+) -> DataFrame:
+    """Frame sampling for video-like payloads: explode each payload
+    into fixed-size frame rows (media_id, frame_idx, frame_payload),
+    keeping every ``every_n``-th frame. One-to-many ``mapInPandas`` —
+    the fan-out shape a real video decoder uses (a production impl
+    replaces the byte-slicing with codec frame extraction; codecs are
+    not in this container, so frames are deterministic byte windows
+    and the Spark-side schema/batching/fan-out is what's under test).
+
+    Scale: fan-out happens executor-side per Arrow batch; no shuffle
+    is introduced (downstream groupBys key on media_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame_payload binary"
+    )
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stand-in: normalize every payload to ``target_bytes``
+    (truncate / zero-pad) — the decode→resize→re-encode step of an
+    image pipeline with the codec swapped for deterministic byte ops
+    (see :func:`decode_image` for the stub rationale). Output keeps
+    MEDIA_SCHEMA with updated n_bytes, so downstream operators see the
+    same multimodal-column contract.
+
+    Scale: pure narrow mapInPandas — per-batch numpy, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload or b"")[:target_bytes]
+                out.append(b + b"\x00" * (target_bytes - len(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": [target_bytes] * len(pdf),
+                }
+            )
+
+    return media.select("media_id", "payload", "mime_type").mapInPandas(
+        run, schema=MEDIA_SCHEMA
     )
 
 

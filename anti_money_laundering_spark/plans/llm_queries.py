@@ -395,6 +395,31 @@ def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    tags=("LLM", "multimodal", "M2"),
+    oracle="""
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           lower(hex(substr(text, CAST(i * 32 + 1 AS INT), 32))) AS frame_hex
+    FROM documents, unnest(range(CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)
+    WHERE i % 4 = 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like payloads: every 4th 32-byte
+    frame per document, exploded one-to-many in mapInPandas. Frames
+    are deterministic byte windows (codec decode is stubbed), so the
+    oracle reproduces them with substr+hex."""
+    from anti_money_laundering_spark.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
+    frames = sample_frames(media, frame_bytes=32, every_n=4)
+    return frames.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame_payload")).alias("frame_hex")
+    )
+
+
+@register(
     "tfidf_similar_pairs",
     headline=True,
     tags=("LLM", "text", "ml"),

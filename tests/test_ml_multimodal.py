@@ -40,6 +40,28 @@ def test_classify_media_custom_model_called_per_task(spark):
     assert {r.label for r in rows} == {"x"}
 
 
+def test_frame_sampling_and_resize(spark):
+    from anti_money_laundering_spark.multimodal import resize_media, sample_frames
+
+    df = spark.createDataFrame([(1, "a" * 70), (2, "xy")], "doc_id long, text string")
+    media = attach_binary_payload(df, "doc_id", "text")
+    frames = sample_frames(media, frame_bytes=32, every_n=1).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append((r.frame_idx, bytes(r.frame_payload)))
+    # 70 bytes -> frames of 32, 32, 6; 2 bytes -> one short frame
+    assert [len(p) for _, p in sorted(by_media[1])] == [32, 32, 6]
+    assert sorted(by_media[2]) == [(0, b"xy")]
+    # every_n skips frames deterministically
+    sampled = sample_frames(media, frame_bytes=32, every_n=2).collect()
+    assert {(r.media_id, r.frame_idx) for r in sampled} == {(1, 0), (1, 2), (2, 0)}
+
+    resized = {r.media_id: r for r in resize_media(media, target_bytes=16).collect()}
+    assert bytes(resized[1].payload) == b"a" * 16
+    assert bytes(resized[2].payload) == b"xy" + b"\x00" * 14
+    assert all(r.n_bytes == 16 for r in resized.values())
+
+
 def test_embedding_classifier_contract(spark, sf_dir):
     from anti_money_laundering_spark.ml import embedding_classifier_predictions
     from anti_money_laundering_spark.sources import load_table
