@@ -240,7 +240,9 @@ def jaccard_pairs(
     if pairs is not None:
         sets_ = docs.select(F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set"))
         return (
-            pairs.select("id_a", "id_b")
+            # dropDuplicates preserves the one-row-per-pair guarantee the
+            # old semi-join path gave even for non-distinct candidate input
+            pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
             .join(sets_.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa")), "id_a")
             .join(sets_.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb")), "id_b")
             .withColumn("__ni", F.size(F.array_intersect("__sa", "__sb")))

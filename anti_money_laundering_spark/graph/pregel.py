@@ -122,10 +122,12 @@ def pagerank(graph: "Graph", max_iter: int = 3, damping: float = 0.85) -> DataFr
     """
     from anti_money_laundering_spark.graph import Graph
 
-    outd = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    # internal column name: a caller-supplied out_degree column must not
+    # collide (duplicate struct fields make src.<col> ambiguous)
+    outd = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("__pr_outd"))
     vertices = (
         graph.vertices.join(outd, "id", "left")
-        .select(*graph.vertices.columns, F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .select(*graph.vertices.columns, F.coalesce("__pr_outd", F.lit(0)).alias("__pr_outd"))
     )
     out = pregel(
         Graph(vertices, graph.edges),
@@ -134,9 +136,9 @@ def pagerank(graph: "Graph", max_iter: int = 3, damping: float = 0.85) -> DataFr
         # try_divide: Catalyst pushes this projection below the triplet
         # join, where zero-out-degree vertices still exist — under ANSI
         # a plain `/` then raises; NULL messages are filtered anyway
-        msg_to_dst=F.try_divide(F.col("src.pagerank"), F.col("src.out_degree")),
+        msg_to_dst=F.try_divide(F.col("src.pagerank"), F.col("src.__pr_outd")),
         update_expr=F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0)),
         agg_expr=F.sum(F.col("msg")),
         max_iter=max_iter,
     )
-    return out.drop("out_degree")
+    return out.drop("__pr_outd")

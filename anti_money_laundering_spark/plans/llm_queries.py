@@ -190,7 +190,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("LLM", "dedup"),
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id AS doc, {_DUCK_TOKS.replace("text", "text")} AS tk FROM documents
+        SELECT doc_id AS doc, {_DUCK_TOKS} AS tk FROM documents
     ),
     sh AS (
         SELECT doc, unnest(list_distinct(
@@ -398,17 +398,21 @@ def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frames",
     tags=("LLM", "multimodal", "M2"),
     oracle="""
+    WITH h AS (SELECT doc_id, lower(hex(text)) AS hx, strlen(text) AS nb FROM documents)
     SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
-           lower(hex(substr(text, CAST(i * 32 + 1 AS INT), 32))) AS frame_hex
-    FROM documents, unnest(range(CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)
+           substr(hx, CAST(i * 64 + 1 AS INT), 64) AS frame_hex
+    FROM h, unnest(range(CAST(ceil(nb / 32.0) AS BIGINT))) AS t(i)
     WHERE i % 4 = 0
     """,
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-like payloads: every 4th 32-byte
     frame per document, exploded one-to-many in mapInPandas. Frames
-    are deterministic byte windows (codec decode is stubbed), so the
-    oracle reproduces them with substr+hex."""
+    are deterministic byte windows (codec decode is stubbed); the
+    oracle slices the hex of the UTF-8 BYTES (hex(text) then 64
+    hex-chars per 32-byte frame, count from strlen = byte length) so
+    parity holds even for non-ASCII text where character positions
+    diverge from byte positions."""
     from anti_money_laundering_spark.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")

@@ -120,3 +120,17 @@ def test_prune_degree_one(spark):
     kept = gr.prune_degree_one(keep=F.col("id") == 3)
     assert {r.id for r in kept.vertices.collect()} == {2, 3}
     assert kept.edges.count() == 1
+
+
+def test_pagerank_with_preexisting_out_degree_column(spark):
+    # caller-enriched vertices must not collide with pagerank's
+    # internal out-degree column (review finding: duplicate struct
+    # fields made src.<col> ambiguous)
+    from anti_money_laundering_spark.graph import Graph, pagerank
+
+    v = spark.createDataFrame([(1, 99), (2, 99), (3, 99)], "id long, out_degree long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    pr = {r.id: r.pagerank for r in pagerank(Graph(v, e), max_iter=2).collect()}
+    assert set(pr) == {1, 2, 3}
+    # symmetric 3-cycle: all ranks equal and positive
+    assert len({round(x, 9) for x in pr.values()}) == 1 and min(pr.values()) > 0
