@@ -43,6 +43,7 @@ __all__ = [
     "em_fit",
     "score_pairs",
     "term_frequencies",
+    "round_params",
     "link_dedupe",
 ]
 
@@ -176,36 +177,20 @@ def gamma_table(pairs: DataFrame, comparisons: list[Comparison]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _match_prob_expr(comparisons: list[Comparison], params: dict) -> Column:
-    """Posterior P(match | gammas) with params folded in as literals."""
-    lam = params["lambda"]
-    m_prod = F.lit(lam)
-    u_prod = F.lit(1.0 - lam)
-    for c in comparisons:
-        m_levels, u_levels = params["m"][c.name], params["u"][c.name]
-        g = F.col(f"gamma_{c.name}")
-        m_case = F.lit(m_levels[0])
-        u_case = F.lit(u_levels[0])
-        for lvl in range(1, c.n_levels):
-            m_case = F.when(g == lvl, F.lit(m_levels[lvl])).otherwise(m_case)
-            u_case = F.when(g == lvl, F.lit(u_levels[lvl])).otherwise(u_case)
-        m_prod = m_prod * m_case
-        u_prod = u_prod * u_case
-    return m_prod / (m_prod + u_prod)
-
-
-def _default_params(comparisons: list[Comparison]) -> dict:
+def _default_params(level_spec: list[tuple[str, int]]) -> dict:
     """Deterministic init: m mass increases geometrically with the
     agreement level, u mass decreases — with DIFFERENT ratios (3 vs 5)
     so no level starts evidence-neutral (equal m and u at a level is an
-    EM saddle: that level then never separates the classes)."""
+    EM saddle: that level then never separates the classes).
+
+    Takes ``(name, n_levels)`` pairs (not Comparison objects) so oracle
+    generators can call it without an active SparkSession."""
     params: dict = {"lambda": 0.1, "m": {}, "u": {}}
-    for c in comparisons:
-        k = c.n_levels
+    for name, k in level_spec:
         m_raw = [3.0**lvl for lvl in range(k)]
         u_raw = [5.0 ** (k - 1 - lvl) for lvl in range(k)]
-        params["m"][c.name] = [v / sum(m_raw) for v in m_raw]
-        params["u"][c.name] = [v / sum(u_raw) for v in u_raw]
+        params["m"][name] = [v / sum(m_raw) for v in m_raw]
+        params["u"][name] = [v / sum(u_raw) for v in u_raw]
     return params
 
 
@@ -219,47 +204,63 @@ def em_fit(
     tol: float = 1e-5,
     init: dict | None = None,
 ) -> dict:
-    """Fit λ and per-level m/u by EM over the (cached) gamma table.
+    """Fit λ and per-level m/u by EM over the gamma table.
 
-    Each iteration = one aggregate job: ``sum(p)``, ``count``, and per
-    comparison-level ``sum(p·1[γ=l])`` / ``sum((1-p)·1[γ=l])`` — the
-    sufficient statistics of the M-step — computed in a single
-    partial-aggregated scan. Parameters never leave the driver.
+    The E-step posterior depends only on the gamma PATTERN, so the
+    sufficient statistics collapse onto the distinct-pattern histogram:
+    ONE ``groupBy(γ…).count()`` job (integer counts — bit-exact and
+    deterministic), then every EM iteration is driver-side arithmetic
+    over at most ``∏ n_levels`` patterns. Zero additional cluster scans
+    regardless of ``max_iter`` — at 100 TB the pair table is read once.
+    Determinism (patterns iterated in sorted order) is what lets the
+    catalog replay this exact fit in a DuckDB oracle
+    (plans/linkage_queries.py).
     """
-    params = init or _default_params(comparisons)
-    gammas = gammas.select(
-        *[F.col(f"gamma_{c.name}") for c in comparisons]
-    ).localCheckpoint(eager=True)
+    params = init or _default_params([(c.name, c.n_levels) for c in comparisons])
+    gcols = [f"gamma_{c.name}" for c in comparisons]
+    pat_rows = gammas.groupBy(*gcols).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    if not pat_rows:
+        raise ValueError(
+            "em_fit: empty gamma table — the blocking rules produced no candidate pairs"
+        )
+    patterns: list[tuple[tuple[int, ...], float]] = sorted(
+        (tuple(int(r[g]) for g in gcols), float(r["cnt"])) for r in pat_rows
+    )
 
-    prev_ll_proxy = None
-    for _ in range(max_iter):
-        p = _match_prob_expr(comparisons, params)
-        aggs = [F.sum(p).alias("__sum_p"), F.count(F.lit(1)).alias("__n")]
-        for c in comparisons:
-            g = F.col(f"gamma_{c.name}")
-            for lvl in range(c.n_levels):
-                ind = (g == lvl).cast("double")
-                aggs.append(F.sum(p * ind).alias(f"__m_{c.name}_{lvl}"))
-                aggs.append(F.sum((1 - p) * ind).alias(f"__u_{c.name}_{lvl}"))
-        row = gammas.agg(*aggs).collect()[0]
-        sum_p, n = row["__sum_p"], row["__n"]
+    for it in range(max_iter):
+        lam = params["lambda"]
+        sum_p = 0.0  # Σ p·cnt  (m-class mass)
+        u_tot = 0.0  # Σ (1-p)·cnt
+        n = 0.0
+        m_num = {c.name: [0.0] * c.n_levels for c in comparisons}
+        u_num = {c.name: [0.0] * c.n_levels for c in comparisons}
+        for g, cnt in patterns:
+            m_prod = lam
+            u_prod = 1.0 - lam
+            for i, c in enumerate(comparisons):
+                m_prod *= params["m"][c.name][g[i]]
+                u_prod *= params["u"][c.name][g[i]]
+            p = m_prod / (m_prod + u_prod)
+            sum_p += p * cnt
+            u_tot += (1.0 - p) * cnt
+            n += cnt
+            for i, c in enumerate(comparisons):
+                m_num[c.name][g[i]] += p * cnt
+                u_num[c.name][g[i]] += (1.0 - p) * cnt
         new_params: dict = {"lambda": min(max(sum_p / n, _EPS), 1 - _EPS), "m": {}, "u": {}}
+        m_tot = max(sum_p, _EPS)
+        ut = max(u_tot, _EPS)
         for c in comparisons:
-            m_tot = sum(row[f"__m_{c.name}_{lvl}"] for lvl in range(c.n_levels))
-            u_tot = sum(row[f"__u_{c.name}_{lvl}"] for lvl in range(c.n_levels))
             new_params["m"][c.name] = [
-                min(max(row[f"__m_{c.name}_{lvl}"] / max(m_tot, _EPS), _EPS), 1 - _EPS)
-                for lvl in range(c.n_levels)
+                min(max(v / m_tot, _EPS), 1 - _EPS) for v in m_num[c.name]
             ]
             new_params["u"][c.name] = [
-                min(max(row[f"__u_{c.name}_{lvl}"] / max(u_tot, _EPS), _EPS), 1 - _EPS)
-                for lvl in range(c.n_levels)
+                min(max(v / ut, _EPS), 1 - _EPS) for v in u_num[c.name]
             ]
         delta = abs(new_params["lambda"] - params["lambda"])
         params = new_params
-        if prev_ll_proxy is not None and delta < tol:
+        if it > 0 and delta < tol:
             break
-        prev_ll_proxy = sum_p
     return params
 
 
@@ -320,6 +321,19 @@ def score_pairs(
     return out.drop(*[f"__tf_{c.name}" for c in comparisons])
 
 
+def round_params(params: dict, ndigits: int = 6) -> dict:
+    """Round every fitted parameter to ``ndigits`` decimals.
+
+    Used by the catalog to pin the scored output against ulp-level
+    float-summation jitter: score with rounded params and a DuckDB
+    oracle replaying the same EM (rounded identically) hash-matches."""
+    return {
+        "lambda": round(params["lambda"], ndigits),
+        "m": {k: [round(v, ndigits) for v in vs] for k, vs in params["m"].items()},
+        "u": {k: [round(v, ndigits) for v in vs] for k, vs in params["u"].items()},
+    }
+
+
 def link_dedupe(
     df: DataFrame,
     unique_id: str,
@@ -327,14 +341,20 @@ def link_dedupe(
     comparisons: list[Comparison],
     max_iter: int = 25,
     tf_adjust: bool = True,
+    tol: float = 1e-5,
+    param_round: int | None = None,
 ) -> DataFrame:
     """End-to-end dedupe linkage (the reference's Splink(settings, df)
     + get_scored_comparisons(), 03:56-58): block -> gamma -> EM ->
-    score. Returns the scored pair table."""
+    score. Returns the scored pair table. ``tol=0.0`` forces exactly
+    ``max_iter`` EM iterations (deterministic, oracle-replayable);
+    ``param_round`` rounds fitted params before scoring."""
     compare_cols = list(dict.fromkeys(c.tf_col or c.name for c in comparisons))
     pairs = candidate_pairs(df, unique_id, blocking_rules, compare_cols=compare_cols)
     gammas = gamma_table(pairs, comparisons)
-    params = em_fit(gammas, comparisons, max_iter=max_iter)
+    params = em_fit(gammas, comparisons, max_iter=max_iter, tol=tol)
+    if param_round is not None:
+        params = round_params(params, param_round)
     tf_tables = (
         {c.tf_col: term_frequencies(df, c.tf_col) for c in comparisons if c.tf_col}
         if tf_adjust

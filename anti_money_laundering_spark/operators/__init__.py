@@ -52,21 +52,25 @@ def asof_join(
     rt = right_time or left_time
     rcols = right_cols or [c for c in right.columns if c not in by and c != rt]
 
+    # All matched right columns ride in ONE struct so a single
+    # last(..., ignorenulls=True) fill picks every column from the SAME
+    # right row — per-column fills would stitch a composite row when a
+    # right column carries a genuine NULL (it would backfill from an
+    # older right row while __rt came from the newer one).
+    r_row = F.struct(*[F.col(c).alias(c) for c in rcols], F.col(rt).alias("__rt"))
+    r_tagged = right.select(
+        *by,
+        F.col(rt).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias("__lrow"),
+        r_row.alias("__rrow"),
+    )
     l_tagged = left.select(
         *by,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in rcols],
-        F.lit(None).cast(dict(right.dtypes)[rt]).alias("__rt"),
-    )
-    r_tagged = right.select(
-        *by,
-        F.col(rt).alias("__t"),
-        F.lit(0).alias("__is_left"),
-        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
-        F.col(rt).alias("__rt"),
+        F.lit(None).cast(r_tagged.schema["__rrow"].dataType).alias("__rrow"),
     )
     both = l_tagged.unionByName(r_tagged)
 
@@ -83,30 +87,28 @@ def asof_join(
         "__is_left",
         "__lrow",
         "__t",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols],
-        F.last("__rt", ignorenulls=True).over(w).alias("__frt"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__frow"),
     ).filter(F.col("__is_left") == 1)
 
     if tolerance_seconds is not None:
         delta = F.abs(
             F.unix_micros(F.col("__t").cast("timestamp"))
-            - F.unix_micros(F.col("__frt").cast("timestamp"))
+            - F.unix_micros(F.col("__frow.__rt").cast("timestamp"))
         ) / 1_000_000.0
-        in_tol = F.col("__frt").isNotNull() & (delta <= tolerance_seconds)
+        in_tol = F.col("__frow").isNotNull() & (delta <= tolerance_seconds)
         filled = filled.select(
             "__is_left",
             "__lrow",
             "__t",
-            *[F.when(in_tol, F.col(f"__f_{c}")).otherwise(F.lit(None)).alias(f"__f_{c}") for c in rcols],
-            F.when(in_tol, F.col("__frt")).otherwise(F.lit(None)).alias("__frt"),
+            F.when(in_tol, F.col("__frow")).otherwise(F.lit(None)).alias("__frow"),
         )
     if how == "inner":
-        filled = filled.filter(F.col("__frt").isNotNull())
+        filled = filled.filter(F.col("__frow").isNotNull())
 
     return filled.select(
         F.col("__lrow.*"),
-        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in rcols],
-        F.col("__frt").alias(f"{rt}{suffix}"),
+        *[F.col(f"__frow.{c}").alias(f"{c}{suffix}") for c in rcols],
+        F.col("__frow.__rt").alias(f"{rt}{suffix}"),
     )
 
 

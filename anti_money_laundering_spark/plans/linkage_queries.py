@@ -44,6 +44,116 @@ def _comparisons():
     ]
 
 
+# SQL twins of _comparisons() gamma CASE chains (name, n_levels, expr).
+_COMP_SQL = [
+    (
+        "c_name",
+        3,
+        "CASE WHEN c_name_l = c_name_r THEN 2 "
+        "WHEN levenshtein(c_name_l, c_name_r) <= 2 THEN 1 ELSE 0 END",
+    ),
+    (
+        "c_acctbal",
+        3,
+        "CASE WHEN c_acctbal_l = c_acctbal_r THEN 2 "
+        "WHEN abs(c_acctbal_l - c_acctbal_r) <= 100.0 THEN 1 ELSE 0 END",
+    ),
+]
+
+_EM_ITERS = 10  # tol=0.0 on the Spark side => exactly this many iterations
+
+
+def _m_case(name: str, n: int, p: str = "e.") -> str:
+    whens = " ".join(f"WHEN {lvl} THEN {p}m_{name}_{lvl}" for lvl in range(1, n))
+    return f"(CASE gamma_{name} {whens} ELSE {p}m_{name}_0 END)"
+
+
+def _u_case(name: str, n: int, p: str = "e.") -> str:
+    whens = " ".join(f"WHEN {lvl} THEN {p}u_{name}_{lvl}" for lvl in range(1, n))
+    return f"(CASE gamma_{name} {whens} ELSE {p}u_{name}_0 END)"
+
+
+def _em_cte_prefix(eps: float = 1e-6) -> str:
+    """WITH-chain replaying linkage.em_fit in DuckDB: gamma-pattern
+    histogram (integer counts — the same deterministic sufficient
+    statistics the engine collects) then ``_EM_ITERS`` unrolled EM
+    iterations, params rounded to 6 decimals in the final ``emf`` CTE.
+    Arithmetic mirrors em_fit term-for-term (same clamping, same
+    left-to-right products) so rounded params agree bit-for-bit."""
+    from anti_money_laundering_spark.linkage import _default_params
+
+    init = _default_params([(name, n) for name, n, _ in _COMP_SQL])
+    lo, hi = repr(eps), repr(1.0 - eps)
+
+    cols0 = [f"{init['lambda']!r} AS lam"]
+    for name, n, _ in _COMP_SQL:
+        for lvl in range(n):
+            cols0.append(f"{init['m'][name][lvl]!r} AS m_{name}_{lvl}")
+            cols0.append(f"{init['u'][name][lvl]!r} AS u_{name}_{lvl}")
+    ctes = [f"em0 AS (SELECT {', '.join(cols0)})"]
+
+    m_prod = " * ".join(["e.lam"] + [_m_case(name, n) for name, n, _ in _COMP_SQL])
+    u_prod = " * ".join(["(1.0 - e.lam)"] + [_u_case(name, n) for name, n, _ in _COMP_SQL])
+    p_expr = f"({m_prod}) / (({m_prod}) + ({u_prod}))"
+    for i in range(1, _EM_ITERS + 1):
+        inner = f"SELECT pat.*, {p_expr} AS p FROM pat CROSS JOIN em{i - 1} e"
+        aggs = [f"least(greatest(sum(p * cnt) / sum(cnt), {lo}), {hi}) AS lam"]
+        for name, n, _ in _COMP_SQL:
+            for lvl in range(n):
+                ind = f"(CASE WHEN gamma_{name} = {lvl} THEN 1.0 ELSE 0.0 END)"
+                aggs.append(
+                    f"least(greatest(sum(p * cnt * {ind}) / greatest(sum(p * cnt), {lo}), "
+                    f"{lo}), {hi}) AS m_{name}_{lvl}"
+                )
+                aggs.append(
+                    f"least(greatest(sum((1.0 - p) * cnt * {ind}) / "
+                    f"greatest(sum((1.0 - p) * cnt), {lo}), {lo}), {hi}) AS u_{name}_{lvl}"
+                )
+        ctes.append(f"em{i} AS (SELECT {', '.join(aggs)} FROM ({inner}))")
+
+    colsf = ["round(lam, 6) AS lam"]
+    for name, n, _ in _COMP_SQL:
+        for lvl in range(n):
+            colsf.append(f"round(m_{name}_{lvl}, 6) AS m_{name}_{lvl}")
+            colsf.append(f"round(u_{name}_{lvl}, 6) AS u_{name}_{lvl}")
+    ctes.append(f"emf AS (SELECT {', '.join(colsf)} FROM em{_EM_ITERS})")
+
+    gam_cols = ", ".join(f"{expr} AS gamma_{name}" for name, _, expr in _COMP_SQL)
+    gnames = ", ".join(f"gamma_{name}" for name, _, _ in _COMP_SQL)
+    return (
+        f"WITH pairs AS ({_PAIRS_SQL}), "
+        f"gam AS (SELECT uid_l, uid_r, {gam_cols} FROM pairs), "
+        f"pat AS (SELECT {gnames}, CAST(count(*) AS DOUBLE) AS cnt "
+        f"FROM gam GROUP BY {gnames}), " + ", ".join(ctes)
+    )
+
+
+def _em_scored_oracle() -> str:
+    terms = ["ln(e.lam / (1.0 - e.lam)) / ln(2.0)"]
+    for name, n, _ in _COMP_SQL:
+        terms.append(f"ln({_m_case(name, n)} / {_u_case(name, n)}) / ln(2.0)")
+    w = " + ".join(terms)
+    return (
+        _em_cte_prefix()
+        + " SELECT uid_l, uid_r, gamma_c_name, gamma_c_acctbal, "
+        f"round(1.0 / (1.0 + power(2.0, -({w}))), 6) AS match_probability "
+        "FROM gam CROSS JOIN emf e"
+    )
+
+
+def _em_params_oracle() -> str:
+    parts = [
+        "SELECT '__lambda__' AS comparison, -1 AS gamma_level, "
+        "lam AS m, CAST(NULL AS DOUBLE) AS u FROM emf"
+    ]
+    for name, n, _ in _COMP_SQL:
+        for lvl in range(n):
+            parts.append(
+                f"SELECT '{name}', {lvl}, m_{name}_{lvl}, u_{name}_{lvl} FROM emf"
+            )
+    return _em_cte_prefix() + " " + " UNION ALL ".join(parts)
+
+
 @register(
     "linkage_blocked_pairs",
     tags=("E1", "E2", "J5"),
@@ -105,22 +215,27 @@ def linkage_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "linkage_em_scored",
     tags=("E4", "A6"),
-    # EM is iterative driver-side parameter fitting — not expressible in
-    # one SQL statement; the driver records a rows-only check and
-    # tests/test_linkage.py asserts ranking invariants on known dupes.
-    oracle=None,
+    # EM collapses onto the gamma-pattern histogram (integer counts), so
+    # the fit is deterministic and the oracle replays the exact same EM
+    # as unrolled SQL CTEs (params rounded to 6dp on both sides before
+    # scoring). tests/test_linkage.py adds ranking invariants.
+    oracle=_em_scored_oracle(),
 )
 def linkage_em_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Fellegi-Sunter dedupe (E4): block → gamma → EM-fit m/u →
-    posterior match_probability per candidate pair (03:56-58)."""
+    posterior match_probability per candidate pair (03:56-58).
+    ``tol=0.0`` pins the iteration count; ``param_round=6`` pins the
+    scored output against float-summation ulps."""
     cust = load_table(spark, sf_dir, "customer")
     scored = link_dedupe(
         cust,
         "c_custkey",
         _BLOCKING,
         _comparisons(),
-        max_iter=10,
+        max_iter=_EM_ITERS,
         tf_adjust=False,
+        tol=0.0,
+        param_round=6,
     )
     return scored.select(
         "uid_l",
@@ -134,20 +249,24 @@ def linkage_em_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "linkage_em_params",
     tags=("E5", "A6"),
-    # Fitted parameters are the output of iterative EM — rows-only
-    # check; tests/test_linkage.py asserts m/u separate known dupes.
-    oracle=None,
+    # Same unrolled-EM replay as linkage_em_scored, unpivoted to the
+    # diagnostics schema.
+    oracle=_em_params_oracle(),
 )
 def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model diagnostics (E5): the fitted Fellegi-Sunter parameters
     (λ and per-level m/u probabilities) exposed as a DataFrame — the
     engine-core replacement for Splink's chart diagnostics
     (03_aml_entity_resolution.py:72-75, :93-95)."""
+    from anti_money_laundering_spark.linkage import round_params
+
     cust = load_table(spark, sf_dir, "customer")
     comparisons = _comparisons()
     pairs = candidate_pairs(cust, "c_custkey", _BLOCKING, compare_cols=["c_name", "c_acctbal"])
-    params = em_fit(gamma_table(pairs, comparisons), comparisons, max_iter=10)
-    rows = [("__lambda__", -1, float(params["lambda"]), float("nan"))]
+    params = round_params(
+        em_fit(gamma_table(pairs, comparisons), comparisons, max_iter=_EM_ITERS, tol=0.0), 6
+    )
+    rows: list[tuple] = [("__lambda__", -1, float(params["lambda"]), None)]
     for c in comparisons:
         for lvl in range(c.n_levels):
             rows.append((c.name, lvl, float(params["m"][c.name][lvl]), float(params["u"][c.name][lvl])))

@@ -9,6 +9,7 @@ are oracle-comparable, Arrow for the pandas exchange paths.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -52,7 +53,20 @@ def get_spark(
         conf.update(extra_conf)
     active = SparkSession.getActiveSession()
     if active is not None:
-        # Reuse the live session (driver/pytest own the lifecycle).
+        # Reuse the live session (driver/pytest own the lifecycle) but
+        # honor the runtime-settable confs the caller asked for; warn
+        # about anything only a fresh session could apply.
+        if shuffle_partitions is not None:
+            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        for k, v in (extra_conf or {}).items():
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                warnings.warn(
+                    f"get_spark: live session cannot apply conf {k!r}; "
+                    "stop the session to change static confs",
+                    stacklevel=2,
+                )
         return active
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -103,3 +103,12 @@ def test_scored_pairs_probability_range(spark, dedupe_df):
     rows = scored.collect()
     assert all(0.0 <= r.match_probability <= 1.0 for r in rows)
     assert len(rows) == 6
+
+
+def test_em_fit_empty_pairs_raises(spark):
+    from anti_money_laundering_spark.linkage import em_fit, exact_comparison
+
+    comps = [exact_comparison("name")]
+    empty = spark.createDataFrame([], "uid_l long, uid_r long, gamma_name int")
+    with pytest.raises(ValueError, match="no candidate pairs"):
+        em_fit(empty, comps)

@@ -131,3 +131,18 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_null_right_column_not_backfilled(spark):
+    """A genuine NULL in a matched right column must stay NULL — not be
+    backfilled from an older right row (all matched columns come from
+    the same right row)."""
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0, "X"), (1, ts(10), None, "Y")],
+        "sym long, ts timestamp, px double, src string",
+    )
+    trades_ = spark.createDataFrame([(1, ts(15), "t1")], "sym long, ts timestamp, tid string")
+    row = asof_join(trades_, quotes, by=["sym"]).collect()[0]
+    assert row.ts_matched == ts(10)
+    assert row.src_matched == "Y"
+    assert row.px_matched is None  # was 10.0 (stale composite row) before the struct fill
