@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.functions import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_MAX_HASHES,
+    MINHASH_P,
     fingerprint_md5,
     hamming64,
     tokens,
@@ -45,6 +49,7 @@ from anti_money_laundering_spark.functions import (
 
 __all__ = [
     "exact_duplicates",
+    "shingle_sets",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_signatures",
@@ -70,12 +75,29 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, __set array<string>) distinct word k-shingles per document.
+
+    Shingling is the expensive step of the near-dup pipeline (the
+    slice/array_join lambdas evaluate interpreted), so pipelines that
+    need shingles more than once — MinHash signatures AND exact-Jaccard
+    verification — compute this ONCE, ``localCheckpoint`` it, and pass
+    it to both (``sets=`` below)."""
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("__set"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, __sig array<long>) MinHash signatures.
 
@@ -84,13 +106,28 @@ def minhash_signatures(
     groupBy — same values as the lambda formulation (element h = min
     over shingles of xxhash64(h, s), Broder 1997) but JVM-codegen'd and
     map-side combined instead of interpreted per closure call.
+
+    ``sets``: optional precomputed ``shingle_sets`` output to reuse.
     """
-    sh = docs.select(
+    if num_hashes > MINHASH_MAX_HASHES:
+        raise ValueError(f"num_hashes must be <= {MINHASH_MAX_HASHES}")
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, shingle_k=shingle_k)
+    # Hash the shingle string ONCE; the num_hashes functions are
+    # universal (a*x + b) mod p integer mixes of that base (31-bit base
+    # and multipliers => never overflows ANSI long arithmetic). This is
+    # the difference between 1 and num_hashes string hashes per shingle.
+    sh = sets.select(F.col(id_col), F.explode("__set").alias("__s")).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, k=shingle_k))).alias("__s"),
+        F.xxhash64(F.col("__s")).bitwiseAND(F.lit(MINHASH_P)).alias("__x"),
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(h), F.col("__s"))).alias(f"__h{h}") for h in range(num_hashes)
+        F.min(
+            F.pmod(
+                F.col("__x") * F.lit(MINHASH_A[h]) + F.lit(MINHASH_B[h]), F.lit(MINHASH_P)
+            )
+        ).alias(f"__h{h}")
+        for h in range(num_hashes)
     ]
     return (
         sh.groupBy(id_col)
@@ -106,6 +143,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -121,7 +159,9 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k, sets=sets
+    )
     # materialize signatures once: both sides of the band self-join read
     # the same computed buckets instead of re-deriving them
     sigs = sigs.localCheckpoint(eager=False)
@@ -219,6 +259,7 @@ def jaccard_pairs(
     min_jaccard: float = 0.5,
     pairs: DataFrame | None = None,
     shingle_k: int = 1,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-SET Jaccard similarity per document pair
     (``shingle_k=1`` = token sets).
@@ -238,7 +279,11 @@ def jaccard_pairs(
         F.expr(tokens_sql(text_col)) if shingle_k == 1 else word_shingles(text_col, k=shingle_k)
     )
     if pairs is not None:
-        sets_ = docs.select(F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set"))
+        sets_ = (
+            sets.select(F.col(id_col).alias("__id"), "__set")
+            if sets is not None
+            else docs.select(F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set"))
+        )
         return (
             # dropDuplicates preserves the one-row-per-pair guarantee the
             # old semi-join path gave even for non-distinct candidate input
@@ -301,10 +346,22 @@ def near_duplicates_minhash(
     pairwise token-set Jaccard 0.64 — half of ALL pairs clear 0.7, so
     k=1 LSH prunes nothing and the candidate set goes quadratic), while
     trigram Jaccard is ~0 between unrelated docs and high only for
-    true near-dups."""
+    true near-dups.
+
+    Shingle sets are derived ONCE (localCheckpoint) and feed both the
+    signature aggregation and the verification join — shingling is the
+    dominant cost and used to run twice."""
+    from anti_money_laundering_spark.sources import ensure_parallelism
+
+    docs = ensure_parallelism(docs, docs.sparkSession)
+    sets_ = shingle_sets(docs, id_col, text_col, shingle_k=shingle_k).localCheckpoint(
+        eager=False
+    )
     cands = minhash_lsh_candidates(
-        docs, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        sets=sets_,
     )
     return jaccard_pairs(
-        docs, id_col, text_col, min_jaccard=min_jaccard, pairs=cands, shingle_k=shingle_k
+        docs, id_col, text_col, min_jaccard=min_jaccard, pairs=cands, shingle_k=shingle_k,
+        sets=sets_,
     )

