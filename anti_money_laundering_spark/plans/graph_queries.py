@@ -140,6 +140,71 @@ def motif_roundtrip_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "motif_roundtrip_4cycle",
+    tags=("G5", "J2", "J6"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL})
+    SELECT e1.src AS a_id, e2.src AS b_id, e3.src AS c_id, e4.src AS d_id,
+           e1.txn_id AS t1, e2.txn_id AS t2, e3.txn_id AS t3, e4.txn_id AS t4,
+           round(e1.amount + e2.amount + e3.amount + e4.amount, 2) AS cycle_amount
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e2.dst
+    JOIN edges e4 ON e4.src = e3.dst AND e4.dst = e1.src
+    """,
+)
+def motif_roundtrip_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's round-trip motif EXACTLY as shipped — a 4-node
+    cycle a→b→c→d→a (01_aml_network_analysis.py:376-379). Compiles to a
+    3-join chain plus the closure join back onto a's id; morphism
+    semantics (variables may repeat) match GraphFrames."""
+    g = flow_graph(spark, sf_dir)
+    m = g.find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(d); (d)-[e4]->(a)")
+    return m.select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("c.id").alias("c_id"),
+        F.col("d.id").alias("d_id"),
+        F.col("e1.txn_id").alias("t1"),
+        F.col("e2.txn_id").alias("t2"),
+        F.col("e3.txn_id").alias("t3"),
+        F.col("e4.txn_id").alias("t4"),
+        F.round(
+            F.col("e1.amount") + F.col("e2.amount") + F.col("e3.amount") + F.col("e4.amount"), 2
+        ).alias("cycle_amount"),
+    )
+
+
+@register(
+    "motif_oneway_negated",
+    tags=("G5", "J6"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL})
+    SELECT e1.src AS a_id, e1.dst AS b_id, e1.txn_id AS t1,
+           round(e1.amount, 2) AS amount
+    FROM edges e1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e2 WHERE e2.src = e1.dst AND e2.dst = e1.src
+    )
+    """,
+)
+def motif_oneway_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way transfers via a negated motif term:
+    ``(a)-[e1]->(b); !(b)-[]->(a)`` — flows with NO reciprocal edge
+    (GraphFrames negation semantics = left-anti join on the bound
+    endpoints). Also excludes self-loops, since a self-loop is its own
+    reciprocal — same under the oracle's NOT EXISTS."""
+    g = flow_graph(spark, sf_dir)
+    m = g.find("(a)-[e1]->(b); !(b)-[]->(a)")
+    return m.select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("e1.txn_id").alias("t1"),
+        F.round(F.col("e1.amount"), 2).alias("amount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # G4: connected components over the identity graph (01:146) + the
 # synthetic-ID score built on it (01:218-228).

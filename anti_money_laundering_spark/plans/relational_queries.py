@@ -609,24 +609,10 @@ def regex_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grouping-set extensions (SURVEY §2.4 'not present' list — one-liners).
+# ROLLUP and INTERSECT/EXCEPT live in extended_queries
+# (rollup_order_totals, set_intersect_users, set_except_users); the
+# former duplicates here were merged away in round 2.
 # ---------------------------------------------------------------------------
-@register(
-    "rollup_pricing",
-    tags=("A-ext",),
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
-    )
-
-
 @register(
     "pivot_segment_counts",
     tags=("A-ext",),
@@ -646,37 +632,6 @@ def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     df = _t(spark, sf_dir, "customer").groupBy("c_nationkey").pivot("c_mktsegment", segs).count()
     return df.na.fill(0, segs)
-
-
-# ---------------------------------------------------------------------------
-# Set-op extensions: INTERSECT / EXCEPT (SURVEY §2.6 'not present').
-# ---------------------------------------------------------------------------
-@register(
-    "intersect_except_keys",
-    tags=("U-ext",),
-    oracle="""
-    SELECT k, 'both' AS tag FROM (
-        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0
-        INTERSECT
-        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
-    )
-    UNION ALL
-    SELECT k, 'only_big_orders' AS tag FROM (
-        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0
-        EXCEPT
-        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
-    )
-    """,
-)
-def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT and EXCEPT (distinct semantics) tagged into one result."""
-    big = (
-        _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0).select(F.col("o_custkey").alias("k"))
-    )
-    pos = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
-    both = big.intersect(pos).withColumn("tag", F.lit("both"))
-    only = big.subtract(pos).withColumn("tag", F.lit("only_big_orders"))
-    return both.unionAll(only)
 
 
 # ---------------------------------------------------------------------------
