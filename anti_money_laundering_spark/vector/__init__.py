@@ -76,6 +76,13 @@ def cosine_pairs_udf():
     return cos
 
 
+#: cosine_topk's theta-join is quadratic by construction (it exists as
+#: the small-scale oracle for the BLAS path). Above this corpus size it
+#: delegates to cosine_topk_blas, which is exact with the same output
+#: contract — so the oracle path can't become an accidental cartesian.
+COSINE_TOPK_ORACLE_MAX_ROWS = 50_000
+
+
 def cosine_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -88,7 +95,14 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank). Ties break on
     neighbor id (deterministic). Self-matches are excluded when query
     and corpus ids collide.
+
+    This is the readable ORACLE formulation — a non-equi self-join, so
+    O(|queries|·|vectors|) comparisons. Corpora larger than
+    ``COSINE_TOPK_ORACLE_MAX_ROWS`` delegate to
+    :func:`cosine_topk_blas` (identical results, batched GEMM).
     """
+    if vectors.limit(COSINE_TOPK_ORACLE_MAX_ROWS + 1).count() > COSINE_TOPK_ORACLE_MAX_ROWS:
+        return cosine_topk_blas(queries, vectors, id_col=id_col, vec_col=vec_col, k=k)
     # queries is typically a filtered view of vectors (shared lineage);
     # qualified aliases keep the self-join unambiguous.
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).alias("q")

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.multimodal import (
+    MEDIA_SCHEMA,
     attach_binary_payload,
     classify_media,
     fetch_urls,
@@ -94,6 +95,69 @@ def test_fetch_urls_error_isolation(spark):
     urls = spark.createDataFrame([("http://good",), ("http://bad",)], "url string")
     got = {r.url: r.status for r in fetch_urls(urls, fetcher=flaky).collect()}
     assert got == {"http://good": 200, "http://bad": -1}
+
+
+def test_fetch_urls_retry_recovers_transient_failure(spark):
+    # Fails on the first attempt per URL, succeeds on retry: with
+    # max_retries>=1 every URL lands 200. State lives executor-side per
+    # task, so run on one partition to make attempt counting reliable.
+    import os
+    import tempfile
+
+    marker_dir = tempfile.mkdtemp(prefix="fetch_retry_")
+
+    def flaky_once(url):
+        marker = os.path.join(marker_dir, url.replace("/", "_"))
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("transient")
+        return f"ok:{url}".encode()
+
+    urls = spark.createDataFrame([("http://a",), ("http://b",)], "url string").coalesce(1)
+    got = {
+        r.url: (bytes(r.payload), r.status)
+        for r in fetch_urls(urls, fetcher=flaky_once, max_retries=2, backoff_s=0.01).collect()
+    }
+    assert got == {"http://a": (b"ok:http://a", 200), "http://b": (b"ok:http://b", 200)}
+
+
+def test_fetch_urls_rate_limit_spaces_calls(spark):
+    import time
+
+    # rate limiting happens executor-side; assert via wall-clock on one
+    # partition: 4 fetches at 50/s need >= 3 * 20ms of enforced spacing
+    urls = spark.createDataFrame([(f"http://{i}",) for i in range(4)], "url string").coalesce(1)
+    t0 = time.monotonic()
+    fetch_urls(urls, fetcher=lambda u: b"ok", max_per_sec=50.0).collect()
+    assert time.monotonic() - t0 >= 0.06
+
+
+def test_torch_real_inference_integration(spark):
+    """M1 with a REAL model when torch/torchvision/PIL are installed
+    (optional deps — skipped in this container, runs in production
+    images). The factory must raise ImportError cleanly otherwise."""
+    from anti_money_laundering_spark.multimodal import (
+        attach_binary_payload,
+        classify_media,
+        torch_classifier_factory,
+    )
+
+    try:
+        factory = torch_classifier_factory("vgg16")
+    except ImportError:
+        pytest.skip("torch/torchvision not installed (optional dependency)")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((64, 64, 3), dtype=np.uint8)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image/png", len(buf.getvalue()))], MEDIA_SCHEMA
+    )
+    out = classify_media(media, model_factory=factory).collect()
+    assert len(out) == 1 and out[0].label and 0.0 <= out[0].score <= 1.0
 
 
 def test_tfidf_identical_docs_cosine_one(spark):

@@ -43,6 +43,25 @@ def test_cosine_topk_ordering(spark):
     assert all(r.query_id == 1 for r in out)
 
 
+def test_cosine_topk_guard_delegates_to_blas(spark, sf_dir, monkeypatch):
+    """Above the oracle-size ceiling, cosine_topk must route to the
+    GEMM path instead of planning a quadratic theta-join — same rows
+    out, no cartesian in user hands."""
+    import anti_money_laundering_spark.vector as vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).limit(5)
+    expected = {(r.query_id, r.neighbor_id, r.rank)
+                for r in cosine_topk_blas(queries, emb, k=3).collect()}
+    monkeypatch.setattr(vec, "COSINE_TOPK_ORACLE_MAX_ROWS", 10)  # corpus >> 10
+    guarded = cosine_topk(queries, emb, k=3)
+    # delegation is observable in the plan: the BLAS path has no
+    # non-equi join condition, it maps the corpus through Arrow batches
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in guarded.collect()} == expected
+
+
 def test_blas_matches_expression_path(spark, sf_dir):
     """The GEMM implementation must reproduce the expression-based
     baseline exactly (same pairs, same ranks, cosine to 1e-9)."""
