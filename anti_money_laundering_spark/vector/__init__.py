@@ -190,18 +190,25 @@ def table_buckets_udf(num_planes: int, num_tables: int, seed: int = 0):
     ``num_planes``-bit bucket per hash table.
 
     Bit h of table t = sign of <v, r_{t,h}> with r entries ±1 from a
-    fixed-seed RandomState — regenerated identically inside every task,
-    so there is no fitted model to broadcast and executors always
-    agree. The whole batch scores against all tables' hyperplanes in
-    ONE numpy GEMM over the Arrow batch (P(bit agrees) = 1 - angle/π,
+    fixed-seed RandomState, generated lazily ONCE per task closure
+    (the first Arrow batch fixes the dimensionality) and reused for
+    every later batch — a few KB of ±1 floats, no fitted model to
+    broadcast, and the fixed seed keeps executors in agreement. The
+    whole batch scores against all tables' hyperplanes in ONE numpy
+    GEMM over the Arrow batch (P(bit agrees) = 1 - angle/π,
     Charikar 2002)."""
     from pyspark.sql.functions import pandas_udf
+
+    cache: dict = {}
 
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        rng = np.random.RandomState(seed)
-        planes = rng.choice([-1.0, 1.0], size=(num_tables * num_planes, mat.shape[1]))
+        planes = cache.get("planes")
+        if planes is None or planes.shape[1] != mat.shape[1]:
+            rng = np.random.RandomState(seed)
+            planes = rng.choice([-1.0, 1.0], size=(num_tables * num_planes, mat.shape[1]))
+            cache["planes"] = planes
         bits = (mat @ planes.T > 0).reshape(len(mat), num_tables, num_planes)
         weights = 1 << np.arange(num_planes, dtype=np.int64)
         packed = bits.astype(np.int64) @ weights  # (n, num_tables)
@@ -233,21 +240,25 @@ def ann_lsh_topk(
     cosine_topk in tests/test_vector.py.
     """
     bucketer = table_buckets_udf(num_planes, num_tables)
+    # Candidate generation runs over IDS ONLY: a pair can meet in many
+    # (table, probe) combinations, so the bucket join's fan-out must
+    # not replicate embedding payloads — the join and the duplicate
+    # collapse shuffle (query_id, neighbor_id) rows, and each
+    # surviving pair fetches its two vectors exactly once via
+    # equi-joins before rescoring. At volume the shuffle/Arrow bytes
+    # dominate, not the rescoring FLOPs.
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vv"),
         F.posexplode(bucketer(F.col(vec_col))).alias("tbl", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
         F.posexplode(bucketer(F.col(vec_col))).alias("tbl", "__sig"),
     )
     if multi_probe:
         # Probe the exact bucket plus every Hamming-1 neighbor bucket.
         q = q.select(
             "query_id",
-            "__qv",
             "tbl",
             F.explode(
                 F.expr(
@@ -258,11 +269,18 @@ def ann_lsh_topk(
         )
     else:
         q = q.withColumnRenamed("__sig", "bucket")
-    cos = cosine_pairs_udf()
-    scored = (
+    candidates = (
         q.join(v, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    vv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"))
+    cos = cosine_pairs_udf()
+    scored = (
+        candidates.join(qv, "query_id")
+        .join(vv, "neighbor_id")
         .select("query_id", "neighbor_id", cos(F.col("__qv"), F.col("__vv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -300,7 +318,6 @@ def ann_ivf_topk(
 
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
     )
     km = KMeans(
@@ -315,7 +332,7 @@ def ann_ivf_topk(
         tol=1e-3,
     )
     model = km.fit(corpus.select("__feat"))
-    assigned = model.transform(corpus).select("neighbor_id", "__vv", "list_id")
+    assigned = model.transform(corpus).select("neighbor_id", "list_id")
 
     # Centroid table is n_lists rows -> broadcast; each query ranks all
     # centroids with the codegen'd cosine and keeps its n_probe best.
@@ -331,12 +348,25 @@ def ann_ivf_topk(
         .select("query_id", "__qv", "list_id", cosine_similarity("__qv", "__cv").alias("__csim"))
         .withColumn("__pr", F.row_number().over(wq))
         .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "__qv", "list_id")
+        .select("query_id", "list_id")
     )
+    # The probe join fans each query out to every row of its n_probe
+    # lists — ids only through that join; each candidate pair fetches
+    # its two vectors once via equi-joins before rescoring (same
+    # payload discipline as ann_lsh_topk). No duplicate collapse
+    # needed: a vector lives in exactly one inverted list, so a
+    # (query, neighbor) pair arises at most once.
+    candidates = (
+        probes.join(assigned.select("neighbor_id", "list_id"), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    vv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"))
     cos = cosine_pairs_udf()
     scored = (
-        probes.join(assigned, "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        candidates.join(qv, "query_id")
+        .join(vv, "neighbor_id")
         .select("query_id", "neighbor_id", cos(F.col("__qv"), F.col("__vv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
