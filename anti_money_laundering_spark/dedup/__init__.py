@@ -32,7 +32,7 @@ lists explode quadratically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.functions import (
@@ -264,13 +264,20 @@ def jaccard_pairs(
     """Exact shingle-SET Jaccard similarity per document pair
     (``shingle_k=1`` = token sets).
 
-    Without ``pairs``: candidates come from sharing at least one
-    shingle (explode + equi-join — the inverted-index join; fine for
-    verification corpora, use LSH candidates at scale). With ``pairs``
-    (id_a, id_b): verification joins the two shingle SETS onto each
-    candidate row and intersects per pair (array_intersect) — cost is
-    O(|pairs| · tokens), independent of hot-token posting lists (the
-    inverted index pays Σ posting² BEFORE any candidate filter).
+    Without ``pairs``: candidates come from PREFIX FILTERING (Bayardo
+    et al., AllPairs / PPJoin): under a global shingle order (ascending
+    document frequency, rarest first), a pair with Jaccard >= t must
+    share at least one shingle inside each side's first
+    ``n - ceil(t*n) + 1`` shingles — proof: the order-minimal common
+    shingle w has rank <= n - |A∩B| + 1 <= n - ceil(t*n) + 1 in BOTH
+    sets, because only non-shared shingles can precede it. So the
+    inverted index is built over prefixes only (the rarest ~(1-t)
+    fraction), never paying the hot-shingle Σ posting² the naive
+    index join does. A size-ratio filter (t·|B| <= |A| <= |B|/t)
+    prunes further before dedup. With ``pairs`` (id_a, id_b) given,
+    candidate generation is skipped entirely. Either way verification
+    joins the two shingle SETS onto each surviving pair and intersects
+    per pair (array_intersect) — O(|pairs| · tokens).
 
     Returns (id_a, id_b, jaccard). Fully SQL-expressible ⇒ this is the
     DuckDB-checkable ground truth for the approximate pipelines.
@@ -278,49 +285,54 @@ def jaccard_pairs(
     unit = (
         F.expr(tokens_sql(text_col)) if shingle_k == 1 else word_shingles(text_col, k=shingle_k)
     )
-    if pairs is not None:
-        sets_ = (
-            sets.select(F.col(id_col).alias("__id"), "__set")
-            if sets is not None
-            else docs.select(F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set"))
-        )
-        return (
-            # dropDuplicates preserves the one-row-per-pair guarantee the
-            # old semi-join path gave even for non-distinct candidate input
-            pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
-            .join(sets_.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa")), "id_a")
-            .join(sets_.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb")), "id_b")
-            .withColumn("__ni", F.size(F.array_intersect("__sa", "__sb")))
+    sets_ = (
+        sets.select(F.col(id_col).alias("__id"), "__set")
+        if sets is not None
+        else docs.select(F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set"))
+    )
+    if pairs is None:
+        tok = sets_.select(F.col("__id").alias("doc"), F.explode("__set").alias("tok"))
+        doc_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        w_rank = Window.partitionBy("doc").orderBy("__df", "tok")
+        w_doc = Window.partitionBy("doc")
+        prefix = (
+            tok.join(doc_freq, "tok")
             .select(
-                "id_a",
-                "id_b",
-                (
-                    F.col("__ni") / (F.size("__sa") + F.size("__sb") - F.col("__ni"))
-                ).alias("jaccard"),
+                "doc",
+                "tok",
+                F.row_number().over(w_rank).alias("__rn"),
+                F.count(F.lit(1)).over(w_doc).alias("__n"),
             )
-            .filter(F.col("jaccard") >= min_jaccard)
+            .filter(
+                F.col("__rn")
+                <= F.col("__n") - F.ceil(F.lit(float(min_jaccard)) * F.col("__n")) + 1
+            )
         )
-    tok = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(unit)).alias("tok"),
-    )
-    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
-    inter = (
-        tok.select(F.col("doc").alias("id_a"), "tok")
-        .join(tok.select(F.col("doc").alias("id_b"), "tok"), "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("n_b"))
+        pa = prefix.select(F.col("doc").alias("id_a"), "tok", F.col("__n").alias("__na"))
+        pb = prefix.select(F.col("doc").alias("id_b"), "tok", F.col("__n").alias("__nb"))
+        pairs = (
+            pa.join(pb, "tok")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("__nb") * F.lit(float(min_jaccard)) <= F.col("__na"))
+                & (F.col("__na") * F.lit(float(min_jaccard)) <= F.col("__nb"))
+            )
+            .select("id_a", "id_b")
+        )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        # dropDuplicates collapses multi-shingle candidate hits and
+        # preserves the one-row-per-pair guarantee for caller-provided
+        # non-distinct candidate input alike
+        pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        .join(sets_.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa")), "id_a")
+        .join(sets_.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb")), "id_b")
+        .withColumn("__ni", F.size(F.array_intersect("__sa", "__sb")))
         .select(
             "id_a",
             "id_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+            (
+                F.col("__ni") / (F.size("__sa") + F.size("__sb") - F.col("__ni"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.plans.fixture_graphs import FLOW_EDGES_SQL, flow_graph
 from anti_money_laundering_spark.sources import load_table
-from anti_money_laundering_spark.vector import cosine_pairs_udf
+from anti_money_laundering_spark.vector import cosine_pairs_blas
 
 
 @register(
@@ -171,19 +171,12 @@ def structuring_alerts_named(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.4 — the fixture
     vectors' p99.9 pairwise cosine is 0.38, so 0.8 would be a
-    trivially-empty parity check), exact over the
-    id-ordered self-join, scored by the vectorized pairwise-cosine
-    pandas_udf (einsum per Arrow batch — the per-element expression
-    form is interpreted and dominates runtime). At corpus scale the
-    LSH-bucketed path (ann_lsh_topk machinery) generates candidates
-    instead of the O(n^2) self-join."""
+    trivially-empty parity check), exact via the broadcast-matrix GEMM
+    (cosine_pairs_blas): each Arrow batch scores against the broadcast
+    normalized corpus in one BLAS matmul and emits only surviving
+    pairs — no n^2 pair set, no embedding payload in any shuffle. At
+    corpus scale the LSH-bucketed path (ann_lsh_topk machinery)
+    generates candidates instead of the exact all-pairs scan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cos = cosine_pairs_udf()
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")).alias("a")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")).alias("b")
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos(F.col("__va"), F.col("__vb")).alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    pairs = cosine_pairs_blas(emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
