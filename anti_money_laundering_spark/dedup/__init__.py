@@ -285,11 +285,15 @@ def jaccard_pairs(
     unit = (
         F.expr(tokens_sql(text_col)) if shingle_k == 1 else word_shingles(text_col, k=shingle_k)
     )
-    sets_ = (
-        sets.select(F.col(id_col).alias("__id"), "__set")
-        if sets is not None
-        else docs.select(F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set"))
-    )
+    if sets is not None:
+        sets_ = sets.select(F.col(id_col).alias("__id"), "__set")
+    else:
+        # The shingling lambdas evaluate interpreted and this plan reads
+        # __set up to 3× (prefix index + both verification joins) —
+        # materialize once instead of re-deriving per consumer.
+        sets_ = docs.select(
+            F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set")
+        ).localCheckpoint(eager=False)
     if pairs is None:
         tok = sets_.select(F.col("__id").alias("doc"), F.explode("__set").alias("tok"))
         doc_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))

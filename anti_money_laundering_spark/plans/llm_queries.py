@@ -31,7 +31,7 @@ from anti_money_laundering_spark.functions import (
 )
 from anti_money_laundering_spark.multimodal import attach_binary_payload, extract_features
 from anti_money_laundering_spark.plans.catalog import register
-from anti_money_laundering_spark.sources import load_table
+from anti_money_laundering_spark.sources import ensure_parallelism, load_table
 from anti_money_laundering_spark.vector import ann_ivf_topk, ann_lsh_topk, cosine_topk_blas
 
 # DuckDB-side token expression mirroring functions.tokens_sql exactly.
@@ -171,7 +171,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus has no exact dups, so duplicates are injected
     (every 7th doc re-appears with a shifted id) to exercise group
     semantics end-to-end."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     dups = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -218,7 +220,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipeline's shingle granularity (unigram sets are corpus-
     degenerate: mean pairwise Jaccard 0.64 makes the inverted index
     quadratic AND the threshold meaningless)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
     return jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.8, shingle_k=3).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
