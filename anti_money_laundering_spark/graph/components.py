@@ -81,10 +81,12 @@ def connected_components(
             new_labels.join(parent, new_labels.component == F.col("__pid"), "left")
             .select("id", F.coalesce("__pcomp", "component").alias("component"))
         )
-        # Eager checkpoint = materialize this round once; the fixpoint agg
-        # and the next round both read the materialized blocks, and the
-        # join lineage is truncated (SURVEY §4 O5).
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Lazy checkpoint + fixpoint agg = ONE job per round: the sum
+        # action materializes the checkpoint blocks, which the next
+        # round's join then reads, and the join lineage is truncated
+        # (SURVEY §4 O5). An eager checkpoint here would spend a second
+        # full pass per round just to materialize before the agg.
+        new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
