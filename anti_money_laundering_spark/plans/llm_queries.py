@@ -186,10 +186,13 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_jaccard_pairs",
-    tags=("LLM", "dedup"),
-    oracle=f"""
+def _duck_trigram_jaccard_sql(min_jaccard: float) -> str:
+    """DuckDB SQL computing exact trigram-shingle Jaccard >= threshold
+    — shared by the ground-truth query (0.8) and the MinHash pipeline
+    oracle (0.7; valid because verification makes precision exact and
+    tests pin LSH recall at 1.0 on the fixtures, so the pipeline output
+    IS the exact pair set)."""
+    return f"""
     WITH toks AS (
         SELECT doc_id AS doc, {_DUCK_TOKS} AS tk FROM documents
     ),
@@ -211,8 +214,14 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc = id_a
     JOIN sizes sb ON sb.doc = id_b
-    WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
-    """,
+    WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= {min_jaccard}
+    """
+
+
+@register(
+    "dedup_jaccard_pairs",
+    tags=("LLM", "dedup"),
+    oracle=_duck_trigram_jaccard_sql(0.8),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard >= 0.8 via the inverted-index join
@@ -253,9 +262,13 @@ def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     "dedup_minhash_near_dups",
     headline=True,
     tags=("LLM", "dedup"),
-    # xxhash64 signatures have no DuckDB equivalent; tests assert the
-    # candidate set's containment/recall against exact Jaccard.
-    oracle=None,
+    # The pipeline's OUTPUT is SQL-expressible even though xxhash64
+    # signatures aren't: exact-Jaccard verification makes precision 1
+    # by construction, and LSH recall is 1.0 on the fixtures (pinned at
+    # all SFs by tests/test_text_dedup.py::test_minhash_pipeline_equals
+    # _exact_jaccard — 8 bands x 4 rows misses a J=0.9 pair w.p.
+    # ~2e-4), so the result set equals exact trigram Jaccard >= 0.7.
+    oracle=_duck_trigram_jaccard_sql(0.7),
 )
 def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: banded signature buckets ->
@@ -384,10 +397,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+#: DuckDB replay of classify_media's deterministic default model:
+#: h = big-endian uint32 of md5(payload)[:4] (payload = UTF-8 text
+#: bytes, so DuckDB's md5(text) matches), label = FAKE_LABELS[h % 5],
+#: score = (h % 1000)/1000. A byte-accurate check that the mapInPandas
+#: plumbing delivers exact payloads with per-row alignment — the model
+#: itself stays a documented stub (real torch path is optional).
+_DUCK_CLASSIFY = """
+WITH m AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS mx FROM documents
+),
+h AS (
+    SELECT media_id,
+           CAST(list_sum([(strpos('0123456789abcdef', mx[i+1]) - 1)
+                          * CAST(16**(7-i) AS BIGINT) for i in range(8)]) AS BIGINT) AS hv
+    FROM m
+),
+lab AS (
+    SELECT media_id,
+           CASE hv % 5 WHEN 0 THEN 'envelope' WHEN 1 THEN 'house'
+                       WHEN 2 THEN 'storefront' WHEN 3 THEN 'office'
+                       ELSE 'lot' END AS label,
+           (hv % 1000) / 1000.0 AS score
+    FROM h
+)
+SELECT media_id, label, score FROM lab WHERE label <> 'envelope'
+"""
+
+
 @register(
     "multimodal_classify",
     tags=("LLM", "multimodal", "M1", "M3"),
-    oracle=None,  # model inference stub; label-join parity tested in tests/
+    oracle=_DUCK_CLASSIFY,
 )
 def multimodal_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch classification with once-per-task model setup — the

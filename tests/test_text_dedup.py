@@ -143,10 +143,14 @@ def test_simhash_identical_and_pigeonhole(docs):
     assert cands[(1, 4)] == 0  # identical docs always candidates at hamming 0
 
 
-def test_lsh_recall_on_fixture_corpus(spark, sf_dir):
-    """LSH candidate set must contain every exact-Jaccard>=0.7 pair
-    (recall check of the approximate path against the ground truth) —
-    both sides at trigram-shingle granularity, the pipeline default."""
+def test_minhash_pipeline_equals_exact_jaccard(spark, sf_dir):
+    """The full MinHash pipeline must EQUAL the exact trigram-Jaccard
+    pair set on the fixtures: verification guarantees precision 1 by
+    construction, and this pins LSH recall at 1.0 — the invariant the
+    dedup_minhash_near_dups DuckDB oracle (exact-Jaccard SQL at 0.7)
+    relies on. If fixture content ever drifts enough to slip a
+    borderline pair past 8x4 banding, this fails locally before the
+    driver's correctness gate does."""
     from anti_money_laundering_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -154,10 +158,7 @@ def test_lsh_recall_on_fixture_corpus(spark, sf_dir):
              jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7, shingle_k=3).collect()}
     approx = {(r.id_a, r.id_b) for r in
               near_duplicates_minhash(docs, "doc_id", "text", min_jaccard=0.7).collect()}
-    assert approx <= exact  # verification step guarantees precision
-    if exact:
-        recall = len(approx & exact) / len(exact)
-        assert recall >= 0.8
+    assert approx == exact
 
 
 def test_multimodal_features_deterministic(spark):
