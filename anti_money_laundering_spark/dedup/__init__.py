@@ -56,6 +56,7 @@ __all__ = [
     "simhash_candidates",
     "jaccard_pairs",
     "near_duplicates_minhash",
+    "near_duplicate_clusters",
 ]
 
 
@@ -339,6 +340,42 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def near_duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Transitive near-dup CLUSTERS from a pair list — the step that
+    turns pairwise similarity into a drop decision (the corpus-dedup
+    shape used by C4/GPT-3-style pipelines: near-dup pairs chain, so
+    dedup must operate on connected components, not pairs).
+
+    Returns (doc_id, cluster_id, keep) for every document appearing in
+    at least one pair: cluster_id = min doc id reachable through the
+    pair graph, keep = True exactly for that minimum (one survivor per
+    cluster, deterministic).
+
+    Scale posture: delegates to graph.connected_components — min-label
+    propagation + pointer jumping, O(log diameter) rounds of equi-join
+    shuffles, localCheckpoint lineage truncation. Near-dup graphs are
+    mostly tiny components with rare hub chains (template spam), which
+    is the skew case AQE splits.
+    """
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.components import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    cc = connected_components(Graph(vertices, edges))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("keep"),
     )
 
 

@@ -25,6 +25,8 @@ __all__ = [
     "tokens",
     "token_count",
     "distinct_token_count",
+    "SUBWORD_PATTERN",
+    "subword_token_count",
     "word_shingles",
     "minhash_signature",
     "MINHASH_A",
@@ -56,6 +58,21 @@ def token_count(col: str) -> Column:
 
 def distinct_token_count(col: str) -> Column:
     return F.expr(f"size(array_distinct({tokens_sql(col)}))").cast("long")
+
+
+#: GPT-2-style BPE pre-tokenization pattern, simplified to be
+#: lookahead-free so the SAME pattern runs under Java regex (Spark) and
+#: RE2 (DuckDB oracles): contraction suffixes, optionally space-prefixed
+#: letter runs, digit runs, other-symbol runs, then whitespace runs.
+#: Counting its matches approximates a BPE tokenizer's pre-merge token
+#: count — the budget metric training-data pipelines size corpora with.
+SUBWORD_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_token_count(col: str) -> Column:
+    """BPE-ish subword token count (matches of SUBWORD_PATTERN) — a
+    codegen'd regexp_extract_all, no Python in the hot path."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(SUBWORD_PATTERN), 0)).cast("long")
 
 
 def word_shingles(col: str, k: int = 3) -> Column:

@@ -106,15 +106,16 @@ _WINDOW: tuple[str, ...] = (
     "linkage_em_scored",        # E4,A6
     "linkage_em_params",        # E5,A6
     "linkage_relink_segment",   # E6,E2,E3
-    # LLM-pipeline: text analysis
+    # LLM-pipeline: text analysis (text_fingerprints sits past the
+    # window — its text/dedup tags are covered by the queries below)
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprints",
     # LLM-pipeline: dedup
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "dedup_minhash_near_dups",
+    "dedup_near_clusters",
     "dedup_simhash_candidates",
     # LLM-pipeline: ANN
     "ann_cosine_topk",

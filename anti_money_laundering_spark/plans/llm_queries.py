@@ -27,6 +27,7 @@ from anti_money_laundering_spark.functions import (
     fingerprint_md5,
     lang_id,
     quality_features,
+    subword_token_count,
     token_count,
 )
 from anti_money_laundering_spark.multimodal import attach_binary_payload, extract_features
@@ -51,20 +52,28 @@ def _duck_stop_count(lang: str) -> str:
 @register(
     "text_token_stats",
     tags=("LLM", "text"),
+    # SUBWORD_PATTERN is lookahead-free precisely so the same regex text
+    # runs under Java regex (Spark) and RE2 (DuckDB) with equal matches.
     oracle=f"""
     SELECT doc_id,
            len({_DUCK_TOKS}) AS n_tokens,
-           len(list_distinct({_DUCK_TOKS})) AS n_distinct_tokens
+           len(list_distinct({_DUCK_TOKS})) AS n_distinct_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+               AS n_subword_tokens
     FROM documents
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per document — whitespace tokens, JVM-side only."""
+    """Token counting per document: whitespace tokens plus a BPE-ish
+    subword count (GPT-2-style pre-tokenization regex) — JVM-side
+    only."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         distinct_token_count("text").alias("n_distinct_tokens"),
+        subword_token_count("text").alias("n_subword_tokens"),
     )
 
 
@@ -186,14 +195,15 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_trigram_jaccard_sql(min_jaccard: float) -> str:
-    """DuckDB SQL computing exact trigram-shingle Jaccard >= threshold
-    — shared by the ground-truth query (0.8) and the MinHash pipeline
-    oracle (0.7; valid because verification makes precision exact and
-    tests pin LSH recall at 1.0 on the fixtures, so the pipeline output
-    IS the exact pair set)."""
+def _duck_trigram_jaccard_ctes(min_jaccard: float) -> str:
+    """CTE chain ending in ``jp(id_a, id_b, jaccard)`` = exact
+    trigram-shingle Jaccard >= threshold — shared by the ground-truth
+    query (0.8), the MinHash pipeline oracle (0.7; valid because
+    verification makes precision exact and tests pin LSH recall at 1.0
+    on the fixtures, so the pipeline output IS the exact pair set), and
+    the cluster oracle's edge set."""
     return f"""
-    WITH toks AS (
+    toks AS (
         SELECT doc_id AS doc, {_DUCK_TOKS} AS tk FROM documents
     ),
     sh AS (
@@ -208,14 +218,20 @@ def _duck_trigram_jaccard_sql(min_jaccard: float) -> str:
         SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
         FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc < b.doc
         GROUP BY a.doc, b.doc
+    ),
+    jp AS (
+        SELECT id_a, id_b,
+               round(n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = id_a
+        JOIN sizes sb ON sb.doc = id_b
+        WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= {min_jaccard}
     )
-    SELECT id_a, id_b,
-           round(n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc = id_a
-    JOIN sizes sb ON sb.doc = id_b
-    WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= {min_jaccard}
     """
+
+
+def _duck_trigram_jaccard_sql(min_jaccard: float) -> str:
+    return f"WITH {_duck_trigram_jaccard_ctes(min_jaccard)} SELECT id_a, id_b, jaccard FROM jp"
 
 
 @register(
@@ -279,6 +295,43 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
         docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_near_clusters",
+    tags=("LLM", "dedup", "G4"),
+    # Same recall-1.0 justification as dedup_minhash_near_dups: with the
+    # LSH pair set equal to exact Jaccard >= 0.7 (pinned by tests), the
+    # transitive closure over it is replayable as a recursive CTE.
+    oracle=f"""
+    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT id AS doc_id, component AS cluster_id, id = component AS keep FROM comp
+    """,
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH pairs (>= 0.7, shared with
+    dedup_minhash_near_dups) -> transitive clusters via distributed
+    connected components -> one deterministic survivor per cluster.
+    The drop decision a C4/GPT-3-style training-data pipeline actually
+    executes — near-dups chain, so dedup operates on components, not
+    pairs."""
+    from anti_money_laundering_spark.dedup import near_duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_, cands = _shared_lsh(spark, sf_dir)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
+    )
+    return near_duplicate_clusters(pairs)
 
 
 @register(
