@@ -106,12 +106,13 @@ _WINDOW: tuple[str, ...] = (
     "linkage_em_scored",        # E4,A6
     "linkage_em_params",        # E5,A6
     "linkage_relink_segment",   # E6,E2,E3
-    # LLM-pipeline: text analysis (text_fingerprints sits past the
-    # window — its text/dedup tags are covered by the queries below)
+    # LLM-pipeline: text analysis (text_lang_id / text_fingerprints sit
+    # past the window — their text/dedup tags are covered below, and
+    # corpus_clean_pipeline exercises the lang-ID expression end-to-end)
     "text_token_stats",
     "text_quality_scores",
-    "text_lang_id",
-    # LLM-pipeline: dedup
+    # LLM-pipeline: dedup + end-to-end cleaning
+    "corpus_clean_pipeline",
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "dedup_minhash_near_dups",

@@ -335,6 +335,97 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_pipeline",
+    tags=("LLM", "text", "dedup", "G4"),
+    # Every stage is SQL-expressible (the near-dup stage by the same
+    # recall-1.0 argument as dedup_minhash_near_dups), so the WHOLE
+    # cleaning pipeline hash-verifies end-to-end.
+    oracle=f"""
+    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    near_drop AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+    fp AS (
+        SELECT doc_id,
+               min(doc_id) OVER (
+                   PARTITION BY md5(array_to_string({_DUCK_TOKS}, ' '))
+               ) AS keep_id
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               {_duck_lang_case()} AS lang,
+               len({_DUCK_TOKS}) AS n_tokens,
+               {_duck_stop_count("en")} * 1.0
+                   / greatest(len({_DUCK_TOKS}), 1) AS swr
+        FROM documents
+    )
+    SELECT f.doc_id, f.lang, f.n_tokens
+    FROM feats f
+    JOIN fp ON fp.doc_id = f.doc_id AND fp.doc_id = fp.keep_id
+    WHERE f.lang = 'en' AND f.n_tokens >= 25 AND f.swr >= 0.02
+      AND f.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the composition a real
+    data pipeline runs before tokenization, each stage an operator this
+    engine ships:
+
+    1. language filter (lang_id == 'en');
+    2. quality filter (n_tokens >= 25, en-stopword ratio >= 0.02);
+    3. exact dedup (md5 fingerprint, keep min doc_id per group);
+    4. near-dedup (MinHash-LSH >= 0.7 clusters, keep each cluster's
+       min id; pairs shared with dedup_minhash_near_dups).
+
+    Drop decisions are computed on the FULL corpus (cheap stages don't
+    change dup groups), then applied with the filters. Returns the
+    surviving (doc_id, lang, n_tokens).
+
+    Scale posture: stages 1-3 are codegen'd expressions + one window
+    shuffle on the fingerprint; stage 4 reuses the shared LSH pair set
+    and one connected-components run; the final drops are left-anti
+    joins on doc_id."""
+    from anti_money_laundering_spark.dedup import near_duplicate_clusters
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_, cands = _shared_lsh(spark, sf_dir)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
+    )
+    near_drop = near_duplicate_clusters(pairs).filter(~F.col("keep")).select("doc_id")
+
+    qf = quality_features("text")
+    feats = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        qf["n_tokens"].alias("n_tokens"),
+        qf["stopword_ratio"].alias("__swr"),
+        fingerprint_md5("text").alias("__fp"),
+    )
+    keep_w = Window.partitionBy("__fp")
+    return (
+        feats.withColumn("__keep_id", F.min("doc_id").over(keep_w))
+        .filter(
+            (F.col("doc_id") == F.col("__keep_id"))
+            & (F.col("lang") == "en")
+            & (F.col("n_tokens") >= 25)
+            & (F.col("__swr") >= 0.02)
+        )
+        .join(near_drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
     "dedup_simhash_candidates",
     tags=("LLM", "dedup"),
     oracle=None,
