@@ -336,6 +336,7 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_clean_pipeline",
+    headline=True,
     tags=("LLM", "text", "dedup", "G4"),
     # Every stage is SQL-expressible (the near-dup stage by the same
     # recall-1.0 argument as dedup_minhash_near_dups), so the WHOLE

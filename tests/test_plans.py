@@ -88,6 +88,17 @@ def test_lsh_candidates_join_on_derived_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_corpus_clean_pipeline_plan_shape(spark, sf_dir):
+    # end-to-end cleaning: candidate generation stays equi-join (no
+    # cartesian), the near-dup drop is a LEFT ANTI join on doc_id, and
+    # no Python UDF leaks in (every stage is a codegen'd expression)
+    plan = explain_str(CATALOG["corpus_clean_pipeline"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
+
+
 def test_text_exprs_stay_jvm_side(spark, sf_dir):
     # higher-order lambdas (aggregate/transform) evaluate interpreted
     # JVM-side — outside whole-stage codegen but never in Python
