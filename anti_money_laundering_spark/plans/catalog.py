@@ -106,13 +106,14 @@ _WINDOW: tuple[str, ...] = (
     "linkage_em_scored",        # E4,A6
     "linkage_em_params",        # E5,A6
     "linkage_relink_segment",   # E6,E2,E3
-    # LLM-pipeline: text analysis (text_lang_id / text_fingerprints sit
-    # past the window — their text/dedup tags are covered below, and
-    # corpus_clean_pipeline exercises the lang-ID expression end-to-end)
+    # LLM-pipeline: text analysis (text_lang_id / text_quality_scores /
+    # text_fingerprints sit past the window — their text/dedup tags are
+    # covered below, and corpus_clean_pipeline exercises the lang-ID and
+    # quality expressions end-to-end inside its filters)
     "text_token_stats",
-    "text_quality_scores",
-    # LLM-pipeline: dedup + end-to-end cleaning
+    # LLM-pipeline: dedup + end-to-end cleaning + leakage-free splits
     "corpus_clean_pipeline",
+    "corpus_train_split",
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "dedup_minhash_near_dups",

@@ -426,6 +426,92 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB replay of sampling.hash_bucket: first 8 md5 hex digits of
+#: (salt || key) as uint32, mod buckets — identical arithmetic to the
+#: Spark conv(substring(md5(...)))-based expression.
+def _duck_hash_bucket(key_sql: str, salt: str, buckets: int) -> str:
+    return (
+        f"(CAST(list_sum([(strpos('0123456789abcdef', "
+        f"md5('{salt}' || CAST({key_sql} AS VARCHAR))[i+1]) - 1) "
+        f"* CAST(16**(7-i) AS BIGINT) for i in range(8)]) AS BIGINT) % {buckets})"
+    )
+
+
+@register(
+    "corpus_train_split",
+    tags=("LLM", "text", "dedup", "sample"),
+    oracle=f"""
+    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_key
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_key,
+           CASE WHEN {_duck_hash_bucket("cluster_key", "split-v1", 10000)} < 8000
+                THEN 'train'
+                WHEN {_duck_hash_bucket("cluster_key", "split-v1", 10000)} < 9000
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: every document is keyed
+    by its near-dup CLUSTER id (its own id when it has no near-dup), so
+    a document and its near-copies always land in the same split — the
+    guard against eval contamination that i.i.d. row splits don't give.
+    The split itself is deterministic hash bucketing (md5, no RNG):
+    reproducible across reruns, engines, and corpus growth."""
+    from anti_money_laundering_spark.dedup import near_duplicate_clusters
+    from anti_money_laundering_spark.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_, cands = _shared_lsh(spark, sf_dir)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
+    )
+    clusters = near_duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_key"),
+        )
+        .withColumn(
+            "split",
+            assign_split("cluster_key", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split-v1"),
+        )
+    )
+
+
+@register(
+    "corpus_hash_sample",
+    tags=("LLM", "text", "sample"),
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE {_duck_hash_bucket("doc_id", "sample-v1", 10000)} < 1000
+    """,
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by content hash — stable across
+    reruns/cluster sizes (no RNG, no seed plumbing), the reproducible
+    alternative to df.sample for pipeline debugging and eval subsets."""
+    from anti_money_laundering_spark.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1, salt="sample-v1").select("doc_id")
+
+
 @register(
     "dedup_simhash_candidates",
     tags=("LLM", "dedup"),

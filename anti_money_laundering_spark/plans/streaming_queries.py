@@ -100,3 +100,31 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return out.select("user_id", F.round("total_value", 2).alias("total_value"), "n_events", "alert")
+
+
+@register(
+    "stream_dedup_events",
+    tags=("STR",),
+    # doubling the input simulates at-least-once redelivery; dedup must
+    # restore exactly the original event set (event_id is unique, and
+    # duplicate rows are byte-identical, so the survivor is well-defined)
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    GROUP BY ALL
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of dropDuplicatesWithinWatermark-based stream dedup
+    (streaming.dedup_events_stream): an at-least-once doubled feed
+    collapses back to one row per event_id. Watermark-bounded state on
+    a real stream; replay parity in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.streaming import dedup_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return dedup_events_stream(doubled).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )

@@ -1,0 +1,81 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+REPRODUCIBLE across reruns, cluster sizes, and engines — so the
+mechanism here is a content hash, not a RNG: bucket = md5(salt || key)
+mod ``buckets``. The same row lands in the same bucket on any executor,
+any engine (DuckDB oracles replay the same arithmetic), any day. This
+is the industry-standard split discipline (e.g. the "hash the example
+id, not random()" rule from ML-engineering practice): adding documents
+never reshuffles existing assignments.
+
+Leakage guard: splitting i.i.d. by document id leaks near-duplicates
+across train/test (a train doc's near-copy in test inflates eval).
+``assign_split`` therefore takes ANY key column — pass the near-dup
+``cluster_id`` from ``dedup.near_duplicate_clusters`` so a whole
+near-dup cluster lands in one split.
+
+All expressions are codegen'd column arithmetic (md5/conv/pmod) — no
+Python, no RNG state, no shuffle beyond what the caller already has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_sample", "assign_split"]
+
+#: Buckets for split assignment — 10_000 gives 0.01% assignment
+#: granularity while md5's 32-bit prefix keeps per-bucket skew ~0.
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, buckets: int = DEFAULT_BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex digits of
+    (salt || key) as a uint32, mod buckets. Engine-portable: DuckDB
+    replays the identical arithmetic, so sampled/split outputs
+    hash-verify against SQL oracles."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls below ``fraction * buckets``. Unlike ``df.sample`` this is
+    stable across reruns/partitionings and needs no seed plumbing —
+    the sample is a pure function of each row's key."""
+    return df.filter(hash_bucket(key, buckets, salt) < int(fraction * buckets))
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> Column:
+    """Split-name column from cumulative weight ranges over the hash
+    bucket. ``weights`` preserves insertion order; they must sum to 1.
+    Pass a near-dup ``cluster_id`` as ``key`` for leakage-free splits
+    (the whole cluster shares one bucket, hence one split)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key, buckets, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(acc * buckets)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)

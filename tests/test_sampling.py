@@ -1,0 +1,64 @@
+"""Deterministic hash sampling / splitting invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.plans.catalog import get_catalog
+from anti_money_laundering_spark.sampling import assign_split, hash_bucket, hash_sample
+from anti_money_laundering_spark.sources import load_table
+
+CATALOG = get_catalog()
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="s").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="s").select("doc_id").collect()}
+    assert a == b  # pure function of the key, no RNG state
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~fraction, hash-binomial spread
+    # different salt = independent sample
+    c = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="t").select("doc_id").collect()}
+    assert c != a
+
+
+def test_hash_sample_nested_fractions(spark, sf_dir):
+    # bucket < f*B is monotone in f: the 10% sample is a subset of the
+    # 20% sample (same salt) — lets pipelines grow a sample in place
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1, salt="s").collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="s").collect()}
+    assert small <= big
+
+
+def test_assign_split_weights_validated():
+    with pytest.raises(ValueError):
+        assign_split("id", {"train": 0.5, "test": 0.2})
+
+
+def test_split_covers_all_rows_with_expected_shares(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        assign_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v").alias("s")
+    )
+    counts = {r.s: r["count"] for r in out.groupBy("s").count().collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 0.6 * n
+
+
+def test_cluster_split_has_no_leakage(spark, sf_dir):
+    # catalog invariant: every near-dup cluster lands in exactly one
+    # split — the anti-contamination property the query exists for
+    out = CATALOG["corpus_train_split"].fn(spark, sf_dir)
+    per_cluster = out.groupBy("cluster_key").agg(F.countDistinct("split").alias("k"))
+    assert per_cluster.filter(F.col("k") > 1).count() == 0
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket("id", buckets=7).alias("b"))
+    mm = df.agg(F.min("b"), F.max("b")).collect()[0]
+    assert mm[0] >= 0 and mm[1] <= 6
