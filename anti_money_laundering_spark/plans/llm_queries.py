@@ -617,7 +617,33 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     tags=("LLM", "multimodal", "M2"),
-    oracle=None,  # mapInPandas featurizer; byte-stat determinism tested in tests/
+    # byte-accurate replay of the stand-in featurizer: DuckDB re-derives
+    # every payload byte from hex(text), so the Arrow plumbing's payload
+    # fidelity and row alignment hash-verify (the featurizer itself is a
+    # documented stub standing where a model embedder runs)
+    oracle="""
+    WITH hx AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id, lower(hex(text)) AS h,
+               CAST(strlen(text) AS BIGINT) AS nb
+        FROM documents
+    ),
+    b AS (
+        SELECT media_id,
+               (strpos('0123456789abcdef', h[CAST(2*i+1 AS INT)]) - 1) * 16
+             + (strpos('0123456789abcdef', h[CAST(2*i+2 AS INT)]) - 1) AS bv
+        FROM hx, unnest(range(nb)) AS t(i)
+    ),
+    agg AS (
+        SELECT media_id, round(avg(bv), 6) AS byte_mean,
+               CAST(sum(bv) % 4294967296 AS BIGINT) AS byte_checksum
+        FROM b GROUP BY media_id
+    )
+    SELECT hx.media_id, hx.nb AS n_bytes,
+           coalesce(agg.byte_mean, 0.0) AS byte_mean,
+           coalesce(agg.byte_checksum, 0) AS byte_checksum,
+           substr(hx.h, 1, 16) AS head_hex
+    FROM hx LEFT JOIN agg ON agg.media_id = hx.media_id
+    """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed featurization of binary payloads via Arrow-batched
@@ -625,7 +651,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     02_aml_address_verification.py:56-61, :107-132)."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id", "text", mime_type="text/plain")
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "byte_checksum",
+        "head_hex",
+    )
 
 
 #: DuckDB replay of classify_media's deterministic default model:

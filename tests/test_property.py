@@ -120,6 +120,39 @@ def test_asof_matches_pandas_merge_asof(spark, rows):
     assert got == exp_map
 
 
+# --- prefix-filtered Jaccard == brute force --------------------------------
+
+# small vocab + short docs force heavy token overlap, exercising the
+# prefix-filter rank boundary and the size-ratio pruning edge cases
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(token_lists=docs_strategy, thresh=st.sampled_from([0.34, 0.5, 0.75]))
+def test_prefix_filter_jaccard_matches_bruteforce(spark, token_lists, thresh):
+    from anti_money_laundering_spark.dedup import jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(docs, "doc_id", "text", min_jaccard=thresh).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= thresh:
+                    expect[(a, b)] = round(j, 9)
+    assert got == expect
+
+
 # --- salted join == plain join ---------------------------------------------
 
 pairs_strategy = st.lists(
