@@ -257,6 +257,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: signature derivation runs once per session and is localCheckpointed.
 _LSH_SHARED: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
+#: Per-(session, sf_dir) memo of the VERIFIED >=0.7 pair set — four
+#: catalog queries (near-dups, clustering, cleaning, splits) consume
+#: exactly this table, so verification too runs once per session.
+_PAIRS_SHARED: dict[tuple[int, str], DataFrame] = {}
+
 
 def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from anti_money_laundering_spark.dedup import minhash_lsh_candidates, shingle_sets
@@ -274,6 +279,19 @@ def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return _LSH_SHARED[key]
 
 
+def _shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jaccard) — LSH candidates verified at >= 0.7, the
+    table every downstream dedup/cleaning/split query starts from."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_SHARED:
+        docs = load_table(spark, sf_dir, "documents")
+        sets_, cands = _shared_lsh(spark, sf_dir)
+        _PAIRS_SHARED[key] = jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
+        ).localCheckpoint(eager=False)
+    return _PAIRS_SHARED[key]
+
+
 @register(
     "dedup_minhash_near_dups",
     headline=True,
@@ -288,13 +306,12 @@ def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 )
 def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: banded signature buckets ->
-    candidate pairs -> exact-Jaccard verification (>= 0.7). Shingle
-    sets and candidates are shared with tfidf_similar_pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    sets_, cands = _shared_lsh(spark, sf_dir)
-    return jaccard_pairs(
-        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    candidate pairs -> exact-Jaccard verification (>= 0.7). Shingles,
+    candidates, and the verified pair set are shared across the
+    dedup/cleaning/split/TF-IDF queries."""
+    return _shared_verified_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 @register(
@@ -326,11 +343,7 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     from anti_money_laundering_spark.dedup import near_duplicate_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
-    sets_, cands = _shared_lsh(spark, sf_dir)
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
-    )
+    pairs = _shared_verified_pairs(spark, sf_dir)
     return near_duplicate_clusters(pairs)
 
 
@@ -398,10 +411,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    sets_, cands = _shared_lsh(spark, sf_dir)
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
-    )
+    pairs = _shared_verified_pairs(spark, sf_dir)
     near_drop = near_duplicate_clusters(pairs).filter(~F.col("keep")).select("doc_id")
 
     qf = quality_features("text")
@@ -475,10 +485,7 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.sampling import assign_split
 
     docs = load_table(spark, sf_dir, "documents")
-    sets_, cands = _shared_lsh(spark, sf_dir)
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3, sets=sets_
-    )
+    pairs = _shared_verified_pairs(spark, sf_dir)
     clusters = near_duplicate_clusters(pairs).select("doc_id", "cluster_id")
     return (
         docs.select("doc_id")
