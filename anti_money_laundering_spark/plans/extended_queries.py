@@ -180,3 +180,37 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_blas(emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "near_dup_embedding_clusters",
+    tags=("LLM", "dedup", "ann", "G4"),
+    oracle="""
+    WITH RECURSIVE jp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT id AS doc_id, component AS cluster_id, id = component AS keep FROM comp
+    """,
+)
+def near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality dedup end-to-end: exact cosine pairs (the
+    GEMM path above) -> transitive clusters -> deterministic survivor,
+    the same pairs->components->keep composition as the text pipeline
+    (dedup_near_clusters) — one clustering operator serves every
+    similarity modality."""
+    from anti_money_laundering_spark.dedup import near_duplicate_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blas(emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4)
+    return near_duplicate_clusters(pairs)
