@@ -105,6 +105,45 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_length_quantiles",
+    tags=("LLM", "text", "A-ext"),
+    oracle=f"""
+    WITH t AS (
+        SELECT len({_DUCK_TOKS}) AS n,
+               CASE WHEN {_duck_stop_count("en")} > 0 THEN 'en' ELSE 'other' END AS grp
+        FROM documents
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n, 0.10), 6) AS p10,
+           round(quantile_cont(n, 0.50), 6) AS p50,
+           round(quantile_cont(n, 0.90), 6) AS p90,
+           round(quantile_cont(n, 0.99), 6) AS p99
+    FROM t GROUP BY grp
+    """,
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per coarse language group — the
+    corpus-profiling numbers a pipeline sizes its token budget with.
+    Exact sort-based ``percentile`` here (matches DuckDB quantile_cont's
+    linear interpolation bit-for-bit); at 100 TB swap in
+    ``approx_percentile`` — one pass, mergeable sketch, no global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    t = docs.select(
+        token_count("text").alias("n"),
+        F.when(qf["stopword_ratio"] > 0, "en").otherwise("other").alias("grp"),
+    )
+    return t.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.expr(f"percentile(n, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in (0.10, 0.50, 0.90, 0.99)
+        ],
+    )
+
+
 def _duck_lang_case() -> str:
     langs = list(STOPWORDS)
     counts = {lang: _duck_stop_count(lang) for lang in langs}
