@@ -31,14 +31,20 @@ _SCRATCH = os.path.join(
 
 @register(
     "sources_roundtrip",
-    tags=("S2", "S3", "S4", "S8", "S9"),
+    tags=("S2", "S3", "S4", "S8", "S9", "S10"),
+    # the fetched column replays the deterministic stub fetcher, making
+    # the distributed-fetch plumbing (mapInPandas + retry wrapper, S10)
+    # part of the hash-verified chain
     oracle="""
-    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    SELECT n_nationkey, n_name, n_regionkey,
+           'stub-payload:stub://nation/' || CAST(n_nationkey AS VARCHAR) AS fetched
+    FROM nation
     """,
 )
 def sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV sink → CSV scan (explicit schema) → managed table in
-    a dedicated database → catalog scan → pandas (Arrow) → Spark.
+    a dedicated database → catalog scan → pandas (Arrow) → Spark →
+    distributed URL fetch (stub fetcher, real mapInPandas plumbing).
     Every hop must be lossless, so the identity oracle over the original
     parquet is the correctness check for the full chain."""
     nation = load_table(spark, sf_dir, "nation")
@@ -66,4 +72,22 @@ def sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # S9: Arrow-backed exchange to pandas and back.
     pdf = managed.select("n_nationkey", "n_name", "n_regionkey").toPandas()
-    return spark.createDataFrame(pdf)
+    rows = spark.createDataFrame(pdf)
+
+    # S10: distributed fetch of a URL per row (stub fetcher — no
+    # network here; the mapInPandas fan-out, retry and rate-limit
+    # policy are the real thing).
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.multimodal import fetch_urls
+
+    with_url = rows.withColumn(
+        "url", F.concat(F.lit("stub://nation/"), F.col("n_nationkey").cast("string"))
+    )
+    fetched = fetch_urls(with_url, url_col="url").select(
+        "url", F.decode(F.col("payload"), "UTF-8").alias("fetched")
+    )
+    return (
+        with_url.join(fetched, "url")
+        .select("n_nationkey", "n_name", "n_regionkey", "fetched")
+    )
