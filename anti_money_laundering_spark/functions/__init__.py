@@ -115,6 +115,8 @@ def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
     array<string> column. Reference formulation (lambda, interpreted)
     of the codegen'd aggregate in dedup.minhash_signatures — kept
     value-identical for the parity test."""
+    if num_hashes > MINHASH_MAX_HASHES:
+        raise ValueError(f"num_hashes must be <= {MINHASH_MAX_HASHES}")
     a_arr = ", ".join(str(a) for a in MINHASH_A[:num_hashes])
     b_arr = ", ".join(str(b) for b in MINHASH_B[:num_hashes])
     return F.expr(

@@ -94,7 +94,7 @@ def decode_image(payload: bytes):
     return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
-def torch_classifier_factory(model_name: str = "vgg16", top1: bool = True, device: str = "cpu"):
+def torch_classifier_factory(model_name: str = "vgg16", device: str = "cpu"):
     """Real-model ``model_factory`` for :func:`classify_media`, gated on
     optional dependencies (torch + torchvision + PIL). Mirrors the
     reference's VGG16/ImageNet classification
@@ -282,7 +282,7 @@ def fetch_urls(
     urls: DataFrame,
     url_col: str = "url",
     fetcher=None,
-    max_retries: int = 2,
+    max_retries: int = 0,
     backoff_s: float = 0.5,
     max_per_sec: float | None = None,
 ) -> DataFrame:

@@ -182,26 +182,25 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@register(
-    "near_dup_embedding_clusters",
-    tags=("LLM", "dedup", "ann", "G4"),
-    oracle="""
+def _embedding_cluster_oracle() -> str:
+    # deferred import: llm_queries registers catalog entries on import,
+    # and both modules are loaded together by get_catalog()
+    from anti_money_laundering_spark.plans.llm_queries import DUCK_CLUSTER_CTES
+
+    return f"""
     WITH RECURSIVE jp AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-    ),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-              UNION SELECT id_b, id_a FROM jp),
-    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-    reach(id, r) AS (
-        SELECT id, id FROM verts
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    ), {DUCK_CLUSTER_CTES}
     SELECT id AS doc_id, component AS cluster_id, id = component AS keep FROM comp
-    """,
+    """
+
+
+@register(
+    "near_dup_embedding_clusters",
+    tags=("LLM", "dedup", "ann", "G4"),
+    oracle=_embedding_cluster_oracle(),
 )
 def near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-modality dedup end-to-end: exact cosine pairs (the

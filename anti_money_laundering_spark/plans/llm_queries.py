@@ -273,6 +273,24 @@ def _duck_trigram_jaccard_sql(min_jaccard: float) -> str:
     return f"WITH {_duck_trigram_jaccard_ctes(min_jaccard)} SELECT id_a, id_b, jaccard FROM jp"
 
 
+#: Transitive-closure CTE chain over a pair CTE ``jp(id_a, id_b)``:
+#: ends in ``comp(id, component)`` with component = min reachable id —
+#: the single definition every cluster oracle (text + embedding
+#: modalities, cleaning, splits) builds on. Must appear under
+#: WITH RECURSIVE.
+DUCK_CLUSTER_CTES = """
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+
 @register(
     "dedup_jaccard_pairs",
     tags=("LLM", "dedup"),
@@ -302,11 +320,21 @@ _LSH_SHARED: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 _PAIRS_SHARED: dict[tuple[int, str], DataFrame] = {}
 
 
+def _evict_dead_sessions(spark: SparkSession) -> None:
+    """Drop memo entries from other (stopped/replaced) sessions so a
+    long-lived process that restarts Spark doesn't pin dead sessions
+    and their checkpoint blocks forever."""
+    for memo in (_LSH_SHARED, _PAIRS_SHARED):
+        for k in [k for k in memo if k[0] != id(spark)]:
+            del memo[k]
+
+
 def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from anti_money_laundering_spark.dedup import minhash_lsh_candidates, shingle_sets
 
     from anti_money_laundering_spark.sources import ensure_parallelism
 
+    _evict_dead_sessions(spark)
     key = (id(spark), sf_dir)
     if key not in _LSH_SHARED:
         docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
@@ -360,16 +388,7 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH pair set equal to exact Jaccard >= 0.7 (pinned by tests), the
     # transitive closure over it is replayable as a recursive CTE.
     oracle=f"""
-    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-              UNION SELECT id_b, id_a FROM jp),
-    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-    reach(id, r) AS (
-        SELECT id, id FROM verts
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)}, {DUCK_CLUSTER_CTES}
     SELECT id AS doc_id, component AS cluster_id, id = component AS keep FROM comp
     """,
 )
@@ -394,16 +413,7 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall-1.0 argument as dedup_minhash_near_dups), so the WHOLE
     # cleaning pipeline hash-verifies end-to-end.
     oracle=f"""
-    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-              UNION SELECT id_b, id_a FROM jp),
-    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-    reach(id, r) AS (
-        SELECT id, id FROM verts
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)}, {DUCK_CLUSTER_CTES},
     near_drop AS (SELECT id AS doc_id FROM comp WHERE id <> component),
     fp AS (
         SELECT doc_id,
@@ -490,16 +500,7 @@ def _duck_hash_bucket(key_sql: str, salt: str, buckets: int) -> str:
     "corpus_train_split",
     tags=("LLM", "text", "dedup", "sample"),
     oracle=f"""
-    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-              UNION SELECT id_b, id_a FROM jp),
-    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-    reach(id, r) AS (
-        SELECT id, id FROM verts
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    WITH RECURSIVE {_duck_trigram_jaccard_ctes(0.7)}, {DUCK_CLUSTER_CTES},
     keyed AS (
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_key
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id

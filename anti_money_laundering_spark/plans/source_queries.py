@@ -48,7 +48,11 @@ def sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every hop must be lossless, so the identity oracle over the original
     parquet is the correctness check for the full chain."""
     nation = load_table(spark, sf_dir, "nation")
-    csv_path = os.path.join(_SCRATCH, "sources_roundtrip", "nation_csv")
+    # pid-scoped names: a concurrent process (pytest worker, driver run
+    # alongside bench) must never drop/rmtree this process's live table
+    pid = os.getpid()
+    db = f"aml_roundtrip_{pid}"
+    csv_path = os.path.join(_SCRATCH, f"sources_roundtrip_{pid}", "nation_csv")
 
     # S4 (CSV flavor) + S2: header'd CSV out, explicit-schema scan back
     # (inferSchema is for exploration; production scans pin the schema).
@@ -56,19 +60,17 @@ def sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_csv = spark.read.schema(nation.schema).option("header", True).csv(csv_path)
 
     # S8 + S4 + S3: database DDL, managed-table sink, catalog scan.
-    # A fresh session may find the previous session's table LOCATION on
-    # disk without a catalog entry ([LOCATION_ALREADY_EXISTS]); drop the
-    # entry and clear the stray location before overwriting.
-    spark.sql("CREATE DATABASE IF NOT EXISTS aml_roundtrip")
-    spark.sql("DROP TABLE IF EXISTS aml_roundtrip.nation_rt")
+    # A fresh session may find a dead same-pid process's table LOCATION
+    # on disk without a catalog entry ([LOCATION_ALREADY_EXISTS]); drop
+    # the entry and clear the stray location before overwriting.
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.nation_rt")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(
-        os.path.join(warehouse, "aml_roundtrip.db", "nation_rt"), ignore_errors=True
+        os.path.join(warehouse, f"{db}.db", "nation_rt"), ignore_errors=True
     )
-    from_csv.write.mode("overwrite").format("parquet").saveAsTable(
-        "aml_roundtrip.nation_rt"
-    )
-    managed = spark.table("aml_roundtrip.nation_rt")
+    from_csv.write.mode("overwrite").format("parquet").saveAsTable(f"{db}.nation_rt")
+    managed = spark.table(f"{db}.nation_rt")
 
     # S9: Arrow-backed exchange to pandas and back.
     pdf = managed.select("n_nationkey", "n_name", "n_regionkey").toPandas()

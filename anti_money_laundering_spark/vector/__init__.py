@@ -90,6 +90,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    assume_small: bool = False,
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for every query vector.
 
@@ -101,8 +102,16 @@ def cosine_topk(
     O(|queries|·|vectors|) comparisons. Corpora larger than
     ``COSINE_TOPK_ORACLE_MAX_ROWS`` delegate to
     :func:`cosine_topk_blas` (identical results, batched GEMM).
+
+    NB the size guard runs an eager count over ``vectors`` at plan
+    time, executing its upstream lineage once before the real query —
+    persist/cache an expensive input first, or pass
+    ``assume_small=True`` to skip the guard when the caller already
+    knows the corpus is tiny.
     """
-    if vectors.limit(COSINE_TOPK_ORACLE_MAX_ROWS + 1).count() > COSINE_TOPK_ORACLE_MAX_ROWS:
+    if not assume_small and (
+        vectors.limit(COSINE_TOPK_ORACLE_MAX_ROWS + 1).count() > COSINE_TOPK_ORACLE_MAX_ROWS
+    ):
         return cosine_topk_blas(queries, vectors, id_col=id_col, vec_col=vec_col, k=k)
     # queries is typically a filtered view of vectors (shared lineage);
     # qualified aliases keep the self-join unambiguous.
@@ -143,7 +152,9 @@ def cosine_topk_blas(
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     if len(q_rows) > max_queries:
         raise ValueError(f"{len(q_rows)} queries exceed max_queries={max_queries}")
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    # let numpy infer the id dtype (object for strings) — ids are only
+    # compared for equality/order and echoed into the output
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
     sc = queries.sparkSession.sparkContext
@@ -210,7 +221,7 @@ def cosine_pairs_blas(
             f"{len(rows)} vectors exceed max_vectors={max_vectors}; use "
             "ann_lsh_topk / minhash-style candidates + rescoring at corpus scale"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.array([r[0] for r in rows])  # dtype inferred: ids may be strings
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     bc = vectors.sparkSession.sparkContext.broadcast((ids, mat))

@@ -91,15 +91,19 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("label") == 0).limit(20)
+    # orderBy before limit: a bare limit() is plan-nondeterministic, so
+    # exact and approx could otherwise score different query sets
+    queries = emb.filter(F.col("label") == 0).orderBy("vec_id").limit(20)
     exact = cosine_topk(queries, emb, k=5)
-    approx = ann_ivf_topk(queries, emb, k=5, n_lists=16, n_probe=4)
+    approx = ann_ivf_topk(queries, emb, k=5, n_lists=16, n_probe=6)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(a & e) / len(e)
-    # probing 4/16 cosine-KMeans lists; boundary neighbors can land in
-    # unprobed lists, so the bound is looser than LSH multi-probe
-    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # probing 6/16 cosine-KMeans lists; the fixture embeddings are
+    # near-random (weak cluster structure), the IVF worst case — recall
+    # measured 0.87 at sf0.001 / 0.76 at sf0.01, and rises with n_probe
+    # exactly as the n_probe/n_lists work-recall tradeoff predicts
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
     # every returned pair must be a real corpus pair with correct rank ordering
     for r in approx.collect():
         assert r.rank <= 5 and r.query_id != r.neighbor_id
