@@ -24,7 +24,46 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_classifier_predictions"]
+__all__ = ["embedding_classifier_predictions", "feature_pipeline_features"]
+
+
+def feature_pipeline_features(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    num_col: str,
+) -> DataFrame:
+    """Deterministic MLlib feature-engineering Pipeline: StringIndexer
+    (frequencyDesc, alphabetical tie-break — MLlib's documented order)
+    on ``cat_col`` + VectorAssembler/MinMaxScaler on ``num_col``,
+    unpacked back to plain columns ``(id, <cat>_idx, <num>_scaled)``.
+
+    The training-data prep stage every model pipeline runs (encode
+    categoricals, scale numerics) as a fitted MLlib Pipeline — unlike
+    the LBFGS classifier its output is closed-form (rank by frequency;
+    (x-min)/(max-min)), so the fit+transform contract itself is
+    DuckDB-replayable and hash-verified in the catalog
+    (plans/extended_queries.py::ml_feature_pipeline).
+
+    Scale posture: both fits are one aggregate each (a value-frequency
+    groupBy for the indexer, a global min/max for the scaler); the
+    transform is a narrow per-row map with the tiny fitted state
+    broadcast inside the model — no shuffle on the scoring path.
+    """
+    from pyspark.ml.feature import MinMaxScaler, StringIndexer, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    indexer = StringIndexer(
+        inputCol=cat_col, outputCol="__idx", stringOrderType="frequencyDesc"
+    )
+    assembler = VectorAssembler(inputCols=[num_col], outputCol="__num_vec")
+    scaler = MinMaxScaler(inputCol="__num_vec", outputCol="__num_scaled")
+    model = Pipeline(stages=[indexer, assembler, scaler]).fit(df)
+    return model.transform(df).select(
+        F.col(id_col),
+        F.col("__idx").alias(f"{cat_col}_idx"),
+        vector_to_array(F.col("__num_scaled")).getItem(0).alias(f"{num_col}_scaled"),
+    )
 
 
 def embedding_classifier_predictions(

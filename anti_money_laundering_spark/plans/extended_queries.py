@@ -160,12 +160,15 @@ def structuring_alerts_named(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_embeddings",
     tags=("LLM", "dedup", "ann"),
+    # threshold applies to the ROUNDED cosine on both sides (oracle
+    # discipline): an ulp-of-0.4 pair must land on the same side in
+    # both engines.
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
                AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
     """,
 )
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +181,9 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the LSH-bucketed path (ann_lsh_topk machinery)
     generates candidates instead of the exact all-pairs scan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blas(emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4)
+    pairs = cosine_pairs_blas(
+        emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4, threshold_round=6
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -191,10 +196,50 @@ def _embedding_cluster_oracle() -> str:
     WITH RECURSIVE jp AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
     ), {DUCK_CLUSTER_CTES}
     SELECT id AS doc_id, component AS cluster_id, id = component AS keep FROM comp
     """
+
+
+@register(
+    "ml_feature_pipeline",
+    tags=("ml",),
+    # StringIndexer frequencyDesc = rank by (count DESC, value ASC) - 1
+    # (MLlib's documented alphabetical tie-break); MinMaxScaler =
+    # (x - min) / (max - min). Both fits are closed-form, so the whole
+    # fitted Pipeline replays as SQL.
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment AS v, count(*) AS n FROM customer GROUP BY 1
+    ),
+    idx AS (
+        SELECT v, CAST(dense_rank() OVER (ORDER BY n DESC, v) - 1 AS DOUBLE)
+                   AS seg_idx
+        FROM seg
+    ),
+    mm AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+    SELECT c_custkey,
+           idx.seg_idx AS c_mktsegment_idx,
+           round((c_acctbal - mm.lo) / (mm.hi - mm.lo), 6) AS c_acctbal_scaled
+    FROM customer CROSS JOIN mm JOIN idx ON customer.c_mktsegment = idx.v
+    """,
+)
+def ml_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted MLlib feature-engineering Pipeline (StringIndexer +
+    VectorAssembler + MinMaxScaler) over customer: the deterministic
+    half of the MLlib surface, hash-verified end-to-end — the
+    fit/transform contract the LBFGS classifier (ml_embedding_
+    classifier, rows-only) builds on."""
+    from anti_money_laundering_spark.ml import feature_pipeline_features
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = feature_pipeline_features(cust, "c_custkey", "c_mktsegment", "c_acctbal")
+    return out.select(
+        "c_custkey",
+        "c_mktsegment_idx",
+        F.round("c_acctbal_scaled", 6).alias("c_acctbal_scaled"),
+    )
 
 
 @register(
@@ -211,5 +256,7 @@ def near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.dedup import near_duplicate_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blas(emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4)
+    pairs = cosine_pairs_blas(
+        emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4, threshold_round=6
+    )
     return near_duplicate_clusters(pairs)

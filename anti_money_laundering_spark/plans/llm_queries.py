@@ -36,7 +36,12 @@ from anti_money_laundering_spark.sources import ensure_parallelism, load_table
 from anti_money_laundering_spark.vector import ann_ivf_topk, ann_lsh_topk, cosine_topk_blas
 
 # DuckDB-side token expression mirroring functions.tokens_sql exactly.
-_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+# Whitespace is the explicit class (not \s): Java's \s includes \x0B,
+# RE2's does not — functions.WS_CLASS on the Spark side.
+_DUCK_WS = r"[ \t\n\r\f\x0B]"
+_DUCK_TOKS = (
+    f"list_filter(regexp_split_to_array(lower(text), '{_DUCK_WS}+'), t -> t <> '')"
+)
 
 
 def _duck_stop_count(lang: str) -> str:
@@ -59,7 +64,7 @@ def _duck_stop_count(lang: str) -> str:
            len({_DUCK_TOKS}) AS n_tokens,
            len(list_distinct({_DUCK_TOKS})) AS n_distinct_tokens,
            len(regexp_extract_all(text,
-               '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\r\\f\\x0B\\p{{L}}\\p{{N}}]+|{_DUCK_WS}+'))
                AS n_subword_tokens
     FROM documents
     """,
@@ -204,7 +209,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fp AS (
         SELECT doc_id,
-               md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '{_DUCK_WS}+'),
                                                t -> t <> ''), ' ')) AS fingerprint
         FROM corpus
     )
@@ -308,24 +313,35 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-(session, sf_dir) memo of (shingle_sets, lsh_candidates) — the
-#: two headline text queries (dedup_minhash_near_dups, tfidf_similar_
-#: pairs) use identical LSH parameters, so the expensive shingle +
-#: signature derivation runs once per session and is localCheckpointed.
-_LSH_SHARED: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+#: Per-(applicationId, sf_dir) memo of (shingle_sets, lsh_candidates) —
+#: the two headline text queries (dedup_minhash_near_dups, tfidf_
+#: similar_pairs) use identical LSH parameters, so the expensive
+#: shingle + signature derivation runs once per session and is
+#: localCheckpointed. Keyed by applicationId, NOT id(spark): CPython
+#: recycles a GC'd session's address, so an id-keyed memo could serve a
+#: fresh session DataFrames bound to a stopped SparkContext.
+_LSH_SHARED: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
-#: Per-(session, sf_dir) memo of the VERIFIED >=0.7 pair set — four
-#: catalog queries (near-dups, clustering, cleaning, splits) consume
-#: exactly this table, so verification too runs once per session.
-_PAIRS_SHARED: dict[tuple[int, str], DataFrame] = {}
+#: Per-(applicationId, sf_dir) memo of the VERIFIED >=0.7 pair set —
+#: four catalog queries (near-dups, clustering, cleaning, splits)
+#: consume exactly this table, so verification too runs once per
+#: session.
+_PAIRS_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    """Stable, unique-per-context memo key (applicationId changes on
+    every SparkContext start, unlike a recycled object address)."""
+    return spark.sparkContext.applicationId
 
 
 def _evict_dead_sessions(spark: SparkSession) -> None:
-    """Drop memo entries from other (stopped/replaced) sessions so a
-    long-lived process that restarts Spark doesn't pin dead sessions
-    and their checkpoint blocks forever."""
+    """Drop memo entries from other (stopped/replaced) applications so
+    a long-lived process that restarts Spark doesn't pin dead sessions
+    and their checkpoint blocks forever. Called on EVERY memo lookup."""
+    app = _app_id(spark)
     for memo in (_LSH_SHARED, _PAIRS_SHARED):
-        for k in [k for k in memo if k[0] != id(spark)]:
+        for k in [k for k in memo if k[0] != app]:
             del memo[k]
 
 
@@ -335,7 +351,7 @@ def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     from anti_money_laundering_spark.sources import ensure_parallelism
 
     _evict_dead_sessions(spark)
-    key = (id(spark), sf_dir)
+    key = (_app_id(spark), sf_dir)
     if key not in _LSH_SHARED:
         docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
         sets_ = shingle_sets(docs, "doc_id", "text", shingle_k=3).localCheckpoint(eager=False)
@@ -349,7 +365,8 @@ def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 def _shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) — LSH candidates verified at >= 0.7, the
     table every downstream dedup/cleaning/split query starts from."""
-    key = (id(spark), sf_dir)
+    _evict_dead_sessions(spark)
+    key = (_app_id(spark), sf_dir)
     if key not in _PAIRS_SHARED:
         docs = load_table(spark, sf_dir, "documents")
         sets_, cands = _shared_lsh(spark, sf_dir)
@@ -577,12 +594,10 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_COS = "list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[])"
 
-
-@register(
-    "ann_cosine_topk",
-    headline=True,
-    tags=("LLM", "ann"),
-    oracle=f"""
+#: Exact top-5-by-cosine for every label-0 query — the oracle for BOTH
+#: the brute-force query and the LSH query (whose output equals brute
+#: force on the fixtures; see ann_lsh_topk_q).
+_DUCK_ANN_TOPK = f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                {_DUCK_COS} AS cosine
@@ -597,7 +612,14 @@ _DUCK_COS = "list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]
     )
     SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
     FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ann_cosine_topk",
+    headline=True,
+    tags=("LLM", "ann"),
+    oracle=_DUCK_ANN_TOPK,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for every label-0 query vector:
@@ -615,14 +637,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     headline=True,
     tags=("LLM", "ann"),
-    oracle=None,  # xxhash64 hyperplanes; recall asserted in tests/test_vector.py
+    # Same recall-1.0 trick as dedup_minhash_near_dups: at 4 planes x
+    # 16 tables (multi-probe) the candidate union contains every true
+    # top-5 neighbor on the fixtures, and the final exact-cosine rank
+    # makes precision 1 by construction — so the OUTPUT equals brute
+    # force (pinned at sf0.001/0.01/0.1 by tests/test_vector.py::
+    # test_lsh_topk_equals_bruteforce) and the exact oracle applies.
+    oracle=_DUCK_ANN_TOPK,
 )
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (random hyperplanes, multi-probe
     Hamming-1): the scale path — candidates share a signature bucket,
     one equi-join shuffle instead of a cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb.filter(F.col("label") == 0), emb, k=5)
+    out = ann_lsh_topk(emb.filter(F.col("label") == 0), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 @register(

