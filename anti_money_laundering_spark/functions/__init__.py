@@ -42,10 +42,22 @@ __all__ = [
 ]
 
 
+#: Explicit whitespace class used in every tokenizing regex instead of
+#: ``\s``: Java's \s includes \x0B (vertical tab), RE2's (DuckDB) does
+#: not, so a VT-bearing document would tokenize differently on the two
+#: sides of the correctness gate. This class is identical under both
+#: engines. Regex text: ``[ \t\n\r\f\x0B]``.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
+#: The same class escaped for a Spark SQL string literal (the SQL
+#: parser unescapes ``\\`` once before the regex engine sees it).
+_WS_SQL = r"[ \\t\\n\\r\\f\\x0B]"
+
+
 def tokens_sql(col: str) -> str:
     """SQL text for: lowercased whitespace tokens of ``col``, empties
     dropped. Composable inside higher-order expressions."""
-    return f"filter(split(lower({col}), '\\\\s+'), t -> t != '')"
+    return f"filter(split(lower({col}), '{_WS_SQL}+'), t -> t != '')"
 
 
 def tokens(col: str) -> Column:
@@ -66,7 +78,11 @@ def distinct_token_count(col: str) -> Column:
 #: letter runs, digit runs, other-symbol runs, then whitespace runs.
 #: Counting its matches approximates a BPE tokenizer's pre-merge token
 #: count — the budget metric training-data pipelines size corpora with.
-SUBWORD_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: Whitespace is the explicit WS_CLASS (not ``\s``) for Java/RE2 parity.
+SUBWORD_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^ \t\n\r\f\x0B\p{{L}}\p{{N}}]+|{WS_CLASS}+"
+)
 
 
 def subword_token_count(col: str) -> Column:

@@ -102,7 +102,7 @@ def risk_propagation(graph: "Graph", risk_col: str = "risk", max_iter: int = 3) 
         graph,
         state_col="risk_score",
         initial_expr=F.col(risk_col),
-        msg_to_dst=F.col(f"src.risk_score") / 2,
+        msg_to_dst=F.col("src.risk_score") / 2,
         update_expr=F.coalesce(F.col("msg") + F.col(risk_col), F.col("risk_score")),
         agg_expr=F.sum(F.col("msg")),
         max_iter=max_iter,

@@ -264,18 +264,32 @@ def em_fit(
     return params
 
 
-def term_frequencies(df: DataFrame, col: str) -> DataFrame:
+def term_frequencies(df: DataFrame, col: str, min_count: int = 1) -> DataFrame:
     """Relative frequency of each value — the TF-adjustment input
     (Splink's term_frequency_adjustments, 03:43, :53). Agreement on
-    'John Smith' is weaker evidence than on a rare name."""
+    'John Smith' is weaker evidence than on a rare name.
+
+    ``min_count`` floors the table: values seen fewer times are
+    dropped (their pairs fall back to the level's baseline u in
+    :func:`score_pairs`, which is where rare values sit anyway —
+    tf < min_count/N ≈ u). The floor is what BOUNDS the table at
+    scale: one row per *distinct* value of a name/address column is
+    itself a huge table on a 100 TB corpus, but the rows that survive
+    ``n >= min_count`` number at most N/min_count by construction.
+    Frequencies stay relative to ALL non-null rows (the denominator is
+    computed before the floor), so surviving values' tf is unchanged.
+    """
     from pyspark.sql.window import Window
 
-    return (
+    out = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select("value", "n", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("tf"))
     )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out
 
 
 def score_pairs(
@@ -303,8 +317,13 @@ def score_pairs(
             tf = tf_tables[c.tf_col].select(
                 F.col("value").alias(f"__tfv_{c.name}"), F.col("tf").alias(f"__tf_{c.name}")
             )
+            # No broadcast hint: a TF table is one row per DISTINCT
+            # value, unbounded on exactly the high-cardinality columns
+            # TF adjustment targets — forcing broadcast is a scale
+            # hazard. With the min_count floor the table is small and
+            # AQE/Catalyst auto-broadcasts under the threshold anyway.
             out = out.join(
-                F.broadcast(tf), out[f"{c.tf_col}_l"] == tf[f"__tfv_{c.name}"], "left"
+                tf, out[f"{c.tf_col}_l"] == tf[f"__tfv_{c.name}"], "left"
             ).drop(f"__tfv_{c.name}")
             u_col = F.col(f"__tf_{c.name}")
         m_case = F.lit(m_levels[0])
@@ -343,12 +362,16 @@ def link_dedupe(
     tf_adjust: bool = True,
     tol: float = 1e-5,
     param_round: int | None = None,
+    tf_min_count: int = 2,
 ) -> DataFrame:
     """End-to-end dedupe linkage (the reference's Splink(settings, df)
     + get_scored_comparisons(), 03:56-58): block -> gamma -> EM ->
     score. Returns the scored pair table. ``tol=0.0`` forces exactly
     ``max_iter`` EM iterations (deterministic, oracle-replayable);
-    ``param_round`` rounds fitted params before scoring."""
+    ``param_round`` rounds fitted params before scoring.
+    ``tf_min_count`` floors the TF tables (bounded by construction —
+    singleton values keep the baseline u, which is where their tf sits
+    anyway; Splink's practical behavior)."""
     compare_cols = list(dict.fromkeys(c.tf_col or c.name for c in comparisons))
     pairs = candidate_pairs(df, unique_id, blocking_rules, compare_cols=compare_cols)
     gammas = gamma_table(pairs, comparisons)
@@ -356,7 +379,11 @@ def link_dedupe(
     if param_round is not None:
         params = round_params(params, param_round)
     tf_tables = (
-        {c.tf_col: term_frequencies(df, c.tf_col) for c in comparisons if c.tf_col}
+        {
+            c.tf_col: term_frequencies(df, c.tf_col, min_count=tf_min_count)
+            for c in comparisons
+            if c.tf_col
+        }
         if tf_adjust
         else None
     )

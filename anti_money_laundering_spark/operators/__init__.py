@@ -151,6 +151,7 @@ def range_join(
     lo: str,
     hi: str,
     bucket_width_seconds: int = 3600,
+    max_buckets_per_interval: int = 1000,
 ) -> DataFrame:
     """Join left rows (a ``point`` timestamp) to right intervals
     [lo, hi) sharing the ``by`` keys.
@@ -162,6 +163,14 @@ def range_join(
     join would shuffle. bucket_width should approximate the typical
     interval length (wider = fewer duplicates, narrower = less
     residual filtering).
+
+    ``max_buckets_per_interval`` guards the explode fan-out: one
+    pathological interval (a year at hourly buckets = 8,760 rows)
+    would silently multiply shuffle volume, so any interval spanning
+    more buckets fails the job with a clear message instead — the fix
+    is a wider ``bucket_width_seconds``, a global choice because
+    points and intervals must agree on the bucketing. The check is a
+    codegen'd per-row expression (no extra pass over the data).
     """
     bw = bucket_width_seconds
     def _bucket(col: str) -> Column:
@@ -171,8 +180,25 @@ def range_join(
             F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1_000_000 * bw)
         ).cast("long")
 
+    guarded_hi = F.when(
+        _bucket(hi) - _bucket(lo) < F.lit(max_buckets_per_interval), _bucket(hi)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join: interval [{lo}, {hi}) spans >= "
+                    f"{max_buckets_per_interval} buckets of {bw}s — widen "
+                    "bucket_width_seconds (interval lo="
+                ),
+                F.col(lo).cast("string"),
+                F.lit(", hi="),
+                F.col(hi).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     l_b = left.withColumn("__bucket", _bucket(point))
-    r_b = right.withColumn("__bucket", F.explode(F.sequence(_bucket(lo), _bucket(hi))))
+    r_b = right.withColumn("__bucket", F.explode(F.sequence(_bucket(lo), guarded_hi)))
     return (
         l_b.join(r_b, [*by, "__bucket"])
         .filter((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))

@@ -29,6 +29,42 @@ _SCRATCH = os.path.join(
 )
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweep_stale_roundtrips(spark: SparkSession) -> None:
+    """Drop aml_roundtrip_<pid> databases (CASCADE) and scratch dirs
+    left by processes that are no longer alive — repeated runs would
+    otherwise accumulate orphan warehouse databases forever. Live
+    sibling processes (pytest workers, a driver run alongside bench)
+    are left untouched."""
+    for row in spark.sql("SHOW DATABASES LIKE 'aml_roundtrip_*'").collect():
+        name = row[0]
+        try:
+            pid = int(name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if not _pid_alive(pid):
+            spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    if os.path.isdir(_SCRATCH):
+        for entry in os.listdir(_SCRATCH):
+            if not entry.startswith("sources_roundtrip_"):
+                continue
+            try:
+                pid = int(entry.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if not _pid_alive(pid):
+                shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+
+
 @register(
     "sources_roundtrip",
     tags=("S2", "S3", "S4", "S8", "S9", "S10"),
@@ -49,7 +85,9 @@ def sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet is the correctness check for the full chain."""
     nation = load_table(spark, sf_dir, "nation")
     # pid-scoped names: a concurrent process (pytest worker, driver run
-    # alongside bench) must never drop/rmtree this process's live table
+    # alongside bench) must never drop/rmtree this process's live table.
+    # Before creating ours, reap databases/scratch of dead siblings.
+    _sweep_stale_roundtrips(spark)
     pid = os.getpid()
     db = f"aml_roundtrip_{pid}"
     csv_path = os.path.join(_SCRATCH, f"sources_roundtrip_{pid}", "nation_csv")

@@ -97,6 +97,34 @@ def test_tf_adjustment_downweights_common_values(spark):
     assert w[(6, 7)] > w[(0, 1)]
 
 
+def test_tf_floor_bounds_table_and_falls_back_to_baseline_u(spark):
+    # 'smith' x6, 'zorn' x2, 'quine' x1: min_count=2 keeps only values
+    # seen twice — the floor that bounds the TF table by construction.
+    rows = [(i, "smith", 1.0) for i in range(6)] + [
+        (6, "zorn", 1.0), (7, "zorn", 1.0), (8, "quine", 1.0)
+    ]
+    df = spark.createDataFrame(rows, "unique_id long, name string, amount double")
+    tf = term_frequencies(df, "name", min_count=2)
+    vals = {r.value: r.tf for r in tf.collect()}
+    assert set(vals) == {"smith", "zorn"}
+    # denominator stays ALL non-null rows: surviving tf is unchanged
+    assert vals["smith"] == pytest.approx(6 / 9)
+    # floored-out values score with the level's baseline u, i.e. the
+    # same weight as a no-TF run; kept values still get adjusted
+    comps = [levenshtein_comparison("name", close=1, tf_adjust=True)]
+    pairs = candidate_pairs(df, "unique_id", [["amount"]])
+    g = gamma_table(pairs, comps)
+    params = em_fit(g, comps, max_iter=5)
+    with_tf = {(r.uid_l, r.uid_r): r.match_weight
+               for r in score_pairs(g, comps, params, tf_tables={"name": tf}).collect()}
+    without = {(r.uid_l, r.uid_r): r.match_weight
+               for r in score_pairs(g, comps, params).collect()}
+    # (8, x) pairs disagree on name -> unaffected; smith-smith adjusted
+    assert with_tf[(0, 1)] != pytest.approx(without[(0, 1)])
+    # a disagreeing pair takes the gamma=0 branch where TF never applies
+    assert with_tf[(5, 6)] == pytest.approx(without[(5, 6)])
+
+
 def test_scored_pairs_probability_range(spark, dedupe_df):
     comps = [levenshtein_comparison("org_name", close=2), exact_comparison("country")]
     scored = link_dedupe(dedupe_df, "unique_id", [["amount"]], comps, tf_adjust=True)

@@ -89,6 +89,27 @@ def test_range_join_bucket_width_invariance(spark, trades):
         assert got == expected
 
 
+def test_range_join_guards_pathological_fanout(spark, trades):
+    """A year-long interval at hourly buckets would explode into 8,760
+    shuffle rows per row — the guard fails the job with a clear
+    message instead of silently blowing up; widening the bucket to
+    match the interval scale passes."""
+    import datetime as dt
+
+    year = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2025, 1, 1), "y")],
+        "sym long, lo timestamp, hi timestamp, tag string",
+    )
+    with pytest.raises(Exception, match="widen bucket_width_seconds"):
+        range_join(trades, year, by=["sym"], point="ts", lo="lo", hi="hi",
+                   bucket_width_seconds=3600).collect()
+    # global widening is the documented fix: 30-day buckets -> 13
+    # explode rows, and all four sym-1 trades (Jan 2024) match
+    wide = range_join(trades, year, by=["sym"], point="ts", lo="lo", hi="hi",
+                      bucket_width_seconds=86400 * 30)
+    assert {r.tid for r in wide.collect()} == {"a", "b", "c", "d"}
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from anti_money_laundering_spark.operators import salted_join
     from anti_money_laundering_spark.sources import load_table

@@ -13,6 +13,58 @@ from anti_money_laundering_spark.pipeline import Pipeline, Stage
 from anti_money_laundering_spark.sources import load_table, read_csv, write_parquet
 
 
+def test_save_table_overwrite_schema_change(spark, caplog):
+    """The overwriteSchema contract the reference relies on (01:245):
+    overwrite must replace data AND schema on the parquet fallback
+    path, and the Delta->parquet downgrade is logged, not silent."""
+    import logging
+
+    from anti_money_laundering_spark.sources import save_table
+
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([(2, 3.5, "y")], "id long, score double, extra string")
+    with caplog.at_level(logging.WARNING, logger="anti_money_laundering_spark.sources"):
+        save_table(a, "sink_schema_evo")
+        save_table(b, "sink_schema_evo")  # overwrite with a DIFFERENT schema
+    got = spark.table("sink_schema_evo")
+    assert [f.name for f in got.schema.fields] == ["id", "score", "extra"]
+    assert got.collect()[0].extra == "y"
+    assert any("parquet" in r.message for r in caplog.records)
+    spark.sql("DROP TABLE IF EXISTS sink_schema_evo")
+
+
+def test_save_table_real_errors_propagate(spark):
+    """Only DATA_SOURCE_NOT_FOUND triggers the parquet fallback — a
+    genuine write failure (here: appending a conflicting schema to an
+    existing parquet table) must raise, not silently downgrade."""
+    from anti_money_laundering_spark.sources import save_table
+
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    save_table(a, "sink_conflict")
+    clash = spark.createDataFrame([(True,)], "completely_different boolean")
+    with pytest.raises(Exception):
+        save_table(clash, "sink_conflict", mode="append")
+    spark.sql("DROP TABLE IF EXISTS sink_conflict")
+
+
+def test_roundtrip_sweeps_dead_pid_leftovers(spark, sf_dir):
+    """aml_roundtrip_<pid> databases and scratch dirs of DEAD processes
+    are reaped on the next run; the live process's own are kept."""
+    from anti_money_laundering_spark.plans import source_queries as sq
+
+    dead_pid = 2**22 + 12345  # beyond pid_max defaults -> never alive
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS aml_roundtrip_{dead_pid}")
+    dead_scratch = os.path.join(sq._SCRATCH, f"sources_roundtrip_{dead_pid}")
+    os.makedirs(dead_scratch, exist_ok=True)
+
+    sq.sources_roundtrip(spark, sf_dir).count()
+
+    names = {r[0] for r in spark.sql("SHOW DATABASES LIKE 'aml_roundtrip_*'").collect()}
+    assert f"aml_roundtrip_{dead_pid}" not in names
+    assert f"aml_roundtrip_{os.getpid()}" in names  # own db survives
+    assert not os.path.exists(dead_scratch)
+
+
 def test_pipeline_topological_order_and_views(spark):
     p = Pipeline()
     calls = []

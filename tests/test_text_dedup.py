@@ -37,6 +37,33 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_whitespace_class_java_re2_parity(spark):
+    """A vertical-tab document must tokenize identically under Java
+    regex (Spark) and RE2 (DuckDB oracle) — the reason every tokenizer
+    regex uses the explicit WS_CLASS instead of ``\\s`` (Java's \\s
+    includes \\x0B, RE2's does not)."""
+    import duckdb
+
+    from anti_money_laundering_spark.functions import subword_token_count
+    from anti_money_laundering_spark.plans.llm_queries import _DUCK_TOKS
+
+    text = "alpha\x0bbeta gamma\ttab\nline"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = df.select(
+        token_count("text").alias("n"),
+        subword_token_count("text").alias("ns"),
+    ).collect()[0]
+    duck_n, duck_ns = duckdb.sql(
+        f"""SELECT len({_DUCK_TOKS}),
+            len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\r\\f\\x0B\\p{{L}}\\p{{N}}]+|[ \\t\\n\\r\\f\\x0B]+'))
+            FROM (SELECT ?::VARCHAR AS text)""",
+        params=[text],
+    ).fetchone()
+    assert row.n == duck_n == 5  # VT splits on both engines
+    assert row.ns == duck_ns
+
+
 def test_token_count_and_shingles(spark):
     df = spark.createDataFrame([(1, "  A b  c d  ")], "id long, text string")
     row = df.select(
