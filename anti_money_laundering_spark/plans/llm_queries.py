@@ -832,6 +832,57 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_exact_pairs",
+    tags=("LLM", "text"),
+    # Vocabulary-explicit TF-IDF is fully SQL-replayable; the pair set
+    # is the shared verified (exact-Jaccard >= 0.7) set, valid as an
+    # oracle by the same recall-1.0 pin as dedup_minhash_near_dups.
+    oracle=f"""
+    WITH {_duck_trigram_jaccard_ctes(0.7)},
+    tcnt AS (
+        SELECT doc_id AS doc, tok AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+        GROUP BY doc, tok
+    ),
+    idf AS (
+        SELECT token,
+               ln(((SELECT count(*) FROM documents) + 1.0)
+                  / (count(DISTINCT doc) + 1.0)) + 1.0 AS idf
+        FROM tcnt GROUP BY token
+    ),
+    w AS (
+        SELECT doc, tcnt.token, cnt * idf AS w
+        FROM tcnt JOIN idf ON idf.token = tcnt.token
+    ),
+    norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc),
+    dots AS (
+        SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+        FROM jp p
+        JOIN w wa ON wa.doc = p.id_a
+        JOIN w wb ON wb.doc = p.id_b AND wb.token = wa.token
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+    FROM dots d
+    JOIN norms na ON na.doc = d.id_a
+    JOIN norms nb ON nb.doc = d.id_b
+    """,
+)
+def tfidf_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary-explicit TF-IDF cosine over the verified
+    near-dup pair set — the hash-verified twin of tfidf_similar_pairs
+    (whose HashingTF buckets are engine-specific): same candidate
+    discipline, same keyed-aggregation shape, oracle-checkable
+    weights."""
+    from anti_money_laundering_spark.text_ml import tfidf_exact_cosine_pairs
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = tfidf_exact_cosine_pairs(docs, pairs)
+    return out.select("id_a", "id_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))
+
+
+@register(
     "tfidf_similar_pairs",
     headline=True,
     tags=("LLM", "text", "ml"),

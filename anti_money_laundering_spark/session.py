@@ -17,6 +17,21 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def get_secret(scope: str, key: str, default: str | None = None) -> str:
+    """Secrets access (SURVEY §2.1 S11). The reference reads its API
+    key via ``dbutils.secrets.get(scope, key)``
+    (/root/reference/02_aml_address_verification.py:45); the portable
+    equivalent outside Databricks is environment variables —
+    ``AML_SECRET_<SCOPE>_<KEY>`` (uppercased, dashes to underscores).
+    Missing secrets raise at setup time (fail loudly, never embed a
+    placeholder credential in a query)."""
+    env = f"AML_SECRET_{scope}_{key}".upper().replace("-", "_")
+    val = os.environ.get(env, default)
+    if val is None:
+        raise KeyError(f"secret {scope}/{key} not set (export {env})")
+    return val
+
+
 def get_spark(
     app_name: str = "aml_engine",
     master: str | None = None,

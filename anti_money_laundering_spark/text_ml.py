@@ -16,7 +16,81 @@ from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_vectors", "tfidf_cosine_pairs"]
+__all__ = ["tfidf_vectors", "tfidf_cosine_pairs", "tfidf_exact_cosine_pairs"]
+
+
+def tfidf_exact_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact (vocabulary-explicit) TF-IDF cosine for candidate
+    ``pairs`` (id_a, id_b) — the hash-verifiable twin of
+    :func:`tfidf_cosine_pairs`.
+
+    HashingTF buckets collide engine-specifically, so the hashed
+    variant can only be rows-only checked; this formulation keeps the
+    actual (doc, token, count) table and computes
+
+        w(d, t) = count(d, t) * (ln((N + 1) / (df(t) + 1)) + 1)
+        cosine  = Σ_t w(a,t)·w(b,t) / (||w(a)||·||w(b)||)
+
+    entirely in codegen'd aggregates, replayable in ANSI SQL
+    (smoothed-IDF convention; MLlib's IDF differs only in the +1 term).
+
+    Scale posture: everything is keyed aggregation/equi-joins — token
+    counts shuffle on (doc, token), document frequencies on token, and
+    the dot product joins pair x token only for CANDIDATE pairs (LSH/
+    blocking-bounded, never the cartesian). The corpus size N enters
+    as a 1-row aggregate cross-joined in (broadcast), not a driver
+    collect. Unlike HashingTF there IS a vocabulary-sized table here,
+    but it is never broadcast — idf joins back to the token table by
+    key, so at 100 TB it just shuffles like any other fact."""
+    from anti_money_laundering_spark.functions import tokens_sql
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(tokens_sql(text_col))).alias("token"),
+        )
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    idf = (
+        toks.groupBy("token")
+        .agg(F.count_distinct("doc").alias("df"))
+        .crossJoin(n)
+        .select(
+            "token",
+            (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    w = toks.join(idf, "token").select(
+        "doc", "token", (F.col("cnt") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wa = w.select(F.col("doc").alias("id_a"), "token", F.col("w").alias("__wa"))
+    wb = w.select(F.col("doc").alias("id_b"), "token", F.col("w").alias("__wb"))
+    dots = (
+        pairs.select("id_a", "id_b")
+        .join(wa, "id_a")
+        .join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("doc").alias("id_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("doc").alias("id_b"), F.col("nrm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("tfidf_cosine"),
+        )
+    )
 
 
 def tfidf_vectors(

@@ -13,6 +13,18 @@ from anti_money_laundering_spark.pipeline import Pipeline, Stage
 from anti_money_laundering_spark.sources import load_table, read_csv, write_parquet
 
 
+def test_get_secret_env_backend(monkeypatch):
+    """S11: dbutils.secrets.get(scope, key) maps to the
+    AML_SECRET_<SCOPE>_<KEY> env var; absent secrets fail loudly."""
+    from anti_money_laundering_spark.session import get_secret
+
+    monkeypatch.setenv("AML_SECRET_GEO_API_KEY", "sk-test")
+    assert get_secret("geo", "api-key") == "sk-test"
+    assert get_secret("geo", "missing", default="fallback") == "fallback"
+    with pytest.raises(KeyError, match="AML_SECRET_GEO_ABSENT"):
+        get_secret("geo", "absent")
+
+
 def test_save_table_overwrite_schema_change(spark, caplog):
     """The overwriteSchema contract the reference relies on (01:245):
     overwrite must replace data AND schema on the parquet fallback

@@ -90,6 +90,7 @@ DESC = {
     "text": "Text analysis",
     "ml": "TF-IDF / MLlib",
     "multimodal": "Multimodal columns",
+    "sample": "Deterministic sampling / splits",
 }
 
 EXTRA = {
