@@ -16,6 +16,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anti_money_laundering_spark.graph.algorithms import (
+    label_propagation,
+    shortest_paths,
+    triangle_count,
+)
 from anti_money_laundering_spark.graph.components import connected_components
 from anti_money_laundering_spark.graph.motif import find_motif
 from anti_money_laundering_spark.graph.pregel import pagerank, pregel, risk_propagation
@@ -79,4 +84,14 @@ class Graph:
         return find_motif(self, pattern)
 
 
-__all__ = ["Graph", "connected_components", "find_motif", "pagerank", "pregel", "risk_propagation"]
+__all__ = [
+    "Graph",
+    "connected_components",
+    "find_motif",
+    "label_propagation",
+    "pagerank",
+    "pregel",
+    "risk_propagation",
+    "shortest_paths",
+    "triangle_count",
+]

@@ -1,0 +1,167 @@
+"""Graph algorithms beyond the reference's four (degrees/CC/motif/
+Pregel): triangle counting, landmark shortest paths, and label
+propagation — the rest of the GraphFrames algorithm surface
+(graphframes.GraphFrame.triangleCount / shortestPaths /
+labelPropagation), so a user of the reference's graph stack
+(01_aml_network_analysis.py:78-459 uses GraphFrames) can run their
+whole toolkit here.
+
+All three follow this package's iterative-driver discipline
+(SURVEY §4: algorithmic drivers around Catalyst, no custom rules):
+joins keyed on vertex ids, ``localCheckpoint`` to truncate loop
+lineage, deterministic outputs (min-id tie-breaks) so every algorithm
+is DuckDB-oracle-replayable — unlike GraphFrames' hash-based LPA
+tie-breaks or packed component ids.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+if TYPE_CHECKING:
+    from anti_money_laundering_spark.graph import Graph
+
+__all__ = ["triangle_count", "shortest_paths", "label_propagation"]
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (a, b) with a < b — self-loops
+    dropped, direction and multiplicity collapsed."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(graph: "Graph") -> DataFrame:
+    """Per-vertex triangle count (GraphFrames ``triangleCount``):
+    ``(id, n_triangles)`` over the undirected simple graph.
+
+    Each triangle a<b<c is enumerated exactly once by joining the
+    canonical edge list with itself twice — (a,b) ⋈ (b,c) on b, then
+    ⋈ (a,c) on (a, c). Both joins are equi-joins on vertex keys (one
+    shuffle each, AQE-skew-splittable); nothing is ever broadcast
+    unconditionally. At scale the standard refinement is degree
+    ordering (orient edges from low- to high-degree vertex) which
+    bounds the intermediate wedge count by arboricity — the fixture
+    graphs don't need it, the join shape is identical.
+    """
+    und = _canonical_undirected(graph.edges)
+    ab = und
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = und.select(F.col("a"), F.col("b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(per_vertex, "id", "left")
+        .select("id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )
+
+
+def shortest_paths(
+    graph: "Graph",
+    landmarks: Sequence,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Hop distance from every vertex to each reachable landmark along
+    DIRECTED edges (GraphFrames ``shortestPaths`` semantics):
+    ``(id, landmark, distance)``; unreachable pairs are absent.
+
+    Backward BFS relaxation: if v→u and dist(u, L) = d then
+    dist(v, L) ≤ d+1. Each round is one edges⋈distances equi-join plus
+    a min-groupBy — shuffles keyed on vertex id; ``localCheckpoint``
+    (lazy) per round truncates lineage and the fixpoint test rides the
+    same job (count + distance-sum stable ⇒ no relaxation happened),
+    mirroring the connected-components loop (components.py).
+    """
+    lm = [int(x) for x in landmarks]
+    dist = (
+        graph.vertices.select("id")
+        .filter(F.col("id").isin(lm))
+        .select("id", F.col("id").alias("landmark"), F.lit(0).alias("distance"))
+        .localCheckpoint(eager=False)
+    )
+    edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+
+    def _state(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("distance"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev = _state(dist)
+    for _ in range(max_iter):
+        relaxed = (
+            edges.join(dist, edges.dst == dist.id)
+            .select(
+                edges.src.alias("id"),
+                "landmark",
+                (F.col("distance") + 1).alias("distance"),
+            )
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("id", "landmark")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=False)
+        )
+        cur = _state(dist)
+        if cur == prev:
+            break
+        prev = cur
+    return dist
+
+
+def label_propagation(graph: "Graph", max_iter: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection;
+    GraphFrames ``labelPropagation``) with DETERMINISTIC tie-breaks:
+    ``(id, label)`` after exactly ``max_iter`` rounds.
+
+    Every vertex starts labeled with its own id; each round it adopts
+    the most frequent label among its (undirected) neighbors, ties
+    broken by the smaller label; isolated vertices keep their label.
+    Fixed iteration count + min tie-break make the output a pure
+    function of the edge set — replayable as unrolled SQL rounds
+    (GraphFrames breaks ties by hash, which no oracle can follow).
+
+    Each round = one neighbor-label equi-join, one (vertex, label)
+    count aggregation, one per-vertex window rank — all keyed on
+    vertex id; ``localCheckpoint`` per round truncates lineage.
+    """
+    und = _canonical_undirected(graph.edges)
+    nbrs = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("id"), F.col("b").alias("nbr")
+    )
+    labels = graph.vertices.select("id").withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=False)
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(max_iter):
+        nbr_labels = nbrs.join(
+            labels.select(F.col("id").alias("nbr"), "label"), "nbr"
+        ).select("id", "label")
+        winner = (
+            nbr_labels.groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("id", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select("id", F.coalesce("__new", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

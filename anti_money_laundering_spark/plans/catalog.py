@@ -72,7 +72,6 @@ _WINDOW: tuple[str, ...] = (
     "derived_translate_cast",   # F1,F3,P7,P8
     "union_distinct_keys",      # U1,A4
     "union_all_tagged",         # U2,U3,A1
-    "outer_join_nation_counts", # J-ext,A1
     "self_join_pair_amounts",   # J3,P4,P6
     "multiway_join_revenue",    # J2,A1
     "struct_pack_expand",       # P2
@@ -99,6 +98,9 @@ _WINDOW: tuple[str, ...] = (
     "connected_components",     # G4,G7
     "synth_id_scores",          # G4,A1,A2,A3,J1,P4
     "pregel_risk_propagation",  # G6,A5,F2,G7
+    "graph_triangle_count",     # G-ext (GraphFrames algorithm parity;
+                                # outer_join_nation_counts moved past the
+                                # window — its J-ext/A1 tags stay covered)
     # entity resolution
     "linkage_blocked_pairs",    # E1,E2,J5
     "linkage_gamma_vectors",    # E3

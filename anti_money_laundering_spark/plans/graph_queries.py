@@ -364,3 +364,123 @@ def pagerank_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = flow_graph(spark, sf_dir)
     pr = pagerank(g, max_iter=3)
     return pr.select("id", F.round(F.col("pagerank") + 1e-9, 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# G-ext: the rest of the GraphFrames algorithm surface (triangleCount /
+# shortestPaths / labelPropagation) — the reference's graph stack is
+# GraphFrames (01:78), so a user switching engines expects these too.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    tags=("G-ext",),
+    oracle=f"""
+    WITH e AS ({FLOW_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    tri AS (
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM und ab
+        JOIN und bc ON bc.a = ab.b
+        JOIN und ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    pv AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+    cnt AS (SELECT id, count(*) AS n_triangles FROM pv GROUP BY id),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+    SELECT v.id, CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM verts v LEFT JOIN cnt c ON c.id = v.id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle count over the transaction-flow graph
+    (GraphFrames triangleCount parity): each triangle enumerated once
+    via the canonical a<b<c double self-join — the AML tight-knit-ring
+    signal (mutual counterparties)."""
+    from anti_money_laundering_spark.graph import triangle_count
+
+    return triangle_count(flow_graph(spark, sf_dir))
+
+
+@register(
+    "graph_shortest_paths",
+    tags=("G-ext", "G7"),
+    oracle=f"""
+    WITH RECURSIVE e AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    walk(id, landmark, d) AS (
+        SELECT id, id, 0 FROM verts WHERE id IN (0, 1)
+        UNION
+        SELECT e.src, w.landmark, w.d + 1
+        FROM e JOIN walk w ON w.id = e.dst
+        WHERE w.d < 20
+    )
+    SELECT id, landmark, CAST(min(d) AS INT) AS distance
+    FROM walk GROUP BY id, landmark
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from every account to landmark accounts 0 and 1
+    along directed transfers (GraphFrames shortestPaths parity) — "how
+    many hops from a flagged account" is the classic AML proximity
+    feature. Iterative backward-BFS relaxation, min-groupBy per round,
+    checkpointed lineage (G7)."""
+    from anti_money_laundering_spark.graph import shortest_paths
+
+    return shortest_paths(flow_graph(spark, sf_dir), [0, 1])
+
+
+def _lpa_round_cte(i: int) -> str:
+    return f"""
+    l{i} AS (
+        SELECT v.id, coalesce(w.newl, p.label) AS label
+        FROM verts v
+        JOIN l{i - 1} p ON p.id = v.id
+        LEFT JOIN (
+            SELECT id, label AS newl FROM (
+                SELECT id, label,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY c DESC, label) AS rk
+                FROM (
+                    SELECT n.id, q.label, count(*) AS c
+                    FROM nbrs n JOIN l{i - 1} q ON q.id = n.nbr
+                    GROUP BY n.id, q.label
+                )
+            ) WHERE rk = 1
+        ) w ON w.id = v.id
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    tags=("G-ext",),
+    # Deterministic sync LPA (min-label tie-break, exactly 3 rounds)
+    # is a pure function of the edge set, so the rounds unroll as SQL
+    # CTEs — GraphFrames' own LPA breaks ties by hash and could never
+    # be oracled.
+    oracle=f"""
+    WITH e AS ({FLOW_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    nbrs AS (SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    l0 AS (SELECT id, id AS label FROM verts),
+    {_lpa_round_cte(1)},
+    {_lpa_round_cte(2)},
+    {_lpa_round_cte(3)}
+    SELECT id, label FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    flow graph (GraphFrames labelPropagation parity, deterministic
+    tie-breaks): communities of accounts that transact among
+    themselves — the coarse structure AML investigators triage by."""
+    from anti_money_laundering_spark.graph import label_propagation
+
+    return label_propagation(flow_graph(spark, sf_dir), max_iter=3)

@@ -134,3 +134,34 @@ def test_pagerank_with_preexisting_out_degree_column(spark):
     assert set(pr) == {1, 2, 3}
     # symmetric 3-cycle: all ranks equal and positive
     assert len({round(x, 9) for x in pr.values()}) == 1 and min(pr.values()) > 0
+
+
+def test_triangle_count_closed_form(spark):
+    from anti_money_laundering_spark.graph import triangle_count
+
+    # triangle 1-2-3 plus pendant 4 off vertex 3 (reverse-dup edge too:
+    # direction and multiplicity must collapse before counting)
+    gr = g(spark, [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)])
+    out = {r.id: r.n_triangles for r in triangle_count(gr).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_shortest_paths_directed_chain(spark):
+    from anti_money_laundering_spark.graph import shortest_paths
+
+    # 1 -> 2 -> 3, plus island 9: distances follow edge direction,
+    # unreachable pairs are absent
+    gr = g(spark, [(1, 2), (2, 3)], vertices=[1, 2, 3, 9])
+    out = {(r.id, r.landmark): r.distance
+           for r in shortest_paths(gr, [3, 9]).collect()}
+    assert out == {(3, 3): 0, (2, 3): 1, (1, 3): 2, (9, 9): 0}
+
+
+def test_label_propagation_disjoint_triangles(spark):
+    from anti_money_laundering_spark.graph import label_propagation
+
+    # two disjoint triangles: sync LPA with min tie-break converges
+    # each to its minimum member id within 3 rounds
+    gr = g(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
+    out = {r.id: r.label for r in label_propagation(gr, max_iter=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}

@@ -91,6 +91,7 @@ DESC = {
     "ml": "TF-IDF / MLlib",
     "multimodal": "Multimodal columns",
     "sample": "Deterministic sampling / splits",
+    "G-ext": "Triangle count / shortest paths / label propagation (GraphFrames parity extension)",
 }
 
 EXTRA = {
