@@ -466,6 +466,35 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lag_lead_velocity",
+    tags=("W-ext",),
+    oracle="""
+    SELECT user_id, event_id,
+           date_diff('microsecond', lag(ts) OVER w, ts) AS micros_since_prev,
+           round(lead(value) OVER w, 2) AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user over event time: gap to the
+    previous event (the AML rapid-succession velocity signal) and the
+    next event's value. Exact microsecond gaps so both engines compute
+    identical integers (second-granularity date_diff counts boundary
+    crossings, which ns-precision fixtures would disagree on)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@register(
     "sessionize_events",
     headline=True,
     tags=("W-ext",),

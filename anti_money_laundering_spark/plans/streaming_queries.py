@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.streaming import (
+    enrich_events_static,
     session_event_stats,
     sliding_event_values,
     stateful_user_totals,
@@ -100,6 +101,30 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return out.select("user_id", F.round("total_value", 2).alias("total_value"), "n_events", "alert")
+
+
+@register(
+    "stream_static_enrich",
+    tags=("STR",),
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, round(e.value, 2) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-static enrichment join (facts stream,
+    dims don't): events pick up the customer's market segment. On a
+    stream this is a STATELESS per-micro-batch hash join against the
+    static dim (broadcast under the threshold) — parity replayed in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    out = enrich_events_static(ev, cust)
+    return out.select(
+        "event_id", "user_id", "c_mktsegment", F.round("value", 2).alias("value")
+    )
 
 
 @register(

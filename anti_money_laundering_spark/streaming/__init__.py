@@ -105,6 +105,27 @@ def session_event_stats(
     )
 
 
+def enrich_events_static(
+    events: DataFrame,
+    dim: DataFrame,
+    left_key: str = "user_id",
+    right_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+) -> DataFrame:
+    """Stream-static enrichment join: each event picks up dimension
+    attributes from a STATIC table — the standard streaming-pipeline
+    shape (facts stream, dims don't).
+
+    Structured Streaming supports stream⋈static inner joins
+    STATELESSLY: every micro-batch hash-joins against the static side
+    (broadcast when under the threshold), no watermark or state store
+    involved — unlike stream-stream joins. The identical plan runs on
+    batch input; parity asserted in tests/test_streaming.py.
+    """
+    d = dim.select(F.col(right_key).alias(left_key), *dim_cols)
+    return events.join(d, left_key, "inner")
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful stream dedup on event_id: duplicates arriving within
     the watermark horizon are dropped exactly once

@@ -96,6 +96,20 @@ def test_stateful_totals_parity(spark, sf_dir, replay_dir):
     assert got.count() > len(b)
 
 
+def test_stream_static_join_parity(spark, sf_dir, replay_dir):
+    """Stream-static enrichment: the stream side joined per micro-batch
+    against the static customer dim must equal the batch join — and it
+    must be STATELESS (no watermark required for an inner join)."""
+    from anti_money_laundering_spark.streaming import enrich_events_static
+
+    cust = load_table(spark, sf_dir, "customer")
+    batch = enrich_events_static(load_table(spark, sf_dir, "events"), cust)
+    stream = enrich_events_static(read_events_stream(spark, replay_dir), cust)
+    got = run_stream_to_memory(stream, "t_static_join", output_mode="append")
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
 def test_stream_dedup_drops_real_duplicates(spark):
     """Write the same rows twice across micro-batch files: the
     watermark-bounded dedup must emit each event_id once."""
