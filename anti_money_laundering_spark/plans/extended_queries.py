@@ -203,6 +203,75 @@ def _embedding_cluster_oracle() -> str:
 
 
 @register(
+    "exists_correlated_suppliers",
+    tags=("J4",),
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 9500)
+    """,
+)
+def exists_correlated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery with an extra predicate — Catalyst
+    decorrelates it to a left-semi join (SURVEY §4 O2,
+    RewritePredicateSubquery), the same rewrite the reference leans on
+    for its IN-subqueries (01:53-67)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 9500)
+        """
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    tags=("J4", "A1"),
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: customers above the global mean
+    balance — Catalyst executes the subquery once and broadcasts the
+    scalar into the filter (no join, no second scan in the main
+    plan)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@register(
+    "lateral_explode_props",
+    tags=("F-ext",),
+    oracle="""
+    SELECT event_id, k AS key, CAST(json_extract(props, '$.' || k) AS BIGINT) AS value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def lateral_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral one-to-many expansion: the JSON props map exploded to
+    (event_id, key, value) rows — from_json to a typed map then
+    explode, the generate-operator shape (no shuffle; row-local
+    fan-out)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value"),
+    )
+
+
+@register(
     "ml_feature_pipeline",
     tags=("ml",),
     # StringIndexer frequencyDesc = rank by (count DESC, value ASC) - 1
