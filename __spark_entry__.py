@@ -27,11 +27,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Shared-attribute match — the reference's first analytic
-    (01_aml_network_analysis.py:51-68) transposed to the fixtures.
+    The AML alert feed — every alert family the reference's notebooks
+    produce (structuring fan-in 01:308-322, round-tripping 01:376-405,
+    synthetic identities 01:164-228, propagated risk 01:450-461)
+    unioned into one typed feed; exercises motifs, connected
+    components, Pregel and union in a single hash-verified composite.
     """
     catalog = get_catalog()
-    return catalog["shared_attr_match"].fn(spark, SMOKE_SF_DIR)
+    return catalog["aml_alert_feed"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

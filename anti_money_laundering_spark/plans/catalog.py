@@ -155,6 +155,9 @@ def get_catalog() -> dict[str, CatalogQuery]:
         source_queries,
         streaming_queries,
     )
+    # Imported last: composes its oracle from the component queries'
+    # already-registered oracle SQL.
+    from anti_money_laundering_spark.plans import composite_queries  # noqa: F401
 
     ordered = {name: _CATALOG[name] for name in _WINDOW}
     for name, q in _CATALOG.items():

@@ -1,0 +1,90 @@
+"""The AML alert feed — the composite a monitoring team actually
+consumes: every alert family the reference's notebooks produce
+separately (structuring fan-in 01:308-322, round-tripping 01:376-405,
+synthetic identities 01:164-228, propagated risk 01:450-461), unioned
+into one typed feed (alert_type, entity_id, severity).
+
+This module is imported LAST by ``get_catalog`` so its oracle can be
+composed verbatim from the already-registered component oracles — the
+composite stays hash-verified end-to-end because each leg is, and the
+glue is a UNION ALL of their SQL with severity casts.
+
+Scale posture: the feed is a union of independently-planned legs —
+Catalyst executes each leg's (already reviewed) plan and streams the
+union without any added shuffle; the only new operator is the final
+projection per leg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.plans.catalog import _CATALOG, register
+
+#: Alert threshold on propagated risk — ~ the top decile of the
+#: fixture distribution (p90 = 145 at sf0.01).
+RISK_ALERT_THRESHOLD = 150.0
+
+
+def _feed_oracle() -> str:
+    fanin = _CATALOG["motif_fanin_structuring"].oracle
+    cycle = _CATALOG["motif_roundtrip_cycle"].oracle
+    synth = _CATALOG["synth_id_scores"].oracle
+    risk = _CATALOG["pregel_risk_propagation"].oracle
+    return f"""
+    SELECT 'structuring' AS alert_type, c_id AS entity_id,
+           CAST(in_amount AS DOUBLE) AS severity
+    FROM ({fanin})
+    UNION ALL
+    SELECT 'round_trip', a_id, CAST(cycle_amount AS DOUBLE) FROM ({cycle})
+    UNION ALL
+    SELECT 'synth_id', id0, CAST(synth_score AS DOUBLE) FROM ({synth})
+    UNION ALL
+    SELECT 'risk_prop', id, CAST(risk_score AS DOUBLE) FROM ({risk})
+    WHERE risk_score >= {RISK_ALERT_THRESHOLD}
+    """
+
+
+@register(
+    "aml_alert_feed",
+    tags=("G5", "G4", "G6", "U2"),
+    oracle=_feed_oracle(),
+)
+def aml_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One feed, four alert families: structuring mules (fan-in motif,
+    severity = combined inflow), round-trip origins (3-cycle, severity
+    = cycle amount), synthetic identities (shared-attribute component
+    score) and high propagated risk (Pregel score over threshold).
+    Each leg is the registered catalog query; the union adds no
+    shuffle."""
+    fanin = _CATALOG["motif_fanin_structuring"].fn(spark, sf_dir)
+    cycle = _CATALOG["motif_roundtrip_cycle"].fn(spark, sf_dir)
+    synth = _CATALOG["synth_id_scores"].fn(spark, sf_dir)
+    risk = _CATALOG["pregel_risk_propagation"].fn(spark, sf_dir)
+    legs = [
+        fanin.select(
+            F.lit("structuring").alias("alert_type"),
+            F.col("c_id").alias("entity_id"),
+            F.col("in_amount").cast("double").alias("severity"),
+        ),
+        cycle.select(
+            F.lit("round_trip").alias("alert_type"),
+            F.col("a_id").alias("entity_id"),
+            F.col("cycle_amount").cast("double").alias("severity"),
+        ),
+        synth.select(
+            F.lit("synth_id").alias("alert_type"),
+            F.col("id0").alias("entity_id"),
+            F.col("synth_score").cast("double").alias("severity"),
+        ),
+        risk.filter(F.col("risk_score") >= RISK_ALERT_THRESHOLD).select(
+            F.lit("risk_prop").alias("alert_type"),
+            F.col("id").alias("entity_id"),
+            F.col("risk_score").cast("double").alias("severity"),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
