@@ -42,11 +42,13 @@ def tfidf_exact_cosine_pairs(
     Scale posture: everything is keyed aggregation/equi-joins — token
     counts shuffle on (doc, token), document frequencies on token, and
     the dot product joins pair x token only for CANDIDATE pairs (LSH/
-    blocking-bounded, never the cartesian). The corpus size N enters
-    as a 1-row aggregate cross-joined in (broadcast), not a driver
-    collect. Unlike HashingTF there IS a vocabulary-sized table here,
-    but it is never broadcast — idf joins back to the token table by
-    key, so at 100 TB it just shuffles like any other fact."""
+    blocking-bounded, never the cartesian). The corpus size N is one
+    driver-side scalar ``count()`` (parquet answers count-star from
+    row-group metadata) folded in as a literal — a 1-row cross join
+    would plan as BroadcastNestedLoopJoin and trip the no-BNLJ plan
+    gate. Unlike HashingTF there IS a vocabulary-sized table here, but
+    it is never broadcast — idf joins back to the token table by key,
+    so at 100 TB it just shuffles like any other fact."""
     from anti_money_laundering_spark.functions import tokens_sql
 
     toks = (
@@ -57,14 +59,13 @@ def tfidf_exact_cosine_pairs(
         .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    n = docs.count()
     idf = (
         toks.groupBy("token")
         .agg(F.count_distinct("doc").alias("df"))
-        .crossJoin(n)
         .select(
             "token",
-            (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+            (F.log((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
         )
     )
     w = toks.join(idf, "token").select(

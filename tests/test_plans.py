@@ -123,3 +123,36 @@ def test_events_range_filter_prunes_row_groups(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pushed
+
+
+def test_graph_algorithms_no_cartesian(spark, sf_dir):
+    """Triangle enumeration and LPA candidate generation are pure
+    equi-joins on vertex keys — never a cartesian/nested-loop."""
+    for name in ("graph_triangle_count", "graph_label_propagation"):
+        plan = explain_str(CATALOG[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    plan = explain_str(CATALOG["exists_correlated_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    """The static customer dim is small by construction at fixture SF —
+    the enrichment join must be a broadcast hash join (on a stream this
+    repeats per micro-batch with no state store)."""
+    plan = explain_str(CATALOG["stream_static_enrich"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_exact_pairs_no_cartesian(spark, sf_dir):
+    """The vocabulary-explicit TF-IDF path joins pair x token only for
+    LSH-bounded candidates and joins the idf table BY KEY — no
+    cartesian, no nested-loop, no Python UDF."""
+    plan = explain_str(CATALOG["tfidf_exact_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
