@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from anti_money_laundering_spark.graph.algorithms import (
     label_propagation,
     shortest_paths,
+    strongly_connected_components,
     triangle_count,
 )
 from anti_money_laundering_spark.graph.components import connected_components
@@ -93,5 +94,6 @@ __all__ = [
     "pregel",
     "risk_propagation",
     "shortest_paths",
+    "strongly_connected_components",
     "triangle_count",
 ]

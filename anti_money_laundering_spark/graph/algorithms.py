@@ -25,7 +25,12 @@ from pyspark.sql.window import Window
 if TYPE_CHECKING:
     from anti_money_laundering_spark.graph import Graph
 
-__all__ = ["triangle_count", "shortest_paths", "label_propagation"]
+__all__ = [
+    "triangle_count",
+    "shortest_paths",
+    "label_propagation",
+    "strongly_connected_components",
+]
 
 
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -123,6 +128,88 @@ def shortest_paths(
             break
         prev = cur
     return dist
+
+
+def _min_reach_labels(verts: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
+    """(id, label) where label = min vertex id that can REACH id along
+    directed ``edges`` (including id itself) — min-label propagation
+    src→dst to fixpoint, same one-job-per-round discipline as
+    connected components (lazy checkpoint + monotone label-sum
+    fixpoint)."""
+    labels = verts.withColumn("label", F.col("id")).localCheckpoint(eager=False)
+
+    def _sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _sum(labels)
+    for _ in range(max_iter):
+        incoming = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        labels = (
+            labels.select("id", "label")
+            .union(incoming)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        cur = _sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def strongly_connected_components(graph: "Graph", max_outer: int = 25) -> DataFrame:
+    """``(id, scc_id)`` with scc_id = min member id of each STRONGLY
+    connected component (directed mutual reachability) — GraphFrames
+    ``stronglyConnectedComponents`` with portable deterministic labels.
+
+    Forward-backward peeling (the Pregel-style FW-BW coloring): each
+    outer round computes fwd(v) = min vertex reaching v and bwd(v) =
+    min vertex reachable from v over the REMAINING subgraph; vertices
+    with fwd(v) == bwd(v) == m are exactly SCC(m) for every such
+    settled pivot m (v and m reach each other), so at least the SCC of
+    the minimal remaining vertex settles per round — usually many at
+    once. Settled vertices and their edges peel off and the loop
+    repeats on the residual graph.
+
+    Scale shape: two min-label propagation loops (forward + reversed
+    edges) per outer round — each the same join+min-agg shuffle as
+    connected components — plus one anti-join peel; everything keyed
+    on vertex id, lineage checkpointed. Outer rounds = number of
+    "SCC levels" peeled, typically ≪ vertex count on real graphs.
+    """
+    edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    remaining = graph.vertices.select("id").distinct().localCheckpoint(eager=False)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    done: DataFrame | None = None
+    for _ in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            break
+        # restrict edges to the remaining subgraph
+        ids = remaining.select(F.col("id").alias("src"))
+        e_f = edges.join(ids, "src").join(
+            remaining.select(F.col("id").alias("dst")), "dst"
+        ).select("src", "dst")
+        e_b = rev.join(ids, "src").join(
+            remaining.select(F.col("id").alias("dst")), "dst"
+        ).select("src", "dst")
+        fwd = _min_reach_labels(remaining, e_f, max_iter=100)
+        bwd = _min_reach_labels(remaining, e_b, max_iter=100)
+        settled = (
+            fwd.join(bwd.withColumnRenamed("label", "__b"), "id")
+            .filter(F.col("label") == F.col("__b"))
+            .select("id", F.col("label").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        done = settled if done is None else done.unionByName(settled)
+        remaining = remaining.join(settled.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    assert done is not None
+    return done
 
 
 def label_propagation(graph: "Graph", max_iter: int = 3) -> DataFrame:

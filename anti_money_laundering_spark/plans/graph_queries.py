@@ -484,3 +484,38 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.graph import label_propagation
 
     return label_propagation(flow_graph(spark, sf_dir), max_iter=3)
+
+
+@register(
+    "graph_scc",
+    tags=("G-ext", "G4", "G7"),
+    # mutual-reachability closure: scc_id = min over {self} ∪ {other :
+    # id→other and other→id}. The flow graph's vertex set is small-by-
+    # construction (user ids), so the closure CTE is cheap for the
+    # oracle even at sf0.1; the engine side never materializes it.
+    oracle=f"""
+    WITH RECURSIVE e AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a AS id, r1.b AS other
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+    )
+    SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc_id
+    FROM verts v LEFT JOIN mutual m ON m.id = v.id
+    GROUP BY v.id
+    """,
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed transaction-flow
+    graph (GraphFrames stronglyConnectedComponents parity,
+    deterministic min-member labels): the money-cycling cores where
+    every account can route funds to every other — round-tripping's
+    transitive generalization."""
+    from anti_money_laundering_spark.graph import strongly_connected_components
+
+    return strongly_connected_components(flow_graph(spark, sf_dir))

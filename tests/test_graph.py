@@ -165,3 +165,13 @@ def test_label_propagation_disjoint_triangles(spark):
     gr = g(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
     out = {r.id: r.label for r in label_propagation(gr, max_iter=3).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_scc_two_cycles_one_bridge(spark):
+    from anti_money_laundering_spark.graph import strongly_connected_components
+
+    # cycle {1,2,3}, cycle {4,5}, directed bridge 3->4 (no way back),
+    # plus dead-end vertex 6: three SCCs + a singleton
+    gr = g(spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (5, 6)])
+    out = {r.id: r.scc_id for r in strongly_connected_components(gr).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
