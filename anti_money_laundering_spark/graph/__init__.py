@@ -84,6 +84,45 @@ class Graph:
     def find(self, pattern: str) -> DataFrame:
         return find_motif(self, pattern)
 
+    # -- GraphFrames aggregateMessages parity: the one-shot message
+    # primitive Pregel supersteps are built from.
+    def aggregate_messages(
+        self,
+        agg: F.Column,
+        to_dst: F.Column | None = None,
+        to_src: F.Column | None = None,
+    ) -> DataFrame:
+        """One round of message passing: for each edge, send ``to_dst``
+        to the destination vertex and/or ``to_src`` to the source, then
+        aggregate all messages per receiving vertex with ``agg`` (an
+        aggregate over the ``msg`` column). Message expressions
+        reference ``edge``/``src``/``dst`` structs — e.g.
+        ``F.col("edge.amount")``, ``F.col("src.risk")`` (GraphFrames
+        AggregateMessages convention).
+
+        Plan shape: edges join vertices (only when a message references
+        src/dst attributes), union of the two message directions, one
+        partial+final aggregation keyed on vertex id — exactly one
+        shuffle beyond the attribute joins.
+        """
+        if to_dst is None and to_src is None:
+            raise ValueError("aggregate_messages: provide to_dst and/or to_src")
+        v, e = self.vertices, self.edges
+        combined = (
+            e.select(F.struct(*e.columns).alias("edge"))
+            .join(v.select(F.struct(*v.columns).alias("src")), F.col("edge.src") == F.col("src.id"))
+            .join(v.select(F.struct(*v.columns).alias("dst")), F.col("edge.dst") == F.col("dst.id"))
+        )
+        parts = []
+        if to_dst is not None:
+            parts.append(combined.select(F.col("dst.id").alias("id"), to_dst.alias("msg")))
+        if to_src is not None:
+            parts.append(combined.select(F.col("src.id").alias("id"), to_src.alias("msg")))
+        msgs = parts[0]
+        for p in parts[1:]:
+            msgs = msgs.unionByName(p)
+        return msgs.groupBy("id").agg(agg.alias("agg_msg"))
+
 
 __all__ = [
     "Graph",

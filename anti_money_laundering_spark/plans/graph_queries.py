@@ -519,3 +519,30 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.graph import strongly_connected_components
 
     return strongly_connected_components(flow_graph(spark, sf_dir))
+
+
+@register(
+    "graph_net_flow",
+    tags=("A5", "G-ext"),
+    oracle=f"""
+    WITH e AS ({FLOW_EDGES_SQL}),
+    m AS (
+        SELECT dst AS id, amount AS msg FROM e
+        UNION ALL
+        SELECT src AS id, -amount AS msg FROM e
+    )
+    SELECT id, round(sum(msg), 2) AS net_flow FROM m GROUP BY id
+    """,
+)
+def graph_net_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net money flow per account via one aggregate_messages round
+    (GraphFrames AggregateMessages parity): each transfer sends
+    +amount to the beneficiary and -amount to the originator; sum per
+    vertex = inflow - outflow, the mule-detection balance signal."""
+    g = flow_graph(spark, sf_dir)
+    out = g.aggregate_messages(
+        agg=F.sum("msg"),
+        to_dst=F.col("edge.amount"),
+        to_src=-F.col("edge.amount"),
+    )
+    return out.select("id", F.round("agg_msg", 2).alias("net_flow"))

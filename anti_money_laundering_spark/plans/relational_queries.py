@@ -466,6 +466,35 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame_1h",
+    tags=("W-ext",),
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+               AS value_1h
+    FROM events
+    """,
+)
+def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling window: each event's trailing-1-hour value
+    total per user — the AML velocity rule itself ("> $X within an
+    hour"), computed with a value-based frame over microsecond event
+    time (a ROWS frame would count events, not time). One shuffle on
+    (user_id), one sort, same as any window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("value_1h")
+    )
+
+
+@register(
     "window_lag_lead_velocity",
     tags=("W-ext",),
     oracle="""

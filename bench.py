@@ -26,7 +26,7 @@ from anti_money_laundering_spark.plans.catalog import get_catalog  # noqa: E402
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
 
 
 def _sf_from_dir(path: str) -> float:
