@@ -175,3 +175,18 @@ def test_scc_two_cycles_one_bridge(spark):
     gr = g(spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (5, 6)])
     out = {r.id: r.scc_id for r in strongly_connected_components(gr).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_aggregate_messages_both_directions(spark):
+    from anti_money_laundering_spark.graph import Graph
+
+    v = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 0.0)], "id long, risk double")
+    e = spark.createDataFrame([(1, 2, 10.0), (2, 3, 4.0)], "src long, dst long, amount double")
+    g = Graph(v, e)
+    # dst receives edge amount + src's risk; src receives -amount
+    out = {r.id: r.agg_msg for r in g.aggregate_messages(
+        agg=F.sum("msg"),
+        to_dst=F.col("edge.amount") + F.col("src.risk"),
+        to_src=-F.col("edge.amount"),
+    ).collect()}
+    assert out == {1: -10.0, 2: (10.0 + 5.0) - 4.0, 3: 4.0 + 7.0}
