@@ -11,6 +11,7 @@ localCheckpoint (SURVEY §4 O5).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -91,6 +92,8 @@ class Graph:
         agg: F.Column,
         to_dst: F.Column | None = None,
         to_src: F.Column | None = None,
+        uses_src: bool | None = None,
+        uses_dst: bool | None = None,
     ) -> DataFrame:
         """One round of message passing: for each edge, send ``to_dst``
         to the destination vertex and/or ``to_src`` to the source, then
@@ -100,24 +103,55 @@ class Graph:
         ``F.col("edge.amount")``, ``F.col("src.risk")`` (GraphFrames
         AggregateMessages convention).
 
-        Plan shape: edges join vertices (only when a message references
-        src/dst attributes), union of the two message directions, one
-        partial+final aggregation keyed on vertex id — exactly one
-        shuffle beyond the attribute joins.
+        Plan shape: the ``src``/``dst`` vertex-attribute join happens
+        ONLY when a message expression actually references that struct
+        — edge-only messages (e.g. net flow sending ±``edge.amount``)
+        plan with ZERO vertex joins, so the whole round is one
+        partial+final aggregation keyed on vertex id. Struct usage is
+        detected from the message expressions' string form;
+        ``uses_src``/``uses_dst`` override the detection for
+        expressions whose repr hides the reference (e.g. a column
+        captured through a UDF).
+
+        NB when a vertex join is skipped, edges are trusted to be
+        endpoint-closed over the vertex set (the ``Graph`` invariant);
+        the joins previously doubled as a membership filter, so a
+        dangling edge now delivers to its raw endpoint id. Pass
+        ``uses_src=True``/``uses_dst=True`` to force the join (and its
+        filtering) on graphs with dangling edges.
         """
         if to_dst is None and to_src is None:
             raise ValueError("aggregate_messages: provide to_dst and/or to_src")
+
+        def _refs(name: str) -> bool:
+            # `src.`/`dst.` as a standalone struct root — `edge.src` (the
+            # edge's own endpoint field) must not count as a vertex ref.
+            pat = re.compile(rf"(?:^|[^.\w`]){name}`?\.")
+            return any(
+                pat.search(str(m)) is not None for m in (to_dst, to_src) if m is not None
+            )
+
+        needs_src = uses_src if uses_src is not None else _refs("src")
+        needs_dst = uses_dst if uses_dst is not None else _refs("dst")
         v, e = self.vertices, self.edges
-        combined = (
-            e.select(F.struct(*e.columns).alias("edge"))
-            .join(v.select(F.struct(*v.columns).alias("src")), F.col("edge.src") == F.col("src.id"))
-            .join(v.select(F.struct(*v.columns).alias("dst")), F.col("edge.dst") == F.col("dst.id"))
-        )
+        combined = e.select(F.struct(*e.columns).alias("edge"))
+        if needs_src:
+            combined = combined.join(
+                v.select(F.struct(*v.columns).alias("src")),
+                F.col("edge.src") == F.col("src.id"),
+            )
+        if needs_dst:
+            combined = combined.join(
+                v.select(F.struct(*v.columns).alias("dst")),
+                F.col("edge.dst") == F.col("dst.id"),
+            )
+        # Receiver ids come from the edge itself (equal to the joined
+        # struct's id when the join happened, available either way).
         parts = []
         if to_dst is not None:
-            parts.append(combined.select(F.col("dst.id").alias("id"), to_dst.alias("msg")))
+            parts.append(combined.select(F.col("edge.dst").alias("id"), to_dst.alias("msg")))
         if to_src is not None:
-            parts.append(combined.select(F.col("src.id").alias("id"), to_src.alias("msg")))
+            parts.append(combined.select(F.col("edge.src").alias("id"), to_src.alias("msg")))
         msgs = parts[0]
         for p in parts[1:]:
             msgs = msgs.unionByName(p)

@@ -135,7 +135,15 @@ def _min_reach_labels(verts: DataFrame, edges: DataFrame, max_iter: int) -> Data
     directed ``edges`` (including id itself) — min-label propagation
     src→dst to fixpoint, same one-job-per-round discipline as
     connected components (lazy checkpoint + monotone label-sum
-    fixpoint)."""
+    fixpoint). A pointer-jumping shortcut per round (label :=
+    label(label), valid because reachability is transitive: if m
+    reaches v and l reaches m then l reaches v) gives O(log diameter)
+    convergence, same as the CC loop.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint — a truncated propagation would silently
+    split one reachability class across two labels (ADVICE r3).
+    """
     labels = verts.withColumn("label", F.col("id")).localCheckpoint(eager=False)
 
     def _sum(df: DataFrame):
@@ -152,51 +160,93 @@ def _min_reach_labels(verts: DataFrame, edges: DataFrame, max_iter: int) -> Data
             .union(incoming)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        parent = labels.select(F.col("id").alias("__pid"), F.col("label").alias("__plab"))
+        labels = (
+            labels.join(parent, labels.label == F.col("__pid"), "left")
+            .select("id", F.coalesce("__plab", "label").alias("label"))
             .localCheckpoint(eager=False)
         )
         cur = _sum(labels)
         if cur == prev:
-            break
+            return labels
         prev = cur
-    return labels
+    raise RuntimeError(
+        f"_min_reach_labels did not reach a fixpoint in {max_iter} rounds; "
+        "raise max_iter (labels would be WRONG, not just incomplete, if truncated)"
+    )
 
 
-def strongly_connected_components(graph: "Graph", max_outer: int = 25) -> DataFrame:
+def strongly_connected_components(
+    graph: "Graph", max_outer: int = 25, stats: dict | None = None
+) -> DataFrame:
     """``(id, scc_id)`` with scc_id = min member id of each STRONGLY
     connected component (directed mutual reachability) — GraphFrames
     ``stronglyConnectedComponents`` with portable deterministic labels.
 
-    Forward-backward peeling (the Pregel-style FW-BW coloring): each
-    outer round computes fwd(v) = min vertex reaching v and bwd(v) =
-    min vertex reachable from v over the REMAINING subgraph; vertices
-    with fwd(v) == bwd(v) == m are exactly SCC(m) for every such
-    settled pivot m (v and m reach each other), so at least the SCC of
-    the minimal remaining vertex settles per round — usually many at
-    once. Settled vertices and their edges peel off and the loop
-    repeats on the residual graph.
+    FW-BW-Trim (McLendon et al.): each outer round first TRIMS —
+    iteratively peels vertices with no in-edge or no out-edge within
+    the remaining subgraph, which are necessarily singleton SCCs (a
+    ≥2-vertex SCC needs both directions at every member); on
+    transaction DAGs that's most of the graph, collapsing what would
+    otherwise cost a full FW-BW round per DAG level. Then the FW-BW
+    step: fwd(v) = min vertex reaching v and bwd(v) = min vertex
+    reachable from v over the remaining subgraph; vertices with
+    fwd(v) == bwd(v) == m are exactly SCC(m) for every such settled
+    pivot m, so at least the SCC of the minimal remaining vertex
+    settles per round — usually many at once. Settled vertices and
+    their edges peel off and the loop repeats on the residual graph.
 
-    Scale shape: two min-label propagation loops (forward + reversed
-    edges) per outer round — each the same join+min-agg shuffle as
-    connected components — plus one anti-join peel; everything keyed
-    on vertex id, lineage checkpointed. Outer rounds = number of
-    "SCC levels" peeled, typically ≪ vertex count on real graphs.
+    Scale shape: trim is semi/anti-joins keyed on vertex id; FW-BW is
+    two min-label propagation loops (forward + reversed edges) per
+    outer round — each the same join+min-agg shuffle as connected
+    components, with pointer jumping for O(log diameter) rounds —
+    plus one anti-join peel; lineage checkpointed throughout.
+
+    Raises ``RuntimeError`` if ``max_outer`` rounds leave vertices
+    unsettled — previously they were silently absent from the output
+    (ADVICE r3). ``stats`` (optional dict) receives ``outer_rounds``,
+    ``trim_rounds``, ``trim_peeled`` for scale diagnostics (SCALE.md).
     """
-    edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    remaining = graph.vertices.select("id").distinct().localCheckpoint(eager=False)
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    done: DataFrame | None = None
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    remaining = graph.vertices.select("id").distinct().localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    outer_rounds = trim_rounds = trim_peeled = 0
     for _ in range(max_outer):
+        # Trim: peel trivial SCCs until none remain, re-restricting the
+        # edge set as peels expose new source/sink vertices.
+        while True:
+            e_r = (
+                edges.join(remaining.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(remaining.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+            nontrivial = (
+                remaining.join(
+                    e_r.select(F.col("src").alias("id")).distinct(), "id", "left_semi"
+                )
+                .join(e_r.select(F.col("dst").alias("id")).distinct(), "id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trivial = remaining.join(nontrivial, "id", "left_anti").localCheckpoint(eager=True)
+            n_triv = trivial.count()
+            if n_triv == 0:
+                break
+            trim_rounds += 1
+            trim_peeled += n_triv
+            parts.append(trivial.select("id", F.col("id").alias("scc_id")))
+            remaining = nontrivial
         if remaining.limit(1).count() == 0:
             break
-        # restrict edges to the remaining subgraph
-        ids = remaining.select(F.col("id").alias("src"))
-        e_f = edges.join(ids, "src").join(
-            remaining.select(F.col("id").alias("dst")), "dst"
-        ).select("src", "dst")
-        e_b = rev.join(ids, "src").join(
-            remaining.select(F.col("id").alias("dst")), "dst"
-        ).select("src", "dst")
-        fwd = _min_reach_labels(remaining, e_f, max_iter=100)
+        outer_rounds += 1
+        e_b = e_r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        fwd = _min_reach_labels(remaining, e_r, max_iter=100)
         bwd = _min_reach_labels(remaining, e_b, max_iter=100)
         settled = (
             fwd.join(bwd.withColumnRenamed("label", "__b"), "id")
@@ -204,12 +254,27 @@ def strongly_connected_components(graph: "Graph", max_outer: int = 25) -> DataFr
             .select("id", F.col("label").alias("scc_id"))
             .localCheckpoint(eager=True)
         )
-        done = settled if done is None else done.unionByName(settled)
+        parts.append(settled)
         remaining = remaining.join(settled.select("id"), "id", "left_anti").localCheckpoint(
             eager=True
         )
-    assert done is not None
-    return done
+    else:
+        if remaining.limit(1).count() != 0:
+            raise RuntimeError(
+                f"strongly_connected_components left vertices unsettled after "
+                f"{max_outer} outer rounds; raise max_outer (silently dropping "
+                "them would return an incomplete result)"
+            )
+    if stats is not None:
+        stats.update(
+            outer_rounds=outer_rounds, trim_rounds=trim_rounds, trim_peeled=trim_peeled
+        )
+    if not parts:
+        return graph.vertices.select("id", F.col("id").alias("scc_id")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def label_propagation(graph: "Graph", max_iter: int = 3) -> DataFrame:

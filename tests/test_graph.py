@@ -177,6 +177,37 @@ def test_scc_two_cycles_one_bridge(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_scc_long_chain_trims_in_zero_fwbw_rounds(spark):
+    """A directed chain of 60 singleton SCCs previously exceeded
+    max_outer=25 and SILENTLY dropped the tail (ADVICE r3). The trim
+    pre-pass peels the whole chain without a single FW-BW round."""
+    from anti_money_laundering_spark.graph import strongly_connected_components
+
+    gr = g(spark, [(i, i + 1) for i in range(1, 60)])
+    stats: dict = {}
+    out = {r.id: r.scc_id for r in strongly_connected_components(gr, stats=stats).collect()}
+    assert out == {i: i for i in range(1, 61)}
+    assert stats["outer_rounds"] == 0
+    assert stats["trim_peeled"] == 60
+
+
+def test_scc_raises_when_outer_rounds_exhausted(spark):
+    """Non-trivial SCCs survive trim; a chain of 2-cycles settles one
+    SCC per FW-BW round, so max_outer=2 on 4 cycles must raise rather
+    than return an incomplete result."""
+    from anti_money_laundering_spark.graph import strongly_connected_components
+
+    edges = []
+    for i in range(4):
+        a, b = 10 * i + 1, 10 * i + 2
+        edges += [(a, b), (b, a)]
+        if i:
+            edges.append((10 * (i - 1) + 1, a))
+    gr = g(spark, edges)
+    with pytest.raises(RuntimeError, match="unsettled"):
+        strongly_connected_components(gr, max_outer=2)
+
+
 def test_aggregate_messages_both_directions(spark):
     from anti_money_laundering_spark.graph import Graph
 

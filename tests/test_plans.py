@@ -134,6 +134,15 @@ def test_graph_algorithms_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_aggregate_messages_edge_only_skips_vertex_joins(spark, sf_dir):
+    """graph_net_flow sends only edge.amount — neither vertex-attribute
+    join may appear: the whole round is one aggregation keyed on
+    vertex id (flow_graph edges are scan+project, so the plan must
+    contain no join operator at all)."""
+    plan = explain_str(CATALOG["graph_net_flow"].fn(spark, sf_dir))
+    assert "Join" not in plan
+
+
 def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
     plan = explain_str(CATALOG["exists_correlated_suppliers"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
