@@ -270,12 +270,16 @@ def term_frequencies(df: DataFrame, col: str, min_count: int = 1) -> DataFrame:
     'John Smith' is weaker evidence than on a rare name.
 
     ``min_count`` floors the table: values seen fewer times are
-    dropped (their pairs fall back to the level's baseline u in
-    :func:`score_pairs`, which is where rare values sit anyway —
-    tf < min_count/N ≈ u). The floor is what BOUNDS the table at
-    scale: one row per *distinct* value of a name/address column is
-    itself a huge table on a 100 TB corpus, but the rows that survive
-    ``n >= min_count`` number at most N/min_count by construction.
+    dropped and their pairs fall back to the level's baseline u in
+    :func:`score_pairs`. NB this is a deliberate DEVIATION from
+    Splink, which keeps every value: a singleton's tf = 1/N sits far
+    BELOW u, so TF adjustment on rare values is the STRONGEST
+    agreement evidence — flooring down-weights exactly those matches
+    (ADVICE r3). The trade is scale: one row per *distinct* value of a
+    name/address column is itself a huge table on a 100 TB corpus, but
+    the rows surviving ``n >= min_count`` number at most N/min_count
+    by construction. Default ``min_count=1`` keeps Splink semantics;
+    opt into the floor when the TF table itself is a scale hazard.
     Frequencies stay relative to ALL non-null rows (the denominator is
     computed before the floor), so surviving values' tf is unchanged.
     """
@@ -362,16 +366,17 @@ def link_dedupe(
     tf_adjust: bool = True,
     tol: float = 1e-5,
     param_round: int | None = None,
-    tf_min_count: int = 2,
+    tf_min_count: int = 1,
 ) -> DataFrame:
     """End-to-end dedupe linkage (the reference's Splink(settings, df)
     + get_scored_comparisons(), 03:56-58): block -> gamma -> EM ->
     score. Returns the scored pair table. ``tol=0.0`` forces exactly
     ``max_iter`` EM iterations (deterministic, oracle-replayable);
     ``param_round`` rounds fitted params before scoring.
-    ``tf_min_count`` floors the TF tables (bounded by construction —
-    singleton values keep the baseline u, which is where their tf sits
-    anyway; Splink's practical behavior)."""
+    ``tf_min_count`` > 1 floors the TF tables to bound them at scale —
+    a documented deviation from Splink that down-weights rare-value
+    agreement (see :func:`term_frequencies`); the default keeps
+    Splink's keep-every-value semantics."""
     compare_cols = list(dict.fromkeys(c.tf_col or c.name for c in comparisons))
     pairs = candidate_pairs(df, unique_id, blocking_rules, compare_cols=compare_cols)
     gammas = gamma_table(pairs, comparisons)

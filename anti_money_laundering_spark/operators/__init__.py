@@ -171,6 +171,13 @@ def range_join(
     is a wider ``bucket_width_seconds``, a global choice because
     points and intervals must agree on the bucketing. The check is a
     codegen'd per-row expression (no extra pass over the data).
+
+    Degenerate intervals: a NULL ``lo`` or ``hi`` is a NO-MATCH (the
+    row joins nothing — same outcome as exploding sequence(NULL,…),
+    but explicit, and the error message can no longer be nulled out by
+    the very NULL it reports); an inverted interval (``hi`` bucket <
+    ``lo`` bucket) raises — F.sequence would otherwise emit a
+    DESCENDING bucket list and silently join wrong buckets (ADVICE r3).
     """
     bw = bucket_width_seconds
     def _bucket(col: str) -> Column:
@@ -180,25 +187,29 @@ def range_join(
             F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1_000_000 * bw)
         ).cast("long")
 
-    guarded_hi = F.when(
-        _bucket(hi) - _bucket(lo) < F.lit(max_buckets_per_interval), _bucket(hi)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"range_join: interval [{lo}, {hi}) spans >= "
-                    f"{max_buckets_per_interval} buckets of {bw}s — widen "
-                    "bucket_width_seconds (interval lo="
-                ),
-                F.col(lo).cast("string"),
-                F.lit(", hi="),
-                F.col(hi).cast("string"),
-                F.lit(")"),
+    b_lo, b_hi = _bucket(lo), _bucket(hi)
+    lo_s = F.coalesce(F.col(lo).cast("string"), F.lit("NULL"))
+    hi_s = F.coalesce(F.col(hi).cast("string"), F.lit("NULL"))
+
+    def _fail(prefix: str) -> Column:
+        return F.raise_error(
+            F.concat(F.lit(prefix), lo_s, F.lit(", hi="), hi_s, F.lit(")"))
+        ).cast("array<long>")
+
+    buckets = (
+        F.when(b_lo.isNull() | b_hi.isNull(), F.array().cast("array<long>"))
+        .when(b_hi < b_lo, _fail(f"range_join: inverted interval [{lo}, {hi}) (lo="))
+        .when(b_hi - b_lo < F.lit(max_buckets_per_interval), F.sequence(b_lo, b_hi))
+        .otherwise(
+            _fail(
+                f"range_join: interval [{lo}, {hi}) spans >= "
+                f"{max_buckets_per_interval} buckets of {bw}s — widen "
+                "bucket_width_seconds (lo="
             )
-        ).cast("long")
+        )
     )
     l_b = left.withColumn("__bucket", _bucket(point))
-    r_b = right.withColumn("__bucket", F.explode(F.sequence(_bucket(lo), guarded_hi)))
+    r_b = right.withColumn("__bucket", F.explode(buckets))
     return (
         l_b.join(r_b, [*by, "__bucket"])
         .filter((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))

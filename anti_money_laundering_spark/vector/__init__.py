@@ -378,8 +378,16 @@ def ann_ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    debug: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    ``debug`` (optional dict) receives the intermediate ``assigned``
+    (neighbor_id, list_id) and ``probes`` (query_id, list_id)
+    DataFrames so tests can replay the candidates-scored contract:
+    every returned neighbor lies in a probed list AND each query's
+    result is exactly the top-k of its probed-list union
+    (tests/test_vector.py::test_ivf_candidates_scored_contract).
 
     An MLlib KMeans (cosine distance) partitions the corpus into
     ``n_lists`` inverted lists; each query scores only the lists of its
@@ -432,6 +440,9 @@ def ann_ivf_topk(
         .filter(F.col("__pr") <= n_probe)
         .select("query_id", "list_id")
     )
+    if debug is not None:
+        debug["assigned"] = assigned
+        debug["probes"] = probes
     # The probe join fans each query out to every row of its n_probe
     # lists — ids only through that join; each candidate pair fetches
     # its two vectors once via equi-joins before rescoring (same

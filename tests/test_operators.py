@@ -110,6 +110,32 @@ def test_range_join_guards_pathological_fanout(spark, trades):
     assert {r.tid for r in wide.collect()} == {"a", "b", "c", "d"}
 
 
+def test_range_join_null_bounds_no_match(spark, trades):
+    """NULL lo/hi intervals match nothing (explicitly, not via
+    sequence(NULL,...) luck) and never trip the fan-out guard with a
+    NULL error message."""
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(10), "w1"), (1, None, ts(30), "wn"), (1, ts(0), None, "wm")],
+        "sym long, lo timestamp, hi timestamp, tag string",
+    )
+    out = {(r.tid, r.tag) for r in
+           range_join(trades, intervals, by=["sym"], point="ts", lo="lo", hi="hi",
+                      bucket_width_seconds=300).collect()}
+    assert out == {("a", "w1"), ("b", "w1")}
+
+
+def test_range_join_inverted_interval_raises(spark, trades):
+    """hi < lo must raise — F.sequence would emit a DESCENDING bucket
+    list and join wrong buckets."""
+    intervals = spark.createDataFrame(
+        [(1, ts(30), ts(0), "bad")],
+        "sym long, lo timestamp, hi timestamp, tag string",
+    )
+    with pytest.raises(Exception, match="inverted interval"):
+        range_join(trades, intervals, by=["sym"], point="ts", lo="lo", hi="hi",
+                   bucket_width_seconds=60).collect()
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from anti_money_laundering_spark.operators import salted_join
     from anti_money_laundering_spark.sources import load_table

@@ -33,3 +33,23 @@ def test_app_id_is_context_scoped(spark):
     # checkpointed tables ARE valid across sibling sessions); only a
     # context restart changes the key.
     assert lq._app_id(spark.newSession()) == lq._app_id(spark)
+
+
+def test_load_table_memo_is_session_scoped(spark, sf_dir):
+    """Temp-view catalogs are per-SESSION: a sibling session must get
+    its own scan DataFrame, not the parent's memoized one — otherwise
+    createOrReplaceTempView registers in the PARENT's catalog and the
+    sibling's spark.sql fails with TABLE_OR_VIEW_NOT_FOUND (ADVICE r3).
+    """
+    from anti_money_laundering_spark.sources import load_table
+
+    parent_df = load_table(spark, sf_dir, "nation")
+    sib = spark.newSession()
+    sib_df = load_table(sib, sf_dir, "nation")
+    assert sib_df is not parent_df
+    # memo still hits within each session
+    assert load_table(sib, sf_dir, "nation") is sib_df
+    # and views registered through the sibling's df resolve in its SQL
+    sib_df.createOrReplaceTempView("__memo_sib_check")
+    assert sib.sql("SELECT count(*) c FROM __memo_sib_check").collect()[0]["c"] > 0
+    sib.catalog.dropTempView("__memo_sib_check")

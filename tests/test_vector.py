@@ -68,7 +68,7 @@ def test_blas_matches_expression_path(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0).limit(10)
     a = {(r.query_id, r.neighbor_id): (r.rank, r.cosine)
-         for r in cosine_topk(queries, emb, k=5).collect()}
+         for r in cosine_topk(queries, emb, k=5, assume_small=True).collect()}
     b = {(r.query_id, r.neighbor_id): (r.rank, r.cosine)
          for r in cosine_topk_blas(queries, emb, k=5).collect()}
     assert set(a) == set(b)
@@ -101,7 +101,7 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     # orderBy before limit: a bare limit() is plan-nondeterministic, so
     # exact and approx could otherwise score different query sets
     queries = emb.filter(F.col("label") == 0).orderBy("vec_id").limit(20)
-    exact = cosine_topk(queries, emb, k=5)
+    exact = cosine_topk(queries, emb, k=5, assume_small=True)
     approx = ann_ivf_topk(queries, emb, k=5, n_lists=16, n_probe=6)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
@@ -114,3 +114,53 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     # every returned pair must be a real corpus pair with correct rank ordering
     for r in approx.collect():
         assert r.rank <= 5 and r.query_id != r.neighbor_id
+
+
+def test_ivf_candidates_scored_contract(spark, sf_dir):
+    """Stronger than a recall floor (which a broken probe join can pass
+    by luck): replay the candidates-scored contract from the fitted
+    quantizer's own assignments. (1) every returned neighbor's list is
+    one of its query's probed lists; (2) each query's result is EXACTLY
+    the top-k of its probed-list union under (cosine desc, neighbor_id)
+    — a probe-join bug (wrong key, dropped list, duplicated pair) fails
+    here even when aggregate recall stays plausible."""
+    from anti_money_laundering_spark.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).orderBy("vec_id").limit(20)
+    dbg: dict = {}
+    approx = ann_ivf_topk(queries, emb, k=5, n_lists=16, n_probe=4, debug=dbg)
+    got = [(r.query_id, r.neighbor_id, r.rank) for r in approx.collect()]
+
+    assigned = {r.neighbor_id: r.list_id for r in dbg["assigned"].collect()}
+    probes: dict = {}
+    for r in dbg["probes"].collect():
+        probes.setdefault(r.query_id, set()).add(r.list_id)
+
+    # (1) membership: returned neighbors come only from probed lists
+    for qid, nid, _ in got:
+        assert assigned[nid] in probes[qid], (qid, nid)
+
+    # (2) exactness: replay top-k over the probed-list union with the
+    # engine's own cosine expression, then compare (qid, nid, rank) sets
+    cand = (
+        dbg["probes"]
+        .join(dbg["assigned"], "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    vv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vv"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    expected = [
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cand.join(qv, "query_id")
+        .join(vv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__vv").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    ]
+    assert sorted(got) == sorted(expected)
