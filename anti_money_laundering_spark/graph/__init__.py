@@ -23,7 +23,10 @@ from anti_money_laundering_spark.graph.algorithms import (
     strongly_connected_components,
     triangle_count,
 )
-from anti_money_laundering_spark.graph.components import connected_components
+from anti_money_laundering_spark.graph.components import (
+    bipartite_components,
+    connected_components,
+)
 from anti_money_laundering_spark.graph.motif import find_motif
 from anti_money_laundering_spark.graph.pregel import pagerank, pregel, risk_propagation
 
@@ -79,8 +82,8 @@ class Graph:
         )
         return Graph(kept, edges)
 
-    def connected_components(self, max_iter: int = 100) -> DataFrame:
-        return connected_components(self, max_iter=max_iter)
+    def connected_components(self, max_iter: int = 100, stats: dict | None = None) -> DataFrame:
+        return connected_components(self, max_iter=max_iter, stats=stats)
 
     def find(self, pattern: str) -> DataFrame:
         return find_motif(self, pattern)
@@ -160,6 +163,7 @@ class Graph:
 
 __all__ = [
     "Graph",
+    "bipartite_components",
     "connected_components",
     "find_motif",
     "label_propagation",

@@ -33,13 +33,30 @@ if TYPE_CHECKING:
 def connected_components(
     graph: "Graph",
     max_iter: int = 100,
+    stats: dict | None = None,
+    join_rounds: bool = False,
 ) -> DataFrame:
     """Return ``(id, component)`` with component = min id reachable.
 
     Treats edges as undirected (the reference's identity graph is
     stored directed entity→attribute but resolved undirected,
     SURVEY §1.3).
+
+    ``stats`` (optional dict) receives ``rounds`` and
+    ``round_seconds`` (wall time of each fixpoint round, which
+    includes the label-sum action that materializes the round's
+    checkpoint) — the drift diagnostics behind SCALE.md §CC.
+
+    ``join_rounds=True`` folds incoming labels with a left join +
+    ``least`` instead of union + re-group — same min, one more shuffle
+    per round (measured +20% wall on the sf0.1 identity graph), but no
+    Union node: Catalyst's Union constraint rewrite crashes
+    (key-not-found at localCheckpoint) when the loop's inputs are
+    themselves checkpointed LogicalRDDs carrying join-derived
+    constraints, which is exactly what :func:`bipartite_components`
+    feeds it. Default stays the faster union form.
     """
+    import time as _time
     edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     # Undirected: propagate labels both ways.
     bi = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -57,18 +74,31 @@ def connected_components(
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels)
+    rounds = 0
+    round_seconds: list[float] = []
     for _ in range(max_iter):
+        _t0 = _time.perf_counter()
         # Labels seen by each vertex via incoming propagation.
-        incoming = (
-            bi.join(labels, bi.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
-        )
-        new_labels = (
-            labels.select("id", "component")
-            .union(incoming)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
+        if join_rounds:
+            incoming_min = (
+                bi.join(labels, bi.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("__inc"))
+            )
+            new_labels = labels.join(incoming_min, "id", "left").select(
+                "id",
+                F.least(F.coalesce("__inc", "component"), "component").alias("component"),
+            )
+        else:
+            incoming = bi.join(labels, bi.src == labels.id).select(
+                F.col("dst").alias("id"), F.col("component")
+            )
+            new_labels = (
+                labels.select("id", "component")
+                .union(incoming)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
         # Pointer jumping: component ids are themselves vertex ids with
         # labels, and labels only decrease — so label(label(u)) <=
         # label(u). One shortcut join per round halves path lengths,
@@ -89,7 +119,121 @@ def connected_components(
         new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = _label_sum(new_labels)
         labels = new_labels
+        rounds += 1
+        round_seconds.append(round(_time.perf_counter() - _t0, 3))
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats.update(rounds=rounds, round_seconds=round_seconds)
     return labels
+
+
+def bipartite_components(
+    graph: "Graph",
+    max_iter: int = 100,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components specialized to BIPARTITE graphs — every
+    edge src→dst crosses from the left class to the right class (the
+    reference's identity graph: person→attribute,
+    01_aml_network_analysis.py:91-109). Output contract identical to
+    :func:`connected_components`: ``(id, component)`` with component =
+    min member id, covering both classes plus isolated vertices.
+
+    Two left vertices are connected iff they share a right neighbor
+    (transitively), so the component structure is fully determined by
+    the RIGHT-projection: per left vertex, star its minimum right
+    neighbor (hub) to its other right neighbors, then run the generic
+    min-label loop on that projected graph only. The iterative state
+    shrinks from |L|+|R| vertices to |R| — at 100 TB the left class is
+    the ~10^10 customer rows while the right class is the distinct
+    attribute values (orders of magnitude fewer), so every fixpoint
+    round shuffles the small side only; the big side is touched by
+    exactly THREE non-iterated shuffles (hub min-groupBy, hub→label
+    join, min-person-per-component groupBy). On the sf0.1 fixture this
+    replaces 5 full-graph rounds with 3 rounds over ~10^2 attribute
+    vertices (SCALE.md §CC).
+
+    The projection preserves components exactly: hub(p)~r edges exist
+    iff person p links r with its hub, so right vertices are connected
+    in the projection iff they're connected through persons in the
+    original; each person belongs to its hub's component; the final
+    label folds the min person id per component into the min right id
+    (component = min over BOTH classes). Bipartiteness is the caller's
+    contract (left ids appear only as src, right ids only as dst);
+    equality with the generic loop is pinned in tests/test_graph.py.
+    """
+    # ONE shuffle over the big edge set: per left vertex, its hub (min
+    # right neighbor) and full right-neighbor set (bounded by per-row
+    # attribute count — a schema constant, not data-sized).
+    per_left = (
+        graph.edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.min("dst").alias("hub"), F.collect_set("dst").alias("__nbrs"))
+        # eager: three consumers (star, right vertex set, left join) —
+        # lazy checkpointing here trips SPARK-lineage pruning under the
+        # inner loop's own checkpoints (key-not-found on materialize)
+        .localCheckpoint(eager=True)
+    )
+    # Checkpoints: the inner loop unions these plans with its own
+    # checkpointed labels; Catalyst's Union constraint rewrite trips
+    # over live explode lineage (key-not-found on the exploded attr),
+    # and the loop would re-derive the projection every round anyway.
+    star = (
+        per_left.select(F.col("hub").alias("src"), F.explode("__nbrs").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    right_vertices = (
+        per_left.select(F.explode("__nbrs").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from anti_money_laundering_spark.graph import Graph as _G
+
+    # join_rounds: the projection inputs are checkpointed LogicalRDDs,
+    # which trip the union form's constraint rewrite (see
+    # connected_components docstring); on the |R|-sized graph the extra
+    # per-round shuffle is noise.
+    right_labels = connected_components(
+        _G(right_vertices, star), max_iter=max_iter, stats=stats, join_rounds=True
+    ).withColumnRenamed("component", "attr_comp")
+
+    # Left vertices inherit their hub's attribute-component; the final
+    # label folds min left id into min right id per component. Every
+    # join against the attribute tables is tiny-side (|R| ≪ |L| is the
+    # reason to use this path) — AQE converts them to broadcasts at
+    # runtime without an unconditional hint.
+    person_comp = (
+        per_left.select(F.col("src").alias("id"), "hub")
+        .join(right_labels.withColumnRenamed("id", "hub"), "hub")
+        .select("id", "attr_comp")
+    )
+    min_person = person_comp.groupBy("attr_comp").agg(F.min("id").alias("__pmin"))
+    label_map = (
+        right_labels.select("attr_comp")
+        .distinct()
+        .join(min_person, "attr_comp", "left")
+        .select(
+            "attr_comp",
+            F.least(F.coalesce("__pmin", F.col("attr_comp")), F.col("attr_comp")).alias(
+                "component"
+            ),
+        )
+    )
+    out = (
+        person_comp.join(label_map, "attr_comp")
+        .select("id", "component")
+        .unionByName(
+            right_labels.join(label_map, "attr_comp").select("id", "component")
+        )
+    )
+    isolated = (
+        graph.vertices.select("id")
+        .distinct()
+        .join(out.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return out.unionByName(isolated)

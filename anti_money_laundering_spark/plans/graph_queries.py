@@ -234,7 +234,14 @@ _CC_REACH_SQL = f"""
 )
 def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the identity graph; label = min member
-    id. Oracle: DuckDB recursive-CTE reachability (min reachable id)."""
+    id. Oracle: DuckDB recursive-CTE reachability (min reachable id).
+
+    Benches the GENERIC min-label loop (the operator any graph shape
+    can use); the bipartite fast path — which at 100 TB iterates over
+    the small attribute projection instead of the full graph — is
+    exercised by synth_id_scores and pinned equal in tests/test_graph.py
+    (at fixture scale its projection overhead exceeds the round
+    savings; SCALE.md §CC has the crossover argument)."""
     return identity_graph(spark, sf_dir).connected_components()
 
 
@@ -258,7 +265,9 @@ def synth_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's synthetic-identity score end-to-end (01:164-228):
     components with >1 person; each person's score = number of other
     members (shared attributes + co-members) in its component."""
-    cc = identity_graph(spark, sf_dir).connected_components()
+    from anti_money_laundering_spark.graph import bipartite_components
+
+    cc = bipartite_components(identity_graph(spark, sf_dir))
     sizes = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("id") < 1000000, 1)).alias("person_ct"),

@@ -153,3 +153,37 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events_stream(doubled).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@register(
+    "stream_interval_join",
+    tags=("STR",),
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the STREAM-STREAM interval join
+    (streaming.interval_join_streams): clicks within one hour after a
+    purchase by the same user. On two real streams the watermarked
+    time-bound condition is what lets the state store evict buffered
+    rows; replay parity in tests/test_streaming.py. The batch plan is
+    one equi-join on user_id with the range as a residual filter."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.streaming import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_join_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    return out.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "tumbling_event_counts",
     "sliding_event_values",
     "session_event_stats",
+    "interval_join_streams",
     "dedup_events_stream",
     "stateful_user_totals",
     "run_stream_to_memory",
@@ -124,6 +125,51 @@ def enrich_events_static(
     """
     d = dim.select(F.col(right_key).alias(left_key), *dim_cols)
     return events.join(d, left_key, "inner")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right
+    events with the same ``key`` whose ``ts`` falls in
+    [left.ts, left.ts + upper) — clicks-within-an-hour-of-purchase,
+    the canonical two-stream AML correlation.
+
+    This is the one Structured-Streaming state shape the façade's
+    other operators don't cover: BOTH sides are streams, so the state
+    store must buffer each side until the other can no longer produce
+    a match. The time-bound join condition plus watermarks on both
+    ``ts`` columns is exactly what lets Spark compute that horizon and
+    evict state — an unconstrained stream-stream join would buffer
+    forever. ``watermark`` must be >= ``upper`` plus the tolerated
+    lateness, since a right row can match a left row up to ``upper``
+    older than it. On batch inputs the identical plan is a plain
+    equi-join with a range residual (one shuffle on ``key``); parity
+    asserted in tests/test_streaming.py.
+
+    Columns are prefixed per side (the two inputs usually share a
+    schema, e.g. two filters of one event stream).
+    """
+    if left.isStreaming:
+        left = left.withWatermark("ts", watermark)
+    if right.isStreaming:
+        right = right.withWatermark("ts", watermark)
+    l = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    lk, rk = f"{left_prefix}{key}", f"{right_prefix}{key}"
+    lts, rts = f"{left_prefix}ts", f"{right_prefix}ts"
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) < F.col(lts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -177,6 +177,37 @@ def test_scc_two_cycles_one_bridge(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_bipartite_components_equals_generic(spark):
+    """The right-projection fast path must reproduce the generic
+    min-label loop exactly: chained stars (persons 1,2 share attr 101;
+    2,3 share 102 -> one component), a separate island, and an
+    isolated vertex."""
+    from anti_money_laundering_spark.graph import bipartite_components
+
+    gr = g(
+        spark,
+        [(1, 101), (1, 102), (2, 102), (2, 103), (3, 103), (7, 201), (8, 201)],
+        vertices=[1, 2, 3, 7, 8, 101, 102, 103, 201, 999],
+    )
+    fast = {r.id: r.component for r in bipartite_components(gr).collect()}
+    generic = {r.id: r.component for r in gr.connected_components().collect()}
+    assert fast == generic
+    assert fast[999] == 999 and fast[3] == 1 and fast[8] == 7
+
+
+def test_bipartite_components_equals_generic_on_identity_fixture(spark, sf_dir):
+    """Catalog parity: connected_components' oracle was written for the
+    generic loop — the fast path must be value-identical on the real
+    identity graph."""
+    from anti_money_laundering_spark.graph import bipartite_components
+    from anti_money_laundering_spark.plans.fixture_graphs import identity_graph
+
+    gr = identity_graph(spark, sf_dir)
+    fast = {r.id: r.component for r in bipartite_components(gr).collect()}
+    generic = {r.id: r.component for r in gr.connected_components().collect()}
+    assert fast == generic
+
+
 def test_scc_long_chain_trims_in_zero_fwbw_rounds(spark):
     """A directed chain of 60 singleton SCCs previously exceeded
     max_outer=25 and SILENTLY dropped the tail (ADVICE r3). The trim

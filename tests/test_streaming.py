@@ -110,6 +110,29 @@ def test_stream_static_join_parity(spark, sf_dir, replay_dir):
     assert _rows(got, cols) == _rows(batch, cols)
 
 
+def test_stream_stream_interval_join_parity(spark, sf_dir, replay_dir):
+    """Stream-stream interval join replayed over 4 micro-batches must
+    equal the batch join: purchases matched to clicks within 1h by the
+    same user, with BOTH sides read from the stream source (two
+    watermarked stream legs → state-store buffered join, the shape the
+    façade's other operators don't exercise)."""
+    from anti_money_laundering_spark.streaming import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = interval_join_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    src = read_events_stream(spark, replay_dir)
+    stream = interval_join_streams(
+        src.filter(F.col("event_type") == "purchase"),
+        read_events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+    )
+    got = run_stream_to_memory(stream, "t_interval_join", output_mode="append")
+    cols = ["l_event_id", "r_event_id", "l_user_id"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
 def test_stream_dedup_drops_real_duplicates(spark):
     """Write the same rows twice across micro-batch files: the
     watermark-bounded dedup must emit each event_id once."""
