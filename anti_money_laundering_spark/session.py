@@ -8,6 +8,7 @@ are oracle-comparable, Arrow for the pandas exchange paths.
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import warnings
 
@@ -66,6 +67,19 @@ def get_spark(
     }
     if extra_conf:
         conf.update(extra_conf)
+    # Delta Lake auto-activation (the reference's storage format,
+    # 01:245, 03:68): when the delta-spark package is importable, wire
+    # the SQL extension + catalog so ``save_table``'s format("delta")
+    # branch runs for real; without it the parquet fallback stays in
+    # effect. Session-start-only confs, so this must happen here, not
+    # at write time — tests/test_pipeline_sources.py gates on the same
+    # importability check.
+    if importlib.util.find_spec("delta") is not None:
+        conf.setdefault("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        conf.setdefault(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
     active = SparkSession.getActiveSession()
     if active is not None:
         # Reuse the live session (driver/pytest own the lifecycle) but
