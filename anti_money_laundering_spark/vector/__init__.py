@@ -256,19 +256,37 @@ def cosine_pairs_blas(
     return vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
+def _hyperplanes(num_planes: int, num_tables: int, dim: int, seed: int = 0) -> np.ndarray:
+    """±1 random hyperplanes, (num_tables*num_planes, dim), fixed-seed
+    RandomState — deterministic and identical wherever regenerated
+    (driver or any executor task), so there is no model to ship."""
+    rng = np.random.RandomState(seed)
+    return rng.choice([-1.0, 1.0], size=(num_tables * num_planes, dim))
+
+
+def _signatures(
+    mat: np.ndarray, planes: np.ndarray, num_planes: int, num_tables: int
+) -> np.ndarray:
+    """Packed per-table bucket signatures, (n, num_tables) int64.
+
+    Bit h of table t = sign of <v, r_{t,h}> (P(bit agrees) =
+    1 - angle/π, Charikar 2002); the whole batch scores against all
+    tables' hyperplanes in ONE numpy GEMM."""
+    bits = (mat @ planes.T > 0).reshape(len(mat), num_tables, num_planes)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    return bits.astype(np.int64) @ weights
+
+
 def table_buckets_udf(num_planes: int, num_tables: int, seed: int = 0):
     """Vectorized random-hyperplane bucketing: a pandas_udf mapping an
     ``array<float|double>`` column to ``array<long>`` of one packed
     ``num_planes``-bit bucket per hash table.
 
-    Bit h of table t = sign of <v, r_{t,h}> with r entries ±1 from a
-    fixed-seed RandomState, generated lazily ONCE per task closure
-    (the first Arrow batch fixes the dimensionality) and reused for
-    every later batch — a few KB of ±1 floats, no fitted model to
-    broadcast, and the fixed seed keeps executors in agreement. The
-    whole batch scores against all tables' hyperplanes in ONE numpy
-    GEMM over the Arrow batch (P(bit agrees) = 1 - angle/π,
-    Charikar 2002)."""
+    Hyperplanes come from :func:`_hyperplanes`, generated lazily ONCE
+    per task closure (the first Arrow batch fixes the dimensionality)
+    and reused for every later batch — a few KB of ±1 floats, no
+    fitted model to broadcast, and the fixed seed keeps executors in
+    agreement."""
     from pyspark.sql.functions import pandas_udf
 
     cache: dict = {}
@@ -278,15 +296,19 @@ def table_buckets_udf(num_planes: int, num_tables: int, seed: int = 0):
         mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
         planes = cache.get("planes")
         if planes is None or planes.shape[1] != mat.shape[1]:
-            rng = np.random.RandomState(seed)
-            planes = rng.choice([-1.0, 1.0], size=(num_tables * num_planes, mat.shape[1]))
+            planes = _hyperplanes(num_planes, num_tables, mat.shape[1], seed)
             cache["planes"] = planes
-        bits = (mat @ planes.T > 0).reshape(len(mat), num_tables, num_planes)
-        weights = 1 << np.arange(num_planes, dtype=np.int64)
-        packed = bits.astype(np.int64) @ weights  # (n, num_tables)
+        packed = _signatures(mat, planes, num_planes, num_tables)  # (n, num_tables)
         return pd.Series(list(packed))
 
     return buckets
+
+
+#: ann_lsh_topk collects the query side for the broadcast-probe-map
+#: fast path when it is at most this many rows (the same bound as
+#: cosine_topk_blas's broadcast query matrix); larger query sets use
+#: the symmetric shuffle formulation.
+LSH_BROADCAST_MAX_QUERIES = 100_000
 
 
 def ann_lsh_topk(
@@ -298,6 +320,7 @@ def ann_lsh_topk(
     num_planes: int = 4,
     num_tables: int = 16,
     multi_probe: bool = True,
+    max_broadcast_queries: int = LSH_BROADCAST_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent hash tables of
     ``num_planes`` hyperplanes each; candidates share a bucket in ANY
@@ -307,8 +330,22 @@ def ann_lsh_topk(
     Recall math: with per-bit agreement p, one table catches a pair
     w.p. ~p^planes (+ planes·p^(planes-1)(1-p) multi-probed); L tables
     make it 1-(1-hit)^L — tune planes to corpus size (bucket
-    occupancy) and tables to recall. Candidate generation is one
-    equi-join shuffle on (tbl, bucket).
+    occupancy) and tables to recall.
+
+    Two physical shapes with IDENTICAL output:
+
+    - **broadcast probe map** (query batch ≤ ``max_broadcast_queries``,
+      the common serving shape): the query signatures become per-table
+      ``bucket -> query-index`` maps broadcast with the (normalized)
+      query matrix; ONE ``mapInPandas`` pass over the corpus hashes
+      each Arrow batch, unions its candidate queries per row, scores
+      only candidate pairs (dense batches use one BLAS GEMM + mask,
+      sparse batches gather pairs and einsum — work stays proportional
+      to candidates) and emits per-batch partial top-k. No shuffle
+      until the final window merge of batches*k rows per query.
+    - **symmetric shuffle** (both sides huge): explode both sides onto
+      (tbl, bucket) and equi-join — candidate generation is one
+      shuffle on the derived key; per-pair rescoring follows.
 
     The defaults (4 planes x 16 tables, multi-probe) are tuned to the
     fixture corpora: per-pair miss probability ~(1-0.47)^16 ≈ 4e-5 at
@@ -321,6 +358,155 @@ def ann_lsh_topk(
     corpus with actual near-duplicate structure (neighbor cosine well
     above the bulk), far fewer tables reach the same recall.
     """
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(q_rows) <= max_broadcast_queries:
+        return _ann_lsh_topk_broadcast(
+            q_rows, vectors, id_col, vec_col, k, num_planes, num_tables, multi_probe,
+            id_type=dict(queries.dtypes)[id_col],
+        )
+    return _ann_lsh_topk_shuffle(
+        queries, vectors, id_col, vec_col, k, num_planes, num_tables, multi_probe
+    )
+
+
+def _ann_lsh_topk_broadcast(
+    q_rows,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_planes: int,
+    num_tables: int,
+    multi_probe: bool,
+    id_type: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Broadcast-probe-map LSH top-k (see :func:`ann_lsh_topk`)."""
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    nq, dim = q_mat.shape
+    planes = _hyperplanes(num_planes, num_tables, dim, seed)
+    sigs = _signatures(q_mat, planes, num_planes, num_tables)  # (nq, T)
+    probe_sigs = [sigs]
+    if multi_probe:
+        probe_sigs += [sigs ^ (1 << h) for h in range(num_planes)]
+    probe_arr = np.stack(probe_sigs, axis=2)  # (nq, T, n_probe)
+    # Per-table bucket -> sorted array of probing query indices. Total
+    # size is nq * T * n_probe int32 entries — bounded by the query
+    # collect guard, independent of 2^num_planes.
+    tables: list[dict[int, np.ndarray]] = []
+    for t in range(num_tables):
+        flat = probe_arr[:, t, :]  # (nq, n_probe)
+        qidx = np.repeat(np.arange(nq, dtype=np.int32), flat.shape[1])
+        buckets = flat.ravel()
+        order = np.argsort(buckets, kind="stable")
+        b_sorted, q_sorted = buckets[order], qidx[order]
+        starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+        bounds = np.r_[starts, len(b_sorted)]
+        tables.append(
+            {
+                int(b_sorted[s]): np.unique(q_sorted[s:e])
+                for s, e in zip(bounds[:-1], bounds[1:])
+            }
+        )
+    q_norm = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+    bc = vectors.sparkSession.sparkContext.broadcast((q_ids, q_norm, tables))
+
+    out_schema = f"query_id {id_type}, neighbor_id {dict(vectors.dtypes)[id_col]}, cosine double"
+
+    def score(batches):
+        ids, qn, tbls = bc.value
+        n_q = len(ids)
+        for pdf in batches:
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vsig = _signatures(v, planes, num_planes, num_tables)  # (B, T)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            n_ids = pdf[id_col].to_numpy()
+            B = len(v)
+            cand: list[np.ndarray] = []
+            total = 0
+            for i in range(B):
+                hits = [
+                    got
+                    for t in range(num_tables)
+                    if (got := tbls[t].get(int(vsig[i, t]))) is not None
+                ]
+                idx = (
+                    np.unique(np.concatenate(hits))
+                    if hits
+                    else np.empty(0, dtype=np.int32)
+                )
+                cand.append(idx)
+                total += idx.size
+            if total == 0:
+                continue
+            if total > 0.25 * B * n_q:
+                # dense: one GEMM, mask non-candidates/self, top-k per query
+                sims = qn @ vn.T  # (nq, B)
+                allowed = np.zeros((n_q, B), dtype=bool)
+                for i, idx in enumerate(cand):
+                    allowed[idx, i] = True
+                allowed &= ids[:, None] != n_ids[None, :]
+                frames = []
+                for qi in range(n_q):
+                    cols = np.flatnonzero(allowed[qi])
+                    if cols.size == 0:
+                        continue
+                    row = sims[qi]
+                    take = cols[np.lexsort((n_ids[cols], -row[cols]))[: min(k, cols.size)]]
+                    frames.append(
+                        pd.DataFrame(
+                            {"query_id": ids[qi], "neighbor_id": n_ids[take], "cosine": row[take]}
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+            else:
+                # sparse: gather candidate pairs, einsum, grouped top-k
+                bi = np.repeat(np.arange(B), [c.size for c in cand])
+                qi = np.concatenate(cand)
+                keep = ids[qi] != n_ids[bi]
+                bi, qi = bi[keep], qi[keep]
+                if bi.size == 0:
+                    continue
+                sims = np.einsum("ij,ij->i", qn[qi], vn[bi])
+                order = np.lexsort((n_ids[bi], -sims, qi))
+                qs = qi[order]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                bounds = np.r_[starts, len(qs)]
+                take = np.concatenate(
+                    [order[s : min(s + k, e)] for s, e in zip(bounds[:-1], bounds[1:])]
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[qi[take]],
+                        "neighbor_id": n_ids[bi[take]],
+                        "cosine": sims[take],
+                    }
+                )
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _ann_lsh_topk_shuffle(
+    queries: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_planes: int,
+    num_tables: int,
+    multi_probe: bool,
+) -> DataFrame:
+    """Symmetric shuffle LSH top-k (see :func:`ann_lsh_topk`): both
+    sides explode onto (tbl, bucket); candidate generation is one
+    equi-join shuffle on the derived key."""
     bucketer = table_buckets_udf(num_planes, num_tables)
     # Candidate generation runs over IDS ONLY: a pair can meet in many
     # (table, probe) combinations, so the bucket join's fan-out must
