@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join", "salted_join"]
+__all__ = ["asof_join", "range_join", "salted_join", "merge_into"]
 
 
 def asof_join(
@@ -214,4 +214,99 @@ def range_join(
         l_b.join(r_b, [*by, "__bucket"])
         .filter((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
         .drop("__bucket")
+    )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    matched_delete: Column | None = None,
+    when_not_matched: str = "insert",
+    validate_unique_source: bool = True,
+) -> DataFrame:
+    """Batch MERGE (upsert): the Delta-Lake ``MERGE INTO`` clause set
+    the reference's sinks imply (every notebook persists Delta —
+    01_aml_network_analysis.py:245, 03_aml_entity_resolution.py:68 —
+    and Delta's headline write op is MERGE), expressed storage-
+    agnostically as ONE full-outer join:
+
+    - source row matches a target row  → target row is UPDATED to the
+      source's values (or DELETED where ``matched_delete`` holds — a
+      Column evaluated against ``source``, e.g. a CDC ``op == 'D'``
+      flag);
+    - source row matches nothing       → INSERTED
+      (``when_not_matched='ignore'`` drops it instead);
+    - target row matches nothing       → kept as-is.
+
+    ``source`` must carry every ``target`` column (extra columns are
+    allowed — e.g. CDC flags — and are not written). Output column
+    order is the target's.
+
+    Duplicate source keys make MERGE non-deterministic (which update
+    wins?), so — like Delta, which fails such merges — a per-row
+    codegen'd check raises when two source rows share a key
+    (``validate_unique_source=False`` skips the count window when the
+    caller has already deduplicated).
+
+    Scale shape: one shuffle per side on the merge keys (plus, when
+    validating, a window count over the source on the SAME keys — the
+    partitioning is produced once and reused by the join); no
+    broadcast assumption — both sides may be huge. The physical
+    rewrite-only-touched-files optimization is the storage layer's job
+    (Delta does it via file pruning); this operator provides the exact
+    row-level semantics.
+    """
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError("when_not_matched must be 'insert'|'ignore'")
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks target columns: {missing}")
+    value_cols = [c for c in target.columns if c not in on]
+
+    s = source
+    if matched_delete is not None:
+        s = s.withColumn("__del", F.coalesce(matched_delete.cast("boolean"), F.lit(False)))
+    else:
+        s = s.withColumn("__del", F.lit(False))
+    if validate_unique_source:
+        w = Window.partitionBy(*on)
+        key_str = F.concat_ws(",", *[F.col(c).cast("string") for c in on])
+        s = s.withColumn("__cnt", F.count(F.lit(1)).over(w)).withColumn(
+            "__del",
+            F.when(
+                F.col("__cnt") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_into: duplicate source rows for key ("),
+                        key_str,
+                        F.lit(") — MERGE requires at most one source row per target row"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("__del")),
+        )
+    s_pack = s.select(
+        *on,
+        F.struct(*[F.col(c).alias(c) for c in value_cols], F.col("__del").alias("__del")).alias(
+            "__s"
+        ),
+    )
+    t_pack = target.select(*on, F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__t"))
+
+    j = t_pack.join(s_pack, on, "full_outer")
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    insert_only = F.col("__t").isNull()
+    keep = F.when(matched, ~F.col("__s.__del")).otherwise(
+        F.when(insert_only, F.lit(when_not_matched == "insert")).otherwise(F.lit(True))
+    )
+    chosen = F.when(F.col("__s").isNotNull(), F.col("__s")).otherwise(
+        # pad __t with a dummy __del so both branches agree on type
+        F.struct(*[F.col(f"__t.{c}").alias(c) for c in value_cols], F.lit(False).alias("__del"))
+    )
+    out = j.filter(keep).select(*on, chosen.alias("__row"))
+    return out.select(
+        *[
+            F.col(c) if c in on else F.col(f"__row.{c}").alias(c)
+            for c in target.columns
+        ]
     )

@@ -95,3 +95,60 @@ def salted_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_join(ev, cust, on=["user_id"], salt=8)
     return out.select("event_id", "user_id", "c_name", F.round("value", 2).alias("value"))
+
+
+@register(
+    "merge_upsert_orders",
+    tags=("OP", "S4"),
+    oracle="""
+    WITH tgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    src AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, 'U' AS op
+        FROM tgt WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
+        FROM tgt WHERE o_orderkey % 97 = 1
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, 'I'
+        FROM tgt WHERE o_orderkey % 97 = 2
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT coalesce(t.o_orderkey IS NOT NULL AND s.op = 'D', FALSE)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO (the write op behind every reference sink,
+    01_aml_network_analysis.py:245, 03_aml_entity_resolution.py:68)
+    exercised end-to-end as one full-outer join: a CDC batch that
+    UPDATEs every 97th order (price bumped), DELETEs the next ones
+    (op='D'), and INSERTs re-keyed copies; unmatched target rows
+    survive untouched. Oracle = the equivalent full-outer-join SQL."""
+    from anti_money_laundering_spark.operators import merge_into
+
+    tgt = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    k = F.col("o_orderkey")
+    upd = tgt.filter(k % 97 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    dele = tgt.filter(k % 97 == 1).withColumn("op", F.lit("D"))
+    ins = tgt.filter(k % 97 == 2).select(
+        (k + F.lit(1000000000)).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        F.lit("I").alias("op"),
+    )
+    source = upd.unionByName(dele).unionByName(ins)
+    return merge_into(tgt, source, on=["o_orderkey"], matched_delete=F.col("op") == "D")

@@ -193,3 +193,65 @@ def test_asof_null_right_column_not_backfilled(spark):
     assert row.ts_matched == ts(10)
     assert row.src_matched == "Y"
     assert row.px_matched is None  # was 10.0 (stale composite row) before the struct fill
+
+
+# ---------------------------------------------------------------------------
+# merge_into (Delta-style MERGE semantics, storage-agnostic)
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixtures(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amount double",
+    )
+    source = spark.createDataFrame(
+        # update id=2, delete id=3 (op=D), insert id=9; op is an extra
+        # CDC column that must not leak into the output
+        [(2, "B2", 25.0, "U"), (3, "c", 30.0, "D"), (9, "z", 90.0, "U")],
+        "id long, name string, amount double, op string",
+    )
+    return target, source
+
+
+def test_merge_into_update_insert_delete(spark):
+    from anti_money_laundering_spark.operators import merge_into
+
+    target, source = _merge_fixtures(spark)
+    out = merge_into(target, source, on=["id"], matched_delete=F.col("op") == "D")
+    assert out.columns == ["id", "name", "amount"]
+    rows = {r.id: (r.name, r.amount) for r in out.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B2", 25.0), 9: ("z", 90.0)}
+
+
+def test_merge_into_ignore_unmatched_source(spark):
+    from anti_money_laundering_spark.operators import merge_into
+
+    target, source = _merge_fixtures(spark)
+    out = merge_into(
+        target, source.filter("op <> 'D'"), on=["id"], when_not_matched="ignore"
+    )
+    rows = {r.id: (r.name, r.amount) for r in out.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B2", 25.0), 3: ("c", 30.0)}
+
+
+def test_merge_into_duplicate_source_keys_raise(spark):
+    from anti_money_laundering_spark.operators import merge_into
+
+    target, _ = _merge_fixtures(spark)
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id long, name string, amount double"
+    )
+    with pytest.raises(Exception, match="duplicate source rows"):
+        merge_into(target, dup, on=["id"]).collect()
+    # opt-out skips the check (caller has deduplicated); last-writer
+    # ambiguity is then the caller's problem — both rows surface
+    assert merge_into(target, dup, on=["id"], validate_unique_source=False).count() == 4
+
+
+def test_merge_into_missing_source_column_raises(spark):
+    from anti_money_laundering_spark.operators import merge_into
+
+    target, source = _merge_fixtures(spark)
+    with pytest.raises(ValueError, match="source lacks target columns"):
+        merge_into(target, source.drop("amount"), on=["id"])

@@ -214,3 +214,37 @@ def test_approx_count_distinct_rsd_bound(spark, sf_dir):
     )
     for r in pairs:
         assert abs(r.approx - r.exact) <= max(5, 0.1 * r.exact), (r.l_suppkey, r.approx, r.exact)
+
+
+def test_merge_table_parquet_fallback(spark, caplog):
+    """Without Delta, merge_table merges via full-outer join and
+    rewrites the managed table (logged downgrade); semantics match
+    operators.merge_into."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.sources import merge_table, save_table
+
+    spark.sql("DROP TABLE IF EXISTS merge_tbl_fallback")
+    save_table(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, amount double"
+        ),
+        "merge_tbl_fallback",
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 25.0, "U"), (9, "z", 90.0, "U")],
+        "id long, name string, amount double, op string",
+    )
+    with caplog.at_level(logging.WARNING):
+        merge_table(spark, "merge_tbl_fallback", src, on=["id"], matched_delete=F.col("op") == "D")
+    try:
+        rows = {r.id: (r.name, r.amount) for r in spark.table("merge_tbl_fallback").collect()}
+        assert rows == {1: ("a", 10.0), 2: ("B", 25.0), 9: ("z", 90.0)}
+        import importlib.util
+
+        if importlib.util.find_spec("delta") is None:
+            assert any("full-outer join" in r.message for r in caplog.records)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_tbl_fallback")
