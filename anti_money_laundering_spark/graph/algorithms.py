@@ -30,6 +30,7 @@ __all__ = [
     "shortest_paths",
     "label_propagation",
     "strongly_connected_components",
+    "k_core",
 ]
 
 
@@ -341,3 +342,56 @@ def label_propagation(graph: "Graph", max_iter: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def k_core(graph: "Graph", k: int, max_iter: int = 50, stats: dict | None = None) -> DataFrame:
+    """The k-core: the maximal subgraph where every vertex has
+    undirected degree >= ``k`` (Seidman 1983) — the standard dense-
+    subnetwork reduction for AML (a mule ring's members each transact
+    with several other members, so rings survive the peel while the
+    long tail of one-off counterparties erodes away). Complements the
+    reference's motif queries (01_aml_network_analysis.py:296-322):
+    motifs find exact shapes, the core finds density without a shape.
+
+    Output: ``(id, core_degree)`` for core members, core_degree = the
+    vertex's degree WITHIN the core. Direction/multiplicity collapse
+    first (:func:`_canonical_undirected`); vertices outside the core
+    (including isolated ones) are absent.
+
+    Iterative peel: drop all vertices with degree < k, recompute,
+    repeat to fixpoint — converges in few rounds because each round
+    removes every currently-underweight vertex at once. Each round is
+    one groupBy(count) + two semi-joins, all keyed on vertex ids;
+    ``localCheckpoint`` truncates loop lineage (SURVEY §4 O5). The
+    edge count is monotonically non-increasing, so the count action
+    that materializes each round's checkpoint doubles as the fixpoint
+    test — no extra job.
+
+    ``stats`` receives ``rounds``. Raises if ``max_iter`` rounds don't
+    reach the fixpoint (never returns a half-peeled subgraph —
+    ADVICE r3's completeness discipline for iterative ops).
+    """
+    und = _canonical_undirected(graph.edges)
+    # both directions: degree = count of incident undirected edges
+    bi = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    bi = bi.localCheckpoint(eager=False)
+    prev_edges = bi.count()
+    rounds = 0
+    for _ in range(max_iter):
+        alive = bi.groupBy("a").count().filter(F.col("count") >= k).select("a")
+        bi = (
+            bi.join(alive, "a", "semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_edges = bi.count()
+        rounds += 1
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    else:
+        raise RuntimeError(f"k_core: no fixpoint after {max_iter} rounds")
+    if stats is not None:
+        stats.update(rounds=rounds)
+    return bi.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("core_degree"))

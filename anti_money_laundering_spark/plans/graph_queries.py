@@ -555,3 +555,59 @@ def graph_net_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_src=-F.col("edge.amount"),
     )
     return out.select("id", F.round("agg_msg", 2).alias("net_flow"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (dense-subnetwork reduction; complements motifs).
+# Oracle: the peel unrolled 8 rounds (fixpoint reached in <=5 on every
+# fixture SF — pinned by test_k_core_converges_within_oracle_rounds —
+# and extra rounds are no-ops, so the unroll is exact).
+# ---------------------------------------------------------------------------
+
+_K_CORE_K = 3
+_K_CORE_ORACLE_ROUNDS = 8
+
+
+def _k_core_oracle_sql(k: int, rounds: int) -> str:
+    # MATERIALIZED: each round references the previous CTE three times
+    # (twice via alive, once directly); inlined, the plan tree grows
+    # 3^rounds copies of the base scan and the optimizer never returns.
+    ctes = [
+        f"""und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""alive{r} AS MATERIALIZED (
+        SELECT a AS id FROM e{r - 1} GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN alive{r} x ON e.a = x.id JOIN alive{r} y ON e.b = y.id
+    )"""
+        )
+    return (
+        f"WITH edges AS ({FLOW_EDGES_SQL}),\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT a AS id, count(*) AS core_degree FROM e{rounds} GROUP BY a"
+    )
+
+
+@register(
+    "graph_k_core",
+    tags=("G-ext", "G3"),
+    oracle=_k_core_oracle_sql(_K_CORE_K, _K_CORE_ORACLE_ROUNDS),
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the transaction flow graph: accounts transacting with
+    >= 3 counterparties that themselves stay in the core — the
+    mule-ring density reduction (rings survive the peel, one-off
+    counterparties erode). Generalizes the reference's degree-1
+    pruning loop (01_aml_network_analysis.py:155-160, G3) from k=1 to
+    arbitrary k."""
+    from anti_money_laundering_spark.graph.algorithms import k_core
+
+    return k_core(flow_graph(spark, sf_dir), k=_K_CORE_K)

@@ -252,3 +252,43 @@ def test_aggregate_messages_both_directions(spark):
         to_src=-F.col("edge.amount"),
     ).collect()}
     assert out == {1: -10.0, 2: (10.0 + 5.0) - 4.0, 3: 4.0 + 7.0}
+
+
+def test_k_core_closed_form(spark):
+    """K4 (clique) + a pendant chain hanging off it: the chain erodes
+    round by round, the clique survives k=3 with core degree 3; k=5
+    empties the graph (raising never: fixpoint reached when all gone)."""
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.algorithms import k_core
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (5, 6), (6, 7)]                           # chain
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    g = Graph(v, e)
+    stats = {}
+    got = {(r.id, r.core_degree) for r in k_core(g, 3, stats=stats).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    assert stats["rounds"] >= 2  # the chain peels over multiple rounds
+    assert k_core(g, 5).count() == 0
+    # degree collapses direction + multiplicity: duplicated/reversed
+    # edges must not inflate degrees into a fake core
+    dup = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    assert {(r.id, r.core_degree) for r in k_core(Graph(v, dup), 3).collect()} == got
+
+
+def test_k_core_converges_within_oracle_rounds(spark, sf_dir):
+    """The graph_k_core oracle unrolls exactly _K_CORE_ORACLE_ROUNDS
+    peel rounds; extra rounds are no-ops AFTER the fixpoint, so the
+    unroll is exact only if Spark's loop actually converges within
+    them. Pin that here (pre-driver checklist: run at every SF)."""
+    from anti_money_laundering_spark.graph.algorithms import k_core
+    from anti_money_laundering_spark.plans.fixture_graphs import flow_graph
+    from anti_money_laundering_spark.plans.graph_queries import (
+        _K_CORE_K,
+        _K_CORE_ORACLE_ROUNDS,
+    )
+
+    stats = {}
+    k_core(flow_graph(spark, sf_dir), k=_K_CORE_K, stats=stats).count()
+    assert stats["rounds"] <= _K_CORE_ORACLE_ROUNDS, stats
