@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 __all__ = [
     "EVENTS_RAW_SCHEMA",
@@ -248,3 +249,57 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def merge_stream_sink(
+    stream_df: DataFrame,
+    table: str,
+    on: list[str],
+    checkpoint_dir: str,
+    latest_by: str | None = None,
+    matched_delete=None,
+):
+    """CDC-to-table streaming ingestion: upsert every micro-batch into
+    a managed table via ``foreachBatch`` + MERGE — the standard
+    Structured-Streaming sink shape for keyed state that outlives the
+    stream (aggregations go to memory/kafka sinks; TABLES take merges).
+
+    ``latest_by`` dedupes each micro-batch to the last row per key
+    (ordered by that column, ties broken arbitrarily-but-
+    deterministically by a final row_number) before merging — a batch
+    replaying CDC history would otherwise trip MERGE's unique-source
+    check. With Delta active the merge rewrites only touched files;
+    the parquet fallback rewrites the table per batch (logged by
+    merge_table).
+
+    Runs with ``availableNow`` (drain the current input, then stop) —
+    the replayable shape batch/stream parity tests need; pass the
+    returned query's ``awaitTermination`` for continuous use.
+    Exactly-once: the checkpoint tracks which files each batch
+    consumed, and the merge itself is idempotent per batch (same keys
+    → same final rows), the foreachBatch at-least-once contract's
+    standard answer.
+    """
+    from anti_money_laundering_spark.sources import merge_table
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df
+        if latest_by is not None:
+            w = Window.partitionBy(*on).orderBy(F.col(latest_by).desc())
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if src.isEmpty():
+            return
+        merge_table(
+            batch_df.sparkSession, table, src, on, matched_delete=matched_delete
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -9,6 +9,7 @@ import tempfile
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.streaming import (
@@ -145,3 +146,54 @@ def test_stream_dedup_drops_real_duplicates(spark):
     stream = dedup_events_stream(read_events_stream(spark, tmp), watermark="10 hours")
     got = run_stream_to_memory(stream, "t_dedup_real", output_mode="append")
     assert got.count() == 10
+
+
+def test_merge_stream_sink_parity(spark, sf_dir, replay_dir):
+    """Streaming CDC upsert: replaying the events files through
+    merge_stream_sink (foreachBatch + MERGE, latest-per-key) must land
+    the table on exactly the batch answer — the last row per user_id
+    by timestamp."""
+    from anti_money_laundering_spark.sources import save_table
+    from anti_money_laundering_spark.streaming import merge_stream_sink
+
+    ev_schema_df = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    spark.sql("DROP TABLE IF EXISTS stream_merge_sink_t")
+    save_table(ev_schema_df.limit(0), "stream_merge_sink_t")
+
+    stream = read_events_stream(spark, replay_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix="merge_sink_ckpt_")
+    q = merge_stream_sink(
+        stream, "stream_merge_sink_t", on=["user_id"], checkpoint_dir=ckpt, latest_by="ts"
+    )
+    q.awaitTermination()
+    try:
+        got = {
+            r.user_id: r.event_id
+            for r in spark.table("stream_merge_sink_t").collect()
+        }
+        expect = {
+            r.user_id: r.event_id
+            for r in ev_schema_df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+                ),
+            )
+            .filter("__rn = 1")
+            .collect()
+        }
+        assert set(got) == set(expect)
+        # ties on ts can pick different event_ids between the replay's
+        # per-batch row_number and the global one; values must agree
+        # wherever the max-ts row is unique
+        ts_counts = (
+            ev_schema_df.groupBy("user_id", "ts").count().filter("count > 1").count()
+        )
+        if ts_counts == 0:
+            assert got == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_merge_sink_t")
