@@ -902,3 +902,38 @@ def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cands = _shared_lsh(spark, sf_dir)
     out = tfidf_cosine_pairs(docs, cands)
     return out.select("id_a", "id_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))
+
+
+_STRAT_BUCKET = _duck_hash_bucket("event_id", "strat-v1", 10000)
+
+
+@register(
+    "stratified_sample_events",
+    tags=("LLM", "sample"),
+    oracle=f"""
+    SELECT event_id, event_type FROM events
+    WHERE {_STRAT_BUCKET} < CASE event_type
+        WHEN 'purchase' THEN 10000
+        WHEN 'signup' THEN 5000
+        WHEN 'click' THEN 1000
+        ELSE 100 END
+    """,
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (hash-based sampleBy): keep
+    all purchases, half the signups, 10% of clicks, 1% of the rest —
+    the class-rebalance shape of training-mix construction, stable
+    across reruns because membership is a pure function of the row
+    key (sampling.stratified_sample)."""
+    from anti_money_laundering_spark.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stratified_sample(
+        ev,
+        key="event_id",
+        strata="event_type",
+        fractions={"purchase": 1.0, "signup": 0.5, "click": 0.1},
+        default_fraction=0.01,
+        salt="strat-v1",
+    )
+    return out.select("event_id", "event_type")

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "assign_split"]
+__all__ = ["hash_bucket", "hash_sample", "assign_split", "stratified_sample"]
 
 #: Buckets for split assignment — 10_000 gives 0.01% assignment
 #: granularity while md5's 32-bit prefix keeps per-bucket skew ~0.
@@ -79,3 +79,38 @@ def assign_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — ``df.sampleBy`` with the
+    hash discipline instead of RNG: each stratum keeps ~its own
+    fraction of rows, reproducibly (rebalancing a training mix across
+    reruns keeps the SAME rows, so downstream caches/dedups stay
+    valid; ``sampleBy`` reshuffles whenever partitioning shifts).
+
+    ``fractions`` maps stratum value (as string) to keep-fraction;
+    unlisted strata keep ``default_fraction``. Pure codegen'd
+    expressions (one CASE over md5 arithmetic) — no shuffle, no RNG,
+    and the scan above it still prunes/pushes down.
+    """
+    strata_col = F.col(strata) if isinstance(strata, str) else strata
+    bucket = hash_bucket(key, buckets, salt)
+    thresh: Column | None = None
+    for value, frac in fractions.items():
+        cond = strata_col.cast("string") == value
+        lim = F.lit(int(frac * buckets))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = (
+        F.lit(int(default_fraction * buckets))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_fraction * buckets)))
+    )
+    return df.filter(bucket < thresh)

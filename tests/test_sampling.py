@@ -62,3 +62,23 @@ def test_hash_bucket_range(spark):
     df = spark.range(1000).select(hash_bucket("id", buckets=7).alias("b"))
     mm = df.agg(F.min("b"), F.max("b")).collect()[0]
     assert mm[0] >= 0 and mm[1] <= 6
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    from anti_money_laundering_spark.sampling import stratified_sample
+    from anti_money_laundering_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    frac = {"purchase": 1.0, "click": 0.2}
+    out = stratified_sample(ev, "event_id", "event_type", frac, default_fraction=0.0)
+    counts = {r.event_type: r["count"] for r in out.groupBy("event_type").count().collect()}
+    totals = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert counts.get("purchase", 0) == totals["purchase"]  # fraction 1.0 keeps all
+    assert set(counts) <= {"purchase", "click"}  # default 0.0 drops the rest
+    got = counts.get("click", 0) / totals["click"]
+    assert 0.1 <= got <= 0.3, got  # ~0.2 within hash-binomial noise
+    # determinism: a second evaluation (different partitioning) keeps the SAME rows
+    again = stratified_sample(
+        ev.repartition(7), "event_id", "event_type", frac, default_fraction=0.0
+    )
+    assert {r.event_id for r in again.collect()} == {r.event_id for r in out.collect()}
