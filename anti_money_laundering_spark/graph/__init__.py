@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.graph.algorithms import (
+    bfs,
     label_propagation,
     shortest_paths,
     strongly_connected_components,
@@ -87,6 +88,9 @@ class Graph:
 
     def find(self, pattern: str) -> DataFrame:
         return find_motif(self, pattern)
+
+    def bfs(self, from_expr, to_expr, max_path_length: int = 10, edge_filter=None) -> DataFrame:
+        return bfs(self, from_expr, to_expr, max_path_length=max_path_length, edge_filter=edge_filter)
 
     # -- GraphFrames aggregateMessages parity: the one-shot message
     # primitive Pregel supersteps are built from.
@@ -163,6 +167,7 @@ class Graph:
 
 __all__ = [
     "Graph",
+    "bfs",
     "bipartite_components",
     "connected_components",
     "find_motif",

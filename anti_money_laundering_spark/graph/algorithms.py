@@ -31,6 +31,7 @@ __all__ = [
     "label_propagation",
     "strongly_connected_components",
     "k_core",
+    "bfs",
 ]
 
 
@@ -395,3 +396,74 @@ def k_core(graph: "Graph", k: int, max_iter: int = 50, stats: dict | None = None
     if stats is not None:
         stats.update(rounds=rounds)
     return bi.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+def bfs(
+    graph: "Graph",
+    from_expr,
+    to_expr,
+    max_path_length: int = 10,
+    edge_filter=None,
+) -> DataFrame:
+    """Breadth-first search: the shortest path(s) from any vertex
+    matching ``from_expr`` to any vertex matching ``to_expr``
+    (graphframes.GraphFrame.bfs — the last piece of the reference's
+    GraphFrames surface, 01_aml_network_analysis.py:78).
+
+    GraphFrames semantics throughout: the search stops at the FIRST
+    level where any path reaches a ``to`` vertex (a GLOBAL minimum —
+    farther from-vertices get no paths); all paths of that length come
+    back, one row per path, columns ``from, e0, v1, e1, …, to``
+    (vertex/edge structs); a vertex matching both expressions yields
+    the level-0 frame ``(from, to)``; no path within
+    ``max_path_length`` yields an empty ``(from, to)`` frame. Paths
+    never revisit a vertex (tracked with a bounded ``__visited``
+    array — length <= max_path_length, a constant, not data-sized).
+
+    Each level is one edge join + one vertex join keyed on ids, with
+    ``localCheckpoint`` cutting loop lineage; the level's hit test is
+    a semi-join against the (lazily checkpointed) ``to``-vertex ids.
+    Path MATERIALIZATION is inherently exponential in dense graphs —
+    at 100 TB use :func:`shortest_paths` (distances only, linear
+    state) unless the paths themselves are the product.
+    """
+    v, e = graph.vertices, graph.edges
+    vstruct = F.struct(*[F.col(c) for c in v.columns])
+    from_v = v.filter(from_expr)
+    to_ids = v.filter(to_expr).select("id").localCheckpoint(eager=False)
+
+    zero = from_v.join(to_ids, "id", "semi")
+    if not zero.isEmpty():
+        return zero.select(vstruct.alias("from"), vstruct.alias("to"))
+
+    edges = e.filter(edge_filter) if edge_filter is not None else e
+    edges = edges.select(
+        F.col("src").alias("__esrc"),
+        F.col("dst").alias("__edst"),
+        F.struct(*[F.col(c) for c in e.columns]).alias("__e"),
+    )
+    vsel = v.select(F.col("id").alias("__vid"), vstruct.alias("__v"))
+    paths = from_v.select(
+        vstruct.alias("from"),
+        F.col("id").alias("__head"),
+        F.array(F.col("id")).alias("__visited"),
+    )
+    for lvl in range(1, max_path_length + 1):
+        step = (
+            paths.join(edges, F.col("__head") == F.col("__esrc"))
+            .join(vsel, F.col("__edst") == F.col("__vid"))
+            .filter(~F.array_contains(F.col("__visited"), F.col("__edst")))
+        )
+        keep = [c for c in paths.columns if c not in ("__head", "__visited")]
+        paths = step.select(
+            *keep,
+            F.col("__e").alias(f"e{lvl - 1}"),
+            F.col("__v").alias(f"v{lvl}"),
+            F.col("__edst").alias("__head"),
+            F.concat(F.col("__visited"), F.array(F.col("__edst"))).alias("__visited"),
+        ).localCheckpoint(eager=False)
+        hits = paths.join(to_ids, paths["__head"] == to_ids["id"], "semi")
+        if not hits.isEmpty():
+            inner = [c for c in hits.columns if c not in ("__head", "__visited")]
+            return hits.select(*inner[:-1], F.col(f"v{lvl}").alias("to"))
+    return from_v.select(vstruct.alias("from"), vstruct.alias("to")).limit(0)

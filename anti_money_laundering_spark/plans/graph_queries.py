@@ -611,3 +611,78 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.graph.algorithms import k_core
 
     return k_core(flow_graph(spark, sf_dir), k=_K_CORE_K)
+
+
+# ---------------------------------------------------------------------------
+# BFS (GraphFrames.bfs parity): shortest path(s) between vertex sets.
+# The oracle mirrors BFS's stop-at-first-level semantics with a
+# level-aware pick: all 1-hop paths if any exist, else all 2-hop paths
+# (the query caps max_path_length at 2; an empty pick means "no path
+# within budget" on BOTH sides, so the compare stays exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_bfs_paths",
+    tags=("G-ext", "G5"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    F AS (SELECT id FROM verts WHERE id % 50 = 12),
+    T AS (SELECT id FROM verts WHERE id % 50 = 36),
+    d1 AS (
+        SELECT f.id AS from_id, e.txn_id AS t1, CAST(NULL AS BIGINT) AS v1_id,
+               CAST(NULL AS BIGINT) AS t2, e.dst AS to_id, 1 AS hops
+        FROM F f JOIN edges e ON e.src = f.id JOIN T t ON e.dst = t.id
+    ),
+    d2 AS (
+        SELECT f.id AS from_id, e1.txn_id AS t1, e1.dst AS v1_id,
+               e2.txn_id AS t2, e2.dst AS to_id, 2 AS hops
+        FROM F f JOIN edges e1 ON e1.src = f.id
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN T t ON e2.dst = t.id
+        WHERE e1.dst <> f.id AND e2.dst <> f.id AND e2.dst <> e1.dst
+    )
+    SELECT * FROM d1
+    UNION ALL
+    SELECT * FROM d2 WHERE NOT EXISTS (SELECT 1 FROM d1)
+    """,
+)
+def graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest transfer path(s) from one account class to another
+    (GraphFrames bfs parity): stops at the first level that reaches a
+    target, returns every path of that length, flattened to fixed
+    columns (1-hop paths carry NULL v1_id/t2)."""
+    from anti_money_laundering_spark.graph.algorithms import bfs
+
+    g = flow_graph(spark, sf_dir)
+    out = bfs(g, F.col("id") % 50 == 12, F.col("id") % 50 == 36, max_path_length=2)
+    null_l = F.lit(None).cast("long")
+    if "v1" in out.columns:  # 2-hop frame: from, e0, v1, e1, to
+        return out.select(
+            F.col("from.id").alias("from_id"),
+            F.col("e0.txn_id").alias("t1"),
+            F.col("v1.id").alias("v1_id"),
+            F.col("e1.txn_id").alias("t2"),
+            F.col("to.id").alias("to_id"),
+            F.lit(2).alias("hops"),
+        )
+    if "e0" in out.columns:  # 1-hop frame: from, e0, to
+        return out.select(
+            F.col("from.id").alias("from_id"),
+            F.col("e0.txn_id").alias("t1"),
+            null_l.alias("v1_id"),
+            null_l.alias("t2"),
+            F.col("to.id").alias("to_id"),
+            F.lit(1).alias("hops"),
+        )
+    # (from, to) frame: level-0 impossible (disjoint mod classes), so
+    # this is the no-path-within-budget empty frame
+    return out.select(
+        F.col("from.id").alias("from_id"),
+        null_l.alias("t1"),
+        null_l.alias("v1_id"),
+        null_l.alias("t2"),
+        F.col("to.id").alias("to_id"),
+        F.lit(0).alias("hops"),
+    )

@@ -292,3 +292,35 @@ def test_k_core_converges_within_oracle_rounds(spark, sf_dir):
     stats = {}
     k_core(flow_graph(spark, sf_dir), k=_K_CORE_K, stats=stats).count()
     assert stats["rounds"] <= _K_CORE_ORACLE_ROUNDS, stats
+
+
+def test_bfs_closed_form(spark):
+    """Diamond + a longer detour: BFS returns ALL minimum-length paths
+    (both 2-hop arms of the diamond), stops there (the 3-hop detour is
+    absent), tracks visited vertices, and returns the level-0 frame
+    when from/to intersect."""
+    from anti_money_laundering_spark.graph import Graph
+
+    # 1->2->4, 1->3->4 (two 2-hop paths), 1->5->6->4 (3-hop detour)
+    e = spark.createDataFrame(
+        [(1, 2, "a"), (2, 4, "b"), (1, 3, "c"), (3, 4, "d"),
+         (1, 5, "e"), (5, 6, "f"), (6, 4, "g")],
+        "src long, dst long, name string",
+    )
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    g = Graph(v, e)
+    out = g.bfs(F.col("id") == 1, F.col("id") == 4)
+    assert out.columns == ["from", "e0", "v1", "e1", "to"]
+    rows = {(r["from"].id, r.e0.name, r.v1.id, r.e1.name, r.to.id) for r in out.collect()}
+    assert rows == {(1, "a", 2, "b", 4), (1, "c", 3, "d", 4)}
+    # level 0: from satisfies to
+    z = g.bfs(F.col("id") == 1, F.col("id") <= 1)
+    assert z.columns == ["from", "to"] and z.count() == 1
+    # unreachable within budget -> empty
+    assert g.bfs(F.col("id") == 4, F.col("id") == 1, max_path_length=3).count() == 0
+    # edge_filter prunes the short arms -> the detour becomes shortest
+    long_way = g.bfs(
+        F.col("id") == 1, F.col("id") == 4, edge_filter=~F.col("name").isin("a", "c")
+    )
+    assert long_way.columns == ["from", "e0", "v1", "e1", "v2", "e2", "to"]
+    assert [(r.v1.id, r.v2.id) for r in long_way.collect()] == [(5, 6)]
