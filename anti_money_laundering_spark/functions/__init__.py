@@ -17,8 +17,9 @@ sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "tokens_sql",
@@ -226,3 +227,52 @@ def fingerprint_md5(col: str) -> Column:
     """Canonical-form document fingerprint: md5 of the
     whitespace-normalized, lowercased text — the exact-dedup key."""
     return F.md5(F.expr(f"array_join({tokens_sql(col)}, ' ')"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    target_len: int,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LM-training
+    layout: documents are concatenated in a deterministic order and
+    the token stream is cut into fixed ``target_len`` context windows.
+    Output per document: its shard, the token offset where it starts,
+    the chunk (bin) containing that start, and whether it crosses a
+    chunk boundary (gets split across training sequences).
+
+    A GLOBAL concatenation order would serialize the corpus through
+    one partition, so the stream is sharded first: shard =
+    md5-bucket(id) (deterministic, rerun-stable — same discipline as
+    sampling.hash_bucket), and packing runs independently per shard
+    with one window (cumulative sum ordered by id). One shuffle on
+    shard, O(1) state per row, any corpus size; the per-shard padding
+    waste (< target_len tokens at each shard's tail) is amortized to
+    nothing when shards carry millions of tokens.
+    """
+    from anti_money_laundering_spark.sampling import hash_bucket
+
+    tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    w = Window.partitionBy("shard").orderBy(id_col)
+    out = df.select(
+        F.col(id_col),
+        tok.cast("long").alias("n_tokens"),
+        hash_bucket(id_col, buckets=num_shards, salt="pack-v1").alias("shard"),
+    )
+    out = out.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)).cast("long"),
+    )
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / target_len).cast("long").alias("bin_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / target_len)
+            > F.floor(F.col("start_offset") / target_len)
+        ).alias("crosses_boundary"),
+    )

@@ -937,3 +937,43 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="strat-v1",
     )
     return out.select("event_id", "event_type")
+
+
+_PACK_SHARD = _duck_hash_bucket("doc_id", "pack-v1", 16)
+
+
+@register(
+    "pack_sequences_docs",
+    tags=("LLM", "text", "sample"),
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               {_PACK_SHARD} AS shard
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
+                   AS BIGINT) AS start_offset
+        FROM base
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(floor(start_offset / 512) AS BIGINT) AS bin_id,
+           floor((start_offset + n_tokens - 1) / 512) > floor(start_offset / 512)
+               AS crosses_boundary
+    FROM packed
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of the corpus into 512-token
+    training windows (sharded cumulative offsets; see
+    functions.pack_sequences) — which chunk each document starts in
+    and whether it gets split across a boundary."""
+    from anti_money_laundering_spark.functions import pack_sequences, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", token_count("text"), target_len=512, num_shards=16
+    )

@@ -197,3 +197,20 @@ def test_multimodal_features_deterministic(spark):
     assert abs(rows[1].byte_mean - (97 + 98 + 99) / 3) < 1e-9
     assert rows[1].head_hex == "616263"
     assert rows[2].n_bytes == 0 and rows[2].byte_mean == 0.0
+
+
+def test_pack_sequences_closed_form(spark):
+    """Offsets are contiguous per shard in id order; bin/boundary math
+    matches hand computation for a single-shard stream."""
+    from anti_money_laundering_spark.functions import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 300), ("c", 200), ("d", 50)], "doc_id string, nt int"
+    )
+    out = pack_sequences(df, "doc_id", "nt", target_len=512, num_shards=1).collect()
+    rows = {r.doc_id: r for r in out}
+    # shard 0 for all; order a,b,c,d → offsets 0,100,400,600
+    assert [rows[d].start_offset for d in "abcd"] == [0, 100, 400, 600]
+    assert [rows[d].bin_id for d in "abcd"] == [0, 0, 0, 1]
+    # b ends at 399 (<512): stays; c spans 400..599 crossing 512
+    assert [rows[d].crosses_boundary for d in "abcd"] == [False, False, True, False]
