@@ -165,3 +165,40 @@ def test_tfidf_exact_pairs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_broadcast_path_single_pass(spark, sf_dir):
+    # broadcast-probe-map fast path: ONE mapInPandas pass over the
+    # corpus scores candidates; no per-pair vector-fetch joins — the
+    # only shuffles are the final window rank (+ the fixture loader's
+    # parallelism widening)
+    plan = explain_str(CATALOG["ann_lsh_topk"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_merge_into_full_outer_no_cartesian(spark, sf_dir):
+    # MERGE is one full-outer equi-join on the keys; the unique-source
+    # guard is a window over the SAME keys, never a cartesian/BNLJ
+    plan = explain_str(CATALOG["merge_upsert_orders"].fn(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pack_sequences_one_shard_shuffle(spark, sf_dir):
+    # packing = one hash-shard shuffle feeding the cumulative-sum
+    # window (+ the loader's parallelism widening); no joins, no Python
+    plan = explain_str(CATALOG["pack_sequences_docs"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_stratified_sample_is_pure_filter(spark, sf_dir):
+    # per-stratum sampling is codegen'd md5 CASE arithmetic: zero
+    # shuffles, zero Python — the scan's pushdown/pruning is untouched
+    plan = explain_str(CATALOG["stratified_sample_events"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
