@@ -58,7 +58,8 @@ FLOW_EDGES_SQL = f"""
     SELECT user_id AS src,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
            event_id AS txn_id,
-           value AS amount
+           value AS amount,
+           ts
     FROM events WHERE value > {FLOW_THRESHOLD}
 """
 
@@ -70,6 +71,7 @@ def flow_graph(spark: SparkSession, sf_dir: str) -> Graph:
         F.get_json_object("props", "$.k").cast("long").alias("dst"),
         F.col("event_id").alias("txn_id"),
         F.col("value").alias("amount"),
+        F.col("ts"),
     )
     vertices = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
     return Graph(vertices, edges)

@@ -686,3 +686,51 @@ def graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("to.id").alias("to_id"),
         F.lit(0).alias("hops"),
     )
+
+
+@register(
+    "motif_peeling_chain",
+    tags=("G5", "J6", "P6"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL})
+    SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id, e3.dst AS d_id,
+           e1.txn_id AS t1, e2.txn_id AS t2, e3.txn_id AS t3,
+           round(e1.amount - e3.amount, 2) AS peeled
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst AND e2.ts > e1.ts AND e2.amount < e1.amount
+    JOIN edges e3 ON e3.src = e2.dst AND e3.ts > e2.ts AND e3.amount < e2.amount
+    WHERE e1.src <> e2.dst AND e2.src <> e3.dst AND e1.src <> e3.dst
+    """,
+)
+def motif_peeling_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING layering chains — the motif compiler plus
+    temporal/monotone edge predicates: a→b→c→d where each hop happens
+    AFTER the previous one and moves LESS money (the classic peeling
+    pattern: funds hop through intermediaries, shedding a cut at each
+    step; a reversed-time hop is evidence of nothing). Vertices must
+    be distinct per hop-pair so ping-pong a→b→a chains don't count.
+    Extends the reference's static structuring motifs (01:296-322)
+    with the temporal dimension its notebook leaves on the table."""
+    g = flow_graph(spark, sf_dir)
+    m = g.find("(a)-[e1]->(b); (b)-[e2]->(c); (c)-[e3]->(d)")
+    return (
+        m.filter(
+            (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.amount") < F.col("e1.amount"))
+            & (F.col("e3.ts") > F.col("e2.ts"))
+            & (F.col("e3.amount") < F.col("e2.amount"))
+            & (F.col("a.id") != F.col("c.id"))
+            & (F.col("b.id") != F.col("d.id"))
+            & (F.col("a.id") != F.col("d.id"))
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("c.id").alias("c_id"),
+            F.col("d.id").alias("d_id"),
+            F.col("e1.txn_id").alias("t1"),
+            F.col("e2.txn_id").alias("t2"),
+            F.col("e3.txn_id").alias("t3"),
+            F.round(F.col("e1.amount") - F.col("e3.amount"), 2).alias("peeled"),
+        )
+    )
