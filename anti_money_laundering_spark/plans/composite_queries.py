@@ -1,8 +1,10 @@
 """The AML alert feed — the composite a monitoring team actually
 consumes: every alert family the reference's notebooks produce
 separately (structuring fan-in 01:308-322, round-tripping 01:376-405,
-synthetic identities 01:164-228, propagated risk 01:450-461), unioned
-into one typed feed (alert_type, entity_id, severity).
+synthetic identities 01:164-228, propagated risk 01:450-461), plus the
+temporal layering family this engine adds (time-respecting peeling
+chains), unioned into one typed feed (alert_type, entity_id,
+severity).
 
 This module is imported LAST by ``get_catalog`` so its oracle can be
 composed verbatim from the already-registered component oracles — the
@@ -32,6 +34,7 @@ def _feed_oracle() -> str:
     cycle = _CATALOG["motif_roundtrip_cycle"].oracle
     synth = _CATALOG["synth_id_scores"].oracle
     risk = _CATALOG["pregel_risk_propagation"].oracle
+    peel = _CATALOG["motif_peeling_chain"].oracle
     return f"""
     SELECT 'structuring' AS alert_type, c_id AS entity_id,
            CAST(in_amount AS DOUBLE) AS severity
@@ -43,6 +46,8 @@ def _feed_oracle() -> str:
     UNION ALL
     SELECT 'risk_prop', id, CAST(risk_score AS DOUBLE) FROM ({risk})
     WHERE risk_score >= {RISK_ALERT_THRESHOLD}
+    UNION ALL
+    SELECT 'layering', b_id, CAST(peeled AS DOUBLE) FROM ({peel})
     """
 
 
@@ -52,16 +57,18 @@ def _feed_oracle() -> str:
     oracle=_feed_oracle(),
 )
 def aml_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One feed, four alert families: structuring mules (fan-in motif,
+    """One feed, five alert families: structuring mules (fan-in motif,
     severity = combined inflow), round-trip origins (3-cycle, severity
     = cycle amount), synthetic identities (shared-attribute component
-    score) and high propagated risk (Pregel score over threshold).
-    Each leg is the registered catalog query; the union adds no
-    shuffle."""
+    score), high propagated risk (Pregel score over threshold), and
+    temporal layering (first intermediary of each time-respecting
+    peeling chain, severity = amount shed along the chain). Each leg
+    is the registered catalog query; the union adds no shuffle."""
     fanin = _CATALOG["motif_fanin_structuring"].fn(spark, sf_dir)
     cycle = _CATALOG["motif_roundtrip_cycle"].fn(spark, sf_dir)
     synth = _CATALOG["synth_id_scores"].fn(spark, sf_dir)
     risk = _CATALOG["pregel_risk_propagation"].fn(spark, sf_dir)
+    peel = _CATALOG["motif_peeling_chain"].fn(spark, sf_dir)
     legs = [
         fanin.select(
             F.lit("structuring").alias("alert_type"),
@@ -82,6 +89,11 @@ def aml_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("risk_prop").alias("alert_type"),
             F.col("id").alias("entity_id"),
             F.col("risk_score").cast("double").alias("severity"),
+        ),
+        peel.select(
+            F.lit("layering").alias("alert_type"),
+            F.col("b_id").alias("entity_id"),
+            F.col("peeled").cast("double").alias("severity"),
         ),
     ]
     out = legs[0]
