@@ -276,3 +276,28 @@ def pack_sequences(
             > F.floor(F.col("start_offset") / target_len)
         ).alias("crosses_boundary"),
     )
+
+
+def morton_code(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integer columns
+    into one locality-preserving sort key — the data-layout trick
+    behind Delta's OPTIMIZE ZORDER: sort/partition files by the code
+    and ranges selective in EITHER dimension map to few contiguous
+    code ranges, so parquet min/max row-group stats prune both ways
+    from ONE layout.
+
+    Pure codegen'd bit arithmetic (shift/or/and over longs), ``bits``
+    per dimension (values are masked to that width; pre-bucket wider
+    domains). DuckDB replays the identical expression, so layouts are
+    oracle-checkable.
+    """
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.lit(1 << i).cast("long")
+        out = (
+            out.bitwiseOR(F.shiftleft(xc.bitwiseAND(bit), i))
+            .bitwiseOR(F.shiftleft(yc.bitwiseAND(bit), i + 1))
+        )
+    return out

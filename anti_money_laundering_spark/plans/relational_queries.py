@@ -746,3 +746,67 @@ def sql_cte_view_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.n_orders >= 5
         """
     )
+
+
+@register(
+    "window_decile_ranks",
+    tags=("W-ext",),
+    oracle="""
+    SELECT c_custkey,
+           ntile(10) OVER w AS balance_decile,
+           round(percent_rank() OVER w, 6) AS balance_pct_rank,
+           round(cume_dist() OVER w, 6) AS balance_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_decile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows per segment: decile bucket (ntile),
+    percent_rank, cume_dist over account balance — the risk-scoring
+    normalization shape (rank an account against its peer segment).
+    One shuffle on the partition key serves all three ranks; ties
+    break on the key so every engine ranks identically."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("balance_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+    )
+
+
+def _duck_morton(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} & {1 << i}) << {i})")
+        terms.append(f"(({y} & {1 << i}) << {i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_keys",
+    tags=("W-ext", "OP"),
+    oracle=f"""
+    SELECT o_orderkey,
+           {_duck_morton("CAST(o_custkey AS BIGINT)",
+                         "CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)")}
+               AS zorder_key
+    FROM orders
+    """,
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (customer, order-day) — the
+    write-side data-clustering step (Delta OPTIMIZE ZORDER's core):
+    sorting files by this key makes ranges selective in EITHER column
+    prune parquet row groups from one layout. Pure codegen'd bit
+    interleave (functions.morton_code); the write itself is
+    ``df.sort("zorder_key").write`` with any sink."""
+    from anti_money_laundering_spark.functions import morton_code
+
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.to_timestamp(F.lit("1992-01-01")))
+    return o.select(
+        "o_orderkey",
+        morton_code(F.col("o_custkey"), days.cast("long")).alias("zorder_key"),
+    )
