@@ -70,9 +70,9 @@ def main() -> None:
         "  (100× more rows end-to-end; growth far below 100× because the fixed",
         "  per-job scheduling/codegen floor dominates at tiny SF — the marginal",
         "  cost of rows is what scales, and it stays well under linear here).",
-        f"- cores 8→32 at sf0.1: {t1_8 / t1:.2f}× speedup"
-        " (scheduling floor bounds it at this data size; the parallel fraction",
-        "  is the data-dependent part that grows with SF).",
+        f"- cores 8→32 at sf0.1: {t1_8 / t1:.2f}× — at tiny SF the wall is",
+        "  mostly per-job scheduling/launch floor, so extra cores change little;",
+        "  the parallel fraction is the data-dependent part that grows with SF.",
         "",
         "Per-query seconds per cell: see tools/scale_sweep.py output in the",
         "commit that regenerated this file.",
