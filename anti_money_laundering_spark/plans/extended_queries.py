@@ -329,3 +329,58 @@ def near_dup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", min_cosine=0.4, threshold_round=6
     )
     return near_duplicate_clusters(pairs)
+
+
+@register(
+    "benford_digit_scores",
+    tags=("A-ext", "F-ext"),
+    oracle="""
+    WITH digits AS (
+        SELECT o_custkey,
+               CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT o_custkey, d, count(*) AS n,
+               sum(count(*)) OVER (PARTITION BY o_custkey) AS total
+        FROM digits GROUP BY o_custkey, d
+    ),
+    scored AS (
+        SELECT o_custkey, total,
+               sum(pow(n * 1.0 / total - log10(1.0 + 1.0 / d), 2)
+                   / log10(1.0 + 1.0 / d)) AS chi2
+        FROM obs GROUP BY o_custkey, total
+    )
+    SELECT o_custkey, CAST(total AS BIGINT) AS n_orders,
+           round(chi2, 6) AS benford_score
+    FROM scored WHERE total >= 10
+    """,
+)
+def benford_digit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance per customer — the classic statistical
+    AML screen: natural transaction amounts follow P(first digit d) =
+    log10(1 + 1/d); fabricated or structured amounts don't. Score =
+    chi-square-style deviation of the observed first-digit histogram
+    from Benford, for customers with >= 10 orders. Two partial-agg'd
+    groupBys + one window, all keyed on customer — no joins, no UDFs.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1).cast("long")
+    digits = o.select("o_custkey", d.alias("d"))
+    from pyspark.sql import Window as W
+
+    obs = (
+        digits.groupBy("o_custkey", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(W.partitionBy("o_custkey")))
+    )
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    scored = obs.groupBy("o_custkey", "total").agg(
+        F.sum(F.pow(F.col("n") / F.col("total") - exp, 2) / exp).alias("chi2")
+    )
+    return scored.filter(F.col("total") >= 10).select(
+        "o_custkey",
+        F.col("total").cast("long").alias("n_orders"),
+        F.round("chi2", 6).alias("benford_score"),
+    )
