@@ -810,3 +810,39 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         morton_code(F.col("o_custkey"), days.cast("long")).alias("zorder_key"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    tags=("U-ext", "P2"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (DataFrame.unpivot / SQL UNPIVOT): the four
+    lineitem measures melt into (measure, value) rows — the feature-
+    table normalization shape. Narrow transform, no shuffle; the
+    column scan stays pruned to the 6 referenced columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.round("value", 2).alias("value"),
+    )

@@ -172,3 +172,47 @@ def test_salted_join_equals_plain_join(spark, lrows, rrows, salt):
     plain = sorted((r.k, r.lv, r.rv) for r in ldf.join(rdf, "k").collect())
     got = sorted((r.k, r.lv, r.rv) for r in salted_join(ldf, rdf, on=["k"], salt=salt).collect())
     assert got == plain
+
+
+# --- merge_into vs dict-based reference ------------------------------------
+
+merge_target_strategy = st.lists(
+    st.tuples(st.integers(1, 20), st.integers(0, 99)),
+    min_size=0, max_size=20, unique_by=lambda t: t[0],
+)
+merge_source_strategy = st.lists(
+    st.tuples(st.integers(1, 25), st.integers(0, 99), st.booleans()),
+    min_size=0, max_size=20, unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(tgt=merge_target_strategy, src=merge_source_strategy)
+def test_merge_into_matches_dict_semantics(spark, tgt, src):
+    """merge_into == the obvious dict program: matched keys update (or
+    delete when flagged), unmatched source keys insert (minus deletes),
+    untouched target keys survive."""
+    from anti_money_laundering_spark.operators import merge_into
+
+    # Like Delta, the delete clause fires only on MATCH; an unmatched
+    # delete-flagged row would be inserted by whenNotMatchedInsertAll,
+    # so a CDC feed drops unmatched deletes before merging (Delta users
+    # condition the insert clause the same way). Mirror that here.
+    tgt_keys = {k for k, _ in tgt}
+    src = [(k, v, d) for k, v, d in src if not d or k in tgt_keys]
+
+    expect = {k: v for k, v in tgt}
+    for k, v, is_del in src:
+        if is_del:
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    t_df = spark.createDataFrame(tgt, "id long, val long")
+    s_df = spark.createDataFrame(src, "id long, val long, is_del boolean")
+    got = {
+        r.id: r.val
+        for r in merge_into(
+            t_df, s_df, on=["id"], matched_delete=F.col("is_del")
+        ).collect()
+    }
+    assert got == expect
