@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join", "salted_join", "merge_into"]
+__all__ = ["asof_join", "range_join", "salted_join", "merge_into", "table_diff"]
 
 
 def asof_join(
@@ -309,4 +309,40 @@ def merge_into(
             F.col(c) if c in on else F.col(f"__row.{c}").alias(c)
             for c in target.columns
         ]
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Snapshot diff → CDC feed: compare two versions of a keyed table
+    and emit one row per changed key with ``op`` = 'I' (key only in
+    ``new``), 'U' (key in both, any non-key column differs), or 'D'
+    (key only in ``old``), plus ``before``/``after`` structs. The
+    inverse of :func:`merge_into`: ``merge_into(old, diff-as-CDC)``
+    reproduces ``new`` (pinned in tests/test_operators.py).
+
+    One full-outer join on the keys; change detection is a null-safe
+    struct comparison (``<=>`` lifted over the packed row), so NULL →
+    value and value → NULL transitions count as updates and NULL == NULL
+    does not. Unchanged keys are filtered before the output — the feed
+    is proportional to the churn, not the table.
+    """
+    value_cols = [c for c in old.columns if c not in on]
+    if [c for c in new.columns if c not in on] != value_cols:
+        raise ValueError("old/new schemas must match")
+    o = old.select(*on, F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("before"))
+    n = new.select(*on, F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("after"))
+    j = o.join(n, on, "full_outer")
+    op = (
+        F.when(F.col("before").isNull(), F.lit("I"))
+        .when(F.col("after").isNull(), F.lit("D"))
+        .when(~F.col("before").eqNullSafe(F.col("after")), F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*on, "op", "before", "after")
     )

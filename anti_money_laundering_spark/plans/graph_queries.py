@@ -734,3 +734,73 @@ def motif_peeling_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("e1.amount") - F.col("e3.amount"), 2).alias("peeled"),
         )
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    tags=("G-ext", "G2"),
+    oracle=f"""
+    WITH e AS ({FLOW_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    tri AS (
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM und ab
+        JOIN und bc ON bc.a = ab.b
+        JOIN und ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    pv AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT id, count(*) AS t FROM pv GROUP BY id),
+    deg AS (
+        SELECT id, count(*) AS d FROM (
+            SELECT a AS id, b FROM und UNION ALL SELECT b, a FROM und
+        ) GROUP BY id
+    )
+    SELECT deg.id, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN deg.d < 2 THEN 0.0
+                 ELSE 2.0 * coalesce(tcnt.t, 0) / (deg.d * (deg.d - 1)) END, 6)
+               AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per account: 2T / d(d-1) over the
+    canonical undirected flow graph — how close each account's
+    counterparties are to a clique (1.0 = tight ring, the strongest
+    collusion shape; a hub with unrelated counterparties scores ~0).
+    Composes the degree-ordered triangle count with distinct-neighbor
+    degrees; vertices with no undirected edges (self-loop-only) are
+    out of domain."""
+    from anti_money_laundering_spark.graph import Graph, triangle_count
+
+    g = flow_graph(spark, sf_dir)
+    und = (
+        g.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(g).withColumnRenamed("n_triangles", "t")
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                    2.0 * F.coalesce("t", F.lit(0)) / (F.col("degree") * (F.col("degree") - 1))
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -152,3 +152,66 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = upd.unionByName(dele).unionByName(ins)
     return merge_into(tgt, source, on=["o_orderkey"], matched_delete=F.col("op") == "D")
+
+
+@register(
+    "table_diff_orders",
+    tags=("OP", "S4"),
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN price + 1000.0 ELSE price END AS price
+        FROM old WHERE o_orderkey % 89 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, price FROM old WHERE o_orderkey % 83 = 1
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN o.price IS DISTINCT FROM n.price
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'U'
+           END AS op,
+           o.o_orderstatus AS before_status, n.o_orderstatus AS after_status,
+           o.price AS before_price, n.price AS after_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'
+               WHEN n.o_orderkey IS NULL THEN 'D'
+               WHEN o.price IS DISTINCT FROM n.price
+                 OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'U'
+          END IS NOT NULL
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC extraction (operators.table_diff): compare two
+    versions of the orders table — price bumps (U), retired keys (D),
+    re-keyed copies (I) — and emit only the churn, null-safe. The
+    feed replayed through merge_into reproduces the new snapshot
+    (tests/test_operators.py roundtrip pin)."""
+    from anti_money_laundering_spark.operators import table_diff
+
+    k = F.col("o_orderkey")
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    new = (
+        old.filter(k % 89 != 0)
+        .withColumn(
+            "price",
+            F.when(k % 97 == 0, F.col("price") + 1000.0).otherwise(F.col("price")),
+        )
+        .unionByName(
+            old.filter(k % 83 == 1).withColumn("o_orderkey", k + 1000000000)
+        )
+    )
+    d = table_diff(old, new, on=["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "op",
+        F.col("before.o_orderstatus").alias("before_status"),
+        F.col("after.o_orderstatus").alias("after_status"),
+        F.col("before.price").alias("before_price"),
+        F.col("after.price").alias("after_price"),
+    )

@@ -255,3 +255,31 @@ def test_merge_into_missing_source_column_raises(spark):
     target, source = _merge_fixtures(spark)
     with pytest.raises(ValueError, match="source lacks target columns"):
         merge_into(target, source.drop("amount"), on=["id"])
+
+
+def test_table_diff_and_merge_roundtrip(spark):
+    """table_diff emits exactly the churn (I/U/D, null-safe compare);
+    replaying the diff through merge_into reproduces the new snapshot."""
+    from anti_money_laundering_spark.operators import merge_into, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, amount double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 NULL->value (U), 3 deleted, 5 inserted
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "id long, name string, amount double",
+    )
+    diff = table_diff(old, new, on=["id"])
+    ops = {r.id: r.op for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 5: "I"}  # id=1 and id=4 unchanged, absent
+    # roundtrip: old + diff-as-CDC == new
+    cdc = diff.select(
+        "id",
+        F.col("after.name").alias("name"),
+        F.col("after.amount").alias("amount"),
+        "op",
+    )
+    replayed = merge_into(old, cdc, on=["id"], matched_delete=F.col("op") == "D")
+    assert {tuple(r) for r in replayed.collect()} == {tuple(r) for r in new.collect()}
