@@ -174,6 +174,14 @@ def test_parquet_write_partitioned(spark, sf_dir):
     # partition pruning: a type filter must read only that directory
     types = [d for d in os.listdir(out) if d.startswith("event_type=")]
     assert len(types) >= 2
+    # ...and the plan must prune at the source: the predicate lands in
+    # PartitionFilters (directory-level skip), not a post-scan Filter
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and "event_type" in seg[1].split("]", 1)[0]
 
 
 def test_catalog_ddl_database_lifecycle(spark, sf_dir):
