@@ -316,3 +316,34 @@ def linkage_relink_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gamma_table(pairs, comparisons).select(
         "uid_l", "uid_r", "gamma_c_mktsegment", "gamma_c_acctbal"
     )
+
+
+@register(
+    "linkage_jw_scores",
+    tags=("E3",),
+    oracle=f"""
+    SELECT uid_l, uid_r,
+           round(jaro_winkler_similarity(c_name_l, c_name_r), 6) AS jw,
+           CASE WHEN jaro_winkler_similarity(c_name_l, c_name_r) >= 0.94 THEN 2
+                WHEN jaro_winkler_similarity(c_name_l, c_name_r) >= 0.88 THEN 1
+                ELSE 0 END AS gamma_jw
+    FROM ({_PAIRS_SQL})
+    """,
+)
+def linkage_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler comparison level over the blocked pairs — the
+    fuzzier string comparator Splink configs pair with levenshtein;
+    banded into agreement levels the same way the gamma vectors are.
+    Bit-identical to DuckDB's jaro_winkler_similarity, so the scores
+    themselves hash-verify (linkage.jaro_winkler_udf)."""
+    from anti_money_laundering_spark.linkage import jaro_winkler_udf
+
+    gammas, _ = _shared_em(spark, sf_dir)
+    jw = jaro_winkler_udf()
+    score = jw(F.col("c_name_l"), F.col("c_name_r"))
+    return gammas.select(
+        "uid_l",
+        "uid_r",
+        F.round(score, 6).alias("jw"),
+        F.when(score >= 0.94, 2).when(score >= 0.88, 1).otherwise(0).alias("gamma_jw"),
+    )
