@@ -977,3 +977,43 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, "doc_id", token_count("text"), target_len=512, num_shards=16
     )
+
+
+#: md5-uint32 of ('neg-v1' || doc_id || '#' || rank), DuckDB side —
+#: the same arithmetic as sampling.hash_bucket with the rank folded
+#: into the key; mod is taken against the corpus count inline.
+_NEG_HASH = (
+    "(CAST(list_sum([(strpos('0123456789abcdef', "
+    "md5('neg-v1' || CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR))[j+1]) - 1) "
+    "* CAST(16**(7-j) AS BIGINT) for j in range(8)]) AS BIGINT))"
+)
+
+
+@register(
+    "negative_samples_docs",
+    tags=("LLM", "sample"),
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id AS neg_doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        FROM documents
+    ),
+    wanted AS (
+        SELECT doc_id, i AS neg_rank,
+               {_NEG_HASH} % (SELECT count(*) FROM documents) AS idx
+        FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)
+    )
+    SELECT w.doc_id, CAST(w.neg_rank AS INT) AS neg_rank, c.neg_doc_id
+    FROM wanted w JOIN corpus c ON c.idx = w.idx
+    WHERE CAST(c.neg_doc_id AS VARCHAR) <> CAST(w.doc_id AS VARCHAR)
+    """,
+)
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 3 pseudo-random corpus
+    docs per document, a pure function of (doc_id, rank, salt) — the
+    rerun-stable alternative to RNG sampling for training-pair
+    construction (sampling.negative_samples)."""
+    from anti_money_laundering_spark.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", docs, "doc_id", n_negatives=3)

@@ -23,8 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["hash_bucket", "hash_sample", "assign_split", "stratified_sample"]
+__all__ = ["hash_bucket", "hash_sample", "assign_split", "stratified_sample", "negative_samples"]
 
 #: Buckets for split assignment — 10_000 gives 0.01% assignment
 #: granularity while md5's 32-bit prefix keeps per-bucket skew ~0.
@@ -114,3 +115,57 @@ def stratified_sample(
         else thresh.otherwise(F.lit(int(default_fraction * buckets)))
     )
     return df.filter(bucket < thresh)
+
+
+def negative_samples(
+    df: DataFrame,
+    key: str,
+    corpus: DataFrame,
+    corpus_key: str,
+    n_negatives: int = 3,
+    salt: str = "neg-v1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every ``df`` row, ``n_negatives`` pseudo-random corpus rows —
+    uniform over the corpus but a pure FUNCTION of (key, rank, salt),
+    so resuming/re-running a training job regenerates the identical
+    negatives (RNG sampling breaks caching and ablation comparisons).
+
+    Mechanism: the corpus gets a dense index (row_number over
+    ``corpus_key``), each (row, rank) draws index =
+    md5-uint32(salt‖key‖'#'‖rank) mod N, and an equi-join on the index
+    fetches the negative — one window shuffle to index the corpus, one
+    equi-join; the self-collision (drawing yourself) is filtered.
+
+    N (the corpus count) is evaluated once at plan-build time — an
+    eager action, documented like cosine_topk's guard; pass a stable
+    corpus (a table scan, not an expensive derived frame).
+
+    Scale caveat: the dense corpus index is a GLOBAL row_number —
+    Spark runs an unpartitioned window in one task, so this shape
+    caps at corpora that sort on one executor (fine for catalog-sized
+    negative pools). For a billion-row pool, replace the window with
+    sort + ``zipWithIndex`` (distributed, same deterministic index
+    given the unique sort key) and keep everything else.
+
+    Output: ``df``'s key, ``neg_rank`` (1..n), and the drawn
+    ``neg_<corpus_key>``.
+    """
+    n_corpus = corpus.count()
+    indexed = corpus.select(
+        F.col(corpus_key).alias(f"neg_{corpus_key}"),
+        (F.row_number().over(Window.orderBy(corpus_key)) - 1).alias("__idx"),
+    )
+    ranks = df.select(
+        F.col(key),
+        F.explode(F.array(*[F.lit(i) for i in range(1, n_negatives + 1)])).alias("neg_rank"),
+    )
+    draw_key = F.concat(
+        F.col(key).cast("string"), F.lit("#"), F.col("neg_rank").cast("string")
+    )
+    drawn = ranks.withColumn("__idx", hash_bucket(draw_key, buckets=n_corpus, salt=salt))
+    return (
+        drawn.join(indexed, "__idx")
+        .filter(F.col(f"neg_{corpus_key}").cast("string") != F.col(key).cast("string"))
+        .select(key, "neg_rank", f"neg_{corpus_key}")
+    )

@@ -82,3 +82,22 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
         ev.repartition(7), "event_id", "event_type", frac, default_fraction=0.0
     )
     assert {r.event_id for r in again.collect()} == {r.event_id for r in out.collect()}
+
+
+def test_negative_samples_deterministic_and_uniformish(spark, sf_dir):
+    from anti_money_laundering_spark.sampling import negative_samples
+    from anti_money_laundering_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = negative_samples(docs, "doc_id", docs, "doc_id", n_negatives=3)
+    rows = [(r.doc_id, r.neg_rank, r.neg_doc_id) for r in a.collect()]
+    # no self-negatives, ranks in range
+    assert all(d != n for d, _, n in rows)
+    assert {r for _, r, _ in rows} <= {1, 2, 3}
+    # deterministic under repartitioning
+    b = negative_samples(docs.repartition(7), "doc_id", docs, "doc_id", n_negatives=3)
+    assert set(rows) == {(r.doc_id, r.neg_rank, r.neg_doc_id) for r in b.collect()}
+    # roughly uniform: no corpus doc hogs the draws (loose 10x-mean cap)
+    from collections import Counter
+    cnt = Counter(n for _, _, n in rows)
+    assert max(cnt.values()) <= max(10, 10 * len(rows) / docs.count())
