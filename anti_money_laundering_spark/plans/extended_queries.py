@@ -384,3 +384,124 @@ def benford_digit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("n_orders"),
         F.round("chi2", 6).alias("benford_score"),
     )
+
+
+@register(
+    "funnel_conversion",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+        FROM events GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, t1.view_ts, min(e.ts) AS click_ts
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.view_ts
+        GROUP BY e.user_id, t1.view_ts
+    ),
+    t3 AS (
+        SELECT e.user_id, t2.view_ts, t2.click_ts, min(e.ts) AS purchase_ts
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts
+        GROUP BY e.user_id, t2.view_ts, t2.click_ts
+    )
+    SELECT t1.user_id, t1.view_ts, t2.click_ts, t3.purchase_ts,
+           CAST(CASE WHEN t3.purchase_ts IS NOT NULL THEN 3
+                     WHEN t2.click_ts IS NOT NULL THEN 2
+                     WHEN t1.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS steps_completed
+    FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id
+            LEFT JOIN t3 ON t3.user_id = t1.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis per user: earliest view, the earliest
+    click strictly AFTER it, the earliest purchase strictly after
+    that — the strict-sequence conversion measure (an unordered
+    count would credit click-before-view journeys). Three stacked
+    conditional window mins over ONE user partitioning — a single
+    shuffle, no self-joins; the oracle spells the same semantics as
+    chained CTEs."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    t = F.col("ts")
+    typ = F.col("event_type")
+    step1 = F.min(F.when(typ == "view", t)).over(w)
+    out = ev.withColumn("view_ts", step1)
+    step2 = F.min(F.when((typ == "click") & (t > F.col("view_ts")), t)).over(w)
+    out = out.withColumn("click_ts", step2)
+    step3 = F.min(F.when((typ == "purchase") & (t > F.col("click_ts")), t)).over(w)
+    out = out.withColumn("purchase_ts", step3)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.first("view_ts").alias("view_ts"),
+            F.first("click_ts").alias("click_ts"),
+            F.first("purchase_ts").alias("purchase_ts"),
+        )
+        .select(
+            "user_id", "view_ts", "click_ts", "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("view_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("steps_completed"),
+        )
+    )
+
+
+@register(
+    "peak_concurrent_windows",
+    tags=("W-ext",),
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pts AS (
+        SELECT user_id, lo AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT user_id, hi, -1 FROM iv
+    ),
+    sweep AS (
+        SELECT user_id,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+        FROM pts
+    )
+    SELECT user_id, CAST(max(live) AS INT) AS peak_concurrent
+    FROM sweep GROUP BY user_id
+    """,
+)
+def peak_concurrent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval overlap per user (sweep line as a window): each
+    purchase opens a 2-hour exposure window; +1/-1 boundary points,
+    one running sum ordered by (time, delta) — ends sort before the
+    starts they touch, so back-to-back [t, t+w) windows don't fake an
+    overlap — and the max of the running count is the answer. The
+    velocity-burst measure a theta self-join would answer
+    quadratically; this is one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    iv = ev.select(
+        "user_id", F.col("ts").alias("lo"), (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi")
+    )
+    pts = iv.select("user_id", F.col("lo").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("user_id", F.col("hi").alias("t"), F.lit(-1).alias("delta"))
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("live").cast("int").alias("peak_concurrent"))
+    )
