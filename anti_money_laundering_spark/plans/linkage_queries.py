@@ -347,3 +347,68 @@ def linkage_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("jw"),
         F.when(score >= 0.94, 2).when(score >= 0.88, 1).otherwise(0).alias("gamma_jw"),
     )
+
+
+#: Cluster threshold for linkage_entity_clusters. Chosen OFF the
+#: fixture probability mass: nearest match_probability is >= 0.019
+#: away at every SF (checked 0.001/0.01/0.1), so no engine-ulp can
+#: flip an edge and cascade into different clusters.
+_CLUSTER_THRESHOLD = 0.05
+
+
+@register(
+    "linkage_entity_clusters",
+    tags=("E4", "G4"),
+    oracle=f"""
+    WITH RECURSIVE scored AS ({_em_scored_oracle()}),
+    jp AS (
+        SELECT uid_l AS id_a, uid_r AS id_b FROM scored
+        WHERE match_probability >= {_CLUSTER_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    allc AS (
+        SELECT c.c_custkey,
+               coalesce(comp.component, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+    )
+    SELECT c_custkey, entity_id,
+           CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS cluster_size
+    FROM allc
+    """,
+)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER pipeline's END PRODUCT — resolved entities: scored pairs
+    above the cluster threshold become edges, transitive closure via
+    distributed connected components assigns each record an entity_id
+    (= min member key, Splink's cluster_pairwise_predictions step),
+    unlinked records stay singleton entities. Completes blocking →
+    gammas → EM → scoring → CLUSTERING end-to-end, every stage
+    hash-verified."""
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.linkage import score_pairs
+    from pyspark.sql import Window as W
+
+    gammas, params = _shared_em(spark, sf_dir)
+    scored = score_pairs(gammas, _comparisons(), params)
+    edges = scored.filter(
+        F.col("match_probability") >= _CLUSTER_THRESHOLD
+    ).select(F.col("uid_l").alias("src"), F.col("uid_r").alias("dst"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    comp = Graph(cust, edges).connected_components()
+    return (
+        comp.select(F.col("id").alias("c_custkey"), F.col("component").alias("entity_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("entity_id")).cast("long"),
+        )
+    )
