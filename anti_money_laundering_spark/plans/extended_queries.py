@@ -505,3 +505,48 @@ def peak_concurrent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("live").cast("int").alias("peak_concurrent"))
     )
+
+
+@register(
+    "cohort_retention",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT)
+                   AS weeks_since
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted once per (cohort, weeks-since-first) cell — the retention
+    triangle. First-week assignment is a window min (one shuffle on
+    user), the distinct cell membership a partial-agg'd distinct; no
+    self-join of events against events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    w = W.partitionBy("user_id")
+    cells = (
+        ev.select("user_id", week.alias("wk"))
+        .withColumn("cohort_week", F.min("wk").over(w))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return cells.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
