@@ -32,6 +32,7 @@ __all__ = [
     "strongly_connected_components",
     "k_core",
     "bfs",
+    "random_walks",
 ]
 
 
@@ -467,3 +468,79 @@ def bfs(
             inner = [c for c in hits.columns if c not in ("__head", "__visited")]
             return hits.select(*inner[:-1], F.col(f"v{lvl}").alias("to"))
     return from_v.select(vstruct.alias("from"), vstruct.alias("to")).limit(0)
+
+
+def random_walks(
+    graph: "Graph",
+    walk_length: int = 3,
+    num_walks: int = 2,
+    salt: str = "walk-v1",
+) -> DataFrame:
+    """Deterministic uniform random walks (the sampling pass under
+    DeepWalk/node2vec embeddings): ``num_walks`` walks per vertex,
+    each ``walk_length`` steps, where step t of walk (v, w) moves to
+    neighbor index md5-uint32(salt‖v‖'#'‖w‖'#'‖t) mod out-degree — a
+    pure function of the walk coordinates, so re-running a sampling
+    job (or replaying it in another engine) regenerates identical
+    walks; RNG walks can't be cached, resumed, or oracle-checked.
+
+    Output long-form: (start, walk_no, step, node), step 0 = start.
+    Dead ends absorb (the walk stays on the sink vertex) — the
+    standard truncated-walk convention, and SQL-replayable.
+
+    Scale shape: the adjacency gets per-source dense neighbor indexes
+    (one window keyed on src — partitioned by vertex, never global);
+    each step is one equi-join of the walk frontier against (src, idx)
+    plus a degree lookup, both keyed on the current node. State is one
+    row per active walk; nothing grows with step count except the
+    output rows themselves.
+    """
+    edges = graph.edges.select("src", "dst").distinct()
+    adj = edges.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    walks = graph.vertices.select(F.col("id").alias("start")).select(
+        "start",
+        F.explode(F.array(*[F.lit(i) for i in range(num_walks)])).alias("walk_no"),
+    )
+    cur = walks.withColumn("node", F.col("start"))
+    out = cur.withColumn("step", F.lit(0))
+    for t in range(1, walk_length + 1):
+        draw = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("start").cast("string"),
+                        F.lit("#"),
+                        F.col("walk_no").cast("string"),
+                        F.lit("#"),
+                        F.lit(str(t)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        stepped = (
+            cur.join(deg, cur.node == deg.src, "left")
+            .withColumn("idx", F.pmod(draw, F.col("deg")))
+            .drop("src")
+            .join(
+                adj.select(
+                    F.col("src").alias("__asrc"), F.col("idx").alias("__aidx"),
+                    F.col("dst").alias("__next"),
+                ),
+                (F.col("node") == F.col("__asrc")) & (F.col("idx") == F.col("__aidx")),
+                "left",
+            )
+            .select(
+                "start", "walk_no", F.coalesce("__next", "node").alias("node")
+            )
+        )
+        cur = stepped
+        out = out.unionByName(stepped.withColumn("step", F.lit(t)))
+    return out

@@ -804,3 +804,59 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def _duck_walk_draw(t: int) -> str:
+    key = (
+        "'walk-v1' || CAST(s.start AS VARCHAR) || '#' || "
+        f"CAST(s.walk_no AS VARCHAR) || '#{t}'"
+    )
+    return (
+        f"(CAST(list_sum([(strpos('0123456789abcdef', md5({key})[j+1]) - 1) "
+        f"* CAST(16**(7-j) AS BIGINT) for j in range(8)]) AS BIGINT))"
+    )
+
+
+def _random_walks_oracle(walk_length: int, num_walks: int) -> str:
+    steps = []
+    selects = ["SELECT start, walk_no, 0 AS step, node FROM s0"]
+    for t in range(1, walk_length + 1):
+        steps.append(
+            f"""s{t} AS MATERIALIZED (
+        SELECT s.start, s.walk_no, coalesce(a.dst, s.node) AS node
+        FROM s{t - 1} s
+        LEFT JOIN deg d ON d.src = s.node
+        LEFT JOIN adj a ON a.src = s.node AND a.idx = {_duck_walk_draw(t)} % d.deg
+    )"""
+        )
+        selects.append(f"SELECT start, walk_no, {t} AS step, node FROM s{t}")
+    walks = ", ".join(str(i) for i in range(num_walks))
+    return f"""
+    WITH e0 AS ({FLOW_EDGES_SQL}),
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+    s0 AS MATERIALIZED (
+        SELECT id AS start, w AS walk_no, id AS node
+        FROM verts CROSS JOIN (SELECT unnest([{walks}]) AS w)
+    ),
+    {", ".join(steps)}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@register(
+    "graph_random_walks",
+    tags=("G-ext", "sample"),
+    oracle=_random_walks_oracle(3, 2),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks over the flow graph — the
+    sampling pass under DeepWalk-style graph embeddings, as a pure
+    function of (start, walk, step) so any engine replays the same
+    walks (graph.algorithms.random_walks). 2 walks x 3 steps per
+    vertex, long-form output."""
+    from anti_money_laundering_spark.graph.algorithms import random_walks
+
+    return random_walks(flow_graph(spark, sf_dir), walk_length=3, num_walks=2)

@@ -324,3 +324,33 @@ def test_bfs_closed_form(spark):
     )
     assert long_way.columns == ["from", "e0", "v1", "e1", "v2", "e2", "to"]
     assert [(r.v1.id, r.v2.id) for r in long_way.collect()] == [(5, 6)]
+
+
+def test_random_walks_closed_form(spark):
+    """Deterministic walks: neighbor choice replays the md5 arithmetic,
+    dead ends absorb, reruns are identical."""
+    import hashlib
+
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.algorithms import random_walks
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 4)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    out = random_walks(Graph(v, e), walk_length=3, num_walks=2)
+    rows = {(r.start, r.walk_no, r.step): r.node for r in out.collect()}
+
+    def draw(start, w, t, deg):
+        h = int(hashlib.md5(f"walk-v1{start}#{w}#{t}".encode()).hexdigest()[:8], 16)
+        return h % deg
+
+    adj = {1: [2, 3], 2: [4]}
+    for start in (1, 2, 3, 4):
+        for w in (0, 1):
+            node = start
+            assert rows[(start, w, 0)] == start
+            for t in (1, 2, 3):
+                nbrs = adj.get(node)
+                node = nbrs[draw(start, w, t, len(nbrs))] if nbrs else node
+                assert rows[(start, w, t)] == node, (start, w, t)
+    # vertex 4 is a sink: all its walk rows stay at 4
+    assert all(rows[(4, w, t)] == 4 for w in (0, 1) for t in range(4))
