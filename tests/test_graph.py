@@ -354,3 +354,20 @@ def test_random_walks_closed_form(spark):
                 assert rows[(start, w, t)] == node, (start, w, t)
     # vertex 4 is a sink: all its walk rows stay at 4
     assert all(rows[(4, w, t)] == 4 for w in (0, 1) for t in range(4))
+
+
+def test_k_core_and_bfs_empty_graph(spark):
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.algorithms import bfs, k_core, random_walks
+
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([], "src long, dst long")
+    g = Graph(v, e)
+    assert k_core(g, 1).count() == 0  # no edges -> no core members
+    # no edges: no path between distinct vertices; empty (from, to) frame
+    out = bfs(g, F.col("id") == 1, F.col("id") == 2, max_path_length=3)
+    assert out.columns == ["from", "to"] and out.count() == 0
+    # walks from isolated vertices absorb in place
+    walks = random_walks(g, walk_length=2, num_walks=1)
+    assert {r.node for r in walks.collect()} == {1, 2}
+    assert walks.count() == 2 * 3  # 2 vertices x steps 0..2

@@ -283,3 +283,20 @@ def test_table_diff_and_merge_roundtrip(spark):
     )
     replayed = merge_into(old, cdc, on=["id"], matched_delete=F.col("op") == "D")
     assert {tuple(r) for r in replayed.collect()} == {tuple(r) for r in new.collect()}
+
+
+def test_merge_into_empty_sides(spark):
+    from anti_money_laundering_spark.operators import merge_into, table_diff
+
+    t = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, amount double")
+    empty = spark.createDataFrame([], "id long, name string, amount double")
+    # empty source: target unchanged
+    assert merge_into(t, empty, on=["id"]).collect() == t.collect()
+    # empty target: all inserts
+    assert merge_into(empty, t, on=["id"]).collect() == t.collect()
+    # both empty
+    assert merge_into(empty, empty, on=["id"]).count() == 0
+    # diff of identical tables is empty; diff against empty is all-I/all-D
+    assert table_diff(t, t, on=["id"]).count() == 0
+    assert {r.op for r in table_diff(empty, t, on=["id"]).collect()} == {"I"}
+    assert {r.op for r in table_diff(t, empty, on=["id"]).collect()} == {"D"}
