@@ -846,3 +846,57 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("measure", "^l_", "").alias("measure"),
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "histogram_equi_height",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CAST(CASE WHEN o_totalprice <= q.q1 THEN 1
+                WHEN o_totalprice <= q.q2 THEN 2
+                WHEN o_totalprice <= q.q3 THEN 3
+                ELSE 4 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN q
+    GROUP BY 1
+    """,
+)
+def histogram_equi_height(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram of order value: exact linear-interpolated
+    quartiles (percentile, matching quantile_cont) computed in one
+    aggregate, then a codegen'd CASE buckets every row — the
+    two-pass exact-quantile shape (the one-pass approximate twin is
+    percentile_approx with the same calling convention). Bucket
+    bounds ride a 1-row broadcast, not a driver constant, so the plan
+    is one scan + one tiny cross join + one partial-agg'd groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p <= F.col("q1"), 1)
+        .when(p <= F.col("q2"), 2)
+        .when(p <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min(p), 2).alias("lo"),
+            F.round(F.max(p), 2).alias("hi"),
+        )
+    )
