@@ -550,3 +550,39 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).cast("long").alias("active_users")
     )
+
+
+@register(
+    "event_transition_matrix",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts: for each user's
+    time-ordered event stream, how often each event type follows each
+    other type — the Markov-chain fingerprint that behavioral-drift
+    monitors compare across periods (an account that suddenly chains
+    purchase→purchase→purchase looks nothing like its view→click
+    history). One lag window per user (ties broken on event_id so
+    every engine orders identically) + one partial-agg'd groupBy."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
