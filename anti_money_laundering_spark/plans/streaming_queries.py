@@ -187,3 +187,26 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         F.col("l_user_id").alias("user_id"),
     )
+
+
+@register(
+    "stream_event_transitions",
+    tags=("STR",),
+    oracle="""
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+           event_type AS next_type, ts
+    FROM events
+    QUALIFY prev_type IS NOT NULL
+    """,
+)
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stateful transition stream
+    (streaming.stateful_event_transitions): per-user lag over the
+    event log; the streaming face holds (last event) in the state
+    store and appends one transition per arrival — replay parity in
+    tests/test_streaming.py."""
+    from anti_money_laundering_spark.streaming import stateful_event_transitions
+
+    return stateful_event_transitions(load_table(spark, sf_dir, "events"))

@@ -303,3 +303,61 @@ def merge_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_event_transitions(events: DataFrame) -> DataFrame:
+    """Custom stateful operator #2: per-user event-type TRANSITIONS as
+    an append stream — each arriving event emits (prev_type,
+    next_type) against the user's last seen event, which lives in the
+    state store across micro-batches (windowed aggs can't express
+    "the previous event, whenever it was").
+
+    State per user is constant: (last_type, last_ts, last_event_id).
+    Events are ordered by (ts, event_id) within each micro-batch; the
+    operator assumes batches arrive per-user time-ordered (the replay
+    harness's property, and production's when the source partitions
+    by user) — the same ordering contract streaming dedup relies on.
+
+    On batch input the identical semantics are one lag window; the
+    stream's appended transition set must equal it
+    (tests/test_streaming.py parity).
+    """
+    if not events.isStreaming:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.select(
+                "user_id",
+                F.lag("event_type").over(w).alias("prev_type"),
+                F.col("event_type").alias("next_type"),
+                "ts",
+            )
+            .filter(F.col("prev_type").isNotNull())
+        )
+
+    import pandas as pd
+
+    out_schema = "user_id long, prev_type string, next_type string, ts timestamp"
+    state_schema = "last_type string, last_ts timestamp, last_event_id long"
+
+    def update(key, pdf_iter, state):
+        last_type, last_ts, last_eid = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows = {"user_id": [], "prev_type": [], "next_type": [], "ts": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                if last_type is not None:
+                    rows["user_id"].append(key[0])
+                    rows["prev_type"].append(last_type)
+                    rows["next_type"].append(r["event_type"])
+                    rows["ts"].append(r["ts"])
+                last_type, last_ts, last_eid = r["event_type"], r["ts"], r["event_id"]
+        state.update((last_type, last_ts, last_eid))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

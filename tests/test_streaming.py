@@ -197,3 +197,22 @@ def test_merge_stream_sink_parity(spark, sf_dir, replay_dir):
             assert got == expect
     finally:
         spark.sql("DROP TABLE IF EXISTS stream_merge_sink_t")
+
+
+def test_stateful_transitions_parity(spark, sf_dir, replay_dir):
+    """The appended transition stream equals the batch lag window —
+    state (the user's last event) survives micro-batch boundaries."""
+    from anti_money_laundering_spark.streaming import stateful_event_transitions
+
+    batch = load_table(spark, sf_dir, "events")
+    expect = _rows(
+        stateful_event_transitions(batch), ["user_id", "prev_type", "next_type", "ts"]
+    )
+    stream = read_events_stream(spark, replay_dir)
+    got = _rows(
+        run_stream_to_memory(
+            stateful_event_transitions(stream), "transitions_stream", "append"
+        ),
+        ["user_id", "prev_type", "next_type", "ts"],
+    )
+    assert got == expect and len(got) > 0
