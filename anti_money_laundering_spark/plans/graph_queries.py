@@ -929,3 +929,44 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common_neighbors") >= 3)
         .select("u", "v", "aa_score", "common_neighbors")
     )
+
+
+@register(
+    "graph_harmonic_centrality",
+    tags=("G-ext", "G7"),
+    oracle=f"""
+    WITH RECURSIVE e AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    walk(id, landmark, d) AS (
+        SELECT id, id, 0 FROM verts WHERE id IN (0, 1, 2, 3)
+        UNION
+        SELECT e.src, w.landmark, w.d + 1
+        FROM e JOIN walk w ON w.id = e.dst
+        WHERE w.d < 20
+    ),
+    dist AS (
+        SELECT id, landmark, min(d) AS d FROM walk GROUP BY id, landmark
+    )
+    SELECT id,
+           round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 6)
+               AS harmonic,
+           CAST(count(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS n_reached
+    FROM dist GROUP BY id
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality: sum of 1/hop-distance to flagged
+    landmark accounts 0-3 (unreached landmarks contribute 0, which is
+    harmonic centrality's whole advantage over closeness on
+    disconnected graphs). Composes the shortest-paths relaxation —
+    no new iteration, one extra partial-agg'd groupBy over its
+    output."""
+    from anti_money_laundering_spark.graph import shortest_paths
+
+    d = shortest_paths(flow_graph(spark, sf_dir), [0, 1, 2, 3])
+    return d.groupBy("id").agg(
+        F.round(
+            F.sum(F.when(F.col("distance") > 0, 1.0 / F.col("distance")).otherwise(0.0)), 6
+        ).alias("harmonic"),
+        F.count(F.when(F.col("distance") > 0, 1)).cast("long").alias("n_reached"),
+    )
