@@ -24,7 +24,7 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_classifier_predictions", "feature_pipeline_features"]
+__all__ = ["embedding_classifier_predictions", "feature_pipeline_features", "embedding_pca_projection"]
 
 
 def feature_pipeline_features(
@@ -100,4 +100,42 @@ def embedding_classifier_predictions(
         F.col(id_col),
         F.col("__label").cast("int").alias(label_col),
         F.col("prediction").cast("int").alias("prediction"),
+    )
+
+
+def embedding_pca_projection(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Distributed PCA of the embedding column (MLlib, covariance
+    eigendecomposition on the executors) projected to ``k``
+    components — the dimensionality-reduction front of embedding
+    dedup/clustering at scale (64-dim cosine work becomes 8-dim).
+
+    Output: (id, projection array<double>, var_explained double —
+    identical for every row, the summed explained-variance ratio of
+    the kept components). Rows-only w.r.t. the DuckDB oracle: the
+    eigenbasis is sign/rotation-ambiguous across engines, so
+    correctness is pinned by invariants instead
+    (tests/test_ml_multimodal.py): projection norms are preserved
+    within the kept subspace, pairwise distances never exceed the
+    originals, and var_explained matches the eigenvalue ratio.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    X = embeddings.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v")
+    )
+    model = PCA(k=k, inputCol="__v", outputCol="__p").fit(X)
+    var = float(sum(model.explainedVariance.toArray()))
+    return (
+        model.transform(X)
+        .select(
+            id_col,
+            vector_to_array(F.col("__p")).alias("projection"),
+            F.lit(var).alias("var_explained"),
+        )
     )

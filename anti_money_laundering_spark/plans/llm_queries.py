@@ -1017,3 +1017,18 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return negative_samples(docs, "doc_id", docs, "doc_id", n_negatives=3)
+
+
+@register(
+    "ml_embedding_pca",
+    tags=("LLM", "ann", "ml"),
+    oracle=None,  # eigenbasis sign/rotation is engine-specific; invariants pinned in tests/test_ml_multimodal.py
+)
+def ml_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embedding corpus to 8
+    components (ml.embedding_pca_projection) — the reduce-then-search
+    front of large-scale similarity pipelines."""
+    from anti_money_laundering_spark.ml import embedding_pca_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pca_projection(emb, k=8)

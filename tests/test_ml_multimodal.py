@@ -180,3 +180,31 @@ def test_tfidf_vectors_shape(spark):
     vecs = tfidf_vectors(docs, num_features=64).collect()
     assert len(vecs) == 2
     assert all(r.tfidf.size == 64 for r in vecs)
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """Sign/rotation of the eigenbasis is engine-arbitrary, so pin the
+    invariants: projected pairwise distances never exceed originals
+    (orthogonal projection is a contraction), var_explained in (0, 1],
+    and the projection is deterministic across reruns."""
+    import numpy as np
+
+    from anti_money_laundering_spark.ml import embedding_pca_projection
+    from anti_money_laundering_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_pca_projection(emb, k=8)
+    rows = out.collect()
+    assert all(len(r.projection) == 8 for r in rows)
+    var = rows[0].var_explained
+    assert 0.0 < var <= 1.0 + 1e-9
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    proj = {r.vec_id: np.array(r.projection, dtype=float) for r in rows}
+    ids = sorted(orig)[:20]
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_orig = np.linalg.norm(orig[a] - orig[b])
+        d_proj = np.linalg.norm(proj[a] - proj[b])
+        assert d_proj <= d_orig + 1e-6, (a, b)
+    again = {r.vec_id: tuple(r.projection) for r in embedding_pca_projection(emb, k=8).collect()}
+    assert again == {k: tuple(v) for k, v in proj.items()}
