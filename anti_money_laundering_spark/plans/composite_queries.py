@@ -100,3 +100,68 @@ def aml_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def _manifest_oracle() -> str:
+    clean = _CATALOG["corpus_clean_pipeline"].oracle
+    split = _CATALOG["corpus_train_split"].oracle
+    from anti_money_laundering_spark.plans.llm_queries import _duck_hash_bucket
+
+    shard_s = _duck_hash_bucket("s.doc_id", "pack-v1", 16)
+    return f"""
+    WITH survivors AS ({clean}),
+    splits AS ({split}),
+    sharded AS (
+        SELECT s.doc_id AS doc_id, sp.split, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               {shard_s} AS shard
+        FROM survivors s JOIN splits sp ON sp.doc_id = s.doc_id
+    ),
+    packed AS (
+        SELECT doc_id, split, n_tokens, shard,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY split, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
+                   AS BIGINT) AS start_offset
+        FROM sharded
+    )
+    SELECT doc_id, split, n_tokens, shard, start_offset,
+           CAST(floor(start_offset / 512) AS BIGINT) AS bin_id
+    FROM packed
+    """
+
+
+@register(
+    "corpus_training_manifest",
+    tags=("LLM", "text", "dedup", "sample", "G4"),
+    oracle=_manifest_oracle(),
+)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-side flagship composite — the training-data manifest a
+    pipeline hands to the tokenizer: cleaned survivors
+    (lang → quality → exact dedup → near-dedup), leakage-free split
+    assignment (near-dup-cluster-keyed hash buckets), and per-(split,
+    shard) concat-and-chunk packing offsets into 512-token windows.
+    Every leg is a registered hash-verified query; the composition
+    adds one join and one cumulative-sum window. The LSH/cluster memo
+    is shared with the other corpus queries, so in a session the
+    manifest costs its own join + window only."""
+    from anti_money_laundering_spark.sampling import hash_bucket
+    from pyspark.sql import Window as W
+
+    clean = _CATALOG["corpus_clean_pipeline"].fn(spark, sf_dir).select("doc_id", "n_tokens")
+    split = _CATALOG["corpus_train_split"].fn(spark, sf_dir).select("doc_id", "split")
+    sharded = (
+        clean.join(split, "doc_id")
+        .select(
+            "doc_id", "split", F.col("n_tokens").cast("long").alias("n_tokens"),
+            hash_bucket("doc_id", buckets=16, salt="pack-v1").alias("shard"),
+        )
+    )
+    w = W.partitionBy("split", "shard").orderBy("doc_id")
+    return (
+        sharded.withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)).cast("long"),
+        )
+        .withColumn("bin_id", F.floor(F.col("start_offset") / 512).cast("long"))
+    )
