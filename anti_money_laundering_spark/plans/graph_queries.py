@@ -970,3 +970,75 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("harmonic"),
         F.count(F.when(F.col("distance") > 0, 1)).cast("long").alias("n_reached"),
     )
+
+
+_PPR_SEED_SQL = "CASE WHEN v.id % 37 = 0 THEN 1.0 ELSE 0.0 END"
+
+_PPR_ROUND = """
+    pprm{i} AS (
+        SELECT e.dst AS id, sum(p.pr / p.outd) AS msg
+        FROM edges e JOIN ppr{p} p ON p.id = e.src AND p.outd > 0 GROUP BY e.dst
+    ),
+    ppr{i} AS (
+        SELECT p.id, p.outd, p.seed,
+               0.15 * p.seed + 0.85 * coalesce(m.msg, 0.0) AS pr
+        FROM ppr{p} p LEFT JOIN pprm{i} m ON m.id = p.id
+    )
+"""
+
+
+@register(
+    "personalized_pagerank",
+    tags=("G6", "A5"),
+    oracle=f"""
+    WITH
+    edges AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src AS id, count(*) AS outd FROM edges GROUP BY src),
+    ppr0 AS (
+        SELECT v.id, coalesce(d.outd, 0) AS outd,
+               {_PPR_SEED_SQL} AS seed, {_PPR_SEED_SQL} AS pr
+        FROM verts v LEFT JOIN deg d ON d.id = v.id
+    ),
+    {_PPR_ROUND.format(i=1, p=0)},
+    {_PPR_ROUND.format(i=2, p=1)},
+    {_PPR_ROUND.format(i=3, p=2)}
+    SELECT id, round(pr + 1e-9, 6) AS ppr_score FROM ppr3
+    WHERE pr >= 1e-9
+    """,
+)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at flagged accounts (id % 37 = 0):
+    random-walk-with-restart risk diffusion — the restart mass returns
+    to the SEEDS, not uniformly, so scores measure proximity to
+    known-bad accounts instead of global importance (the "guilt by
+    transaction distance" feature). Same Pregel driver as pagerank;
+    only the update expression changes; zero-score vertices (never
+    reached from a seed) are filtered."""
+    from anti_money_laundering_spark.graph import Graph, pregel
+
+    g = flow_graph(spark, sf_dir)
+    outd = g.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("__outd"))
+    seed = F.when(F.col("id") % 37 == 0, 1.0).otherwise(0.0)
+    vertices = (
+        g.vertices.join(outd, "id", "left")
+        .select("id", F.coalesce("__outd", F.lit(0)).alias("__outd"), seed.alias("__seed"))
+    )
+    out = pregel(
+        Graph(vertices, g.edges),
+        state_col="pr",
+        initial_expr=F.col("__seed"),
+        msg_to_dst=F.try_divide(F.col("src.pr"), F.col("src.__outd")),
+        update_expr=0.15 * F.col("__seed") + 0.85 * F.coalesce(F.col("msg"), F.lit(0.0)),
+        agg_expr=F.sum(F.col("msg")),
+        max_iter=3,
+    )
+    # threshold on the UNROUNDED score, identically on both sides —
+    # filtering the rounded value would disagree with the oracle for
+    # scores inside the rounding dead zone. 1e-9 sits far below the
+    # smallest reachable mass (~0.15·(0.85/max_deg)^3) and far above
+    # double noise.
+    return (
+        out.filter(F.col("pr") >= 1e-9)
+        .select("id", F.round(F.col("pr") + 1e-9, 6).alias("ppr_score"))
+    )
