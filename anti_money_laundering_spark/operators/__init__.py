@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join", "salted_join", "merge_into", "table_diff"]
+__all__ = ["asof_join", "range_join", "salted_join", "merge_into", "table_diff", "merge_aggregates"]
 
 
 def asof_join(
@@ -345,4 +345,38 @@ def table_diff(
         j.withColumn("op", op)
         .filter(F.col("op").isNotNull())
         .select(*on, "op", "before", "after")
+    )
+
+
+def merge_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    on: list[str],
+    sum_cols: list[str],
+    count_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: fold a
+    DELTA batch's partial aggregates into the maintained aggregate
+    table — ``merged == full recompute`` for sums/counts (they're
+    associative), without rescanning history. The daily-rollup pattern
+    at 100 TB: aggregate only the new partition, merge into the
+    serving table (optionally via :func:`merge_into`/``merge_table``
+    for the write).
+
+    Both inputs carry ``on`` + the aggregate columns; unmatched keys
+    on either side pass through (full-outer + coalesce-to-zero
+    addition). One shuffle per side on the group keys.
+    """
+    cols = sum_cols + (count_cols or [])
+    o = old.select(*on, *[F.col(c).alias(f"__o_{c}") for c in cols])
+    d = delta.select(*on, *[F.col(c).alias(f"__d_{c}") for c in cols])
+    j = o.join(d, on, "full_outer")
+    return j.select(
+        *on,
+        *[
+            (
+                F.coalesce(F.col(f"__o_{c}"), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in cols
+        ],
     )

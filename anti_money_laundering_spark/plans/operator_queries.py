@@ -215,3 +215,40 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before.price").alias("before_price"),
         F.col("after.price").alias("after_price"),
     )
+
+
+@register(
+    "incremental_revenue_merge",
+    tags=("OP", "A1"),
+    oracle="""
+    SELECT o_custkey,
+           round(sum(o_totalprice) + 1e-6, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance attested by equivalence: the
+    history partition's aggregate merged with the new batch's partial
+    aggregate (operators.merge_aggregates) must equal the from-scratch
+    group-by — which IS the oracle. At 100 TB only the delta is ever
+    rescanned."""
+    from anti_money_laundering_spark.operators import merge_aggregates
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+
+    history = agg(o.filter(k % 10 != 0))
+    delta = agg(o.filter(k % 10 == 0))
+    merged = merge_aggregates(history, delta, on=["o_custkey"], sum_cols=["revenue"], count_cols=["n_orders"])
+    return merged.select(
+        "o_custkey",
+        F.round(F.col("revenue") + 1e-6, 2).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
