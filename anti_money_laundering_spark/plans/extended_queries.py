@@ -586,3 +586,26 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@register(
+    "approx_quantiles_prices",
+    tags=("A-ext",),
+    # Greenwald-Khanna sketch internals are engine-specific (DuckDB's
+    # approx_quantile is t-digest) — rows-only here; the rank-error
+    # contract vs exact percentiles is pinned in
+    # tests/test_operators.py::test_approx_quantiles_rank_error_bound.
+    oracle=None,
+)
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable quantile sketch (percentile_approx,
+    Greenwald-Khanna): the P50/P90/P99 of order value with relative
+    rank error <= 1/accuracy — the sketch family's answer when an
+    exact percentile's full sort/shuffle is the bottleneck (the exact
+    twin is histogram_equi_height's percentile pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )

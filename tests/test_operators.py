@@ -300,3 +300,26 @@ def test_merge_into_empty_sides(spark):
     assert table_diff(t, t, on=["id"]).count() == 0
     assert {r.op for r in table_diff(empty, t, on=["id"]).collect()} == {"I"}
     assert {r.op for r in table_diff(t, empty, on=["id"]).collect()} == {"D"}
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """percentile_approx(accuracy=10000) guarantees rank error <=
+    n/accuracy: the value it returns for quantile q must sit within
+    that many ranks of the exact order statistic."""
+    import bisect
+
+    from anti_money_laundering_spark.plans.catalog import get_catalog
+
+    row = get_catalog()["approx_quantiles_prices"].fn(spark, sf_dir).collect()[0]
+    from anti_money_laundering_spark.sources import load_table
+
+    vals = sorted(
+        r[0] for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    n = len(vals)
+    tol = max(1, n // 10000 + 1)
+    for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+        target = int(q * (n - 1))
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got) - 1
+        assert lo - tol <= target <= hi + tol, (q, got, lo, hi, target)
