@@ -216,3 +216,60 @@ def test_stateful_transitions_parity(spark, sf_dir, replay_dir):
         ["user_id", "prev_type", "next_type", "ts"],
     )
     assert got == expect and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark):
+    """An event older than the advanced watermark must be DROPPED, not
+    resurrect its (already-closable) window — the state-bound contract
+    everything at stream scale depends on. Two runs over one
+    checkpoint: run 1 advances the watermark past the late window's
+    end; run 2 delivers the late event plus a fresh one."""
+    import datetime as dt
+
+    from anti_money_laundering_spark.streaming import (
+        read_events_stream,
+        tumbling_event_counts,
+    )
+
+    def micros(h, m=0):
+        return int(
+            dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        ) * 1000  # raw nanos column
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts long, value double, props string"
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    sink = tempfile.mkdtemp(prefix="late_sink_")
+
+    def run_once():
+        stream = read_events_stream(spark, src, max_files_per_trigger=10)
+        q = (
+            tumbling_event_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    # run 1: events 10:00-13:00 -> watermark lands at 12:00
+    write_batch("b1", [(1, 1, "view", micros(10, 30), 1.0, "{}"),
+                       (2, 1, "view", micros(13, 0), 1.0, "{}")])
+    run_once()
+    # run 2: a LATE event at 09:30 (window [09:00,10:00) << watermark)
+    # plus a fresh one at 14:00 to advance things
+    write_batch("b2", [(3, 1, "view", micros(9, 30), 1.0, "{}"),
+                       (4, 1, "view", micros(14, 0), 1.0, "{}")])
+    out = run_once()
+    starts = {r.window_start.hour for r in out.collect()}
+    assert 10 in starts or 13 in starts  # on-time windows finalize
+    assert 9 not in starts  # the late event never creates its window
