@@ -154,6 +154,7 @@ def get_catalog() -> dict[str, CatalogQuery]:
     # Imports deferred so `import anti_money_laundering_spark` stays cheap.
     from anti_money_laundering_spark.plans import (  # noqa: F401
         extended_queries,
+        feature_queries,
         graph_queries,
         linkage_queries,
         llm_queries,

@@ -1,0 +1,394 @@
+"""Feature-engineering surface: the operators a training-data /
+feature pipeline runs between raw events and model input — SCD2
+history build, exact rolling medians, calendar-spine gap-filling,
+market-basket co-occurrence, BM25 relevance ranking, weighted
+deterministic sampling, and per-entity z-score anomaly screens.
+
+None of these exist in the reference (its notebooks stop at graph /
+linkage analytics); they're the natural next asks of the same AML
+analyst (z-score screens, SCD2 entity history) and of the LLM-pipeline
+owner the engine also serves (BM25 retrieval, weighted data mixes).
+
+Scale notes (100 TB discipline):
+- every query is pure DataFrame/SQL — no Python UDFs, no collects;
+  scalar corpus statistics (max price, avg doclen) travel as
+  broadcast cross-joins of 1-row aggregates, never driver round-trips;
+- window queries shuffle ONCE on their partition key; the SCD2 build
+  reuses the same (user) partitioning for both its windows;
+- the co-occurrence self-join is bounded by the itemset width (5 event
+  types -> <=10 pairs per basket), the classic market-basket guard;
+- weighted sampling is md5 arithmetic (engine-portable, rerun-stable),
+  the same discipline as ``sampling.hash_sample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.plans.llm_queries import _duck_hash_bucket
+from anti_money_laundering_spark.sampling import hash_bucket
+from anti_money_laundering_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_status",
+    tags=("W-ext", "OP"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS status, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM changes
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) history build from a
+    change stream: collapse consecutive runs of the same per-user
+    status into validity intervals [valid_from, valid_to), open-ended
+    (NULL valid_to) for the current row.
+
+    Plan: two windows over the SAME (user_id) partitioning — lag() to
+    find run starts, lead() to close intervals — so Catalyst plans one
+    shuffle and two in-partition sorts. No joins, no state beyond the
+    window frame; at 100 TB this is the standard one-pass SCD2 derivation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("status"), F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id", "status", "valid_from", F.lead("valid_from").over(w2).alias("valid_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_median_value",
+    tags=("W-ext",),
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM events
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing median (5-row frame) of event value per user —
+    the robust-center feature a fraud model wants where a rolling MEAN
+    is poisoned by the very outliers it should detect.
+
+    Spark has no exact median window function, so the frame is
+    materialized as a sorted array (collect_list over a ROWS frame +
+    array_sort) and the median read positionally with linear
+    interpolation on even counts — matching quantile_cont(0.5)
+    semantics bit-for-bit at this frame size. The frame is O(1) (5
+    rows), so the array never grows with data volume; one shuffle on
+    user_id. For wide frames at scale, switch to the t-digest sketch in
+    ``functions.approx_quantiles``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise((lo + hi) / 2.0)
+    return ev.select("event_id", "user_id", F.round(med, 6).alias("rolling_median"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_cooccurrence",
+    tags=("A-ext", "J-ext"),
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+    ), totals AS (
+      SELECT count(*) AS total FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_baskets,
+           round(count(*) * 1.0 / any_value(total), 6) AS support
+    FROM baskets a
+    JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+    CROSS JOIN totals
+    GROUP BY 1, 2
+    """,
+)
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence support: for every pair of event
+    types, in what fraction of (user, day) baskets do both occur —
+    the A-priori support-counting primitive (and an AML screen: which
+    behaviors travel together on the same day).
+
+    Plan: distinct itemization first (shrinks the join input to one
+    row per basket-item), then a basket-keyed self-join whose fan-out
+    is bounded by the itemset width (k items -> k(k-1)/2 pairs; 5
+    event types -> <=10 rows per basket). The corpus basket count
+    rides along as a broadcast 1-row cross join, not a driver collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", F.to_date("ts").alias("day"), "event_type").distinct()
+    totals = baskets.select("user_id", "day").distinct().agg(F.count(F.lit(1)).alias("total"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return (
+        pairs.select(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .crossJoin(F.broadcast(totals))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_baskets"),
+            F.round(F.count(F.lit(1)) / F.first("total"), 6).alias("support"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_doc_scores",
+    tags=("LLM", "text"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), clean AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM clean GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM clean
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ({_BM25_K1} + 1.0)
+             / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every matching document to a fixed query
+    ("spark join stream") — the retrieval scorer behind corpus search
+    and RAG candidate generation, exact (Okapi BM25, k1=1.2, b=0.75).
+
+    Plan: one tokenize+explode pass feeds BOTH the per-doc length
+    table and the per-(doc, term) tf table (term filter pushed before
+    the tf aggregation, so only query-term postings shuffle). The
+    corpus stats (N, avgdl) and the per-term document frequencies are
+    1-row / k-row aggregates broadcast onto the postings — at 100 TB
+    the only large shuffle is the postings groupBy, proportional to
+    occurrences of the QUERY terms, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = clean.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        clean.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    weight = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(weight), 6).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_orders",
+    tags=("sample", "A-ext"),
+    oracle=f"""
+    WITH mx AS (SELECT max(o_totalprice) AS maxp FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice / maxp, 6) AS weight
+    FROM orders CROSS JOIN mx
+    WHERE {_duck_hash_bucket("o_orderkey", "wsample-v1", 10000)} * 1.0
+          < o_totalprice / maxp * 10000
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep each order with
+    probability proportional to its price (Poisson/Bernoulli weighted
+    sampling) — the mechanism for value-weighted training mixes where
+    hash_sample's uniform inclusion under-represents heavy rows.
+
+    The inclusion test replays engine-portably: md5 bucket of the key
+    (no RNG, rerun/cluster-size stable — ``sampling.hash_bucket``)
+    compared against the row's weight, with the normalizing max
+    travelling as a broadcast 1-row cross join. Expected sample size =
+    sum(weights)/max(weight); per-row work is codegen'd arithmetic on
+    the scan, so the filter pipelines with no extra shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("maxp"))
+    w = F.col("o_totalprice") / F.col("maxp")
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(hash_bucket("o_orderkey", 10000, salt="wsample-v1").cast("double") < w * 10000)
+        .select("o_orderkey", "o_totalprice", F.round(w, 6).alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap-fill resample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "resample_daily_gapfill",
+    tags=("W-ext", "F-ext"),
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM spans
+    )
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular daily time series per user with silent days zero-filled:
+    generate each user's calendar spine (min..max active day) and left-
+    join the observed daily counts — the gap-fill step every
+    time-series feature pipeline needs before lag/rolling features
+    (a missing day must be an explicit 0, not an absent row).
+
+    Plan: the spine comes from sequence()+explode on a 2-column
+    aggregate (rows = users x active-span days, never events x days);
+    the left join re-shuffles on the same (user, day) key the daily
+    aggregate just produced. No driver-side calendar, no UDFs.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        # ISO string on both sides: DuckDB DATE surfaces as a midnight
+        # timestamp through pandas, which would hash-mismatch a true date.
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity z-score anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zscore_outlier_orders",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             avg(o_totalprice) OVER w AS mu,
+             stddev_samp(o_totalprice) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM orders WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round((o_totalprice - mu) / sd, 6) AS z
+    FROM stats
+    WHERE n >= 5 AND sd > 0 AND abs((o_totalprice - mu) / sd) > 2.0
+    """,
+)
+def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score screen: orders more than 2 sigma from the
+    customer's own mean spend (entities with >=5 orders) — the
+    peer-group-of-one anomaly baseline AML teams run alongside the
+    graph screens (a $9k order is unremarkable globally, damning for a
+    customer whose history is $200 +/- 30).
+
+    Plan: one unbounded window partitioned by customer computes mean /
+    stddev / count in a single shuffle (Spark evaluates all three
+    window aggregates over one sort); the sigma test is codegen'd row
+    arithmetic on top. Equivalent to groupBy + self-join but with half
+    the shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp("o_totalprice").over(w)
+    return (
+        orders.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sd", F.stddev_samp("o_totalprice").over(w))
+        .withColumn("z", z)
+        .filter((F.col("n") >= 5) & (F.col("sd") > 0) & (F.abs(F.col("z")) > 2.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("z", 6).alias("z"))
+    )
