@@ -392,3 +392,68 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 5) & (F.col("sd") > 0) & (F.abs(F.col("z")) > 2.0))
         .select("o_orderkey", "o_custkey", "o_totalprice", F.round("z", 6).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count({c}) AS BIGINT) AS n_non_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_orders", tags=("A-ext", "OP"), oracle=_PROFILE_ORACLE)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the orders table (row/non-null/distinct
+    counts, native-typed min/max) via ``operators.profile_table`` —
+    the schema-drift and cardinality health check run before any
+    pipeline consumes an unfamiliar table. One scan, one aggregate,
+    stack-pivoted to rows with no driver round-trip."""
+    from anti_money_laundering_spark.operators import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation fold assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kfold_assign_docs",
+    tags=("sample", "LLM"),
+    oracle=f"""
+    SELECT doc_id, {_duck_hash_bucket("doc_id", "fold-v1", 10000)} % 5 AS fold
+    FROM documents
+    """,
+)
+def kfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold = md5
+    bucket of the document id mod k. Same engine-portable no-RNG
+    discipline as ``sampling.assign_split`` — folds are stable across
+    reruns, cluster sizes, and engines, and adding documents never
+    reassigns existing ones. Codegen'd arithmetic on the scan; zero
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.pmod(hash_bucket("doc_id", 10000, salt="fold-v1"), F.lit(5)).alias("fold")
+    )

@@ -1042,3 +1042,84 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("pr") >= 1e-9)
         .select("id", F.round(F.col("pr") + 1e-9, 6).alias("ppr_score"))
     )
+
+
+@register(
+    "graph_neighbor_jaccard",
+    tags=("G-ext", "J5"),
+    oracle=f"""
+    WITH e0 AS ({FLOW_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    nbr AS (SELECT a AS id, b AS n FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, count(*) AS d FROM nbr GROUP BY id),
+    nbr_f AS (
+        SELECT nbr.id, nbr.n FROM nbr JOIN deg ON deg.id = nbr.n WHERE deg.d <= 200
+    ),
+    degf AS (SELECT id, count(*) AS d FROM nbr_f GROUP BY id),
+    wedge AS (
+        SELECT n1.id AS u, n2.id AS v, CAST(count(*) AS BIGINT) AS n_common
+        FROM nbr_f n1 JOIN nbr_f n2 ON n1.n = n2.n AND n1.id < n2.id
+        GROUP BY 1, 2
+    )
+    SELECT w.u, w.v, w.n_common,
+           round(w.n_common * 1.0 / (du.d + dv.d - w.n_common), 6) AS jaccard
+    FROM wedge w JOIN degf du ON du.id = w.u JOIN degf dv ON dv.id = w.v
+    WHERE w.n_common >= 3
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural similarity: Jaccard overlap of two accounts'
+    neighborhoods on the undirected flow graph — near-1.0 pairs
+    transact with the SAME counterparties, the fan-out mirror of what
+    entity resolution finds from shared attributes (and, with
+    ``graph_adamic_adar``, the second classic link-prediction score).
+
+    Super-hub neighbors (degree > 200) are excluded from BOTH the
+    intersection and the degrees — a hub everyone touches carries no
+    similarity signal but contributes deg^2 wedge rows (the same skew
+    guard as the Adamic-Adar query, here applied consistently so the
+    ratio stays a true Jaccard over the filtered neighbor sets).
+    Plan: wedge self-join on the shared-neighbor key, group to
+    intersection counts, two broadcast-size degree joins; >= 3 common
+    neighbors bounds output to meaningful pairs.
+    """
+    g = flow_graph(spark, sf_dir)
+    und = (
+        g.edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("id"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    nbr_f = nbr.join(
+        deg.filter(F.col("d") <= 200).select(F.col("id").alias("n")), "n"
+    )
+    degf = nbr_f.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr_f.select(F.col("id").alias("u"), F.col("n").alias("w"))
+    n2 = nbr_f.select(F.col("id").alias("v"), F.col("n").alias("w"))
+    wedge = (
+        n1.join(n2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    du = degf.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = degf.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    return (
+        wedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("du") + F.col("dv") - F.col("n_common")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
