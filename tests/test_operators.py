@@ -323,3 +323,25 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
         lo = bisect.bisect_left(vals, got)
         hi = bisect.bisect_right(vals, got) - 1
         assert lo - tol <= target <= hi + tol, (q, got, lo, hi, target)
+
+
+def test_profile_table_counts_nulls_and_approx_path(spark):
+    from anti_money_laundering_spark.operators import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5), (3, "a", 2.0), (None, "b", 2.0)],
+        "k int, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["k"]["n_non_null"] == 3 and prof["k"]["n_distinct"] == 3
+    assert prof["s"]["n_non_null"] == 3 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_non_null"] == 3 and prof["v"]["n_distinct"] == 2
+    # native-typed ordering before stringification: numeric min is 1, not "1" vs "10"
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "3"
+    assert prof["v"]["min_value"] == "2.0" and prof["v"]["max_value"] == "3.5"
+    # HLL path returns the same shape with approximate distincts
+    approx = {r["col_name"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert approx["s"]["n_non_null"] == 3
+    assert 1 <= approx["s"]["n_distinct"] <= 3

@@ -202,3 +202,40 @@ def test_stratified_sample_is_pure_filter(spark, sf_dir):
     plan = explain_str(CATALOG["stratified_sample_events"].fn(spark, sf_dir))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_feature_queries_no_cartesian_no_udf(spark, sf_dir):
+    # The feature-engineering surface stays declarative: equi-keyed
+    # joins only (the co-occurrence `<` is a residual on a keyed join,
+    # not a cartesian) and zero Python UDFs anywhere in the family.
+    for name in (
+        "event_cooccurrence",
+        "bm25_doc_scores",
+        "scd2_user_status",
+        "resample_daily_gapfill",
+        "zscore_outlier_orders",
+        "graph_neighbor_jaccard",
+    ):
+        plan = explain_str(CATALOG[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bm25_stats_and_df_broadcast(spark, sf_dir):
+    # Corpus stats (1 row) and per-term document frequencies (k rows)
+    # must broadcast onto the postings — the only big shuffle at scale
+    # is the postings aggregation itself.
+    plan = explain_str(CATALOG["bm25_doc_scores"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+
+
+def test_profile_single_scan_stack_pivot(spark, sf_dir):
+    # One scan + one (expanded) aggregate; the per-column reshape is a
+    # generator, never a driver collect or a union of per-column scans.
+    plan = explain_str(CATALOG["profile_orders"].fn(spark, sf_dir))
+    import re
+
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1, scan_nodes
+    assert "Expand" in plan  # multi-distinct rewrite, single pass
