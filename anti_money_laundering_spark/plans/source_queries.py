@@ -131,3 +131,32 @@ def sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_url.join(fetched, "url")
         .select("n_nationkey", "n_name", "n_regionkey", "fetched")
     )
+
+
+@register(
+    "formats_roundtrip",
+    tags=("S2", "S4"),
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → JSON-lines sink → JSON scan (explicit schema) → ORC
+    sink → ORC scan: the two remaining Spark-native batch formats
+    beyond parquet/CSV (JSONL for interchange with ingest tooling, ORC
+    for Hive-ecosystem handoff), attested lossless by the identity
+    oracle over the original parquet.
+
+    Same sandboxing discipline as ``sources_roundtrip``: pid-scoped
+    scratch paths inside the repo, mode=overwrite for idempotence.
+    Explicit schemas on the read side — JSON inference at 100 TB means
+    an extra full scan and unstable column types.
+    """
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    pid = os.getpid()
+    json_path = os.path.join(_SCRATCH, f"sources_roundtrip_{pid}", "region_json")
+    orc_path = os.path.join(_SCRATCH, f"sources_roundtrip_{pid}", "region_orc")
+
+    region.write.mode("overwrite").json(json_path)
+    from_json = spark.read.schema(region.schema).json(json_path)
+
+    from_json.write.mode("overwrite").orc(orc_path)
+    return spark.read.schema(region.schema).orc(orc_path)

@@ -216,3 +216,78 @@ def test_merge_into_matches_dict_semantics(spark, tgt, src):
         ).collect()
     }
     assert got == expect
+
+
+# --- rolling median vs numpy ------------------------------------------------
+
+values_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.floats(-100, 100, allow_nan=False, width=32)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=values_strategy)
+@settings(**SETTINGS)
+def test_rolling_median_matches_numpy(spark, rows):
+    """The sorted-array windowed median (feature_queries formulation)
+    equals numpy's median over every trailing 5-row frame, including
+    the short frames at each partition head (even-count interpolation)."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, int(u), float(v)) for i, (u, v) in enumerate(rows)], "seq int, u int, v double"
+    )
+    w = Window.partitionBy("u").orderBy("seq").rowsBetween(-4, 0)
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (lo + hi) / 2.0
+    )
+    got = {r["seq"]: r["m"] for r in df.select("seq", med.alias("m")).collect()}
+
+    by_u: dict[int, list[tuple[int, float]]] = {}
+    for i, (u, v) in enumerate(rows):
+        by_u.setdefault(int(u), []).append((i, float(v)))
+    for u, items in by_u.items():
+        items.sort()
+        for j, (seq, _) in enumerate(items):
+            frame = [v for _, v in items[max(0, j - 4) : j + 1]]
+            assert abs(got[seq] - float(np.median(frame))) < 1e-9, (u, seq, frame)
+
+
+# --- profile_table vs pandas -------------------------------------------------
+
+profile_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=profile_strategy)
+@settings(**SETTINGS)
+def test_profile_table_matches_pandas(spark, rows):
+    from anti_money_laundering_spark.operators import profile_table
+
+    df = spark.createDataFrame(rows, "k int, s string")
+    pdf = pd.DataFrame(rows, columns=["k", "s"])
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    for c in ["k", "s"]:
+        assert prof[c]["n_rows"] == len(pdf)
+        assert prof[c]["n_non_null"] == int(pdf[c].notna().sum())
+        assert prof[c]["n_distinct"] == int(pdf[c].nunique())
+        if pdf[c].notna().any():
+            # pandas promotes int columns with NaN to float ('0.0');
+            # Spark keeps the declared int type ('0') — cast back.
+            cast = (lambda v: str(int(v))) if c == "k" else str
+            assert prof[c]["min_value"] == cast(pdf[c].dropna().min())
+            assert prof[c]["max_value"] == cast(pdf[c].dropna().max())
+        else:
+            assert prof[c]["min_value"] is None and prof[c]["max_value"] is None
