@@ -136,6 +136,7 @@ def interval_join_streams(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event matches right
     events with the same ``key`` whose ``ts`` falls in
@@ -156,6 +157,16 @@ def interval_join_streams(
 
     Columns are prefixed per side (the two inputs usually share a
     schema, e.g. two filters of one event stream).
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    (right columns null) — but only once the watermark passes the
+    row's match horizon, since until then a matching right row could
+    still arrive. That deferred emission is the semantic difference
+    from a batch left join and the reason outer stream-stream joins
+    REQUIRE the watermark + time-bound condition (Spark rejects them
+    otherwise). Tail rows whose horizon the final watermark never
+    passes stay buffered — a replay harness must push a late sentinel
+    through to flush them (see tests/test_streaming.py).
     """
     if left.isStreaming:
         left = left.withWatermark("ts", watermark)
@@ -170,7 +181,7 @@ def interval_join_streams(
         & (F.col(rts) >= F.col(lts))
         & (F.col(rts) < F.col(lts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

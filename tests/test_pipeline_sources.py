@@ -256,3 +256,27 @@ def test_merge_table_parquet_fallback(spark, caplog):
             assert any("full-outer join" in r.message for r in caplog.records)
     finally:
         spark.sql("DROP TABLE IF EXISTS merge_tbl_fallback")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
+    """A filter on the DIM side must prune the partitioned FACT scan at
+    runtime (DPP): the fact reads only the partitions the filtered dim
+    can join — at 100 TB this is the difference between scanning one
+    day-partition and scanning the table. The plan shows the injected
+    subquery filter as `dynamicpruning` inside the scan's
+    PartitionFilters."""
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    tmp = tempfile.mkdtemp(prefix="dpp_sink_")
+    out = os.path.join(tmp, "events_dpp")
+    write_parquet(ev, out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "t string, pri int",
+    )
+    joined = fact.join(dim.filter(F.col("pri") == 1), fact.event_type == dim.t)
+    plan = joined.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() > 0

@@ -273,3 +273,45 @@ def test_watermark_drops_late_events(spark):
     starts = {r.window_start.hour for r in out.collect()}
     assert 10 in starts or 13 in starts  # on-time windows finalize
     assert 9 not in starts  # the late event never creates its window
+
+
+def test_stream_interval_left_outer_emits_unmatched(spark):
+    """Left-outer stream-stream interval join: unmatched purchases emit
+    with null right columns ONCE the watermark passes their match
+    horizon. Micro-batch 1 carries the real rows, micro-batch 2 a
+    far-future sentinel pair whose sole job is to advance the
+    watermark and flush the buffered outer results."""
+    from anti_money_laundering_spark.streaming import interval_join_streams
+
+    tmp = tempfile.mkdtemp(prefix="events_louter_")
+    base = 1_700_000_000_000_000_000  # ns
+    h = 3_600_000_000_000  # 1h in ns
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # user 0: click 10 min after purchase (match); user 1: click 2h later
+    # (outside the 1h bound); user 2: no click at all.
+    real = [
+        (1, base, 0, "purchase", 10.0, "{}"),
+        (2, base + h // 6, 0, "click", 0.0, "{}"),
+        (3, base, 1, "purchase", 20.0, "{}"),
+        (4, base + 2 * h, 1, "click", 0.0, "{}"),
+        (5, base, 2, "purchase", 30.0, "{}"),
+    ]
+    sentinel = [
+        (98, base + 48 * h, 99, "purchase", 0.0, "{}"),
+        (99, base + 48 * h, 99, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(real, schema).coalesce(1).write.mode("append").parquet(tmp)
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(tmp)
+
+    stream = interval_join_streams(
+        read_events_stream(spark, tmp).filter(F.col("event_type") == "purchase"),
+        read_events_stream(spark, tmp).filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    got = run_stream_to_memory(stream, "t_louter", output_mode="append")
+    rows = {
+        r["l_event_id"]: r["r_event_id"]
+        for r in got.collect()
+        if r["l_user_id"] != 99
+    }
+    assert rows == {1: 2, 3: None, 5: None}
