@@ -457,3 +457,142 @@ def kfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.pmod(hash_bucket("doc_id", 10000, salt="fold-v1"), F.lit(5)).alias("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal money arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decimal_money_totals",
+    tags=("A-ext", "F3"),
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_exact,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,2) money aggregation: regulatory/SAR totals
+    must not drift, and double summation order changes the last ulps
+    across partitionings — DECIMAL sums are associative-exact, so the
+    SAME cents come out on any cluster size (and hash-verify against
+    the oracle with NO rounding escape hatch, unlike every double
+    aggregate in this catalog). Spark widens the sum to
+    DECIMAL(28,2) internally; map-side partial aggregation still
+    applies."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-decay (EWMA) feature
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 12  # truncation: (1-a)^12 ~ 0.014, <2% residual mass
+
+
+def _ewma_terms():
+    return [(j, (1.0 - _EWMA_ALPHA) ** j) for j in range(_EWMA_K)]
+
+
+@register(
+    "ewma_event_values",
+    tags=("W-ext", "F-ext"),
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((
+             {" + ".join(f"coalesce(lag(value, {j}) OVER w * {w!r}, 0.0)" for j, w in _ewma_terms())}
+           ) / (
+             {" + ".join(f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END" for j, w in _ewma_terms())}
+           ), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed mean of each user's recent event values
+    (alpha=0.3, truncated at 12 lags — <2% residual mass), normalized
+    over the weights actually present so partition heads are unbiased.
+    Exponential-decay features are the fraud-model staple the plain
+    rolling mean can't give (recent behavior dominates, old behavior
+    never fully leaves).
+
+    The recurrence y_t = a*x_t + (1-a)*y_{{t-1}} is not expressible as
+    a Spark window aggregate, and the closed form over a full
+    partition overflows (1-a)^-t at a few hundred rows — truncation
+    makes it a FIXED lag chain instead: 12 codegen'd lag() terms over
+    one (user) sort, identical arithmetic on both engines, no Python,
+    no state. One shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, wt in _ewma_terms():
+        lagv = F.lag("value", j).over(w)
+        t_num = F.coalesce(lagv * F.lit(wt), F.lit(0.0))
+        t_den = F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return ev.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Per-entity trend slope
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_slope_per_user",
+    tags=("A-ext",),
+    oracle="""
+    WITH xy AS (
+      SELECT user_id,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 86400000000.0 AS x_days,
+             value AS y
+      FROM events
+    )
+    SELECT user_id,
+           round(covar_samp(x_days, y) / var_samp(x_days), 6) AS slope_per_day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM xy
+    GROUP BY user_id
+    HAVING count(*) >= 3 AND var_samp(x_days) > 0
+    """,
+)
+def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares activity trend per user: slope of event value over
+    time (units/day), the one-number answer to "is this account
+    ramping up?". Closed form slope = covar_samp(x, y)/var_samp(x) —
+    both are single-pass distributive aggregates, so the whole fit is
+    ONE groupBy shuffle with map-side partials, no iteration, no ML
+    library. x is re-zeroed per user (days since the user's first
+    event) to keep the moments well-conditioned — epoch-microsecond
+    magnitudes square to 1e30 and eat the double mantissa."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    xy = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w)) / 86400000000.0
+        ).alias("x_days"),
+        F.col("value").alias("y"),
+    )
+    return (
+        xy.groupBy("user_id")
+        .agg(
+            F.round(F.covar_samp("x_days", "y") / F.var_samp("x_days"), 6).alias("slope_per_day"),
+            F.count(F.lit(1)).alias("n"),
+            F.var_samp("x_days").alias("__vx"),
+        )
+        .filter((F.col("n") >= 3) & (F.col("__vx") > 0))
+        .drop("__vx")
+    )
