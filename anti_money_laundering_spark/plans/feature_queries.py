@@ -596,3 +596,138 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 3) & (F.col("__vx") > 0))
         .drop("__vx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_pmi_collocations",
+    tags=("LLM", "text"),
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), clean AS (
+      SELECT doc_id, term, pos FROM toks WHERE term <> ''
+    ), bigrams AS (
+      SELECT term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM clean
+    ), bg AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bigrams WHERE b IS NOT NULL GROUP BY a, b
+    ), uni AS (
+      SELECT term, count(*) AS n FROM clean GROUP BY term
+    ), tot AS (
+      SELECT (SELECT sum(n) FROM uni) AS t_uni,
+             (SELECT sum(n_ab) FROM bg) AS t_bg
+    )
+    SELECT bg.a AS term_a, bg.b AS term_b, bg.n_ab,
+           round(ln((bg.n_ab / t_bg) / ((ua.n / t_uni) * (ub.n / t_uni))), 6) AS pmi
+    FROM bg
+    JOIN uni ua ON ua.term = bg.a
+    JOIN uni ub ON ub.term = bg.b
+    CROSS JOIN tot
+    WHERE bg.n_ab >= 50
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation detector ("new york" vs chance co-occurrence) corpus
+    analysis runs before vocabulary/tokenizer decisions. PMI =
+    ln(p(ab) / (p(a)p(b))), frequent pairs only (n >= 50).
+
+    Plan: bigrams come from ONE lead() window per document (not a
+    positional self-join — same result, half the shuffle); unigram
+    counts are vocabulary-sized and broadcast onto the bigram counts;
+    corpus totals ride as a broadcast 1-row cross join. The only
+    corpus-scale shuffles are the two counting aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = clean.select(
+        F.col("term").alias("a"), F.lead("term").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    bg = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    uni = clean.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("t_uni")).crossJoin(
+        bg.agg(F.sum("n_ab").alias("t_bg"))
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
+    return (
+        bg.filter(F.col("n_ab") >= 50)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("t_bg"))
+                    / ((F.col("n_a") / F.col("t_uni")) * (F.col("n_b") / F.col("t_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_value_stats",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH clipped AS (
+      SELECT event_type, value,
+             quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS p05,
+             quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS p95
+      FROM events
+    )
+    SELECT event_type,
+           round(avg(least(greatest(value, p05), p95)), 6) AS wins_mean,
+           round(avg(value), 6) AS raw_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM clipped
+    GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values to the group's
+    exact [p5, p95] band before averaging — the robust-preprocessing
+    step that keeps a handful of extreme rows from owning a feature's
+    scale (clipping retains the rows; trimming would discard them).
+
+    Plan: exact interpolated percentiles as UNBOUNDED window
+    aggregates over the group partition (one shuffle, one sort,
+    both quantiles from the same pass), then codegen'd clamp + a
+    re-aggregation on the already-partitioned key. At 100 TB swap the
+    exact percentile for approx_percentile and the window for a
+    broadcast join of per-group sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    clipped = ev.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.05)").over(w).alias("p05"),
+        F.expr("percentile(value, 0.95)").over(w).alias("p95"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.avg(F.least(F.greatest("value", F.col("p05")), F.col("p95"))), 6).alias(
+            "wins_mean"
+        ),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
