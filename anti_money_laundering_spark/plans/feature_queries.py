@@ -632,14 +632,14 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN uni ua ON ua.term = bg.a
     JOIN uni ub ON ub.term = bg.b
     CROSS JOIN tot
-    WHERE bg.n_ab >= 50
+    WHERE bg.n_ab >= 10
     """,
 )
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of adjacent word pairs — the
     collocation detector ("new york" vs chance co-occurrence) corpus
     analysis runs before vocabulary/tokenizer decisions. PMI =
-    ln(p(ab) / (p(a)p(b))), frequent pairs only (n >= 50).
+    ln(p(ab) / (p(a)p(b))), frequent pairs only (n >= 10 — the fixture corpus tops out near 50 occurrences at the driver SF, so a higher floor would silently attest an EMPTY result; FIXTURES.md rule: thresholds must leave every SF non-empty).
 
     Plan: bigrams come from ONE lead() window per document (not a
     positional self-join — same result, half the shuffle); unigram
@@ -662,7 +662,7 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
     ub = uni.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
     return (
-        bg.filter(F.col("n_ab") >= 50)
+        bg.filter(F.col("n_ab") >= 10)
         .join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
         .crossJoin(F.broadcast(tot))
