@@ -40,3 +40,27 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 1
+
+
+def test_no_oracle_is_empty_at_driver_sf():
+    """Empty == empty passes the hash gate silently and attests
+    nothing (round-4 lesson: a mis-set PMI frequency floor shipped an
+    empty-but-"green" query). Every oracle must return rows at the
+    DRIVER's correctness SF (0.01) — DuckDB-only, so this also guards
+    against fixture regens hollowing out thresholds. (At sf0.001 six
+    graph oracles are legitimately empty; the driver never runs there.)"""
+    import duckdb
+
+    from anti_money_laundering_spark.sources import TABLES
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    empty = []
+    for name, q in CATALOG.items():
+        if q.oracle is None:
+            continue
+        if con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0] == 0:
+            empty.append(name)
+    assert not empty, f"zero-row oracles at driver SF: {empty}"
