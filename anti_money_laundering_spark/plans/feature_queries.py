@@ -731,3 +731,81 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("raw_mean"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (data-mix balancing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "per_source_doc_cap",
+    tags=("sample", "LLM", "W-ext"),
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap-v1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source/domain at 10 documents — the data-mix balancer
+    every corpus build runs so one crawl domain can't dominate
+    training (the per-domain cap from public LLM-data recipes, e.g.
+    C4/RefinedWeb-style pipelines). Selection is a deterministic
+    md5-ordered row_number per source: which documents survive is a
+    pure function of their ids — stable across reruns, cluster sizes,
+    and engines — and adding documents never evicts survivors ranked
+    above them. One shuffle on the source key; at 100 TB this is the
+    same plan shape as any top-k-per-group."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap-v1"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary head (top terms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_top_terms",
+    tags=("LLM", "text", "W2"),
+    oracle="""
+    SELECT term, n, rank FROM (
+      SELECT term, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) WHERE term <> ''
+      GROUP BY term
+    ) WHERE rank <= 30
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: the 30 most frequent corpus terms with
+    deterministic tie-breaking (count desc, then term asc) — the
+    frequency table behind vocabulary-size / OOV-rate decisions before
+    training a tokenizer. The global rank window runs on the
+    ALREADY-AGGREGATED vocabulary (thousands of rows at any corpus
+    size), so the single-partition sort is trivial; the corpus-scale
+    work is the one term-count shuffle with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 30)
