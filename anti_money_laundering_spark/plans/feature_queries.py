@@ -67,17 +67,10 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle and two in-partition sorts. No joins, no state beyond the
     window frame; at 100 TB this is the standard one-pass SCD2 derivation.
     """
+    from anti_money_laundering_spark.features import scd2
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
-        .select("user_id", F.col("event_type").alias("status"), F.col("ts").alias("valid_from"), "event_id")
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    return changes.select(
-        "user_id", "status", "valid_from", F.lead("valid_from").over(w2).alias("valid_to")
-    )
+    return scd2(ev, key="user_id", status="event_type", ts="ts", tiebreak="event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -110,13 +103,10 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id. For wide frames at scale, switch to the t-digest sketch in
     ``functions.approx_quantiles``.
     """
+    from anti_money_laundering_spark.features import rolling_median
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    arr = F.array_sort(F.collect_list("value").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise((lo + hi) / 2.0)
+    med = rolling_median(ev, key="user_id", value="value", order_by=["ts", "event_id"], frame_rows=5)
     return ev.select("event_id", "user_id", F.round(med, 6).alias("rolling_median"))
 
 
@@ -334,16 +324,15 @@ def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left join re-shuffles on the same (user, day) key the daily
     aggregate just produced. No driver-side calendar, no UDFs.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
-    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
-    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
-    return spine.join(daily, ["user_id", "day"], "left").select(
+    from anti_money_laundering_spark.features import resample_gapfill_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_gapfill_daily(ev, key="user_id", ts="ts").select(
         "user_id",
         # ISO string on both sides: DuckDB DATE surfaces as a midnight
         # timestamp through pandas, which would hash-mismatch a true date.
         F.col("day").cast("string").alias("day"),
-        F.coalesce("n", F.lit(0)).alias("n_events"),
+        "n_events",
     )
 
 
@@ -531,17 +520,18 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it a FIXED lag chain instead: 12 codegen'd lag() terms over
     one (user) sort, identical arithmetic on both engines, no Python,
     no state. One shuffle."""
+    from anti_money_laundering_spark.features import ewma
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    num = None
-    den = None
-    for j, wt in _ewma_terms():
-        lagv = F.lag("value", j).over(w)
-        t_num = F.coalesce(lagv * F.lit(wt), F.lit(0.0))
-        t_den = F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
-        num = t_num if num is None else num + t_num
-        den = t_den if den is None else den + t_den
-    return ev.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
+    col = ewma(
+        ev,
+        key="user_id",
+        value="value",
+        order_by=["ts", "event_id"],
+        alpha=_EWMA_ALPHA,
+        max_lags=_EWMA_K,
+    )
+    return ev.select("event_id", "user_id", F.round(col, 6).alias("ewma"))
 
 
 # ---------------------------------------------------------------------------
@@ -577,24 +567,11 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     library. x is re-zeroed per user (days since the user's first
     event) to keep the moments well-conditioned — epoch-microsecond
     magnitudes square to 1e30 and eat the double mantissa."""
+    from anti_money_laundering_spark.features import trend_slope
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    xy = ev.select(
-        "user_id",
-        (
-            (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w)) / 86400000000.0
-        ).alias("x_days"),
-        F.col("value").alias("y"),
-    )
-    return (
-        xy.groupBy("user_id")
-        .agg(
-            F.round(F.covar_samp("x_days", "y") / F.var_samp("x_days"), 6).alias("slope_per_day"),
-            F.count(F.lit(1)).alias("n"),
-            F.var_samp("x_days").alias("__vx"),
-        )
-        .filter((F.col("n") >= 3) & (F.col("__vx") > 0))
-        .drop("__vx")
+    return trend_slope(ev, key="user_id", ts="ts", value="value", min_points=3).select(
+        "user_id", F.round("slope_per_day", 6).alias("slope_per_day"), "n"
     )
 
 
@@ -716,20 +693,15 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation on the already-partitioned key. At 100 TB swap the
     exact percentile for approx_percentile and the window for a
     broadcast join of per-group sketches."""
+    from anti_money_laundering_spark.features import winsorized_mean
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    clipped = ev.select(
+    out = winsorized_mean(ev, group="event_type", value="value", lower=0.05, upper=0.95)
+    return out.select(
         "event_type",
-        "value",
-        F.expr("percentile(value, 0.05)").over(w).alias("p05"),
-        F.expr("percentile(value, 0.95)").over(w).alias("p95"),
-    )
-    return clipped.groupBy("event_type").agg(
-        F.round(F.avg(F.least(F.greatest("value", F.col("p05")), F.col("p95"))), 6).alias(
-            "wins_mean"
-        ),
-        F.round(F.avg("value"), 6).alias("raw_mean"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round("wins_mean", 6).alias("wins_mean"),
+        F.round("raw_mean", 6).alias("raw_mean"),
+        "n",
     )
 
 
@@ -762,14 +734,11 @@ def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines — and adding documents never evicts survivors ranked
     above them. One shuffle on the source key; at 100 TB this is the
     same plan shape as any top-k-per-group."""
+    from anti_money_laundering_spark.features import cap_per_group
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit("cap-v1"), F.col("doc_id").cast("string"))), "doc_id"
-    )
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("doc_id", "source")
+    return cap_per_group(docs, group="source", key="doc_id", max_rows=10, salt="cap-v1").select(
+        "doc_id", "source"
     )
 
 
