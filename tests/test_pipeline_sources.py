@@ -280,3 +280,15 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() > 0
+
+
+def test_reference_workflow_example_runs(spark, sf_dir):
+    """The examples/ entry a reference user runs after switching: all
+    four stages (three notebook analogs + the cross-notebook case-file
+    join) produce rows, in dependency order, through one pipeline."""
+    import examples.reference_workflow as rw
+
+    results = rw.build_pipeline(sf_dir).run(spark)
+    assert list(results) == ["network_alerts", "address_checks", "entity_links", "case_file"]
+    for name in ("network_alerts", "address_checks", "entity_links", "case_file"):
+        assert results[name].count() > 0, name
