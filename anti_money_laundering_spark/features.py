@@ -49,7 +49,6 @@ def scd2(
 
 
 def rolling_median(
-    df: DataFrame,
     key: str,
     value: str,
     order_by: list[str],
@@ -60,7 +59,8 @@ def rolling_median(
     even counts). Spark has no exact median window, so the frame is a
     sorted array read positionally — O(frame_rows) per row, so keep
     the frame small; wide frames belong to the quantile sketch.
-    Returns the median COLUMN (attach with .select/.withColumn)."""
+    Returns an unbound median COLUMN (a pure column expression —
+    attach it to the target DataFrame with .select/.withColumn)."""
     w = Window.partitionBy(key).orderBy(*order_by).rowsBetween(-(frame_rows - 1), 0)
     arr = F.array_sort(F.collect_list(value).over(w))
     n = F.size(arr)
@@ -72,7 +72,6 @@ def rolling_median(
 
 
 def ewma(
-    df: DataFrame,
     key: str,
     value: str,
     order_by: list[str],
@@ -86,7 +85,7 @@ def ewma(
     closed form overflows (1-alpha)^-t on long partitions — truncation
     keeps it codegen'd, stateless, and one shuffle. Residual mass
     (1-alpha)^max_lags is the approximation bound (<2% at defaults).
-    Returns the EWMA COLUMN."""
+    Returns an unbound EWMA COLUMN (attach with .select/.withColumn)."""
     w = Window.partitionBy(key).orderBy(*order_by)
     num = None
     den = None
@@ -111,7 +110,12 @@ def winsorized_mean(
     [p_lower, p_upper] band. Both percentiles come from ONE unbounded
     window pass over the group partition; the clamp is codegen'd row
     arithmetic; the re-aggregation reuses the same key. At 100 TB swap
-    the exact percentile for approx_percentile sketches."""
+    the exact percentile for approx_percentile sketches.
+
+    NULL ``value`` rows stay NULL through the clamp (Spark's
+    greatest/least SKIP nulls, which would otherwise coerce a NULL row
+    to the lower percentile) — avg() then excludes them from wins_mean
+    exactly as it does from raw_mean."""
     w = Window.partitionBy(group)
     clipped = df.select(
         group,
@@ -119,8 +123,12 @@ def winsorized_mean(
         F.expr(f"percentile({value}, {lower})").over(w).alias("__lo"),
         F.expr(f"percentile({value}, {upper})").over(w).alias("__hi"),
     )
+    clamp = F.when(
+        F.col(value).isNotNull(),
+        F.least(F.greatest(value, F.col("__lo")), F.col("__hi")),
+    )
     return clipped.groupBy(group).agg(
-        F.avg(F.least(F.greatest(value, F.col("__lo")), F.col("__hi"))).alias("wins_mean"),
+        F.avg(clamp).alias("wins_mean"),
         F.avg(value).alias("raw_mean"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )

@@ -421,8 +421,20 @@ def profile_table(
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+
+    # The stack expression is SQL text, so column names must be escaped
+    # for both contexts they appear in: '' inside the string literal,
+    # `` inside the backtick-quoted identifier — an "unfamiliar table"
+    # (this operator's whole purpose) can legally carry both characters.
+    def _lit(c: str) -> str:
+        return c.replace("'", "''")
+
+    def _ident(c: str) -> str:
+        return c.replace("`", "``")
+
     stacked = ", ".join(
-        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in cols
+        f"'{_lit(c)}', `__nn_{_ident(c)}`, `__nd_{_ident(c)}`, `__mn_{_ident(c)}`, `__mx_{_ident(c)}`"
+        for c in cols
     )
     return row.selectExpr(
         "__n as n_rows",

@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from anti_money_laundering_spark.functions import tokens
 from anti_money_laundering_spark.plans.catalog import register
-from anti_money_laundering_spark.plans.llm_queries import _duck_hash_bucket
+from anti_money_laundering_spark.plans.llm_queries import _DUCK_TOKS, _duck_hash_bucket
 from anti_money_laundering_spark.sampling import hash_bucket
 from anti_money_laundering_spark.sources import load_table
 
@@ -106,7 +107,7 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.features import rolling_median
 
     ev = load_table(spark, sf_dir, "events")
-    med = rolling_median(ev, key="user_id", value="value", order_by=["ts", "event_id"], frame_rows=5)
+    med = rolling_median(key="user_id", value="value", order_by=["ts", "event_id"], frame_rows=5)
     return ev.select("event_id", "user_id", F.round(med, 6).alias("rolling_median"))
 
 
@@ -181,10 +182,8 @@ _BM25_B = 0.75
     "bm25_doc_scores",
     tags=("LLM", "text"),
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), clean AS (
-      SELECT doc_id, term FROM toks WHERE term <> ''
+    WITH clean AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
     ), dl AS (
       SELECT doc_id, count(*) AS dl FROM clean GROUP BY 1
     ), stats AS (
@@ -223,9 +222,10 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences of the QUERY terms, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    clean = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
+    # canonical tokenizer (functions.tokens: lowercase, whitespace-class
+    # split, empties dropped) — same stats basis as the rest of the
+    # text family; _DUCK_TOKS is its DuckDB mirror
+    clean = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     dl = clean.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = (
@@ -468,11 +468,13 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL(18,2) money aggregation: regulatory/SAR totals
     must not drift, and double summation order changes the last ulps
     across partitionings — DECIMAL sums are associative-exact, so the
-    SAME cents come out on any cluster size (and hash-verify against
-    the oracle with NO rounding escape hatch, unlike every double
-    aggregate in this catalog). Spark widens the sum to
-    DECIMAL(28,2) internally; map-side partial aggregation still
-    applies."""
+    SAME cents come out on any cluster size. NOTE the driver's generic
+    hash compare normalizes Decimals to 6 significant digits, which
+    cannot attest cent-exactness at 1e9 magnitudes; the real contract
+    is pinned by tests/test_determinism.py::
+    test_decimal_totals_exact_to_the_cent, which compares the Decimal
+    strings verbatim. Spark widens the sum to DECIMAL(28,2)
+    internally; map-side partial aggregation still applies."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
@@ -524,7 +526,6 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     col = ewma(
-        ev,
         key="user_id",
         value="value",
         order_by=["ts", "event_id"],
@@ -583,14 +584,12 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bigram_pmi_collocations",
     tags=("LLM", "text"),
-    oracle="""
-    WITH toks AS (
+    oracle=f"""
+    WITH clean AS (
       SELECT doc_id,
-             unnest(string_split(text, ' ')) AS term,
-             generate_subscripts(string_split(text, ' '), 1) AS pos
+             unnest({_DUCK_TOKS}) AS term,
+             generate_subscripts({_DUCK_TOKS}, 1) AS pos
       FROM documents
-    ), clean AS (
-      SELECT doc_id, term, pos FROM toks WHERE term <> ''
     ), bigrams AS (
       SELECT term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
       FROM clean
@@ -624,9 +623,10 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus totals ride as a broadcast 1-row cross join. The only
     corpus-scale shuffles are the two counting aggregations."""
     docs = load_table(spark, sf_dir, "documents")
-    clean = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    ).filter(F.col("term") != "")
+    # canonical tokenizer (see bm25_doc_scores); posexplode positions
+    # index the FILTERED token array, matching generate_subscripts over
+    # the identically-filtered DuckDB list
+    clean = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = clean.select(
         F.col("term").alias("a"), F.lead("term").over(w).alias("b")
@@ -750,13 +750,13 @@ def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vocab_top_terms",
     tags=("LLM", "text", "W2"),
-    oracle="""
+    oracle=f"""
     SELECT term, n, rank FROM (
       SELECT term, CAST(count(*) AS BIGINT) AS n,
              row_number() OVER (ORDER BY count(*) DESC, term) AS rank
       FROM (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-      ) WHERE term <> ''
+        SELECT unnest({_DUCK_TOKS}) AS term FROM documents
+      )
       GROUP BY term
     ) WHERE rank <= 30
     """,
@@ -771,8 +771,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is the one term-count shuffle with map-side partials."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
+        docs.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -34,13 +34,42 @@ QUERIES = [
 
 
 @pytest.mark.parametrize("name", QUERIES)
-def test_result_invariant_to_shuffle_width(spark, sf_dir, name):
+def test_result_invariant_to_shuffle_width_and_scan_layout(spark, sf_dir, name):
     fn = CATALOG[name].fn
     base = _canon(fn(spark, sf_dir).toPandas())
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         narrow = _canon(fn(spark, sf_dir).toPandas())
+        # second leg: change the INPUT split layout too (64 KB splits →
+        # many more, differently-bounded scan partitions)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        resplit = _canon(fn(spark, sf_dir).toPandas())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig_split)
     assert base == narrow, f"{name}: result depends on shuffle width"
+    assert base == resplit, f"{name}: result depends on input split layout"
+
+
+def test_decimal_totals_exact_to_the_cent(spark, sf_dir):
+    """The generic oracle compare normalizes floats AND Decimals to 6
+    significant digits — useless for decimal_money_totals, whose whole
+    point is cent-exactness at any magnitude. Compare the Decimal
+    strings verbatim against DuckDB (no normalization)."""
+    import duckdb
+
+    from anti_money_laundering_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    q = CATALOG["decimal_money_totals"]
+    got = {
+        r["o_orderstatus"]: str(r["total_exact"]) for r in q.fn(spark, sf_dir).collect()
+    }
+    want = {s: str(v) for s, v, _ in con.execute(q.oracle).fetchall()}
+    assert got == want

@@ -345,3 +345,21 @@ def test_profile_table_counts_nulls_and_approx_path(spark):
     approx = {r["col_name"]: r for r in profile_table(df, exact_distinct=False).collect()}
     assert approx["s"]["n_non_null"] == 3
     assert 1 <= approx["s"]["n_distinct"] <= 3
+
+
+def test_winsorized_mean_ignores_nulls(spark):
+    """NULL values must stay NULL through the clamp (Spark's
+    greatest/least skip nulls — an unguarded clamp would coerce NULL
+    rows to the lower percentile and bias wins_mean low)."""
+    from anti_money_laundering_spark.features import winsorized_mean
+
+    df = spark.createDataFrame(
+        [("a", None)] + [("a", float(i)) for i in range(1, 21)],
+        "g string, v double",
+    )
+    row = winsorized_mean(df, "g", "v", lower=0.05, upper=0.95).collect()[0]
+    # raw mean of 1..20 = 10.5; wins_mean must be close (clip only at
+    # the band edges) and emphatically NOT dragged toward p05 ~ 1.95
+    assert row["raw_mean"] == 10.5
+    assert abs(row["wins_mean"] - 10.5) < 0.3
+    assert row["n"] == 21  # count(*) includes the NULL row

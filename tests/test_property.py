@@ -230,23 +230,17 @@ values_strategy = st.lists(
 @given(rows=values_strategy)
 @settings(**SETTINGS)
 def test_rolling_median_matches_numpy(spark, rows):
-    """The sorted-array windowed median (feature_queries formulation)
-    equals numpy's median over every trailing 5-row frame, including
-    the short frames at each partition head (even-count interpolation)."""
+    """features.rolling_median equals numpy's median over every
+    trailing 5-row frame, including the short frames at each partition
+    head (even-count interpolation)."""
     import numpy as np
-    from pyspark.sql.window import Window
+
+    from anti_money_laundering_spark.features import rolling_median
 
     df = spark.createDataFrame(
         [(i, int(u), float(v)) for i, (u, v) in enumerate(rows)], "seq int, u int, v double"
     )
-    w = Window.partitionBy("u").orderBy("seq").rowsBetween(-4, 0)
-    arr = F.array_sort(F.collect_list("v").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
-        (lo + hi) / 2.0
-    )
+    med = rolling_median(key="u", value="v", order_by=["seq"], frame_rows=5)
     got = {r["seq"]: r["m"] for r in df.select("seq", med.alias("m")).collect()}
 
     by_u: dict[int, list[tuple[int, float]]] = {}
