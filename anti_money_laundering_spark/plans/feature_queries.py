@@ -777,3 +777,72 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), "term")
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 30)
+
+
+# ---------------------------------------------------------------------------
+# Per-document keywords (top TF-IDF terms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_keywords",
+    tags=("LLM", "text", "W-ext"),
+    oracle=f"""
+    WITH tcnt AS (
+        SELECT doc_id AS doc, tok AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+        GROUP BY doc, tok
+    ),
+    idf AS (
+        SELECT token,
+               ln(((SELECT count(*) FROM documents) + 1.0)
+                  / (count(DISTINCT doc) + 1.0)) + 1.0 AS idf
+        FROM tcnt GROUP BY token
+    ),
+    w AS (
+        SELECT doc, tcnt.token, round(cnt * idf, 6) AS weight
+        FROM tcnt JOIN idf ON idf.token = tcnt.token
+    )
+    SELECT doc AS doc_id, token, weight, rank FROM (
+        SELECT doc, token, weight,
+               row_number() OVER (PARTITION BY doc ORDER BY weight DESC, token) AS rank
+        FROM w
+    ) WHERE rank <= 3
+    """,
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed idf, same formula
+    as tfidf_exact_pairs) — the per-document summary labels behind
+    corpus browsing and weak topic supervision.
+
+    Determinism note: the rank orders by the weight ROUNDED to 6
+    decimals, then token — ranking the raw double would let a sub-ulp
+    ln() difference between engines flip equal-weight neighbors. Plan:
+    one token-count shuffle, vocabulary-sized idf broadcast onto it,
+    one top-k-per-doc window on the (doc) key the counts already
+    carry."""
+    docs = load_table(spark, sf_dir, "documents")
+    tcnt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tcnt.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    w = tcnt.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", F.round(F.col("cnt") * F.col("idf"), 6).alias("weight")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), "token")
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "weight", "rank")
+    )
