@@ -24,7 +24,12 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_classifier_predictions", "feature_pipeline_features", "embedding_pca_projection"]
+__all__ = [
+    "embedding_classifier_predictions",
+    "feature_pipeline_features",
+    "embedding_pca_projection",
+    "init_experiment_tracking",
+]
 
 
 def feature_pipeline_features(
@@ -139,3 +144,19 @@ def embedding_pca_projection(
             F.lit(var).alias("var_explained"),
         )
     )
+
+
+def init_experiment_tracking(experiment_name: str) -> bool:
+    """Experiment-tracking bootstrap (SURVEY §2.10 M4): the reference
+    calls ``mlflow.set_experiment(...)`` at config time
+    (config/aml_config.py:98-100). Here tracking is OPTIONAL platform
+    glue behind an import gate — same pattern as the Delta and torch
+    gates: activate when the library is present, degrade to a clean
+    no-op (False) when it isn't, never a hard dependency of the
+    engine. Returns True iff an mlflow experiment is now active."""
+    try:
+        import mlflow  # noqa: PLC0415 — optional dependency, gate at call time
+    except ImportError:
+        return False
+    mlflow.set_experiment(experiment_name)
+    return True

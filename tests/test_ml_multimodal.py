@@ -208,3 +208,22 @@ def test_pca_projection_invariants(spark, sf_dir):
         assert d_proj <= d_orig + 1e-6, (a, b)
     again = {r.vec_id: tuple(r.projection) for r in embedding_pca_projection(emb, k=8).collect()}
     assert again == {k: tuple(v) for k, v in proj.items()}
+
+
+def test_experiment_tracking_gate():
+    """M4 import gate: without mlflow installed the bootstrap is a
+    clean no-op returning False; with mlflow present it must activate
+    the named experiment (exercised automatically in environments that
+    have it, like the reference's Databricks runtime)."""
+    from anti_money_laundering_spark.ml import init_experiment_tracking
+
+    try:
+        import mlflow  # noqa: F401
+    except ImportError:
+        assert init_experiment_tracking("aml-engine-test") is False
+        return
+    assert init_experiment_tracking("aml-engine-test") is True
+    import mlflow
+
+    exp = mlflow.get_experiment_by_name("aml-engine-test")
+    assert exp is not None

@@ -107,7 +107,7 @@ EXTRA = {
     "F7": "plans/*.py build parameterized SQL/DataFrame plans; no user-input string splicing",
     "P1": "also in nearly every query projection",
     "A4": "also `dedup_exact_groups` (dropDuplicates path in dedup module)",
-    "M4": "OUT OF SCOPE by design (platform glue, SURVEY §2.10)",
+    "M4": "import-gated ml.init_experiment_tracking (mlflow optional, like Delta/torch gates; test_ml_multimodal.py::test_experiment_tracking_gate)",
     "E5": "params also returned by `linkage.em_fit`; invariants in tests/test_linkage.py",
     "STR": "streaming/ module; batch-parity + replay tests in tests/test_streaming.py",
 }
