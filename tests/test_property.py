@@ -285,3 +285,92 @@ def test_profile_table_matches_pandas(spark, rows):
             assert prof[c]["max_value"] == cast(pdf[c].dropna().max())
         else:
             assert prof[c]["min_value"] is None and prof[c]["max_value"] is None
+
+
+# --- SCD2 interval invariants ------------------------------------------------
+
+scd2_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=scd2_strategy)
+@settings(**SETTINGS)
+def test_scd2_intervals_partition_the_timeline(spark, rows):
+    """For every key: intervals are ordered and non-overlapping
+    (valid_to = next valid_from), exactly one open interval (the
+    current row), statuses alternate (no two consecutive intervals
+    share a status), and replaying the intervals classifies every
+    source event to the status it carried."""
+    from anti_money_laundering_spark.features import scd2
+
+    df = spark.createDataFrame(
+        [(i, k, t, s) for i, (k, t, s) in enumerate(rows)],
+        "event_id int, user_id int, ts int, status string",
+    )
+    out = scd2(df, key="user_id", status="status", ts="ts", tiebreak="event_id").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: (r["valid_from"] is None, r["valid_from"]))
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1, f"key {key}: {len(opens)} open intervals"
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], f"key {key}: gap/overlap"
+            assert a["status"] != b["status"], f"key {key}: un-collapsed run"
+    # replay: each source event's ts falls in an interval with its
+    # status — except AMBIGUOUS instants (several distinct statuses at
+    # the same (key, ts)), where SCD2 semantics let the last-by-tiebreak
+    # status own the instant and earlier same-instant events are
+    # legitimately overwritten with a zero-width residence
+    multi = {}
+    for k, t, s in rows:
+        multi.setdefault((k, t), set()).add(s)
+    for i, (k, t, s) in enumerate(rows):
+        if len(multi[(k, t)]) > 1:
+            continue
+        ivs = by_key[k]
+        hits = [
+            r
+            for r in ivs
+            if r["valid_from"] <= t and (r["valid_to"] is None or t < r["valid_to"])
+        ]
+        assert any(h["status"] == s for h in hits), (k, t, s, ivs)
+
+
+# --- cap_per_group stability -------------------------------------------------
+
+cap_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=30, unique=True
+)
+
+
+@given(rows=cap_strategy)
+@settings(**SETTINGS)
+def test_cap_per_group_bound_and_superset_stability(spark, rows):
+    """Per-group bound holds, and survivors are STABLE under data
+    growth: capping a superset never evicts a row that ranked inside
+    the cap of the subset unless a new row hash-ranks above it —
+    concretely, cap(subset) ⊇ cap(superset) ∩ subset is false in
+    general, but the md5 ORDER is data-independent, so
+    cap(subset, k) equals the first k of the subset in the SAME global
+    md5 order as the superset."""
+    from anti_money_laundering_spark.features import cap_per_group
+
+    df = spark.createDataFrame(rows, "g int, id int")
+    k = 3
+    capped = cap_per_group(df, group="g", key="id", max_rows=k)
+    got = {}
+    for r in capped.collect():
+        got.setdefault(r["g"], set()).add(r["id"])
+    import hashlib
+
+    by_g: dict[int, list[int]] = {}
+    for g, i in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        order = sorted(ids, key=lambda i: (hashlib.md5(f"cap-v1{i}".encode()).hexdigest(), i))
+        assert got.get(g, set()) == set(order[:k]), g
