@@ -292,3 +292,14 @@ def test_reference_workflow_example_runs(spark, sf_dir):
     assert list(results) == ["network_alerts", "address_checks", "entity_links", "case_file"]
     for name in ("network_alerts", "address_checks", "entity_links", "case_file"):
         assert results[name].count() > 0, name
+
+
+def test_corpus_pipeline_example_runs(spark, sf_dir):
+    """The training-data face of the engine as one pipeline: hygiene ->
+    balancing -> retrieval -> analytics -> manifest summary."""
+    import examples.corpus_pipeline as cp
+
+    results = cp.build_pipeline(sf_dir).run(spark)
+    assert results["manifest_summary"].count() >= 1
+    for name, df in results.items():
+        assert df.count() > 0, name

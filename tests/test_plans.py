@@ -239,3 +239,19 @@ def test_profile_single_scan_stack_pivot(spark, sf_dir):
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_nodes) == 1, scan_nodes
     assert "Expand" in plan  # multi-distinct rewrite, single pass
+
+
+def test_doc_keywords_broadcasts_idf(spark, sf_dir):
+    # vocabulary-sized idf + 1-row corpus count broadcast onto the
+    # token-count shuffle; no cartesian, no Python
+    plan = explain_str(CATALOG["doc_keywords"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decimal_totals_partial_aggregation(spark, sf_dir):
+    # decimal sums still get map-side partial aggregation (two
+    # HashAggregate phases around one shuffle)
+    plan = explain_str(CATALOG["decimal_money_totals"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
