@@ -160,3 +160,47 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from_json.write.mode("overwrite").orc(orc_path)
     return spark.read.schema(region.schema).orc(orc_path)
+
+
+def _synth_oracle() -> str:
+    from anti_money_laundering_spark.sources.synthetic import duckdb_generator_sql
+
+    return f"""
+    WITH gen AS ({duckdb_generator_sql(500)})
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(balance), 2) AS total_balance,
+           min(account_id) AS first_account
+    FROM gen GROUP BY segment
+    """
+
+
+@register(
+    "synthetic_source_scan",
+    tags=("OP",),
+    oracle=_synth_oracle(),
+)
+def synthetic_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API) end-to-end:
+    the deterministic synthetic-accounts connector
+    (sources/synthetic.py) read through spark.read.format(...) with
+    real partition planning (8 input splits -> 8 parallel tasks),
+    aggregated per segment. Every cell is md5 arithmetic over the row
+    index, so DuckDB replays the GENERATOR itself and the whole
+    connector — partition planning, per-task generation, Arrow
+    transfer — is hash-verified, not just smoke-tested."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_accounts")
+        .option("rows", "500")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("balance"), 2).alias("total_balance"),
+        F.min("account_id").alias("first_account"),
+    )

@@ -1,0 +1,107 @@
+"""Custom Python Data Source (Spark 4 DataSource API): a deterministic
+synthetic-accounts generator.
+
+This is the idiomatic way to add a SOURCE to Spark from Python —
+``spark.read.format("synthetic_accounts")`` after registration, with
+real partition planning (N independent splits → N parallel tasks, no
+driver materialization). The reference has no custom sources (it reads
+S3 parquet/CSV); this extends the engine's S-surface the way a
+production deployment would wrap an internal feed.
+
+Determinism contract: every cell is a pure function of the row index
+via md5 arithmetic (same discipline as ``sampling.hash_bucket``), so
+the output is identical across reruns, partition counts, and engines —
+DuckDB replays the generator from ``generate_series`` and the catalog
+query ``synthetic_source_scan`` hash-verifies the whole connector.
+
+Scale: rows are split evenly across ``partitions`` input splits; each
+task generates only its [start, end) range with O(1) memory per row —
+a 1e12-row synthetic benchmark table costs no storage and no driver
+memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = ["SyntheticAccountsDataSource", "register_synthetic_source"]
+
+#: Column formulas (documented so the DuckDB oracle can mirror them):
+#: h(i)       = first 8 hex chars of md5('synth-' || i) as uint32
+#: account_id = i
+#: name       = 'acct-' || lpad(hex bucket % 10000)
+#: balance    = (h(i) % 10_000_000) / 100.0
+#: segment    = ['retail','corporate','private'][h(i) % 3]
+
+
+def _h(i: int) -> int:
+    return int(hashlib.md5(f"synth-{i}".encode()).hexdigest()[:8], 16)
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.n_parts = max(1, int(options.get("partitions", "4")))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = (self.n_rows + self.n_parts - 1) // self.n_parts
+        return [
+            _Range(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        segs = ("retail", "corporate", "private")
+        for i in range(partition.start, partition.end):
+            h = _h(i)
+            yield (
+                i,
+                f"acct-{h % 10000:04d}",
+                (h % 10_000_000) / 100.0,
+                segs[h % 3],
+            )
+
+
+class SyntheticAccountsDataSource(DataSource):
+    """``spark.read.format("synthetic_accounts").option("rows", n)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_accounts"
+
+    def schema(self) -> str:
+        return "account_id bigint, name string, balance double, segment string"
+
+    def reader(self, schema) -> _Reader:  # noqa: ARG002 — fixed schema
+        return _Reader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SyntheticAccountsDataSource)
+
+
+#: DuckDB replay of the generator for the oracle: identical md5
+#: arithmetic over generate_series.
+def duckdb_generator_sql(n_rows: int) -> str:
+    h = (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        "md5('synth-' || CAST(i AS VARCHAR))[j+1]) - 1) "
+        "* CAST(16**(7-j) AS BIGINT) for j in range(8)]) AS BIGINT)"
+    )
+    return f"""
+    SELECT i AS account_id,
+           'acct-' || lpad(CAST({h} % 10000 AS VARCHAR), 4, '0') AS name,
+           ({h} % 10000000) / 100.0 AS balance,
+           ['retail', 'corporate', 'private'][({h} % 3) + 1] AS segment
+    FROM generate_series(0, {n_rows - 1}) t(i)
+    """

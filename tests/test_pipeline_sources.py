@@ -303,3 +303,25 @@ def test_corpus_pipeline_example_runs(spark, sf_dir):
     assert results["manifest_summary"].count() >= 1
     for name, df in results.items():
         assert df.count() > 0, name
+
+
+def test_synthetic_source_partition_planning(spark):
+    """The custom DataSource plans real input splits: N requested
+    partitions -> N scan partitions -> identical rows regardless of
+    split count (the generator is a pure function of the row index)."""
+    from anti_money_laundering_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+
+    def rows(parts):
+        df = (
+            spark.read.format("synthetic_accounts")
+            .option("rows", "97")  # deliberately not divisible
+            .option("partitions", str(parts))
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == parts
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(1) == rows(5) == rows(13)
+    assert len(rows(5)) == 97
