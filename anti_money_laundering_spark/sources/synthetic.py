@@ -25,7 +25,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["SyntheticAccountsDataSource", "register_synthetic_source"]
 
@@ -84,6 +89,9 @@ class SyntheticAccountsDataSource(DataSource):
     def reader(self, schema) -> _Reader:  # noqa: ARG002 — fixed schema
         return _Reader(self.options)
 
+    def simpleStreamReader(self, schema) -> "_StreamReader":  # noqa: ARG002
+        return _StreamReader(self.options)
+
 
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
@@ -105,3 +113,40 @@ def duckdb_generator_sql(n_rows: int) -> str:
            ['retail', 'corporate', 'private'][({h} % 3) + 1] AS segment
     FROM generate_series(0, {n_rows - 1}) t(i)
     """
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch face of the same generator: each poll emits the next
+    ``batch_rows`` row indexes (bounded by ``rows`` when set, unbounded
+    otherwise). The offset is just {"index": next_row} — replayable
+    from the checkpoint like any Structured Streaming source, and
+    because content is a pure function of the index, a restarted query
+    regenerates byte-identical rows for any offset range
+    (exactly-once-compatible)."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch_rows = int(options.get("batch_rows", "100"))
+        self.max_rows = int(options.get("rows", "-1"))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = lo + self.batch_rows
+        if self.max_rows >= 0:
+            hi = min(hi, self.max_rows)
+        # materialized list, not a generator: the simple-reader wrapper
+        # PICKLES the prefetched records to ship them to executors, and
+        # batch_rows bounds the driver-side footprint by construction
+        return list(_gen_rows(lo, hi)), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(_gen_rows(start["index"], end["index"]))
+
+
+def _gen_rows(lo: int, hi: int) -> Iterator[tuple]:
+    segs = ("retail", "corporate", "private")
+    for i in range(lo, hi):
+        h = _h(i)
+        yield (i, f"acct-{h % 10000:04d}", (h % 10_000_000) / 100.0, segs[h % 3])

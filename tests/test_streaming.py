@@ -315,3 +315,43 @@ def test_stream_interval_left_outer_emits_unmatched(spark):
         if r["l_user_id"] != 99
     }
     assert rows == {1: 2, 3: None, 5: None}
+
+
+def test_synthetic_stream_source_equals_batch(spark):
+    """The custom Python DataSource's streaming face: micro-batches of
+    the same md5 generator, offset = row index in the checkpoint. The
+    accumulated stream must equal the batch read of the same row range
+    byte-for-byte (the generator is a pure function of the index, so
+    any offset replay regenerates identical rows)."""
+    import time
+
+    from anti_money_laundering_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_accounts")
+        .option("rows", "250")
+        .option("batch_rows", "100")
+        .load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="synth_stream_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_synth_stream")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while spark.table("t_synth_stream").count() < 250 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_synth_stream").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_accounts").option("rows", "250").load().collect(),
+        )
+    )
+    assert got == batch
