@@ -1,0 +1,87 @@
+"""Custom Python Data Source WRITER (Spark 4 DataSource API): an
+atomic JSONL directory sink with the two-phase commit protocol.
+
+Completes the connector surface next to ``synthetic.py``'s reader and
+stream reader: ``df.write.format("jsonl_atomic").option("path", d)``.
+Each task writes its partition to a STAGED file (``_staging/<uuid>``)
+and returns the staged name as its commit message; only when every
+task succeeds does the driver-side ``commit`` rename the staged files
+into place and drop a ``_SUCCESS`` marker — a failed/partial job
+leaves the destination untouched (``abort`` deletes the staging
+leftovers). This is the same observable contract as Hadoop's
+FileOutputCommitter v1, expressed in ~60 lines of Python.
+
+Scale note: like any file-committer, this assumes a SHARED filesystem
+(HDFS, NFS, a fuse-mounted store) visible to both executors (write)
+and driver (commit), with cheap renames; on object stores the staged
+files would instead be recorded in a manifest (Delta/Iceberg's
+approach — see sources.save_table for the gated Delta path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+__all__ = ["JsonlSinkDataSource", "register_jsonl_sink"]
+
+
+class _Staged(WriterCommitMessage):
+    def __init__(self, staged: str) -> None:
+        self.staged = staged
+
+
+class _Writer(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_atomic requires .option('path', ...)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator) -> _Staged:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(staging, name)
+        with open(staged, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _Staged(name)
+
+    def commit(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.unlink(os.path.join(self.path, f))
+        for m in messages:
+            os.rename(os.path.join(staging, m.staged), os.path.join(self.path, m.staged))
+        os.rmdir(staging)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        for m in messages:
+            try:
+                os.unlink(os.path.join(staging, m.staged))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_atomic"
+
+    def writer(self, schema, overwrite: bool) -> _Writer:  # noqa: ARG002
+        return _Writer(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -325,3 +325,23 @@ def test_synthetic_source_partition_planning(spark):
 
     assert rows(1) == rows(5) == rows(13)
     assert len(rows(5)) == 97
+
+
+def test_jsonl_atomic_sink_roundtrip_and_success_marker(spark, sf_dir):
+    """Custom DataSource WRITER with two-phase commit: staged files
+    rename into place only on job success, _SUCCESS is dropped, and a
+    schema'd JSON read returns the exact rows."""
+    from anti_money_laundering_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_sink_"), "nation")
+    nation.repartition(3).write.format("jsonl_atomic").option("path", out).mode(
+        "append"
+    ).save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(parts) == 3
+    back = spark.read.schema(nation.schema).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
