@@ -53,6 +53,10 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # custom Python DataSource readers may implement pushFilters
+        # (sources/synthetic.py); without this flag Spark 4 refuses to
+        # plan them at all rather than silently skipping pushdown
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Keep Spark's 10 MB default broadcast threshold: dims (region,

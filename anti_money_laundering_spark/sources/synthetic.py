@@ -28,7 +28,12 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -56,12 +61,43 @@ class _Reader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("rows", "1000"))
         self.n_parts = max(1, int(options.get("partitions", "4")))
+        self.lo = 0
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        """Source-level pruning: range predicates on account_id narrow
+        the GENERATED index range — the custom-connector analogue of
+        parquet's PushedFilters (rows outside the range are never
+        produced, not produced-then-filtered). Pushed filters are fully
+        handled here (account_id == row index exactly), so they are NOT
+        returned; everything else stays with Spark."""
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        for f in filters:
+            if getattr(f, "attribute", None) != ("account_id",) or not isinstance(
+                f, supported
+            ):
+                yield f  # not ours (e.g. IsNotNull, other columns) — Spark keeps it
+                continue
+            v = int(f.value)
+            if isinstance(f, EqualTo):
+                self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, v)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, v)
+            else:  # LessThanOrEqual
+                self.hi = min(self.hi, v + 1)
 
     def partitions(self) -> Sequence[InputPartition]:
-        step = (self.n_rows + self.n_parts - 1) // self.n_parts
+        lo0, hi0 = self.lo, max(self.lo, self.hi)
+        span = hi0 - lo0
+        if span == 0:
+            return [_Range(lo0, lo0)]
+        step = (span + self.n_parts - 1) // self.n_parts
         return [
-            _Range(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
+            _Range(lo, min(lo + step, hi0)) for lo in range(lo0, hi0, step)
         ]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
@@ -94,7 +130,12 @@ class SyntheticAccountsDataSource(DataSource):
 
 
 def register_synthetic_source(spark) -> None:
-    """Idempotent registration (re-registering the same name is fine)."""
+    """Idempotent registration (re-registering the same name is fine).
+    Also enables Python-source filter pushdown — Spark 4 REFUSES to
+    plan a reader that implements pushFilters while the flag is off
+    (sessions built by ``session.get_spark`` set it already; this
+    covers foreign sessions)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticAccountsDataSource)
 
 

@@ -345,3 +345,44 @@ def test_jsonl_atomic_sink_roundtrip_and_success_marker(spark, sf_dir):
     assert len(parts) == 3
     back = spark.read.schema(nation.schema).json(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_synthetic_source_filter_pushdown_prunes_generation(spark):
+    """pushFilters narrows the GENERATED index range (the custom-source
+    analogue of parquet PushedFilters): range predicates on account_id
+    are consumed by the reader, everything else stays with Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull, LessThan
+
+    from anti_money_laundering_spark.sources.synthetic import (
+        _Reader,
+        register_synthetic_source,
+    )
+
+    r = _Reader({"rows": "500", "partitions": "4"})
+    remaining = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("account_id",), 400),
+                LessThan(("account_id",), 450),
+                EqualTo(("segment",), "retail"),
+                IsNotNull(("account_id",)),
+            ]
+        )
+    )
+    parts = r.partitions()
+    assert parts[0].start == 400 and parts[-1].end == 450
+    assert len(remaining) == 2  # segment equality + IsNotNull stay with Spark
+    # end-to-end: pushed + residual filters agree with the unpruned read
+    register_synthetic_source(spark)
+    base = spark.read.format("synthetic_accounts").option("rows", "500").load()
+    pruned = base.filter(
+        (F.col("account_id") >= 400)
+        & (F.col("account_id") < 450)
+        & (F.col("segment") == "retail")
+    ).collect()
+    assert all(400 <= r.account_id < 450 and r.segment == "retail" for r in pruned)
+    assert len(pruned) == sum(
+        1
+        for r in base.collect()
+        if 400 <= r.account_id < 450 and r.segment == "retail"
+    )
