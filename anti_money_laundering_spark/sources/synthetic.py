@@ -100,15 +100,26 @@ class _Reader(DataSourceReader):
             _Range(lo, min(lo + step, hi0)) for lo in range(lo0, hi0, step)
         ]
 
-    def read(self, partition: _Range) -> Iterator[tuple]:
+    #: Arrow transfer granularity: rows per RecordBatch yielded to Spark.
+    ARROW_BATCH = 10_000
+
+    def read(self, partition: _Range) -> Iterator["pa.RecordBatch"]:
+        # Yield Arrow RecordBatches, not tuples — the DataSource API's
+        # high-throughput path (columnar transfer, no per-row pickling).
+        import pyarrow as pa
+
         segs = ("retail", "corporate", "private")
-        for i in range(partition.start, partition.end):
-            h = _h(i)
-            yield (
-                i,
-                f"acct-{h % 10000:04d}",
-                (h % 10_000_000) / 100.0,
-                segs[h % 3],
+        for lo in range(partition.start, partition.end, self.ARROW_BATCH):
+            hi = min(lo + self.ARROW_BATCH, partition.end)
+            hs = [_h(i) for i in range(lo, hi)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(range(lo, hi), type=pa.int64()),
+                    pa.array([f"acct-{h % 10000:04d}" for h in hs]),
+                    pa.array([(h % 10_000_000) / 100.0 for h in hs], type=pa.float64()),
+                    pa.array([segs[h % 3] for h in hs]),
+                ],
+                names=["account_id", "name", "balance", "segment"],
             )
 
 
