@@ -25,7 +25,12 @@ import os
 import uuid
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 __all__ = ["JsonlSinkDataSource", "register_jsonl_sink"]
 
@@ -82,6 +87,51 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> _Writer:  # noqa: ARG002
         return _Writer(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "_StreamWriter":  # noqa: ARG002
+        return _StreamWriter(self.options)
+
 
 def register_jsonl_sink(spark) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+class _StreamWriter(DataSourceStreamWriter):
+    """Streaming face of the atomic sink: per micro-batch two-phase
+    commit. Tasks stage exactly as in batch; ``commit(messages,
+    batchId)`` renames into place under batch-scoped names
+    (``batch-<id>-part-*.jsonl``) and appends the id to a ``_batches``
+    log. Because the rename set is derived from the batchId, REPLAYING
+    a batch after a failure overwrites the same file names instead of
+    duplicating rows — idempotent per batch, the exactly-once
+    contract foreachBatch users implement by hand (``merge_stream_sink``)
+    expressed through the connector API."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_atomic requires .option('path', ...)")
+        self.path = path
+
+    def write(self, rows: Iterator) -> _Staged:
+        return _Writer({"path": self.path}, overwrite=False).write(rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"batch-{batchId:05d}-part-{i:04d}.jsonl")
+            if os.path.exists(final):  # replayed batch: keep idempotent
+                os.unlink(final)
+            os.rename(os.path.join(staging, m.staged), final)
+        with open(os.path.join(self.path, "_batches"), "a") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
+        staging = os.path.join(self.path, "_staging")
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(staging, m.staged))
+                except FileNotFoundError:
+                    pass

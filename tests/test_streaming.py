@@ -355,3 +355,57 @@ def test_synthetic_stream_source_equals_batch(spark):
         )
     )
     assert got == batch
+
+
+def test_jsonl_stream_sink_batch_scoped_atomic_commits(spark):
+    """Custom streaming WRITER: each micro-batch lands atomically under
+    batch-scoped names, the _batches log records commits in order, and
+    the accumulated files equal the source rows exactly."""
+    import json as _json
+    import os as _os
+    import time
+
+    from anti_money_laundering_spark.sources.jsonl_sink import register_jsonl_sink
+    from anti_money_laundering_spark.sources.synthetic import register_synthetic_source
+
+    register_jsonl_sink(spark)
+    register_synthetic_source(spark)
+    out = tempfile.mkdtemp(prefix="jsonl_stream_sink_")
+    stream = (
+        spark.readStream.format("synthetic_accounts")
+        .option("rows", "120")
+        .option("batch_rows", "50")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_atomic")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="jsonl_sink_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        def n_rows():
+            total = 0
+            for f in _os.listdir(out):
+                if f.endswith(".jsonl"):
+                    with open(_os.path.join(out, f)) as fh:
+                        total += sum(1 for _ in fh)
+            return total
+        while n_rows() < 120 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    files = sorted(f for f in _os.listdir(out) if f.endswith(".jsonl"))
+    assert files and all(f.startswith("batch-") for f in files)
+    assert not _os.path.exists(_os.path.join(out, "_staging")) or not _os.listdir(
+        _os.path.join(out, "_staging")
+    )
+    got = []
+    for f in files:
+        with open(_os.path.join(out, f)) as fh:
+            got += [_json.loads(line)["account_id"] for line in fh]
+    assert sorted(got) == list(range(120))
+    with open(_os.path.join(out, "_batches")) as fh:
+        batches = [int(x) for x in fh.read().split()]
+    assert batches == sorted(batches)
