@@ -846,3 +846,165 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "weight", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (beyond rollup/cube)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_orders",
+    tags=("A-ext",),
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube are
+    shorthands for: here per-status, per-priority, and grand totals in
+    ONE pass (no self-union of three aggregations). Spark plans a
+    single Expand + partial/final aggregate, so the fact scans once
+    regardless of how many sets are requested."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct count (unsupported window aggregate, rewritten)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH firsts AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), daily_new AS (
+      SELECT day, count(*) AS new_users FROM firsts WHERE rn = 1 GROUP BY day
+    )
+    SELECT day::VARCHAR AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily_new
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — count(DISTINCT) over a
+    running window is UNSUPPORTED in both engines, so it's rewritten
+    exactly: flag each user's first-ever event (row_number = 1), count
+    first-occurrences per day, then a plain running sum. Same rewrite
+    any growth dashboard uses; two shuffles (per-user first, per-day
+    count) + one tiny ordered window over days."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.select(
+        F.to_date("ts").alias("day"), "user_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w2 = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w2).cast("long").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation robust outlier screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_values",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH med AS (
+      SELECT event_id, user_id, value,
+             quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+      FROM events
+    ), mad AS (
+      SELECT event_id, user_id, value, med,
+             quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY user_id) AS mad
+      FROM med
+    )
+    SELECT event_id, user_id, value,
+           round((value - med) / (1.4826 * mad), 6) AS robust_z
+    FROM mad
+    WHERE mad > 0 AND abs((value - med) / (1.4826 * mad)) > 3.5
+    """,
+)
+def mad_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen: robust z-score
+    (value - median) / (1.4826 * MAD) per user, flagging |z| > 3.5
+    (the Iglewicz-Hoaglin rule). Complements the stddev z-screen
+    (zscore_outlier_orders): mean/stddev are themselves dragged by the
+    outliers they're meant to find; median/MAD have a 50% breakdown
+    point, so a user who is HALF anomalous still gets flagged.
+
+    Plan: two unbounded windows over the SAME user partitioning (one
+    sort, both exact medians via the sorted-partition pass), then
+    codegen'd arithmetic. At 100 TB swap exact medians for
+    approx_percentile sketches per group."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    step = ev.select("event_id", "user_id", "value", med.alias("med"))
+    mad = F.expr("percentile(abs(value - med), 0.5)").over(Window.partitionBy("user_id"))
+    step2 = step.withColumn("mad", mad)
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        step2.filter((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("robust_z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-valued per-entity profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_event_type_profile",
+    tags=("A-ext", "P2"),
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: each user's sorted distinct event
+    types as an ARRAY column plus cardinalities — the set-profile
+    feature shape (one row per entity, collection-typed cell) that
+    feeds both rules ("has error but never purchase") and embedding
+    lookups. array_sort(collect_set(...)) makes the array DETERMINISTIC
+    — a bare collect_set's order depends on partitioning and would fail
+    both the oracle and the partitioning-invariance gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
