@@ -30,6 +30,8 @@ QUERIES = [
     "rolling_median_value",
     "connected_components",
     "linkage_em_scored",
+    "user_event_type_profile",  # array cell order (array_sort'd collect_set)
+    "mad_outlier_values",  # double-window robust z + threshold
 ]
 
 
