@@ -1008,3 +1008,134 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral fingerprints: entropy, Gini, burstiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_entropy_users",
+    tags=("A-ext",),
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+    ), totals AS (
+      SELECT user_id, sum(c) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.user_id,
+           round(-sum((c.c / t.total) * ln(c.c / t.total)), 6) AS type_entropy,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM counts c JOIN totals t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def behavior_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity fingerprint (a mule account scripted to one
+    action has entropy ~0; organic users spread over types). Plan: one
+    (user, type) count shuffle, a per-user total as a window over the
+    SAME key, one re-aggregation — all partial-aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        counts.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("type_entropy"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "gini_order_values",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS i,
+             count(*) OVER (PARTITION BY o_custkey) AS n,
+             sum(o_totalprice) OVER (PARTITION BY o_custkey) AS total
+      FROM orders
+    )
+    SELECT o_custkey,
+           round(2.0 * sum(i * o_totalprice) / (any_value(n) * any_value(total))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini,
+           CAST(any_value(n) AS BIGINT) AS n
+    FROM ranked
+    GROUP BY o_custkey
+    HAVING any_value(n) >= 5
+    """,
+)
+def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per customer — spend
+    concentration (0 = every order equal, →1 = one order dominates),
+    the inequality fingerprint that flags accounts whose volume hides
+    one enormous transfer among camouflage noise. Computed by the
+    sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n: ONE ordered
+    window per customer (rank, count, and sum share the partition
+    sort) + one re-aggregation; deterministic o_orderkey tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    ranked = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("o_totalprice").over(wp).alias("total"),
+    )
+    return (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("o_totalprice"))
+                / (F.first("n") * F.first("total"))
+                - (F.first("n") + 1.0) / F.first("n"),
+                6,
+            ).alias("gini"),
+            F.first("n").cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "burstiness_daily_users",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           round(var_samp(c) / avg(c), 6) AS fano,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily
+    GROUP BY user_id
+    HAVING count(*) >= 5 AND avg(c) > 0
+    """,
+)
+def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of each user's daily activity:
+    variance-to-mean of per-day event counts — ~1 for Poisson-like
+    organic activity, >>1 for burst-and-silence patterns (campaign
+    scripts, dump days). Two keyed aggregations, both map-side
+    partial; the active-day spine comes from the same daily counts the
+    gap-fill query builds."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.round(F.var_samp("c") / F.avg("c"), 6).alias("fano"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
