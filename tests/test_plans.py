@@ -255,3 +255,17 @@ def test_decimal_totals_partial_aggregation(spark, sf_dir):
     # HashAggregate phases around one shuffle)
     plan = explain_str(CATALOG["decimal_money_totals"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """The engine's join surface accepts per-join strategy hints — the
+    escape hatch when statistics mislead the optimizer at scale:
+    SHUFFLE_HASH avoids the sort of a sort-merge join for huge
+    uniform-key joins; MERGE forces sort-merge when a hash table would
+    not fit."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sh = li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in explain_str(sh)
+    sm = li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in explain_str(sm)
