@@ -29,6 +29,7 @@ __all__ = [
     "table_diff",
     "merge_aggregates",
     "profile_table",
+    "expectations",
 ]
 
 
@@ -440,3 +441,45 @@ def profile_table(
         "__n as n_rows",
         f"stack({len(cols)}, {stacked}) as (col_name, n_non_null, n_distinct, min_value, max_value)",
     ).select("col_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
+
+
+def expectations(
+    df: DataFrame,
+    rules: "dict[str, Column]",
+    unique_keys: list[str] | None = None,
+) -> DataFrame:
+    """Data-quality expectations (the Deequ / dbt-tests niche): each
+    rule is a BOOLEAN column that should hold for every row; the
+    result is one row per rule with its violation count — gate a
+    pipeline on ``violations == 0`` before consuming an upstream table.
+
+    ONE aggregate pass computes every row-wise rule (conditional sums
+    share the scan); ``unique_keys`` adds a table-level uniqueness rule
+    (count - countDistinct over the key tuple) folded into the same
+    aggregate. Rows where a rule evaluates to NULL count as violations
+    (unknown is not a pass) via null-safe negation.
+
+    Returns (rule, n_violations) — stack-pivoted like
+    :func:`profile_table`, no driver collect.
+    """
+    aggs = []
+    names: list[str] = []
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(F.when(pred.eqNullSafe(F.lit(True)), 0).otherwise(1)).cast("long").alias(f"__r_{len(names)}")
+        )
+        names.append(name)
+    if unique_keys:
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in unique_keys]))
+            .cast("long")
+            .alias(f"__r_{len(names)}")
+        )
+        names.append(f"unique({', '.join(unique_keys)})")
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{n.replace(chr(39), chr(39) * 2)}', `__r_{i}`" for i, n in enumerate(names)
+    )
+    return row.selectExpr(
+        f"stack({len(names)}, {stacked}) as (rule, n_violations)"
+    )

@@ -1139,3 +1139,62 @@ def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_days") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_orders",
+    tags=("A-ext", "OP"),
+    oracle="""
+    SELECT 'orderkey_not_null' AS rule,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)
+                                     OR o_totalprice IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_known',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                                     OR o_orderstatus IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'date_in_range',
+           CAST(count(*) FILTER (WHERE NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                                            AND o_orderdate < TIMESTAMP '2010-01-01')
+                                     OR o_orderdate IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders via ``operators.expectations``:
+    not-null / positive-amount / known-enum / date-range row rules plus
+    key uniqueness, ONE aggregate pass, one row per rule — the
+    quality gate a pipeline runs before trusting an upstream table
+    (violations stay attributable by rule, not just a pass/fail bit).
+    NULLs count as violations (unknown is not a pass)."""
+    from anti_money_laundering_spark.operators import expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return expectations(
+        orders,
+        rules={
+            "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("F", "O", "P"),
+            "date_in_range": (
+                (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp"))
+            ),
+        },
+        unique_keys=["o_orderkey"],
+    )

@@ -363,3 +363,21 @@ def test_winsorized_mean_ignores_nulls(spark):
     assert row["raw_mean"] == 10.5
     assert abs(row["wins_mean"] - 10.5) < 0.3
     assert row["n"] == 21  # count(*) includes the NULL row
+
+
+def test_expectations_null_counts_as_violation(spark):
+    """A rule evaluating to NULL (unknown) must count as a violation,
+    and the uniqueness rule counts duplicate keys exactly."""
+    from anti_money_laundering_spark.operators import expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, -2.0), (2, None), (3, 1.0)], "k int, v double"
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in expectations(
+            df, rules={"v_positive": F.col("v") > 0}, unique_keys=["k"]
+        ).collect()
+    }
+    assert out["v_positive"] == 2  # -2.0 fails, NULL is unknown -> violation
+    assert out["unique(k)"] == 1  # k=1 appears twice
