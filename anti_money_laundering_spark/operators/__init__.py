@@ -476,10 +476,15 @@ def expectations(
             .alias(f"__r_{len(names)}")
         )
         names.append(f"unique({', '.join(unique_keys)})")
+    if not names:
+        raise ValueError("expectations() needs at least one rule or unique_keys")
     row = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{n.replace(chr(39), chr(39) * 2)}', `__r_{i}`" for i, n in enumerate(names)
-    )
-    return row.selectExpr(
-        f"stack({len(names)}, {stacked}) as (rule, n_violations)"
+    # rule names become stack() literals: pair each name with its agg as
+    # (string literal column, metric column) instead of splicing the
+    # name into SQL text — no quote/backslash escaping to get wrong
+    pairs: list[Column] = []
+    for i, n in enumerate(names):
+        pairs += [F.lit(n), F.col(f"__r_{i}")]
+    return row.select(
+        F.stack(F.lit(len(names)), *pairs).alias("rule", "n_violations")
     )

@@ -872,16 +872,25 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     single Expand + partial/final aggregate, so the fact scans once
     regardless of how many sets are requested."""
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gs_orders")
-    return orders.sparkSession.sql(
-        """
-        SELECT coalesce(o_orderstatus, '<all>') AS status,
-               coalesce(o_orderpriority, '<all>') AS priority,
-               count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    # DataFrame.groupingSets (Spark 4) — same Expand+aggregate plan as
+    # the SQL form, without registering a temp view (a session-catalog
+    # side effect that would leak across queries and race on the name).
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "total",
+        )
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from collections.abc import Iterator
 
@@ -66,13 +67,23 @@ class _Writer(DataSourceWriter):
                     os.unlink(os.path.join(self.path, f))
         for m in messages:
             os.rename(os.path.join(staging, m.staged), os.path.join(self.path, m.staged))
-        os.rmdir(staging)
+        # Staging may still hold orphans — files from retried/speculative
+        # task attempts whose commit message Spark discarded, or leftovers
+        # of a previously aborted job. They are garbage by definition
+        # (only message-listed files are part of this commit); remove
+        # them rather than letting a bare rmdir fail the job AFTER the
+        # renames made the commit observable.
+        shutil.rmtree(staging, ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
+        # A failed task's commit message arrives as None (API contract) —
+        # it staged nothing durable under a message-listed name, so skip.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.unlink(os.path.join(staging, m.staged))
             except FileNotFoundError:
@@ -117,15 +128,28 @@ class _StreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         staging = os.path.join(self.path, "_staging")
+        # A replayed batch may plan FEWER partitions than the crashed
+        # attempt (AQE/repartitioning upstream) — overwriting by index
+        # alone would leave the dead attempt's higher-index parts
+        # duplicating rows. Idempotency = delete the batch's whole file
+        # set first, then rename this attempt's parts in.
+        prefix = f"batch-{batchId:05d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                os.unlink(os.path.join(self.path, f))
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = os.path.join(self.path, f"batch-{batchId:05d}-part-{i:04d}.jsonl")
-            if os.path.exists(final):  # replayed batch: keep idempotent
-                os.unlink(final)
+            final = os.path.join(self.path, f"{prefix}part-{i:04d}.jsonl")
             os.rename(os.path.join(staging, m.staged), final)
-        with open(os.path.join(self.path, "_batches"), "a") as f:
-            f.write(f"{batchId}\n")
+        log = os.path.join(self.path, "_batches")
+        logged: set[str] = set()
+        if os.path.exists(log):
+            with open(log) as f:
+                logged = set(f.read().split())
+        if str(batchId) not in logged:  # replay must not duplicate the log line
+            with open(log, "a") as f:
+                f.write(f"{batchId}\n")
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
         staging = os.path.join(self.path, "_staging")

@@ -43,8 +43,10 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-def compare(spark_df: DataFrame, duck_con: duckdb.DuckDBPyConnection, oracle: str) -> None:
-    """Assert the Spark result matches the DuckDB oracle result."""
+def compare(spark_df: DataFrame, duck_con: duckdb.DuckDBPyConnection, oracle: str) -> int:
+    """Assert the Spark result matches the DuckDB oracle result.
+    Returns the compared row count so callers (tools/predriver_check.py)
+    can reject empty-vs-empty without re-executing the oracle."""
     sp = spark_df.toPandas()
     dk = duck_con.execute(oracle).fetchdf()
     sp_cols, dk_cols = sorted(c.lower() for c in sp.columns), sorted(c.lower() for c in dk.columns)
@@ -56,3 +58,4 @@ def compare(spark_df: DataFrame, duck_con: duckdb.DuckDBPyConnection, oracle: st
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"value mismatch (first diffs): {diffs}")
+    return len(dk)

@@ -386,3 +386,63 @@ def test_synthetic_source_filter_pushdown_prunes_generation(spark):
         for r in base.collect()
         if 400 <= r.account_id < 450 and r.segment == "retail"
     )
+
+
+def test_jsonl_sink_commit_survives_staging_orphans_and_abort_nones(spark, sf_dir):
+    """Two-phase-commit hardening: (a) abort with None commit messages
+    (failed tasks — the API contract) must not crash and must clean the
+    listed staged files; (b) commit must succeed even when staging
+    holds orphan files from dead attempts, removing them with the
+    staging dir."""
+    from anti_money_laundering_spark.sources.jsonl_sink import (
+        _Staged,
+        _Writer,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_hardening_"), "t")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    # (a) abort: one failed task (None), one staged survivor
+    with open(os.path.join(staging, "part-dead.jsonl"), "w") as f:
+        f.write("{}\n")
+    _Writer({"path": out}, overwrite=False).abort([None, _Staged("part-dead.jsonl")])
+    assert not os.listdir(staging)
+    # (b) commit with an orphan in staging: job still succeeds atomically
+    with open(os.path.join(staging, "part-orphan.jsonl"), "w") as f:
+        f.write("{}\n")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    nation.coalesce(1).write.format("jsonl_atomic").option("path", out).mode(
+        "append"
+    ).save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(staging)
+    got = spark.read.schema(nation.schema).json(out)
+    assert got.count() == nation.count()
+
+
+def test_jsonl_stream_sink_replay_removes_stale_parts(spark):
+    """A replayed micro-batch with fewer partitions must delete the
+    dead attempt's higher-index parts and must not duplicate the
+    _batches log line."""
+    from anti_money_laundering_spark.sources.jsonl_sink import _Staged, _StreamWriter
+
+    out = tempfile.mkdtemp(prefix="jsonl_replay_")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    w = _StreamWriter({"path": out})
+    # first attempt: 3 parts
+    for i in range(3):
+        with open(os.path.join(staging, f"s{i}.jsonl"), "w") as f:
+            f.write(f'{{"i": {i}}}\n')
+    w.commit([_Staged("s0.jsonl"), _Staged("s1.jsonl"), _Staged("s2.jsonl")], batchId=7)
+    # replay of batch 7: only 2 parts this time
+    for i in range(2):
+        with open(os.path.join(staging, f"r{i}.jsonl"), "w") as f:
+            f.write(f'{{"i": {i}}}\n')
+    w.commit([_Staged("r0.jsonl"), _Staged("r1.jsonl")], batchId=7)
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert parts == ["batch-00007-part-0000.jsonl", "batch-00007-part-0001.jsonl"]
+    with open(os.path.join(out, "_batches")) as f:
+        assert f.read().split() == ["7"]

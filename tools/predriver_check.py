@@ -61,8 +61,7 @@ def main() -> int:
     for i, (name, oracle) in enumerate(osql.items(), 1):
         try:
             df = qs[name](spark, args.sf_dir)
-            compare(df, con, oracle)
-            rows = con.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
+            rows = compare(df, con, oracle)
             if rows == 0:
                 raise AssertionError("EMPTY oracle result (attests nothing)")
             status = f"ok ({rows} rows)"
