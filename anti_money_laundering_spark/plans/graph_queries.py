@@ -1123,3 +1123,79 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "graph_reciprocity",
+    tags=("G-ext", "G2"),
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({FLOW_EDGES_SQL}) WHERE src <> dst)
+    SELECT CAST((SELECT count(*) FROM e a JOIN e b
+                 ON a.src = b.dst AND a.dst = b.src) AS BIGINT) AS n_reciprocal,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           round((SELECT count(*) FROM e a JOIN e b
+                  ON a.src = b.dst AND a.dst = b.src) * 1.0
+                 / (SELECT count(*) FROM e), 6) AS reciprocity
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the flow graph: the fraction of directed
+    value-transfer edges whose REVERSE edge also exists — elevated
+    reciprocity among high-value counterparties is the wash-trading /
+    back-and-forth layering signature (money that goes A->B and B->A
+    nets to nothing but generates volume). One distinct-edge pass and
+    one self-equi-join on the reversed key pair; global counts ride as
+    1-row aggregates."""
+    g = flow_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_rec = e.join(rev, ["src", "dst"]).count()
+    n_all = e.count()
+    # counts are tiny scalars (the aggregate of a counted join), so a
+    # 1-row result assembled driver-side is the honest plan — there is
+    # no distributed result left to keep lazy.
+    return spark.createDataFrame(
+        [(n_rec, n_all, round(n_rec / n_all, 6))],
+        "n_reciprocal bigint, n_edges bigint, reciprocity double",
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=("G-ext", "G2"),
+    oracle=f"""
+    WITH e0 AS (SELECT DISTINCT src, dst FROM ({FLOW_EDGES_SQL}) WHERE src <> dst),
+    und AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst, src FROM e0
+    ),
+    deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src)
+    SELECT round(corr(da.d, db.d), 6) AS assortativity,
+           CAST(count(*) AS BIGINT) AS n_edge_ends
+    FROM und
+    JOIN deg da ON da.id = und.src
+    JOIN deg db ON db.id = und.dst
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): Pearson correlation of
+    endpoint degrees over every undirected edge-end — negative on
+    hub-and-spoke layering networks (mules touch many small accounts),
+    positive on peer-to-peer rings. One degree aggregation + two keyed
+    joins of the degree table back onto the symmetrized edge list +
+    a single-pass corr() — every step partial-aggregated, no iteration."""
+    g = flow_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "id")
+    da = deg.select(F.col("id").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("db"))
+    return (
+        und.join(da, "src")
+        .join(db, "dst")
+        .agg(
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+            F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+        )
+    )
