@@ -210,3 +210,39 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.streaming import stateful_event_transitions
 
     return stateful_event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_interval_join_outer",
+    tags=("STR",),
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+     AND c.event_type = 'click'
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the LEFT-OUTER stream-stream interval join:
+    purchases with their within-the-hour clicks, unmatched purchases
+    kept with a null click — on streams the outer row emits only when
+    the watermark passes its match horizon (deferred-emission parity in
+    tests/test_streaming.py::test_stream_interval_left_outer_emits_unmatched).
+    Same one-shuffle equi-join + range-residual plan as the inner face."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.streaming import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_join_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    return out.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+    )
