@@ -1207,3 +1207,102 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys=["o_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dominant_event_type",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    SELECT user_id, event_type AS dominant_type, CAST(c AS BIGINT) AS n
+    FROM (
+      SELECT user_id, event_type, count(*) AS c,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+             ) AS rnk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rnk = 1
+    """,
+)
+def dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — the dominant-behavior label. Built
+    as count + rank with an explicit tiebreak (count desc, then type
+    asc) instead of mode(): both engines' mode() is tie-ARBITRARY,
+    which would flip the hash across engines and partitionings exactly
+    when two types are equally common. One (user, type) count shuffle
+    + a rank window on the user key the counts already carry."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_type"), F.col("c").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest streak (gaps-and-islands aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "longest_streak_users",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+      FROM events
+    ), lengths AS (
+      SELECT user_id, event_type, count(*) AS len
+      FROM runs GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+           event_type AS streak_type
+    FROM (
+      SELECT user_id, event_type, len,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY len DESC, event_type
+             ) AS rnk
+      FROM lengths
+    ) WHERE rnk = 1
+    """,
+)
+def longest_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive same-type events per user (the
+    gaps-and-islands pattern): a scripted account repeating one action
+    500 times in a row looks identical to an organic user in count
+    space but not in RUN space. Islands come from the classic
+    row_number difference trick (global seq minus per-type seq is
+    constant within a run); ties on length break toward the
+    alphabetically-first type via an explicit (len desc, type asc)
+    rank on both engines. Two windows over one (user) sort, one run
+    aggregation, one top-1-per-user window."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    lengths = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(F.col("len").desc(), "event_type")
+    return (
+        lengths.withColumn("rnk", F.row_number().over(w_best))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak"),
+            F.col("event_type").alias("streak_type"),
+        )
+    )
