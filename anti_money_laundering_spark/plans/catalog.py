@@ -79,7 +79,10 @@ _WINDOW: tuple[str, ...] = (
     "order_limit_top10",        # W1,W2
     "sql_cte_view_entry",       # S5,S6,S7,F7,J1
     "set_intersect_users",      # U-ext
-    "rollup_order_totals",      # A-ext
+    # rollup_order_totals moved past the window in r4 (A-ext stays
+    # covered below); the DQ expectations operator takes its slot so
+    # the driver attests the quality-gate surface
+    "dq_expectations_orders",   # A-ext,OP
     # custom operators
     "salted_join_user_events",  # OP,J-ext
     "asof_join_last_purchase",  # OP,asof
@@ -116,7 +119,10 @@ _WINDOW: tuple[str, ...] = (
     # covered here, and corpus_clean_pipeline exercises the quality
     # expressions end-to-end inside its filters)
     "text_lang_id",
-    "benford_digit_scores",     # A-ext,F-ext (statistical AML screen)
+    # benford_digit_scores moved past the window in r4 (A-ext/F-ext
+    # stay covered); SCD2 — the feature-engineering flagship — takes
+    # its slot
+    "scd2_user_status",         # W-ext,OP
     # LLM-pipeline: dedup + end-to-end cleaning + leakage-free splits
     # (dedup_simhash_candidates sits past the window: rows-only —
     # xxhash64 sub-band blocking isn't DuckDB-expressible — and its
@@ -125,7 +131,11 @@ _WINDOW: tuple[str, ...] = (
     "corpus_train_split",
     "stratified_sample_events", # per-stratum deterministic sampling
     "pack_sequences_docs",      # concat-and-chunk sequence packing
-    "dedup_exact_groups",
+    # dedup_exact_groups moved past the window in r4 (dedup stays
+    # covered by the minhash/cluster rows); the custom Python
+    # DataSource scan takes its slot — the connector is hash-verified
+    # end-to-end by the driver itself
+    "synthetic_source_scan",    # OP (DataSource API connector)
     "dedup_minhash_near_dups",
     "dedup_near_clusters",
     # near_dup_embedding_clusters moved past the window in r4: its
