@@ -1306,3 +1306,135 @@ def longest_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("streak_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "loo_value_encoding",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    SELECT event_id, user_id,
+           round((sum(value) OVER (PARTITION BY user_id) - value)
+                 / (count(*) OVER (PARTITION BY user_id) - 1), 6) AS loo_mean
+    FROM events
+    QUALIFY count(*) OVER (PARTITION BY user_id) >= 2
+    """,
+)
+def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean encoding: each event's feature is its user's
+    mean value EXCLUDING the event itself — the leakage-safe form of
+    target encoding (including the row's own target lets the model
+    memorize it; LOO is the standard fix). Closed form
+    (sum - x)/(n - 1) over one unbounded window: no per-row regroup,
+    one shuffle, entities with a single row dropped (undefined)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    loo = (F.sum("value").over(w) - F.col("value")) / (F.count(F.lit(1)).over(w) - 1)
+    return (
+        ev.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") >= 2)
+        .select("event_id", "user_id", F.round(loo, 6).alias("loo_mean"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily growth rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue_growth",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT day::VARCHAR AS day, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY day))
+                 / lag(revenue) OVER (ORDER BY day), 6) AS pct_change
+    FROM daily
+    """,
+)
+def daily_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue growth: aggregate first (events -> one row
+    per day), THEN lag on the tiny aggregated series — the growth-rate
+    pattern where the window runs over thousands of rows regardless of
+    event volume. The purchase filter pushes into the scan; first day's
+    change is NULL by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi2_type_weekday",
+    tags=("A-ext",),
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             count(*) * 1.0 AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT o.event_type, o.dow, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+             sum(o.o) OVER (PARTITION BY o.dow) AS col_tot,
+             sum(o.o) OVER () AS grand
+      FROM obs o
+    )
+    SELECT round(sum(pow(o - row_tot * col_tot / grand, 2)
+                     / (row_tot * col_tot / grand)), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM margins
+    """,
+)
+def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs day-of-week — the
+    contingency screen behind "does behavior X cluster on specific
+    days" (scripted activity is weekday-periodic; organic isn't).
+    Exact statistic: observed cell counts, margins as windows over the
+    TINY contingency table (|types| x 7 rows), sum of (O-E)^2/E, plus
+    the degrees of freedom. The only data-sized operation is the one
+    counting aggregation; everything after runs on dozens of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wg = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wg).alias("grand"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return m.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+    )
