@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from anti_money_laundering_spark.graph import pagerank, risk_propagation
 from anti_money_laundering_spark.plans.catalog import register
@@ -1143,20 +1144,25 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-transfer edges whose REVERSE edge also exists — elevated
     reciprocity among high-value counterparties is the wash-trading /
     back-and-forth layering signature (money that goes A->B and B->A
-    nets to nothing but generates volume). One distinct-edge pass and
-    one self-equi-join on the reversed key pair; global counts ride as
-    1-row aggregates."""
+    nets to nothing but generates volume). ONE lazy job: left-join the
+    reversed edge set as a match marker, then count edges and matches
+    in the same aggregate — the edge subtree executes once and the
+    query fn stays lazy like the rest of the catalog (try_divide keeps
+    an empty edge set a NULL ratio, not an ANSI crash)."""
     g = flow_graph(spark, sf_dir)
     e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_rec = e.join(rev, ["src", "dst"]).count()
-    n_all = e.count()
-    # counts are tiny scalars (the aggregate of a counted join), so a
-    # 1-row result assembled driver-side is the honest plan — there is
-    # no distributed result left to keep lazy.
-    return spark.createDataFrame(
-        [(n_rec, n_all, round(n_rec / n_all, 6))],
-        "n_reciprocal bigint, n_edges bigint, reciprocity double",
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
+        "__m", F.lit(1)
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count("__m").cast("long").alias("n_reciprocal"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.round(F.try_divide(F.count("__m"), F.count(F.lit(1))), 6).alias(
+                "reciprocity"
+            ),
+        )
     )
 
 
@@ -1182,20 +1188,22 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman's r): Pearson correlation of
     endpoint degrees over every undirected edge-end — negative on
     hub-and-spoke layering networks (mules touch many small accounts),
-    positive on peer-to-peer rings. One degree aggregation + two keyed
-    joins of the degree table back onto the symmetrized edge list +
-    a single-pass corr() — every step partial-aggregated, no iteration."""
+    positive on peer-to-peer rings. Endpoint degrees come from two
+    COUNT windows over the symmetrized edge list (degree of src =
+    rows sharing its src; likewise dst) — the edge subtree executes
+    ONCE feeding both window shuffles, vs the join formulation that
+    rebuilds the distinct+union subtree for the degree table AND the
+    probe side. One corr() pass on top, no iteration."""
     g = flow_graph(spark, sf_dir)
     e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "id")
-    da = deg.select(F.col("id").alias("src"), F.col("d").alias("da"))
-    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("db"))
-    return (
-        und.join(da, "src")
-        .join(db, "dst")
-        .agg(
-            F.round(F.corr("da", "db"), 6).alias("assortativity"),
-            F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
-        )
+    w_src = Window.partitionBy("src")
+    w_dst = Window.partitionBy("dst")
+    ends = und.select(
+        F.count(F.lit(1)).over(w_src).alias("da"),
+        F.count(F.lit(1)).over(w_dst).alias("db"),
+    )
+    return ends.agg(
+        F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
     )

@@ -6,8 +6,9 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is timed end-to-end (plan build + execution) with a
-``count()`` action so results never collect to the driver. One warmup
-pass amortizes JVM/codegen startup, then each query is timed over
+``count()`` action so results never collect to the driver. Two warmup
+passes amortize JVM/codegen startup AND the residual JIT decay
+(SCALE_CC_r04.json), then each query is timed over
 PASSES runs and the minimum kept — the machine hosts other periodic
 work, and min-of-N isolates the engine's steady-state cost from
 neighbor noise.
