@@ -66,8 +66,14 @@ def rolling_median(
     n = F.size(arr)
     lo = F.element_at(arr, (n / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    return F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
-        (lo + hi) / 2.0
+    # collect_list drops NULLs, so an all-NULL frame yields n = 0 —
+    # element_at(arr, 0) aborts under ANSI (INVALID_INDEX_OF_ZERO).
+    # CASE WHEN branches are lazy, so putting the n = 0 arm first
+    # (median of nothing = NULL) keeps the positional reads unreached.
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((lo + hi) / 2.0)
     )
 
 
@@ -96,7 +102,11 @@ def ewma(
         t_den = F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
         num = t_num if num is None else num + t_num
         den = t_den if den is None else den + t_den
-    return num / den
+    # When every lag in the chain is NULL (all-NULL partition head),
+    # den sums to 0.0 and ANSI mode aborts on the division — try_divide
+    # yields NULL for those rows instead (same pattern as
+    # graph_reciprocity).
+    return F.try_divide(num, den)
 
 
 def winsorized_mean(

@@ -674,7 +674,11 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           round(avg(least(greatest(value, p05), p95)), 6) AS wins_mean,
+           -- DuckDB's least/greatest skip NULLs too, which would clamp a
+           -- NULL value to p05; mirror the Spark side's null guard so a
+           -- NULL row stays NULL and avg() excludes it from wins_mean.
+           round(avg(CASE WHEN value IS NOT NULL
+                          THEN least(greatest(value, p05), p95) END), 6) AS wins_mean,
            round(avg(value), 6) AS raw_mean,
            CAST(count(*) AS BIGINT) AS n
     FROM clipped

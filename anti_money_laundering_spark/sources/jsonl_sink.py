@@ -20,6 +20,9 @@ approach — see sources.save_table for the gated Delta path).
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -34,6 +37,20 @@ from pyspark.sql.datasource import (
 )
 
 __all__ = ["JsonlSinkDataSource", "register_jsonl_sink"]
+
+
+def _json_default(o):
+    """Encoder for the Spark types ``json`` can't serialize natively:
+    timestamp/date → ISO-8601, decimal → string (exactness over
+    float coercion), binary → base64. Anything else falls back to
+    ``str`` so the sink never aborts a job on an exotic column."""
+    if isinstance(o, (datetime.datetime, datetime.date)):
+        return o.isoformat()
+    if isinstance(o, decimal.Decimal):
+        return str(o)
+    if isinstance(o, (bytes, bytearray)):
+        return base64.b64encode(bytes(o)).decode("ascii")
+    return str(o)
 
 
 class _Staged(WriterCommitMessage):
@@ -56,7 +73,7 @@ class _Writer(DataSourceWriter):
         staged = os.path.join(staging, name)
         with open(staged, "w") as f:
             for row in rows:
-                f.write(json.dumps(row.asDict()) + "\n")
+                f.write(json.dumps(row.asDict(), default=_json_default) + "\n")
         return _Staged(name)
 
     def commit(self, messages) -> None:
@@ -142,6 +159,20 @@ class _StreamWriter(DataSourceStreamWriter):
                 continue
             final = os.path.join(self.path, f"{prefix}part-{i:04d}.jsonl")
             os.rename(os.path.join(staging, m.staged), final)
+        # Staged files NOT in this batch's message list are orphans from
+        # dead/retried attempts (micro-batches run sequentially per
+        # query, so nothing later is staging concurrently). Without this
+        # prune they accumulate for the lifetime of the stream. The
+        # batch writer rmtree's staging wholesale; here we delete by
+        # name so the contract stays explicit.
+        if os.path.isdir(staging):
+            committed = {m.staged for m in messages if m is not None}
+            for f in os.listdir(staging):
+                if f not in committed:
+                    try:
+                        os.unlink(os.path.join(staging, f))
+                    except FileNotFoundError:
+                        pass
         log = os.path.join(self.path, "_batches")
         logged: set[str] = set()
         if os.path.exists(log):

@@ -381,3 +381,35 @@ def test_expectations_null_counts_as_violation(spark):
     }
     assert out["v_positive"] == 2  # -2.0 fails, NULL is unknown -> violation
     assert out["unique(k)"] == 1  # k=1 appears twice
+
+
+def test_rolling_median_all_null_frame_returns_null(spark):
+    """ADVICE r4: collect_list drops NULLs, so a frame holding only
+    NULL values has size 0 — the positional reads must not run
+    (INVALID_INDEX_OF_ZERO under ANSI); the median of nothing is NULL."""
+    from anti_money_laundering_spark.features import rolling_median
+
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, None), ("u", 3, 7.0), ("u", 4, 9.0)],
+        "k string, seq int, v double",
+    )
+    med = rolling_median(key="k", value="v", order_by=["seq"], frame_rows=2)
+    rows = {r["seq"]: r["m"] for r in df.select("seq", med.alias("m")).collect()}
+    assert rows[1] is None and rows[2] is None  # all-NULL frames
+    assert rows[3] == 7.0  # singleton frame (NULL dropped)
+    assert rows[4] == 8.0  # interpolated even frame
+
+
+def test_ewma_all_null_head_returns_null(spark):
+    """ADVICE r4: an all-NULL lag chain sums den to 0.0 — ANSI mode
+    would abort on the division; try_divide yields NULL instead."""
+    from anti_money_laundering_spark.features import ewma
+
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, None), ("u", 3, 4.0)],
+        "k string, seq int, v double",
+    )
+    e = ewma(key="k", value="v", order_by=["seq"], alpha=0.5, max_lags=2)
+    rows = {r["seq"]: r["e"] for r in df.select("seq", e.alias("e")).collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 4.0  # only the current value present in the chain

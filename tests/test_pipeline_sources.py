@@ -4,6 +4,7 @@ approx_count_distinct accuracy bound."""
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 import tempfile
 
@@ -446,3 +447,60 @@ def test_jsonl_stream_sink_replay_removes_stale_parts(spark):
     assert parts == ["batch-00007-part-0000.jsonl", "batch-00007-part-0001.jsonl"]
     with open(os.path.join(out, "_batches")) as f:
         assert f.read().split() == ["7"]
+
+
+def test_jsonl_sink_serializes_temporal_decimal_binary(spark):
+    """ADVICE r4: the sink advertised general-purpose writes but
+    json.dumps aborted on timestamp/date/decimal/binary columns.
+    Timestamps/dates emit ISO-8601, decimals exact strings, binary
+    base64 — and the job commits."""
+    import base64 as b64
+    import datetime as dtt
+    from decimal import Decimal
+
+    from anti_money_laundering_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = spark.createDataFrame(
+        [
+            (
+                dtt.datetime(2024, 3, 1, 12, 30, 15),
+                dtt.date(2024, 3, 1),
+                Decimal("123.45"),
+                bytearray(b"\x00\xffpayload"),
+            )
+        ],
+        "ts timestamp, d date, amt decimal(10,2), blob binary",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_types_"), "t")
+    df.write.format("jsonl_atomic").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    part = [f for f in os.listdir(out) if f.endswith(".jsonl")][0]
+    with open(os.path.join(out, part)) as f:
+        rec = json.loads(f.readline())
+    assert rec["ts"].startswith("2024-03-01T12:30:15")
+    assert rec["d"] == "2024-03-01"
+    assert rec["amt"] == "123.45"
+    assert b64.b64decode(rec["blob"]) == b"\x00\xffpayload"
+
+
+def test_jsonl_stream_sink_commit_prunes_orphans(spark):
+    """ADVICE r4: the streaming commit only renamed message-listed
+    files, so staged orphans from dead attempts accumulated forever.
+    After a commit, staging must hold nothing but this batch's
+    (already-renamed) files — i.e. be empty of orphans."""
+    from anti_money_laundering_spark.sources.jsonl_sink import _Staged, _StreamWriter
+
+    out = tempfile.mkdtemp(prefix="jsonl_orphan_")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    w = _StreamWriter({"path": out})
+    # dead attempt's leftover + this attempt's staged part
+    with open(os.path.join(staging, "dead.jsonl"), "w") as f:
+        f.write('{"i": 99}\n')
+    with open(os.path.join(staging, "live.jsonl"), "w") as f:
+        f.write('{"i": 1}\n')
+    w.commit([_Staged("live.jsonl")], batchId=3)
+    assert os.listdir(staging) == []  # orphan pruned, live renamed out
+    parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert parts == ["batch-00003-part-0000.jsonl"]
