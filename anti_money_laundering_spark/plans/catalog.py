@@ -64,96 +64,78 @@ def register(
 #: union mechanically).
 DRIVER_WINDOW = 50
 
+#: ROUND-5 ROTATION (r4 verdict item 1): the window is split into a
+#: 22-query KEEP core — the minimal hitting set for every tag that can
+#: only be covered by an already-attested query — plus 28 queries that
+#: have NEVER received a driver correctness row (27 first-time names +
+#: ann_ivf_topk's first hash-compared row; it previously recorded only
+#: the weaker rows-only check). Everything rotated out stayed green in
+#: r1-r4 driver rows AND passes the identical DuckDB compare in pytest
+#: (tests/test_catalog_oracle.py), so this trades re-attestation of
+#: known-green rows for first-time provenance on the catalog tail.
 _WINDOW: tuple[str, ...] = (
-    # sources + core relational
-    "sources_roundtrip",        # S2,S3,S4,S8,S9
+    # --- keep core: sole carriers of S/P/J/F/U core tags -------------
+    "sources_roundtrip",        # S2,S3,S4,S8,S9,S10
     "shared_attr_match",        # A1,A3,J4,W1,S1
     "filter_project_null",      # P1,P3,P5
     "derived_translate_cast",   # F1,F3,P7,P8
     "union_distinct_keys",      # U1,A4
     "union_all_tagged",         # U2,U3,A1
     "self_join_pair_amounts",   # J3,P4,P6
-    "struct_pack_expand",       # P2
-    "sessionize_events",        # W-ext
     "scalar_function_suite",    # F1,F2,F4,F5,F6,F-ext
-    "order_limit_top10",        # W1,W2
     "sql_cte_view_entry",       # S5,S6,S7,F7,J1
-    "set_intersect_users",      # U-ext
-    # rollup_order_totals moved past the window in r4 (A-ext stays
-    # covered below); the DQ expectations operator takes its slot so
-    # the driver attests the quality-gate surface
-    "dq_expectations_orders",   # A-ext,OP
-    # custom operators
-    "salted_join_user_events",  # OP,J-ext
+    "synth_id_scores",          # G4,A1,A2,A3,J1,P4
     "asof_join_last_purchase",  # OP,asof
     "range_join_clicks_after_purchase",  # OP,range
-    "merge_upsert_orders",      # OP,S4 (Delta-style MERGE semantics)
-    # streaming (stream_session_stats moved past the window in r4 —
-    # its STR tag stays covered here and its replay parity is pinned
-    # in tests/test_streaming.py)
-    "stream_tumbling_counts",   # STR
-    # graph
+    # keep core: graph / linkage / multimodal / ANN sole carriers
     "graph_degrees",            # G1,G2
     "graph_degree_pruned",      # G3
     "motif_fanin_structuring",  # G5,J2,J6,P6,P9
-    "motif_roundtrip_4cycle",   # G5,J2,J6 (reference's exact cycle)
-    "motif_oneway_negated",     # G5,J6 (negated term)
-    "motif_peeling_chain",      # G5,J6,P6 (time-respecting layering)
-    "connected_components",     # G4,G7
-    "synth_id_scores",          # G4,A1,A2,A3,J1,P4
-    "pregel_risk_propagation",  # G6,A5,F2,G7
-    "graph_triangle_count",     # G-ext (GraphFrames algorithm parity;
-                                # outer_join_nation_counts moved past the
-                                # window — its J-ext/A1 tags stay covered)
-    "graph_k_core",             # G-ext,G3 (dense-subnetwork peel)
-    "graph_bfs_paths",          # G-ext,G5 (GraphFrames bfs parity)
-    # entity resolution (linkage_gamma_vectors moved past the window
-    # in r4 — E3 stays covered by linkage_relink_segment, and the
-    # gamma construction feeds the still-attested EM legs)
     "linkage_blocked_pairs",    # E1,E2,J5
-    "linkage_em_scored",        # E4,A6
     "linkage_em_params",        # E5,A6
     "linkage_relink_segment",   # E6,E2,E3
-    # LLM-pipeline: text analysis (text_quality_scores /
-    # text_fingerprints sit past the window — their text/dedup tags are
-    # covered here, and corpus_clean_pipeline exercises the quality
-    # expressions end-to-end inside its filters)
-    "text_lang_id",
-    # benford_digit_scores moved past the window in r4 (A-ext/F-ext
-    # stay covered); SCD2 — the feature-engineering flagship — takes
-    # its slot
-    "scd2_user_status",         # W-ext,OP
-    # LLM-pipeline: dedup + end-to-end cleaning + leakage-free splits
-    # (dedup_simhash_candidates sits past the window: rows-only —
-    # xxhash64 sub-band blocking isn't DuckDB-expressible — and its
-    # dedup tag is covered by the hash-green queries here)
-    "corpus_clean_pipeline",
-    "corpus_train_split",
-    "stratified_sample_events", # per-stratum deterministic sampling
-    "pack_sequences_docs",      # concat-and-chunk sequence packing
-    # dedup_exact_groups moved past the window in r4 (dedup stays
-    # covered by the minhash/cluster rows); the custom Python
-    # DataSource scan takes its slot — the connector is hash-verified
-    # end-to-end by the driver itself
-    "synthetic_source_scan",    # OP (DataSource API connector)
-    "dedup_minhash_near_dups",
-    "dedup_near_clusters",
-    # near_dup_embedding_clusters moved past the window in r4: its
-    # legs (GEMM pairs, CC) stay attested via ann_cosine_topk and the
-    # G4 rows, and the composite passes the identical pytest compare
-    # LLM-pipeline: ANN (ann_ivf_topk sits past the window: the KMeans
-    # quantizer can't reach recall 1.0 on the near-random fixture
-    # embeddings, so it stays rows-only with a pinned recall floor;
-    # ann_lsh_topk IS exact on the fixtures — recall-1.0 pin — and
-    # carries the brute-force oracle)
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    # MLlib fitted-pipeline surface (deterministic half, hash-green)
-    "ml_feature_pipeline",
-    # LLM-pipeline: multimodal
-    "multimodal_metadata",
-    "multimodal_classify",      # M1,M3
+    "multimodal_classify",      # M1,M3,multimodal
     "multimodal_frames",        # M2
+    "ann_lsh_topk",             # ann (recall-1.0 pin, exact oracle)
+    "ml_feature_pipeline",      # ml
+    # --- first-time attestations -------------------------------------
+    # ANN: newly exact via the r5 exact_rerank mode (vector/__init__.py)
+    "ann_ivf_topk",             # ann,ml — first hash-compared row
+    # window-function family (SURVEY §2.5's declared extension)
+    "window_range_frame_1h",    # W-ext (RANGE frame on event-time)
+    "window_lag_lead_velocity", # W-ext (lag/lead transaction velocity)
+    "window_decile_ranks",      # W-ext (ntile)
+    "rolling_median_value",     # W-ext (exact trailing median)
+    "funnel_conversion",        # W-ext,A-ext
+    "cohort_retention",         # W-ext,A-ext
+    # SQL-surface extensions
+    "exists_correlated_suppliers",  # J4 (correlated EXISTS)
+    "scalar_subquery_above_avg",    # J4,A1 (scalar subquery)
+    "json_extract_props",       # F-ext (JSON path extraction)
+    "lateral_explode_props",    # F-ext (LATERAL VIEW explode)
+    "date_trunc_daily",         # F-ext
+    "regex_array_funcs",        # F-ext
+    "grouping_sets_orders",     # A-ext (GROUPING SETS)
+    "pivot_segment_counts",     # A-ext (PIVOT)
+    "unpivot_lineitem_measures", # U-ext,P2 (UNPIVOT/stack)
+    "event_cooccurrence",       # A-ext,J-ext
+    "vocab_top_terms",          # LLM,text,W2
+    # operators / sinks
+    "table_diff_orders",        # OP,S4 (table diff)
+    # graph tail: SCC + PPR carry G7/G6/A5 forward
+    "graph_scc",                # G-ext,G4,G7 (FW-BW-Trim)
+    "personalized_pagerank",    # G6,A5 (Pregel engine)
+    # linkage tail: entity clusters carry E4 forward
+    "linkage_entity_clusters",  # E4,G4
+    # streaming tail (replay parity pinned in tests/test_streaming.py)
+    "stream_interval_join",     # STR
+    "stream_dedup_events",      # STR
+    "stream_static_enrich",     # STR
+    # composite flagships: the full AML feed and the end-to-end
+    # training-manifest pipeline (dedup+sample+G4 via one query)
+    "aml_alert_feed",           # G5,G4,G6,U2
+    "corpus_training_manifest", # LLM,text,dedup,sample,G4
+    "formats_roundtrip",        # S2,S4 (csv/json/orc/parquet)
 )
 
 
