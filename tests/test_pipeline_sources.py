@@ -504,3 +504,37 @@ def test_jsonl_stream_sink_commit_prunes_orphans(spark):
     assert os.listdir(staging) == []  # orphan pruned, live renamed out
     parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
     assert parts == ["batch-00003-part-0000.jsonl"]
+
+
+def test_jsonl_sink_failed_job_no_partial_output_then_clean_retry(spark):
+    """Crash-recovery contract end-to-end (r4 verdict item 6): a job
+    that dies mid-write (one task raises while rows stream through the
+    writer) must leave the destination with NO visible data files and
+    NO _SUCCESS — at worst a dead staged file invisible to readers.
+    A retry into the same path then commits exactly the full row set
+    and clears staging (including the crashed attempt's orphan)."""
+    from anti_money_laundering_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_crash_"), "t")
+
+    @F.udf("int")
+    def boom(v):
+        if v == 7:
+            raise RuntimeError("injected task failure")
+        return v
+
+    df = spark.range(10).repartition(4).select(F.col("id").cast("int").alias("v"))
+    with pytest.raises(Exception):
+        df.select(boom("v").alias("v")).write.format("jsonl_atomic").option(
+            "path", out
+        ).mode("append").save()
+    visible = [f for f in os.listdir(out) if f.endswith(".jsonl")] if os.path.exists(out) else []
+    assert visible == []  # two-phase commit: nothing renamed into place
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    # retry (without the poison pill) commits the full set atomically
+    df.write.format("jsonl_atomic").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    back = spark.read.schema("v int").json(out)
+    assert sorted(r.v for r in back.collect()) == list(range(10))
