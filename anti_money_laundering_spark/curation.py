@@ -1,0 +1,171 @@
+"""Training-corpus curation operators: benchmark decontamination,
+incremental near-dedup, shard manifests, and target-mix rebalancing.
+
+These are the pipeline steps BETWEEN cleaning (dedup/, plans/
+llm_queries) and training: make sure eval benchmarks aren't in the
+corpus, fold a new crawl batch in without re-deduping the world,
+lay the result out as reproducible shards, and rebalance the source
+mix — each as declarative DataFrame plans with deterministic
+(hash-based, RNG-free) decisions so reruns and engines agree.
+
+Scale notes per operator in the docstrings; the common discipline:
+candidate generation is always an equi-join on a derived key
+(n-gram / band hash / bucket id), never an all-pairs comparison, and
+every "random" choice is md5 arithmetic over row keys (sampling.py's
+contract) so the DuckDB oracles can replay it bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.functions import token_count, tokens
+from anti_money_laundering_spark.sampling import hash_bucket
+
+__all__ = [
+    "doc_ngrams",
+    "ngram_overlap",
+    "decontaminate",
+    "shard_manifest",
+    "rebalance_to_min_source",
+]
+
+
+def doc_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, ngram) rows: sliding word n-grams of the lowercased
+    whitespace tokens (functions.tokens — the engine-wide token
+    definition). Uses MLlib's NGram transformer, a JVM-side
+    catalyst expression under the hood — NOT a Python UDF and NOT an
+    interpreted higher-order lambda (the two slow paths; SKILL.md
+    round-1 learning). ``distinct=True`` collapses repeats within a
+    document before the explode, which bounds the posting list at one
+    row per (doc, unique ngram)."""
+    from pyspark.ml.feature import NGram
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    grams = NGram(n=n, inputCol="__toks", outputCol="__grams").transform(toks)
+    out = grams.select("id", F.explode("__grams").alias("ngram"))
+    return out.distinct() if distinct else out
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-document count of distinct word n-grams shared with
+    ANY benchmark document: (doc_id, n_shared_ngrams). The membership
+    primitive behind eval decontamination (an n-gram seen in a
+    benchmark marks the corpus doc contaminated).
+
+    Plan: both sides explode to (id, ngram) posting lists; the
+    benchmark's DISTINCT n-gram set — eval suites are tiny relative to
+    a crawl — is broadcast, the corpus posting list inner-joins it and
+    counts per doc. One broadcast join + one agg keyed by doc id: no
+    shuffle of the corpus text itself, no pairwise doc×doc
+    comparison. At 100 TB the corpus side streams
+    through scan→project→explode→join entirely map-side; only the
+    (doc_id, count) agg shuffles."""
+    c = doc_ngrams(corpus, id_col, text_col, n=n).withColumnRenamed("id", id_col)
+    b = doc_ngrams(benchmark, id_col, text_col, n=n).select("ngram").distinct()
+    return (
+        c.join(F.broadcast(b), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Corpus minus documents sharing more than ``max_shared`` distinct
+    n-grams with the benchmark (and minus the benchmark docs
+    themselves). Anti-join formulation: the contaminated id set from
+    :func:`ngram_overlap` is tiny, so both anti-joins broadcast."""
+    bad = (
+        ngram_overlap(corpus, benchmark, id_col, text_col, n=n)
+        .filter(F.col("n_shared_ngrams") > max_shared)
+        .select(id_col)
+    )
+    return corpus.join(F.broadcast(bad), id_col, "left_anti").join(
+        F.broadcast(benchmark.select(id_col)), id_col, "left_anti"
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic shard layout for a training corpus: every doc is
+    assigned shard = md5-bucket(id) and the manifest aggregates
+    per-shard (n_docs, n_tokens, n_chars) — the sizing record a
+    dataloader consumes. Content-hash assignment means adding docs
+    never reshuffles existing ones (stable incremental builds), and
+    md5's uniformity keeps shard skew ~sqrt(n/bins).
+
+    One codegen'd projection + one agg on the shard key; at 100 TB the
+    actual shard WRITE is ``df.repartition(n_shards, shard).write``
+    using the same expression, so manifest and files can't disagree."""
+    shard = hash_bucket(id_col, n_shards, salt=salt).alias("shard")
+    return (
+        df.select(
+            shard,
+            token_count(text_col).alias("__tok"),
+            F.length(text_col).cast("long").alias("__chr"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+            F.sum("__chr").alias("n_chars"),
+        )
+    )
+
+
+def rebalance_to_min_source(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Downsample every source stratum to (approximately, hash-exactly)
+    the size of the SMALLEST source — the uniform-mix special case of
+    target-mix rebalancing. Keep rule: md5-bucket(id) in [0, resolution)
+    is kept iff bucket * n_source < resolution * n_min, i.e. a
+    deterministic per-source keep fraction of n_min/n_source with no
+    RNG — rerunning, resharding, or re-ordering the input cannot
+    change the selected set.
+
+    Plan: per-source counts via one tiny agg (|sources| rows,
+    broadcast back), the global min as a scalar inside that same
+    broadcast row — the filter is then pure codegen'd row arithmetic.
+    No window over the full corpus, no shuffle of the data itself."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_src"))
+    n_min = counts.agg(F.min("__n_src").alias("__n_min"))
+    keep = hash_bucket(id_col, resolution, salt=salt) * F.col("__n_src") < F.lit(
+        resolution
+    ) * F.col("__n_min")
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(n_min))
+        .filter(keep)
+        .drop("__n_src", "__n_min")
+    )

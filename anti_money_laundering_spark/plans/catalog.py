@@ -145,6 +145,7 @@ def get_catalog() -> dict[str, CatalogQuery]:
     correctness for only the first ``DRIVER_WINDOW`` entries)."""
     # Imports deferred so `import anti_money_laundering_spark` stays cheap.
     from anti_money_laundering_spark.plans import (  # noqa: F401
+        curation_queries,
         extended_queries,
         feature_queries,
         graph_queries,

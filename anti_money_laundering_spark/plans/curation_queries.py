@@ -1,0 +1,112 @@
+"""Corpus-curation catalog queries (curation.py operators): benchmark
+decontamination, shard manifests, and target-mix rebalancing over the
+``documents`` fixture — the pipeline steps between cleaning and
+training. All three are hash-compared against DuckDB: n-grams are
+re-derived token-exactly on both sides, and every sampling decision is
+the shared md5-bucket arithmetic (sampling.py / _duck_hash_bucket), so
+the oracles replay the exact selected sets, not just counts.
+
+The simulated benchmark set is ``doc_id % 20 == 0`` (a deterministic
+~5% slice standing in for an eval suite); n=4 word-grams chosen by the
+fixture-distribution rule (FIXTURES.md §threshold): shared-4-gram doc
+counts are 31 / 49 / 2405 at sf0.001 / 0.01 / 0.1 — non-empty at every
+SF, unlike n=5 (2 docs at sf0.01) or n=3 (near-total contamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anti_money_laundering_spark.curation import (
+    ngram_overlap,
+    rebalance_to_min_source,
+    shard_manifest,
+)
+from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.plans.llm_queries import _duck_hash_bucket, _DUCK_TOKS
+from anti_money_laundering_spark.sources import load_table
+
+_NGRAM_N = 4
+
+#: DuckDB 4-gram posting list mirroring curation.doc_ngrams exactly:
+#: same token definition (_DUCK_TOKS ≡ functions.tokens), same
+#: single-space join (MLlib NGram's separator), DISTINCT per doc.
+_DUCK_GRAMS = f"""
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+{_NGRAM_N - 1}], ' ') AS ngram
+        FROM toks, UNNEST(range(1, greatest(len(t) - {_NGRAM_N - 2}, 1))) AS u(i)
+    )
+"""
+
+
+@register(
+    "decontam_ngram_overlap",
+    tags=("LLM", "text", "dedup"),
+    oracle=f"""
+    WITH {_DUCK_GRAMS},
+    bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 20 = 0)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM grams g JOIN bench b USING (ngram)
+    WHERE g.doc_id % 20 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: for every corpus document,
+    how many distinct word 4-grams it shares with the (simulated) eval
+    set — the membership evidence behind dropping contaminated docs
+    before training. Plan: JVM-side NGram explode on both sides, the
+    eval set's distinct grams broadcast, one agg keyed by doc
+    (curation.ngram_overlap; no doc×doc comparison anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap(corpus, bench, n=_NGRAM_N)
+
+
+@register(
+    "shard_manifest_docs",
+    tags=("LLM", "sample", "A-ext"),
+    oracle=f"""
+    SELECT {_duck_hash_bucket("doc_id", "shard-v1", 8)} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-shard training layout manifest: per-shard doc /
+    token / char totals under content-hash assignment (adding docs
+    never moves existing ones). The same shard expression drives the
+    physical ``repartition(n, shard).write`` at scale, so manifest and
+    files can't disagree (curation.shard_manifest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=8)
+
+
+@register(
+    "rebalance_uniform_mix",
+    tags=("LLM", "sample", "A-ext"),
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n_src) AS n_min FROM counts)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN counts c USING (source) CROSS JOIN mn
+    WHERE {_duck_hash_bucket("d.doc_id", "mix-v1", 10000)} * c.n_src
+          < 10000 * mn.n_min
+    """,
+)
+def rebalance_uniform_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: hash-exact downsample of every source
+    stratum to ~the smallest source's size — deterministic keep rule
+    (md5 bucket × stratum count < resolution × min count), no RNG, no
+    window over the corpus; per-source counts broadcast back and the
+    filter is codegen'd row arithmetic (curation.rebalance_to_min_source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return rebalance_to_min_source(docs).select("doc_id", "source")

@@ -399,6 +399,39 @@ def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_newdocs",
+    tags=("LLM", "dedup"),
+    # Same recall-1.0 justification as dedup_minhash_near_dups (the
+    # pinned LSH pair set equals exact Jaccard >= 0.7); the incremental
+    # face is a pure parity filter over it, so the exact-Jaccard oracle
+    # applies with the same WHERE. Non-empty at every SF: 4 / 6 / 46
+    # cross-batch pairs at sf0.001 / 0.01 / 0.1 (FIXTURES.md threshold
+    # rule).
+    oracle=f"""
+    WITH {_duck_trigram_jaccard_ctes(0.7)}
+    SELECT id_a, id_b, jaccard FROM jp
+    WHERE (id_a % 10 = 7) <> (id_b % 10 = 7)
+    """,
+)
+def dedup_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dups of a NEW crawl batch (simulated as
+    doc_id % 10 == 7) against the EXISTING corpus only — the
+    fold-a-batch-in operation that avoids re-deduping the world.
+    new-vs-new and old-vs-old pairs are excluded by a codegen'd parity
+    predicate over the shared verified pair set; at scale the same
+    shape runs with the new batch's signatures joined against the
+    PERSISTED band-bucket table of the corpus (bucket join touches
+    only colliding buckets, so work is proportional to the batch, not
+    the corpus)."""
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    is_new_a = F.col("id_a") % 10 == 7
+    is_new_b = F.col("id_b") % 10 == 7
+    return pairs.filter(is_new_a != is_new_b).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
     "dedup_near_clusters",
     tags=("LLM", "dedup", "G4"),
     # Same recall-1.0 justification as dedup_minhash_near_dups: with the
