@@ -29,6 +29,10 @@ __all__ = [
     "decontaminate",
     "shard_manifest",
     "rebalance_to_min_source",
+    "repetition_scores",
+    "quality_screen",
+    "redact_pii",
+    "PII_PATTERNS",
 ]
 
 
@@ -169,3 +173,118 @@ def rebalance_to_min_source(
         .filter(keep)
         .drop("__n_src", "__n_min")
     )
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rules family):
+    (id, n_tokens, top_token_share, dup_2gram_frac).
+
+    - ``top_token_share``: frequency of the most common token over all
+      tokens — catches "word word word" spam.
+    - ``dup_2gram_frac``: 1 − distinct/total word bigrams — catches
+      repeated phrases that unigram stats miss.
+
+    Plan: bigram counts come straight from JVM-side NGram +
+    array_distinct/size (codegen, no shuffle); the token mode is an
+    explode → (doc, token) count → per-doc max/sum — two partial-agg
+    shuffles keyed by doc id, no interpreted higher-order lambda doing
+    O(unique×len) work per row (the tempting one-liner;
+    SKILL.md round-1 learning)."""
+    from pyspark.ml.feature import NGram
+
+    from anti_money_laundering_spark.functions import tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    grams = NGram(n=2, inputCol="__toks", outputCol="__g2").transform(toks)
+    base = grams.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("__g2") > 0,
+            1.0 - F.size(F.array_distinct("__g2")) / F.size("__g2"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+    counts = (
+        toks.select("id", F.explode("__toks").alias("__tok"))
+        .groupBy("id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    top = counts.groupBy("id").agg(
+        (F.max("__n") / F.sum("__n")).alias("top_token_share")
+    )
+    return (
+        base.join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("top_token_share", F.lit(0.0)).alias("top_token_share"),
+            "dup_2gram_frac",
+        )
+    )
+
+
+def quality_screen(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_top_token_share: float = 0.12,
+    max_dup_2gram_frac: float = 0.05,
+) -> DataFrame:
+    """Rule-based quality gate over :func:`repetition_scores`:
+    (id, n_violations, keep) with keep = zero violated rules. The
+    thresholds are the Gopher-style screen shape (too short / unigram
+    spam / phrase repetition); defaults were checked against the
+    fixture distribution at every SF (plans/curation_queries.py
+    docstring) so both outcomes are populated."""
+    s = repetition_scores(df, id_col, text_col)
+    viol = (
+        (F.col("n_tokens") < min_tokens).cast("int")
+        + (F.col("top_token_share") > max_top_token_share).cast("int")
+        + (F.col("dup_2gram_frac") > max_dup_2gram_frac).cast("int")
+    )
+    return s.select(
+        id_col,
+        viol.cast("long").alias("n_violations"),
+        (viol == 0).alias("keep"),
+    )
+
+
+#: Scrub patterns for the common structured-PII shapes. Deliberately
+#: lookahead-free so the same pattern text runs under Java regex
+#: (Spark) and RE2 (DuckDB oracles) with identical matches — the same
+#: portability constraint as functions.SUBWORD_PATTERN.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace each PII match with ``[<KIND>]`` and append per-kind
+    match counts: the pre-training scrub pass. One chained
+    regexp_replace projection plus one regexp_count per kind — all
+    codegen'd JVM expressions, zero shuffles, so at 100 TB this runs
+    at scan speed fused into whatever projection follows. Counts are
+    computed BEFORE redaction (ordering would otherwise let an email
+    redaction hide the phone digits inside it)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out_col = out_col or f"{text_col}_redacted"
+    cols = [F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}") for k, p in pats.items()]
+    red: Column = F.col(text_col)
+    for k, p in pats.items():
+        red = F.regexp_replace(red, p, f"[{k.upper()}]")
+    return df.select("*", *cols, red.alias(out_col))

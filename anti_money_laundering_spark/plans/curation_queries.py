@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.curation import (
     ngram_overlap,
+    repetition_scores,
     rebalance_to_min_source,
     shard_manifest,
 )
@@ -110,3 +111,83 @@ def rebalance_uniform_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is codegen'd row arithmetic (curation.rebalance_to_min_source)."""
     docs = load_table(spark, sf_dir, "documents")
     return rebalance_to_min_source(docs).select("doc_id", "source")
+
+
+#: DuckDB replay of curation.repetition_scores: unigram mode share via
+#: unnest+group (same two-agg shape), bigram dup fraction via list
+#: exprs; thresholds below were probed against these distributions at
+#: every SF (top share p50≈0.09/p90≈0.14; dup2 p50≈0.026/p90≈0.065;
+#: n_tok ∈ [10, 100]) so each rule and both screen outcomes populate.
+_DUCK_REPETITION = f"""
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    tc AS (
+        SELECT doc_id, tok, count(*) AS n
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    top AS (SELECT doc_id, max(n) * 1.0 / sum(n) AS top_share FROM tc GROUP BY doc_id),
+    rep AS (
+        SELECT s.doc_id,
+               len(s.t) AS n_tokens,
+               coalesce(top.top_share, 0.0) AS top_token_share,
+               CASE WHEN len(s.t) < 2 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(
+                             [array_to_string(s.t[i:i+1], ' ') for i in range(1, len(s.t))]
+                         )) * 1.0 / (len(s.t) - 1)
+               END AS dup_2gram_frac
+        FROM toks s LEFT JOIN top ON top.doc_id = s.doc_id
+    )
+"""
+
+
+@register(
+    "repetition_scores_docs",
+    tags=("LLM", "text", "A-ext"),
+    oracle=f"""
+    WITH {_DUCK_REPETITION}
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(top_token_share, 6) AS top_token_share,
+           round(dup_2gram_frac, 6) AS dup_2gram_frac
+    FROM rep
+    """,
+)
+def repetition_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-common-token
+    share (unigram spam) and duplicate-bigram fraction (phrase
+    repetition). Bigram stats are pure codegen (NGram +
+    array_distinct/size, zero shuffles); the token mode is explode →
+    count → max/sum, two partial-agg shuffles keyed by doc
+    (curation.repetition_scores — NOT the O(unique×len) interpreted
+    higher-order lambda one-liner)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_token_share", 6).alias("top_token_share"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+    )
+
+
+@register(
+    "quality_rule_screen",
+    tags=("LLM", "text", "A-ext"),
+    oracle=f"""
+    WITH {_DUCK_REPETITION}
+    SELECT doc_id,
+           CAST((n_tokens < 20)::INT + (top_token_share > 0.12)::INT
+                + (dup_2gram_frac > 0.05)::INT AS BIGINT) AS n_violations,
+           (n_tokens >= 20 AND top_token_share <= 0.12
+            AND dup_2gram_frac <= 0.05) AS keep
+    FROM rep
+    """,
+)
+def quality_rule_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate (too short / unigram spam / phrase
+    repetition): (doc_id, n_violations, keep). Thresholds sit between
+    the fixture's p50 and p90 for each signal at every SF, so keeps
+    AND drops are both populated (threshold rule, FIXTURES.md)."""
+    from anti_money_laundering_spark.curation import quality_screen
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_screen(docs)

@@ -9,7 +9,10 @@ from anti_money_laundering_spark.curation import (
     decontaminate,
     doc_ngrams,
     ngram_overlap,
+    quality_screen,
     rebalance_to_min_source,
+    redact_pii,
+    repetition_scores,
     shard_manifest,
 )
 from anti_money_laundering_spark.sources import load_table
@@ -75,3 +78,53 @@ def test_rebalance_bounds_and_determinism(spark, sf_dir):
     a = sorted(r.doc_id for r in kept.collect())
     b = sorted(r.doc_id for r in rebalance_to_min_source(docs).collect())
     assert a == b
+
+
+def test_repetition_scores_closed_form(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a a b"),           # top share 4/5; bigrams: aa aa aa ab -> 2 distinct of 4
+            (2, "w x y z"),             # no repetition
+            (3, "solo"),                # single token: no bigrams
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert out[1].n_tokens == 5
+    assert abs(out[1].top_token_share - 0.8) < 1e-9
+    assert abs(out[1].dup_2gram_frac - 0.5) < 1e-9
+    assert out[2].top_token_share == 0.25 and out[2].dup_2gram_frac == 0.0
+    assert out[3].n_tokens == 1 and out[3].dup_2gram_frac == 0.0
+
+
+def test_quality_screen_rules(spark):
+    long_clean = " ".join(f"tok{i}" for i in range(30))
+    spam = " ".join(["spam"] * 30)
+    # 10 DISTINCT tokens: short (< 20) but top share 0.1 <= 0.12, so
+    # exactly one rule fires (fewer distinct tokens would trip the
+    # share rule too: 1/n > 0.12 for n < 9)
+    short = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, long_clean), (2, spam), (3, short)])
+    out = {r.doc_id: r for r in quality_screen(df).collect()}
+    assert out[1].keep and out[1].n_violations == 0
+    assert not out[2].keep and out[2].n_violations == 2  # top share + dup bigrams
+    assert not out[3].keep and out[3].n_violations == 1  # too short only
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server 10.0.12.34 ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "[EMAIL]" in out[1].text_redacted and "[PHONE]" in out[1].text_redacted
+    assert "example" not in out[1].text_redacted
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert "[IPV4]" in out[2].text_redacted and "[SSN]" in out[2].text_redacted
+    assert out[3].text_redacted == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn == 0
