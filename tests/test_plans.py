@@ -269,3 +269,39 @@ def test_join_strategy_hints_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in explain_str(sh)
     sm = li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
     assert "SortMergeJoin" in explain_str(sm)
+
+
+def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
+    """Decontamination joins the corpus posting list against the
+    benchmark's distinct n-gram set — the benchmark side must
+    broadcast (eval suites are tiny vs a crawl) and the corpus side
+    must not shuffle its text anywhere: the only exchange is the final
+    (doc_id, count) aggregation."""
+    plan = explain_str(CATALOG["decontam_ngram_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # NGram is JVM-side, no Python UDF
+
+
+def test_rebalance_no_window_no_data_shuffle(spark, sf_dir):
+    """Mix rebalancing must be per-source counts broadcast back + a
+    codegen'd filter: no window function over the corpus, no
+    sort-merge join of the data against its own counts."""
+    plan = explain_str(CATALOG["rebalance_uniform_mix"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # counts joined by broadcast
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_scores_jvm_only_partial_agg(spark, sf_dir):
+    """Repetition signals must stay JVM-side (no interpreted
+    O(unique×len) higher-order lambda over tokens, no Python UDF) and
+    the token-mode agg must be partial+final HashAggregate."""
+    plan = explain_str(CATALOG["repetition_scores_docs"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "HashAggregate" in plan
+    # the tempting one-liner computes the mode via aggregate()/filter()
+    # lambdas per row — interpreted; the plan must not contain them
+    assert "aggregate(" not in plan.lower().replace("hashaggregate(", "").replace(
+        "objecthashaggregate(", ""
+    ).replace("sortaggregate(", "")
