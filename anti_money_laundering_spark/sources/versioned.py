@@ -1,0 +1,264 @@
+"""Versioned parquet tables: a native transaction log giving the
+Delta-lake behaviors the reference relies on — atomic commits,
+snapshot-isolation reads, time travel, history, MERGE, schema
+overwrite, vacuum — without the Delta jars (absent in this container;
+``sources.save_table`` keeps the import-gated real-Delta upgrade).
+
+Reference parity: the reference persists every derived table as Delta
+with ``overwriteSchema`` (01_aml_network_analysis.py:245, :322, :358,
+:378, :461; 03_aml_entity_resolution.py:68) and reads them back by
+name. This module reproduces the OBSERVABLE contract of that usage:
+
+- **Atomic commit**: data files land under ``data/`` first; a commit
+  is one exclusive-create (``open(..., 'x')``) of the next manifest
+  ``_log/<version>.json`` listing exactly its visible files. Readers
+  resolve a manifest, then read only its files — a crashed writer
+  leaves orphan data files but never a half-visible table.
+- **Optimistic concurrency**: two writers racing to the same version
+  number — the second exclusive-create raises ``FileExistsError`` →
+  surfaced as ``CommitConflict`` (Delta's ConcurrentAppendException
+  shape). The loser re-reads and retries.
+- **Snapshot isolation / time travel**: ``read(spark)`` pins the
+  latest committed manifest at call time; ``read(spark, version=N)``
+  / ``read(spark, as_of_ts=...)`` replay any retained version.
+- **Schema overwrite**: ``mode="overwrite"`` manifests a fresh file
+  set — the new schema simply wins (overwriteSchema semantics);
+  ``append`` refuses a mismatched schema instead of corrupting the
+  union (names+types compared, nullability ignored).
+- **Vacuum**: deletes data files referenced ONLY by dropped manifests
+  (and orphans from crashed writers), keeping the last ``retain``
+  versions — never a file a retained manifest lists.
+
+Scale posture: the log holds FILE LISTS, not data — manifests are
+O(files) JSON and the exclusive-create is one metadata op, so commit
+cost is independent of table size. Readers plan directly from the
+manifest (no directory listing — the same reason Delta/Iceberg beat
+raw parquet dirs at 100 TB). On an object store the exclusive-create
+maps to a conditional PUT (if-none-match), the one primitive this
+design needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic
+    concurrency); re-read the table and retry."""
+
+
+@dataclass
+class _Manifest:
+    version: int
+    operation: str
+    timestamp: float
+    files: list[str]
+    schema: str
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.json")
+
+
+def _schema_key(df_schema) -> str:
+    # names + types only: nullability differs between writers reading
+    # the same logical data and must not poison appends
+    return json.dumps([(f.name, f.dataType.simpleString()) for f in df_schema.fields])
+
+
+class VersionedTable:
+    """A path-addressed versioned parquet table (see module docstring).
+
+    >>> t = VersionedTable("/tmp/tbl")
+    >>> v1 = t.write(df)                       # append -> version 1
+    >>> v2 = t.write(df2, mode="overwrite")    # schema may change
+    >>> t.read(spark)                          # latest snapshot
+    >>> t.read(spark, version=v1)              # time travel
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(_log_dir(path), exist_ok=True)
+        os.makedirs(_data_dir(path), exist_ok=True)
+
+    # -- log ----------------------------------------------------------
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(_log_dir(self.path))
+            if f.endswith(".json")
+        )
+
+    def _load(self, version: int) -> _Manifest:
+        with open(_manifest_path(self.path, version)) as f:
+            d = json.load(f)
+        return _Manifest(**d)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """(version, operation, timestamp, n_files) — Delta's
+        DESCRIBE HISTORY face."""
+        rows = [
+            (m.version, m.operation, m.timestamp, len(m.files))
+            for m in (self._load(v) for v in self.versions())
+        ]
+        return spark.createDataFrame(
+            rows, "version int, operation string, timestamp double, n_files int"
+        )
+
+    # -- write --------------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Stage ``df`` as parquet files, then commit them as the next
+        version. Returns the committed version number. Raises
+        :class:`CommitConflict` if another writer won the version race
+        (caller retries), ``ValueError`` on an append schema mismatch.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        base = self.latest_version()
+        prev = self._load(base) if base is not None else None
+        if mode == "append" and prev is not None and prev.files:
+            if prev.schema != _schema_key(df.schema):
+                raise ValueError(
+                    "append schema mismatch; use mode='overwrite' "
+                    f"(table {prev.schema} vs df {_schema_key(df.schema)})"
+                )
+        # stage: spark writes a scratch dir; unique-rename the parts in.
+        # The move is WITHIN the table directory (same filesystem), so
+        # it's a metadata rename, and uncommitted files are invisible —
+        # readers only see manifest-listed names.
+        scratch = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(scratch)
+        new_files = []
+        for f in sorted(os.listdir(scratch)):
+            if f.endswith(".parquet"):
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(scratch, f), os.path.join(_data_dir(self.path), name))
+                new_files.append(name)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        carried = prev.files if (mode == "append" and prev is not None) else []
+        manifest = _Manifest(
+            version=(base or 0) + 1,
+            operation=mode,
+            timestamp=time.time(),
+            files=carried + new_files,
+            schema=_schema_key(df.schema),
+        )
+        tmp = _manifest_path(self.path, manifest.version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest.__dict__, f)
+        try:
+            # exclusive create = the atomic commit point (conditional
+            # PUT on an object store). link() publishes the fully
+            # written tmp under the final name; EEXIST = lost the race.
+            os.link(tmp, _manifest_path(self.path, manifest.version))
+        except FileExistsError as e:
+            # the staged data files become orphans; vacuum reclaims them
+            raise CommitConflict(
+                f"version {manifest.version} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return manifest.version
+
+    # -- read ---------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read: latest by default, or time travel by version
+        number / timestamp (last version committed at or before
+        ``as_of_ts``)."""
+        if version is not None and as_of_ts is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        if as_of_ts is not None:
+            eligible = [v for v in vs if self._load(v).timestamp <= as_of_ts]
+            if not eligible:
+                raise ValueError(f"no version committed at or before {as_of_ts}")
+            version = eligible[-1]
+        elif version is None:
+            version = vs[-1]
+        m = self._load(version)
+        if not m.files:
+            # an overwrite with an empty DataFrame: preserve emptiness
+            # with the recorded schema
+            from pyspark.sql.types import StructType
+
+            names_types = json.loads(m.schema)
+            ddl = ", ".join(f"`{n}` {t}" for n, t in names_types)
+            return spark.createDataFrame([], ddl)
+        paths = [os.path.join(_data_dir(self.path), f) for f in m.files]
+        return spark.read.parquet(*paths)
+
+    # -- merge --------------------------------------------------------
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str],
+        **merge_kwargs,
+    ) -> int:
+        """MERGE INTO (Delta's upsert face): rewrite the latest
+        snapshot merged with ``source`` as a new version. Reuses
+        ``operators.merge_into`` (the hash-attested MERGE semantics —
+        ``matched_delete`` / ``when_not_matched`` pass through) so the
+        versioned face and the in-memory face can't diverge."""
+        from anti_money_laundering_spark.operators import merge_into
+
+        target = self.read(spark)
+        merged = merge_into(target, source, on=on, **merge_kwargs)
+        v = self.write(merged, mode="overwrite")
+        # annotate the operation in place: the manifest is ours — we
+        # just won its exclusive create — so rewriting it is safe
+        m = self._load(v)
+        m.operation = "merge"
+        with open(_manifest_path(self.path, v), "w") as f:
+            json.dump(m.__dict__, f)
+        return v
+
+    # -- vacuum -------------------------------------------------------
+    def vacuum(self, retain: int = 2) -> list[str]:
+        """Drop manifests older than the last ``retain`` versions and
+        delete data files no RETAINED manifest references (this also
+        reclaims orphans from crashed/conflicted writers). Returns the
+        deleted file names."""
+        if retain < 1:
+            raise ValueError("retain must be >= 1 (never drop the head)")
+        vs = self.versions()
+        keep_vs = vs[-retain:]
+        referenced: set[str] = set()
+        for v in keep_vs:
+            referenced.update(self._load(v).files)
+        deleted = []
+        for f in os.listdir(_data_dir(self.path)):
+            if f not in referenced:
+                os.unlink(os.path.join(_data_dir(self.path), f))
+                deleted.append(f)
+        for v in vs[:-retain]:
+            os.unlink(_manifest_path(self.path, v))
+        return sorted(deleted)

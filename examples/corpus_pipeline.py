@@ -45,6 +45,12 @@ def build_pipeline(sf_dir: str) -> Pipeline:
     p.stage("keywords")(from_catalog("doc_keywords"))
     p.stage("collocations")(from_catalog("bigram_pmi_collocations"))
     p.stage("vocabulary")(from_catalog("vocab_top_terms"))
+    # curation (r5): eval decontamination, quality gate, shard layout,
+    # mix rebalancing — the steps between cleaning and training
+    p.stage("decontamination")(from_catalog("decontam_ngram_overlap"))
+    p.stage("quality_gate")(from_catalog("quality_rule_screen"))
+    p.stage("shards")(from_catalog("shard_manifest_docs"))
+    p.stage("mix_rebalance")(from_catalog("rebalance_uniform_mix"))
 
     @p.stage("manifest_summary", depends_on=("training_manifest",))
     def manifest_summary(spark: SparkSession, inputs: dict[str, DataFrame]) -> DataFrame:
