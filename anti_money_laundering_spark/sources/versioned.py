@@ -241,6 +241,27 @@ class VersionedTable:
             json.dump(m.__dict__, f)
         return v
 
+    # -- change data feed ---------------------------------------------
+    def diff(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int,
+        on: list[str],
+    ) -> DataFrame:
+        """Change-data-feed between two retained versions (Delta CDF's
+        observable shape): one row per changed key with op I/U/D and
+        before/after structs, via ``operators.table_diff`` over the two
+        snapshot reads — so ``merge_into(read(from), diff)`` reproduces
+        ``read(to)`` exactly (table_diff's pinned inverse)."""
+        from anti_money_laundering_spark.operators import table_diff
+
+        return table_diff(
+            self.read(spark, version=from_version),
+            self.read(spark, version=to_version),
+            on=on,
+        )
+
     # -- vacuum -------------------------------------------------------
     def vacuum(self, retain: int = 2) -> list[str]:
         """Drop manifests older than the last ``retain`` versions and

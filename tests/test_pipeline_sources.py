@@ -473,11 +473,17 @@ def test_jsonl_sink_serializes_temporal_decimal_binary(spark):
         "ts timestamp, d date, amt decimal(10,2), blob binary",
     )
     out = os.path.join(tempfile.mkdtemp(prefix="jsonl_types_"), "t")
-    df.write.format("jsonl_atomic").option("path", out).mode("append").save()
+    # one partition: the single row must land in one part file (with
+    # the session's default parallelism the row lands in ONE of N
+    # parts and the rest are empty — scanning [0] was order-flaky)
+    df.coalesce(1).write.format("jsonl_atomic").option("path", out).mode("append").save()
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
-    part = [f for f in os.listdir(out) if f.endswith(".jsonl")][0]
-    with open(os.path.join(out, part)) as f:
-        rec = json.loads(f.readline())
+    lines = []
+    for part in os.listdir(out):
+        if part.endswith(".jsonl"):
+            with open(os.path.join(out, part)) as f:
+                lines += [ln for ln in f.read().splitlines() if ln.strip()]
+    rec = json.loads(lines[0])
     assert rec["ts"].startswith("2024-03-01T12:30:15")
     assert rec["d"] == "2024-03-01"
     assert rec["amt"] == "123.45"

@@ -119,3 +119,11 @@ def test_empty_overwrite_preserves_schema(spark):
     got = t.read(spark)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_diff_between_versions_is_cdc_feed(spark):
+    t = _tbl()
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.write(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), mode="overwrite")
+    feed = {r.k: r.op for r in t.diff(spark, 1, 2, on=["k"]).collect()}
+    assert feed == {2: "U", 3: "D", 4: "I"}  # unchanged key 1 absent
