@@ -204,3 +204,70 @@ def synthetic_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("balance"), 2).alias("total_balance"),
         F.min("account_id").alias("first_account"),
     )
+
+
+@register(
+    "versioned_table_roundtrip",
+    tags=("OP", "S4"),
+    # Replays BOTH snapshots and the change feed in plain SQL: v1 is
+    # the base projection, v2 applies the deterministic merge (update
+    # keys %5, insert keys %7 shifted +1000), and the cdf section is
+    # the implied op per changed key — so the transaction log's
+    # version isolation, the MERGE rewrite, and diff() all sit inside
+    # one value hash.
+    oracle="""
+    WITH v1 AS (SELECT n_nationkey AS k, n_name AS name FROM nation),
+    v2 AS (
+        SELECT k, CASE WHEN k % 5 = 0 THEN name || '-upd' ELSE name END AS name
+        FROM v1
+        UNION ALL
+        SELECT n_nationkey + 1000, 'new-' || CAST(n_nationkey AS VARCHAR)
+        FROM nation WHERE n_nationkey % 7 = 0
+    )
+    SELECT 'v1' AS snapshot, k, name FROM v1
+    UNION ALL
+    SELECT 'v2', k, name FROM v2
+    UNION ALL
+    SELECT 'cdf', k, 'U' FROM v1 WHERE k % 5 = 0
+    UNION ALL
+    SELECT 'cdf', n_nationkey + 1000, 'I' FROM nation WHERE n_nationkey % 7 = 0
+    """,
+)
+def versioned_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native transaction-log roundtrip (sources/versioned.py — the
+    Delta-semantics gap closed without jars): write nation as version
+    1, MERGE a deterministic update+insert source as version 2, then
+    emit v1's TIME-TRAVEL read, v2's snapshot read, and the
+    diff(1→2) change feed, all in one hash-verified result. A
+    versioning bug (v2 leaking into v1's manifest, a lost insert, a
+    phantom delete) lands in the value hash."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.sources.versioned import VersionedTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = nation.select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    path = os.path.join(_SCRATCH, f"versioned_rt_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(path)
+    v1 = t.write(base)
+    updates = base.filter(F.col("k") % 5 == 0).select(
+        "k", F.concat("name", F.lit("-upd")).alias("name")
+    )
+    inserts = base.filter(F.col("k") % 7 == 0).select(
+        (F.col("k") + 1000).alias("k"),
+        F.concat(F.lit("new-"), F.col("k").cast("string")).alias("name"),
+    )
+    v2 = t.merge(spark, updates.unionByName(inserts), on=["k"])
+    cdf = t.diff(spark, v1, v2, on=["k"]).select(
+        F.lit("cdf").alias("snapshot"), "k", F.col("op").alias("name")
+    )
+    return (
+        t.read(spark, version=v1).select(F.lit("v1").alias("snapshot"), "k", "name")
+        .unionByName(
+            t.read(spark, version=v2).select(F.lit("v2").alias("snapshot"), "k", "name")
+        )
+        .unionByName(cdf)
+    )
