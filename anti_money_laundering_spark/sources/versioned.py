@@ -62,6 +62,11 @@ class _Manifest:
     timestamp: float
     files: list[str]
     schema: str
+    #: per-file column stats for data skipping: {file: {col: [min, max]}}
+    stats: dict | None = None
+    #: free-form commit metadata (e.g. {"batch_id": N} for the
+    #: streaming sink's exactly-once replay guard)
+    meta: dict | None = None
 
 
 def _log_dir(path: str) -> str:
@@ -80,6 +85,40 @@ def _schema_key(df_schema) -> str:
     # names + types only: nullability differs between writers reading
     # the same logical data and must not poison appends
     return json.dumps([(f.name, f.dataType.simpleString()) for f in df_schema.fields])
+
+
+def _footer_stats(file_path: str, cols: list[str]) -> dict:
+    """[min, max] per requested column from the parquet footer's
+    row-group statistics (driver-side metadata read, no data scan).
+    Columns with missing/untyped stats are omitted — absence means
+    "can't skip", never "skip wrongly". Only JSON-safe scalar types
+    are recorded (numbers/strings); binary/temporal mins fall back to
+    no-stats for the same reason."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(file_path)
+    names = {c: i for i, c in enumerate(md.schema.names)}
+    out: dict = {}
+    for col in cols:
+        idx = names.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
 
 
 class VersionedTable:
@@ -126,11 +165,26 @@ class VersionedTable:
         )
 
     # -- write --------------------------------------------------------
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        stats_cols: list[str] | None = None,
+        operation: str | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """Stage ``df`` as parquet files, then commit them as the next
         version. Returns the committed version number. Raises
         :class:`CommitConflict` if another writer won the version race
         (caller retries), ``ValueError`` on an append schema mismatch.
+
+        ``stats_cols`` records per-file [min, max] for those columns in
+        the manifest (read from the parquet footers the write just
+        produced — no extra data pass), enabling manifest-level file
+        skipping in :meth:`read` — the Delta/Iceberg data-skipping
+        design: prune from metadata before Spark ever lists a file.
+        ``meta`` rides along in the manifest (e.g. the streaming sink's
+        batch id); ``operation`` overrides the history label.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -156,13 +210,28 @@ class VersionedTable:
                 new_files.append(name)
         shutil.rmtree(scratch, ignore_errors=True)
 
+        new_stats: dict = {}
+        if stats_cols:
+            for name in new_files:
+                s = _footer_stats(
+                    os.path.join(_data_dir(self.path), name), stats_cols
+                )
+                if s:
+                    new_stats[name] = s
+
         carried = prev.files if (mode == "append" and prev is not None) else []
+        carried_stats = (
+            dict(prev.stats or {}) if (mode == "append" and prev is not None) else {}
+        )
+        carried_stats.update(new_stats)
         manifest = _Manifest(
             version=(base or 0) + 1,
-            operation=mode,
+            operation=operation or mode,
             timestamp=time.time(),
             files=carried + new_files,
             schema=_schema_key(df.schema),
+            stats=carried_stats or None,
+            meta=meta,
         )
         tmp = _manifest_path(self.path, manifest.version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -187,10 +256,21 @@ class VersionedTable:
         spark: SparkSession,
         version: int | None = None,
         as_of_ts: float | None = None,
+        prune: tuple[str, object, object] | None = None,
     ) -> DataFrame:
         """Snapshot read: latest by default, or time travel by version
         number / timestamp (last version committed at or before
-        ``as_of_ts``)."""
+        ``as_of_ts``).
+
+        ``prune=(col, lo, hi)`` applies manifest-level data skipping:
+        files whose recorded [min, max] for ``col`` cannot intersect
+        [lo, hi] are dropped from the scan BEFORE Spark plans it, and
+        the matching filter is also applied row-wise (so pruning is an
+        optimization, never a semantics change; files without recorded
+        stats are conservatively kept). Pass ``None`` for an open
+        bound. This is the metadata half of predicate pushdown — at
+        100 TB it's the difference between listing 10^6 files and the
+        handful a time-range query touches."""
         if version is not None and as_of_ts is not None:
             raise ValueError("pass version OR as_of_ts, not both")
         vs = self.versions()
@@ -204,6 +284,8 @@ class VersionedTable:
         elif version is None:
             version = vs[-1]
         m = self._load(version)
+        if prune is not None and m.files:
+            m = _Manifest(**{**m.__dict__, "files": self._prune_files(m, prune)})
         if not m.files:
             # an overwrite with an empty DataFrame: preserve emptiness
             # with the recorded schema
@@ -213,7 +295,33 @@ class VersionedTable:
             ddl = ", ".join(f"`{n}` {t}" for n, t in names_types)
             return spark.createDataFrame([], ddl)
         paths = [os.path.join(_data_dir(self.path), f) for f in m.files]
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        if prune is not None:
+            from pyspark.sql import functions as F
+
+            col, lo, hi = prune
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def _prune_files(
+        self, m: _Manifest, prune: tuple[str, object, object]
+    ) -> list[str]:
+        col, lo, hi = prune
+        stats = m.stats or {}
+        kept = []
+        for f in m.files:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                kept.append(f)  # no stats -> can't skip safely
+                continue
+            fmin, fmax = s
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                continue  # provably disjoint from [lo, hi]
+            kept.append(f)
+        return kept
 
     # -- merge --------------------------------------------------------
     def merge(
@@ -261,6 +369,54 @@ class VersionedTable:
             self.read(spark, version=to_version),
             on=on,
         )
+
+    # -- maintenance --------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE: rewrite the latest snapshot into ``target_files``
+        files as a new version (operation='optimize'). Logical content
+        is untouched — only the file layout changes (small-file
+        compaction after many streaming/append commits; at scale this
+        is where clustering/Z-ordering by ``stats_cols`` would sort
+        before the write so the recorded min/max ranges disjoint)."""
+        df = self.read(spark).coalesce(target_files)
+        return self.write(
+            df, mode="overwrite", operation="optimize", stats_cols=stats_cols
+        )
+
+    # -- streaming sink -----------------------------------------------
+    def stream_sink(self, on: list[str] | None = None):
+        """``foreachBatch`` function giving EXACTLY-ONCE streaming
+        writes into the versioned table: each micro-batch commits one
+        version carrying its batch id in the manifest ``meta``; a
+        REPLAYED batch (post-crash re-delivery) finds its id already
+        committed and skips — the dedupe ledger is the transaction log
+        itself, no side state. With ``on`` the batch MERGEs (streaming
+        upsert — Delta's `foreachBatch + MERGE` recipe); without, it
+        appends.
+
+        >>> q = stream.writeStream.foreachBatch(t.stream_sink(on=["k"]))
+        """
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            for v in reversed(self.versions()):
+                meta = self._load(v).meta
+                if meta and meta.get("batch_id") == batch_id:
+                    return  # replayed batch: already committed
+            if on is not None and self.latest_version() is not None:
+                v = self.merge(batch_df.sparkSession, batch_df, on=on)
+                m = self._load(v)
+                m.meta = {"batch_id": batch_id}
+                with open(_manifest_path(self.path, v), "w") as f:
+                    json.dump(m.__dict__, f)
+            else:
+                self.write(batch_df, mode="append", meta={"batch_id": batch_id})
+
+        return _sink
 
     # -- vacuum -------------------------------------------------------
     def vacuum(self, retain: int = 2) -> list[str]:

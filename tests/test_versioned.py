@@ -127,3 +127,57 @@ def test_diff_between_versions_is_cdc_feed(spark):
     t.write(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), mode="overwrite")
     feed = {r.k: r.op for r in t.diff(spark, 1, 2, on=["k"]).collect()}
     assert feed == {2: "U", 3: "D", 4: "I"}  # unchanged key 1 absent
+
+
+def test_stats_pruning_skips_disjoint_files(spark):
+    """Manifest-level data skipping: two appends with disjoint key
+    ranges record per-file [min,max]; a pruned read must plan ONLY the
+    intersecting file(s) (observable via inputFiles) and return
+    exactly the same rows as the unpruned filter."""
+    t = _tbl()
+    lo = _df(spark, [(i, f"v{i}") for i in range(0, 10)]).coalesce(1)
+    hi = _df(spark, [(i, f"v{i}") for i in range(100, 110)]).coalesce(1)
+    t.write(lo, stats_cols=["k"])
+    t.write(hi, stats_cols=["k"])
+    full = t.read(spark)
+    assert len(full.inputFiles()) == 2
+    pruned = t.read(spark, prune=("k", 100, None))
+    assert len(pruned.inputFiles()) == 1  # the low file provably disjoint
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 110))
+    # row-wise filter still applies within the kept file
+    mid = t.read(spark, prune=("k", 105, 200))
+    assert sorted(r.k for r in mid.collect()) == list(range(105, 110))
+    # files without stats are conservatively kept
+    t.write(_df(spark, [(500, "x")]).coalesce(1))  # no stats_cols
+    assert len(t.read(spark, prune=("k", 0, 1)).inputFiles()) == 2
+
+
+def test_compact_rewrites_layout_not_content(spark):
+    t = _tbl()
+    t.write(_df(spark, [(1, "a")]).coalesce(1))
+    t.write(_df(spark, [(2, "b")]).coalesce(1))
+    before = sorted(map(tuple, t.read(spark).collect()))
+    v = t.compact(spark, target_files=1, stats_cols=["k"])
+    assert len(t.read(spark).inputFiles()) == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert {r.version: r.operation for r in t.history(spark).collect()}[v] == "optimize"
+
+
+def test_stream_sink_exactly_once_append_and_merge(spark):
+    # append face: replaying batch 0 must not duplicate rows
+    t = _tbl()
+    sink = t.stream_sink()
+    sink(_df(spark, [(1, "a")]), 0)
+    sink(_df(spark, [(1, "a")]), 0)  # replay
+    sink(_df(spark, [(2, "b")]), 1)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    assert t.latest_version() == 2  # two batches -> two versions
+    # merge face: upsert semantics + replay guard
+    t2 = _tbl()
+    up = t2.stream_sink(on=["k"])
+    up(_df(spark, [(1, "a"), (2, "b")]), 0)
+    up(_df(spark, [(2, "B"), (3, "c")]), 1)
+    up(_df(spark, [(2, "B"), (3, "c")]), 1)  # replay
+    got = {r.k: r.v for r in t2.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert t2.latest_version() == 2
