@@ -900,3 +900,47 @@ def histogram_equi_height(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(p), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "date_function_suite",
+    tags=("F-ext",),
+    # dayofweek differs by convention (DuckDB Sun=0, Spark Sun=1) —
+    # normalized by +1 on the oracle side; add_months clamps to
+    # month-end identically in both engines.
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d_plus30,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS d_plus2m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS days_since_epoch95
+    FROM orders
+    """,
+)
+def date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic coverage (SURVEY §2.7 completions): date
+    shifting, month arithmetic with end-of-month clamping, calendar
+    decomposition (quarter / day-of-week / ISO week), and day diffs —
+    all codegen'd scalar expressions over the order dates, the
+    time-feature layer every temporal model input starts from."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        # dates emitted as ISO strings: Arrow round-trips DateType to
+        # datetime64 while DuckDB fetches datetime.date — the hash
+        # compare would see '...T00:00:00' vs '...' for equal values
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d_plus30"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("d_plus2m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
+    )
