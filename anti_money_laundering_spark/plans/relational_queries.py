@@ -944,3 +944,32 @@ def date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).alias("iso_week"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
     )
+
+
+@register(
+    "variant_extract_props",
+    tags=("F-ext",),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.missing') AS absent
+    FROM events
+    """,
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse the
+    JSON props column once into a variant (binary-encoded, lazily
+    navigable — the open-schema answer to repeated get_json_object
+    re-parsing) and extract typed fields with variant_get; a missing
+    path yields NULL, not an error. The scale rationale vs string
+    JSON: one parse per row feeding any number of typed extractions,
+    all JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("absent"),
+    )

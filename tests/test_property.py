@@ -374,3 +374,38 @@ def test_cap_per_group_bound_and_superset_stability(spark, rows):
     for g, ids in by_g.items():
         order = sorted(ids, key=lambda i: (hashlib.md5(f"cap-v1{i}".encode()).hexdigest(), i))
         assert got.get(g, set()) == set(order[:k]), g
+
+
+# --- repetition scores vs pure-Python oracle --------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(token_docs=docs_strategy)
+@settings(**SETTINGS)
+def test_repetition_scores_match_python_oracle(spark, token_docs):
+    """curation.repetition_scores equals a direct Counter-based oracle
+    on random small token docs — including empty docs (0 tokens, share
+    0), singletons (no bigrams), and all-same-token spam."""
+    from collections import Counter
+
+    from anti_money_laundering_spark.curation import repetition_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    for i, toks in enumerate(token_docs):
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        if toks:
+            exp_share = Counter(toks).most_common(1)[0][1] / len(toks)
+        else:
+            exp_share = 0.0
+        assert abs(r.top_token_share - exp_share) < 1e-9, (i, toks)
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        exp_dup = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert abs(r.dup_2gram_frac - exp_dup) < 1e-9, (i, toks)
