@@ -181,3 +181,58 @@ def test_stream_sink_exactly_once_append_and_merge(spark):
     got = {r.k: r.v for r in t2.read(spark).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
     assert t2.latest_version() == 2
+
+
+def test_merge_with_delete_clause_through_versioned_face(spark):
+    """The CDC delete clause passes through t.merge to
+    operators.merge_into: matched rows flagged for delete disappear in
+    the new version while the old version still shows them (time
+    travel over a delete)."""
+    t = _tbl()
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = _df(spark, [(2, "DEL"), (3, "C")])
+    v = t.merge(spark, src, on=["k"], matched_delete=F.col("v") == "DEL")
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 3: "C"}  # 2 deleted, 3 updated
+    old = {r.k for r in t.read(spark, version=1).collect()}
+    assert old == {1, 2, 3}  # snapshot before the delete intact
+    assert v == 2
+
+
+def test_stream_sink_end_to_end_real_stream(spark, sf_dir):
+    """Full streaming integration: replay the events fixture as a real
+    file-source stream, foreachBatch into VersionedTable.stream_sink
+    (append face), and assert (a) the final table equals the batch
+    fixture rows, (b) one version per non-empty micro-batch with its
+    batch id in the manifest meta — the exactly-once ledger."""
+    import tempfile as _tf
+
+    from anti_money_laundering_spark.sources import load_table
+    from anti_money_laundering_spark.streaming import read_events_stream
+
+    # reuse the 4-file replay layout from test_streaming (local copy to
+    # keep fixtures decoupled)
+    ev = load_table(spark, sf_dir, "events").orderBy("ts").limit(400)
+    rows = ev.collect()
+    replay = _tf.mkdtemp(prefix="vt_stream_replay_")
+    chunk = 100
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        pdf = spark.createDataFrame(part, ev.schema)
+        pdf.withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay)
+    t = _tbl()
+    stream = read_events_stream(spark, replay).select("event_id", "user_id", "value")
+    q = (
+        stream.writeStream.foreachBatch(t.stream_sink())
+        .option("checkpointLocation", _tf.mkdtemp(prefix="vt_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in t.read(spark).collect())
+    assert got == sorted(r.event_id for r in ev.collect())
+    metas = [t._load(v).meta for v in t.versions()]
+    ids = [m["batch_id"] for m in metas if m]
+    assert len(ids) == len(set(ids)) and len(ids) >= 1  # unique batch ids
