@@ -128,3 +128,27 @@ def test_redact_pii_counts_and_replacement(spark):
     assert "[IPV4]" in out[2].text_redacted and "[SSN]" in out[2].text_redacted
     assert out[3].text_redacted == "nothing sensitive here"
     assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn == 0
+
+
+def test_decontaminate_empty_benchmark_keeps_corpus(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma"), (2, "delta eps zeta")])
+    bench = _docs(spark, []).limit(0)
+    out = decontaminate(corpus, bench, n=3)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_ngram_overlap_n_larger_than_docs_is_empty(spark):
+    corpus = _docs(spark, [(1, "a b"), (2, "c")])
+    bench = _docs(spark, [(9, "a b")])
+    assert ngram_overlap(corpus, bench, n=5).count() == 0
+
+
+def test_redact_pii_custom_patterns_and_counts_before_redaction(spark):
+    """Counts are computed BEFORE redaction: a pattern whose match is
+    contained in another's replacement must still count."""
+    from anti_money_laundering_spark.curation import redact_pii
+
+    df = _docs(spark, [(1, "id ABC-123 and ABC-999")])
+    out = redact_pii(df, patterns={"code": r"ABC-\d{3}"}).collect()[0]
+    assert out.n_code == 2
+    assert out.text_redacted == "id [CODE] and [CODE]"
