@@ -236,3 +236,19 @@ def test_stream_sink_end_to_end_real_stream(spark, sf_dir):
     metas = [t._load(v).meta for v in t.versions()]
     ids = [m["batch_id"] for m in metas if m]
     assert len(ids) == len(set(ids)) and len(ids) >= 1  # unique batch ids
+
+
+def test_pruned_read_also_pushes_filter_to_scan(spark):
+    """Data skipping composes with predicate pushdown: the prune
+    filter must ALSO reach the parquet scan (PushedFilters), so kept
+    files still skip row groups — manifest pruning and scan pruning
+    are layers, not alternatives."""
+    t = _tbl()
+    t.write(_df(spark, [(i, f"v{i}") for i in range(50)]).coalesce(1), stats_cols=["k"])
+    df = t.read(spark, prune=("k", 40, None))
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "k" in pushed and "GreaterThanOrEqual" in pushed
+    assert sorted(r.k for r in df.collect()) == list(range(40, 50))
