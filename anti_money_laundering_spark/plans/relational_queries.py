@@ -973,3 +973,46 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "string").alias("absent"),
     )
+
+
+@register(
+    "map_function_suite",
+    tags=("F-ext",),
+    # DuckDB map subscript/extract returns a LIST ([] when absent) —
+    # [1] unwraps to the value / NULL, matching Spark's
+    # try_element_at. Both engines keep map_values in construction
+    # order, so values_csv compares without sorting.
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               map(['type', 'day'],
+                   [event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')]) AS mp
+        FROM events
+    )
+    SELECT event_id,
+           mp['type'][1] AS mtype,
+           mp['missing'][1] AS absent,
+           CAST(cardinality(mp) AS INT) AS msize,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_csv,
+           array_to_string(map_values(mp), ',') AS values_csv
+    FROM m
+    """,
+)
+def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function coverage (SURVEY §2.7's last 'not present' family):
+    construction, lookup (try_element_at — NULL on a missing key, not
+    an ANSI error), size, key/value extraction — all codegen'd scalar
+    expressions over a per-row map."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("day"), F.date_format("ts", "yyyy-MM-dd"),
+    )
+    return ev.select(
+        "event_id",
+        F.try_element_at(m, F.lit("type")).alias("mtype"),
+        F.try_element_at(m, F.lit("missing")).alias("absent"),
+        F.size(m).alias("msize"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("values_csv"),
+    )
