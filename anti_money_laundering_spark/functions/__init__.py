@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "tokens_sql",
+    "chunk_udtf",
     "tokens",
     "token_count",
     "distinct_token_count",
@@ -301,3 +302,33 @@ def morton_code(x: Column | str, y: Column | str, bits: int = 16) -> Column:
             .bitwiseOR(F.shiftleft(yc.bitwiseAND(bit), i + 1))
         )
     return out
+
+
+def chunk_udtf():
+    """Spark 4 Python UDTF (table function): explode a document into
+    fixed-size token chunks with positions — the ONE API family the
+    engine hadn't demonstrated (SURVEY §2.12; the reference defines
+    zero UDFs and this engine keeps hot paths in native expressions).
+
+    This is deliberately the ESCAPE HATCH, not a hot path: a UDTF runs
+    rows through Python (Arrow-batched here via useArrow), so the
+    production formulation of this exact operation is the codegen'd
+    ``sequence``+``slice`` expression in plans/llm_queries
+    (pack_sequences); the UDTF exists for logic that genuinely cannot
+    be expressed as expressions (external library calls per row
+    group). Returns the UDTF handle; register with
+    ``spark.udtf.register("chunk_doc", chunk_udtf())`` for SQL
+    ``LATERAL`` use or call it directly over columns.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, chunk string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str, size: int):  # noqa: D401
+            if text is None:
+                return
+            toks = [t for t in text.lower().split() if t]
+            for i in range(0, len(toks), size):
+                yield i // size, " ".join(toks[i : i + size])
+
+    return ChunkDoc

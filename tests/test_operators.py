@@ -413,3 +413,20 @@ def test_ewma_all_null_head_returns_null(spark):
     rows = {r["seq"]: r["e"] for r in df.select("seq", e.alias("e")).collect()}
     assert rows[1] is None and rows[2] is None
     assert rows[3] == 4.0  # only the current value present in the chain
+
+
+def test_chunk_udtf_lateral_and_direct(spark):
+    """Spark 4 UDTF surface: direct call and SQL LATERAL both yield
+    positioned fixed-size chunks; a NULL document yields no rows."""
+    from anti_money_laundering_spark.functions import chunk_udtf
+
+    U = chunk_udtf()
+    out = U(F.lit("a b c d e"), F.lit(2)).collect()
+    assert [(r.pos, r.chunk) for r in out] == [(0, "a b"), (1, "c d"), (2, "e")]
+    spark.udtf.register("chunk_doc", U)
+    df = spark.createDataFrame([(1, "x y z"), (2, None)], "id int, t string")
+    df.createOrReplaceTempView("chunk_in")
+    rows = spark.sql(
+        "SELECT id, pos, chunk FROM chunk_in, LATERAL chunk_doc(t, 2)"
+    ).collect()
+    assert {(r.id, r.pos, r.chunk) for r in rows} == {(1, 0, "x y"), (1, 1, "z")}
