@@ -341,13 +341,26 @@ class VersionedTable:
         target = self.read(spark)
         merged = merge_into(target, source, on=on, **merge_kwargs)
         v = self.write(merged, mode="overwrite")
-        # annotate the operation in place: the manifest is ours — we
-        # just won its exclusive create — so rewriting it is safe
+        # annotate the operation: the manifest is ours (we just won its
+        # exclusive create) so a REWRITE can't race another writer, but
+        # a concurrent READER can race us — go through tmp + atomic
+        # replace so every on-disk state parses
         m = self._load(v)
         m.operation = "merge"
-        with open(_manifest_path(self.path, v), "w") as f:
-            json.dump(m.__dict__, f)
+        self._rewrite_manifest(m)
         return v
+
+    def _rewrite_manifest(self, m: _Manifest) -> None:
+        """Atomically replace an already-committed manifest we own
+        (annotation only — never changes the file set). In-place
+        open('w') truncates before writing, so a concurrent _load
+        could read half a manifest; tmp + os.replace keeps every
+        observable state valid JSON."""
+        final = _manifest_path(self.path, m.version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m.__dict__, f)
+        os.replace(tmp, final)
 
     # -- change data feed ---------------------------------------------
     def diff(
@@ -411,8 +424,7 @@ class VersionedTable:
                 v = self.merge(batch_df.sparkSession, batch_df, on=on)
                 m = self._load(v)
                 m.meta = {"batch_id": batch_id}
-                with open(_manifest_path(self.path, v), "w") as f:
-                    json.dump(m.__dict__, f)
+                self._rewrite_manifest(m)
             else:
                 self.write(batch_df, mode="append", meta={"batch_id": batch_id})
 

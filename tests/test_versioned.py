@@ -252,3 +252,36 @@ def test_pruned_read_also_pushes_filter_to_scan(spark):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "k" in pushed and "GreaterThanOrEqual" in pushed
     assert sorted(r.k for r in df.collect()) == list(range(40, 50))
+
+
+def test_manifest_annotation_rewrite_is_atomic(spark, monkeypatch):
+    """merge()/stream_sink annotate a just-committed manifest
+    (operation/meta). The rewrite must go through tmp + os.replace —
+    an in-place open('w') truncates first, so a concurrent _load could
+    read half a manifest. Pin: during the rewrite, every snapshot of
+    the manifest file on disk parses as JSON."""
+    import json as _json
+
+    from anti_money_laundering_spark.sources import versioned as V
+
+    t = _tbl()
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    target = []
+    real_replace = os.replace
+
+    def spying_replace(src, dst):
+        # just before publish: the DESTINATION (if present) must still
+        # be complete valid JSON — i.e. nobody truncated it in place
+        if os.path.exists(dst):
+            with open(dst) as f:
+                _json.loads(f.read())
+        target.append(dst)
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(V.os, "replace", spying_replace)
+    v = t.merge(spark, _df(spark, [(2, "B")]), on=["k"])
+    assert any(p.endswith(f"{v:08d}.json") for p in target), (
+        "manifest annotation did not go through os.replace"
+    )
+    m = t._load(v)
+    assert m.operation == "merge"
