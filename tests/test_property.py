@@ -409,3 +409,116 @@ def test_repetition_scores_match_python_oracle(spark, token_docs):
         grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         exp_dup = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
         assert abs(r.dup_2gram_frac - exp_dup) < 1e-9, (i, toks)
+
+
+# --- motif compiler vs brute-force pattern matching -------------------------
+
+digraph_strategy = st.lists(
+    st.tuples(st.integers(1, 7), st.integers(1, 7)), min_size=1, max_size=14
+)
+
+
+@given(edges=digraph_strategy)
+@settings(**SETTINGS)
+def test_motif_chain_and_negation_match_bruteforce(spark, edges):
+    """The motif compiler's join chains equal a brute-force enumeration
+    over the edge set for (a)->(b)->(c) and the negated
+    (a)->(b); !(b)->(a) — including self-loops and repeated vertices.
+    Morphism semantics (GraphFrames): distinct variables MAY bind the
+    same vertex or edge — a self-loop matches a->b->c as (v,v,v)."""
+    from anti_money_laundering_spark.graph import Graph
+
+    e = spark.createDataFrame(edges, "src long, dst long").distinct()
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    g = Graph(v, e)
+    eset = set((a, b) for a, b in edges)
+
+    got_chain = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in g.find("(a)-[e1]->(b); (b)-[e2]->(c)").collect()
+    }
+    exp_chain = {
+        (a, b, c) for (a, b) in eset for (b2, c) in eset if b2 == b
+    }
+    assert got_chain == exp_chain
+
+    got_neg = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in g.find("(a)-[]->(b); !(b)-[]->(a)").collect()
+    }
+    exp_neg = {(a, b) for (a, b) in eset if (b, a) not in eset}
+    assert got_neg == exp_neg
+
+
+# --- SCC vs iterative Tarjan oracle -----------------------------------------
+
+
+def _scc_oracle(edges):
+    """Iterative Tarjan; returns {vertex: min vertex id of its SCC}."""
+    adj: dict[int, list[int]] = {}
+    verts = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        verts.update((a, b))
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return out
+
+
+@given(edges=digraph_strategy)
+@settings(**SETTINGS)
+def test_scc_matches_tarjan(spark, edges):
+    """FW-BW-Trim SCC equals an independent Tarjan on random small
+    digraphs (cycles, self-loops, chains, diamonds)."""
+    from anti_money_laundering_spark.graph import Graph, strongly_connected_components
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(Graph(v, e)).collect()
+    }
+    assert got == _scc_oracle(edges)
