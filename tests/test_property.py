@@ -522,3 +522,70 @@ def test_scc_matches_tarjan(spark, edges):
         for r in strongly_connected_components(Graph(v, e)).collect()
     }
     assert got == _scc_oracle(edges)
+
+
+# --- Pregel risk propagation vs Python superstep simulation -----------------
+
+
+@given(
+    edges=digraph_strategy,
+    risks=st.lists(st.integers(0, 16), min_size=7, max_size=7),
+)
+@settings(**SETTINGS)
+def test_risk_propagation_matches_python_simulation(spark, edges, risks):
+    """risk_propagation equals a direct per-superstep simulation on
+    random digraphs — pinning the reference's exact update rule
+    (msg = score/2 summed per receiver over the RAW edge table —
+    duplicate edges send twice; update = coalesce(msg + INITIAL risk,
+    previous score): no-inbox vertices keep their score)."""
+    from anti_money_laundering_spark.graph import Graph, risk_propagation
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({x for ab in edges for x in ab})
+    risk = {u: float(risks[u - 1]) for u in verts}
+    v = spark.createDataFrame([(u, risk[u]) for u in verts], "id long, risk double")
+    got = {r.id: r.risk_score for r in risk_propagation(Graph(v, e)).collect()}
+
+    score = dict(risk)
+    for _ in range(3):
+        inbox: dict[int, float] = {}
+        # multigraph semantics: EVERY edge row sends a message —
+        # duplicate edges double the contribution (matches
+        # GraphFrames aggregateMessages over the raw edge table)
+        for a, b in edges:
+            inbox[b] = inbox.get(b, 0.0) + score[a] / 2
+        score = {
+            u: (inbox[u] + risk[u]) if u in inbox else score[u] for u in verts
+        }
+    for u in verts:
+        assert abs(got[u] - score[u]) < 1e-9, (u, got[u], score[u])
+
+
+# --- k-core vs Python peeling oracle ----------------------------------------
+
+
+@given(edges=digraph_strategy)
+@settings(**SETTINGS)
+def test_k_core_matches_python_peel(spark, edges):
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.algorithms import k_core
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    k = 2
+    got = {r.id for r in k_core(Graph(v, e), k=k).collect()}
+
+    # undirected simple graph, iterative peel
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    alive = {x for ab in und for x in ab}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        drop = {u for u in alive if deg.get(u, 0) < k}
+        if not drop:
+            break
+        alive -= drop
+    assert got == alive
