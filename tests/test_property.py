@@ -589,3 +589,40 @@ def test_k_core_matches_python_peel(spark, edges):
             break
         alive -= drop
     assert got == alive
+
+
+# --- label propagation vs Python sync simulation ----------------------------
+
+
+@given(edges=digraph_strategy)
+@settings(**SETTINGS)
+def test_label_propagation_matches_python_sync(spark, edges):
+    """Deterministic sync LPA: every vertex adopts the most frequent
+    undirected-neighbor label, ties to the SMALLER label, 3 fixed
+    rounds — a pure function of the edge set the Python sim replays."""
+    from collections import Counter
+
+    from anti_money_laundering_spark.graph import Graph, label_propagation
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    got = {r.id: r.label for r in label_propagation(Graph(v, e), max_iter=3).collect()}
+
+    und: dict[int, list[int]] = {}
+    for a, b in {tuple(sorted(p)) for p in edges if p[0] != p[1]}:
+        und.setdefault(a, []).append(b)
+        und.setdefault(b, []).append(a)
+    verts = sorted({x for ab in edges for x in ab})
+    label = {u: u for u in verts}
+    for _ in range(3):
+        nxt = {}
+        for u in verts:
+            nbrs = und.get(u, [])
+            if not nbrs:
+                nxt[u] = label[u]
+                continue
+            counts = Counter(label[w] for w in nbrs)
+            best = max(counts.values())
+            nxt[u] = min(l for l, c in counts.items() if c == best)
+        label = nxt
+    assert got == label
