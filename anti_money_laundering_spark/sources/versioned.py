@@ -289,8 +289,6 @@ class VersionedTable:
         if not m.files:
             # an overwrite with an empty DataFrame: preserve emptiness
             # with the recorded schema
-            from pyspark.sql.types import StructType
-
             names_types = json.loads(m.schema)
             ddl = ", ".join(f"`{n}` {t}" for n, t in names_types)
             return spark.createDataFrame([], ddl)
