@@ -172,6 +172,8 @@ class VersionedTable:
         stats_cols: list[str] | None = None,
         operation: str | None = None,
         meta: dict | None = None,
+        merge_schema: bool = False,
+        checks: dict[str, str] | None = None,
     ) -> int:
         """Stage ``df`` as parquet files, then commit them as the next
         version. Returns the committed version number. Raises
@@ -185,16 +187,49 @@ class VersionedTable:
         design: prune from metadata before Spark ever lists a file.
         ``meta`` rides along in the manifest (e.g. the streaming sink's
         batch id); ``operation`` overrides the history label.
+
+        ``merge_schema=True`` permits ADDITIVE append evolution (Delta's
+        mergeSchema): every existing column must keep its name+type, new
+        columns are appended to the recorded schema and read back as
+        NULL for pre-evolution files (reads always apply the manifest's
+        recorded schema, so old files project the union without a
+        mergeSchema footer sweep).
+
+        ``checks`` are CHECK constraints ({name: boolean SQL expr}):
+        rows violating any expression abort the write BEFORE anything
+        stages (one counting action over df; NULL = violation, same
+        rule as operators.expectations).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if checks:
+            from pyspark.sql import functions as F
+
+            failing = None
+            for cname, expr in checks.items():
+                bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
+                if bad.count() > 0:
+                    failing = cname
+                    break
+            if failing is not None:
+                raise ValueError(f"CHECK constraint violated: {failing} ({checks[failing]})")
         base = self.latest_version()
         prev = self._load(base) if base is not None else None
+        schema_key = _schema_key(df.schema)
         if mode == "append" and prev is not None and prev.files:
-            if prev.schema != _schema_key(df.schema):
-                raise ValueError(
-                    "append schema mismatch; use mode='overwrite' "
-                    f"(table {prev.schema} vs df {_schema_key(df.schema)})"
+            if prev.schema != schema_key:
+                prev_fields = json.loads(prev.schema)
+                new_fields = json.loads(schema_key)
+                additive = merge_schema and all(f in new_fields for f in prev_fields)
+                if not additive:
+                    raise ValueError(
+                        "append schema mismatch; use mode='overwrite' or "
+                        "merge_schema=True for additive evolution "
+                        f"(table {prev.schema} vs df {schema_key})"
+                    )
+                # union: existing order first, then the added columns
+                schema_key = json.dumps(
+                    prev_fields + [f for f in new_fields if f not in prev_fields]
                 )
         # stage: spark writes a scratch dir; unique-rename the parts in.
         # The move is WITHIN the table directory (same filesystem), so
@@ -229,7 +264,7 @@ class VersionedTable:
             operation=operation or mode,
             timestamp=time.time(),
             files=carried + new_files,
-            schema=_schema_key(df.schema),
+            schema=schema_key,
             stats=carried_stats or None,
             meta=meta,
         )
@@ -293,7 +328,13 @@ class VersionedTable:
             ddl = ", ".join(f"`{n}` {t}" for n, t in names_types)
             return spark.createDataFrame([], ddl)
         paths = [os.path.join(_data_dir(self.path), f) for f in m.files]
-        df = spark.read.parquet(*paths)
+        # Always read under the manifest's RECORDED schema: files from
+        # before an additive evolution project the union (missing
+        # columns read as NULL) with no mergeSchema footer sweep, and
+        # column order is deterministic regardless of file order.
+        names_types = json.loads(m.schema)
+        ddl = ", ".join(f"`{n}` {t}" for n, t in names_types)
+        df = spark.read.schema(ddl).parquet(*paths)
         if prune is not None:
             from pyspark.sql import functions as F
 
@@ -380,6 +421,36 @@ class VersionedTable:
             self.read(spark, version=to_version),
             on=on,
         )
+
+    # -- restore ------------------------------------------------------
+    def restore(self, version: int) -> int:
+        """RESTORE (Delta's table rollback): commit a NEW version whose
+        file set, schema, and stats are those of ``version`` — history
+        is preserved (the bad versions stay time-travelable until
+        vacuum), the head just points back. The restored manifest
+        shares data files with the source version; vacuum keeps them
+        as long as either manifest is retained."""
+        src = self._load(version)
+        target = (self.latest_version() or 0) + 1
+        manifest = _Manifest(
+            version=target,
+            operation=f"restore(v{version})",
+            timestamp=time.time(),
+            files=list(src.files),
+            schema=src.schema,
+            stats=dict(src.stats) if src.stats else None,
+            meta=None,
+        )
+        tmp = _manifest_path(self.path, target) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest.__dict__, f)
+        try:
+            os.link(tmp, _manifest_path(self.path, target))
+        except FileExistsError as e:
+            raise CommitConflict(f"version {target} already committed") from e
+        finally:
+            os.unlink(tmp)
+        return target
 
     # -- maintenance --------------------------------------------------
     def compact(

@@ -285,3 +285,51 @@ def test_manifest_annotation_rewrite_is_atomic(spark, monkeypatch):
     )
     m = t._load(v)
     assert m.operation == "merge"
+
+
+def test_merge_schema_additive_append_and_null_backfill(spark):
+    """mergeSchema evolution: an additive append widens the recorded
+    schema; pre-evolution files read back with NULL for the new
+    column; non-additive changes still refuse."""
+    t = _tbl()
+    t.write(_df(spark, [(1, "a")]))
+    t.write(
+        _df(spark, [(2, "b", 9.5)], "k int, v string, score double"),
+        merge_schema=True,
+    )
+    got = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    assert [f.name for f in t.read(spark).schema.fields] == ["k", "v", "score"]
+    # renaming/typing changes are NOT additive
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write(_df(spark, [(3.0, "c")], "k double, v string"), merge_schema=True)
+
+
+def test_check_constraints_block_bad_writes(spark):
+    t = _tbl()
+    t.write(_df(spark, [(1, "a")]), checks={"k_positive": "k > 0"})
+    with pytest.raises(ValueError, match="k_positive"):
+        t.write(_df(spark, [(-5, "bad")]), checks={"k_positive": "k > 0"})
+    # NULL evaluates as violation (expectations semantics)
+    with pytest.raises(ValueError, match="k_positive"):
+        t.write(
+            spark.createDataFrame([(None, "n")], "k int, v string"),
+            checks={"k_positive": "k > 0"},
+        )
+    assert t.latest_version() == 1  # failed writes committed nothing
+
+
+def test_restore_points_head_back_and_keeps_history(spark):
+    t = _tbl()
+    t.write(_df(spark, [(1, "a")]))
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")
+    v = t.restore(1)
+    assert v == 3
+    assert [r.k for r in t.read(spark).collect()] == [1]
+    # the bad version is still time-travelable
+    assert [r.k for r in t.read(spark, version=2).collect()] == [2]
+    ops = {r.version: r.operation for r in t.history(spark).collect()}
+    assert ops[3] == "restore(v1)"
+    # vacuum keeping the restored head must keep its (shared) files
+    t.vacuum(retain=1)
+    assert [r.k for r in t.read(spark).collect()] == [1]
