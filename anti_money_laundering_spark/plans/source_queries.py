@@ -271,3 +271,66 @@ def versioned_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(cdf)
     )
+
+
+@register(
+    "versioned_evolution_roundtrip",
+    tags=("OP", "S4"),
+    # Replays additive mergeSchema evolution and RESTORE in plain SQL:
+    # v2 = base rows (added column NULL-backfilled) + evolved appends;
+    # the restored head re-reads exactly the v1 snapshot. NULL
+    # backfill, union-schema reads, and rollback all sit in one hash.
+    oracle="""
+    SELECT 'v2' AS snapshot, n_nationkey AS k, n_name AS name,
+           CAST(NULL AS BIGINT) AS region
+    FROM nation
+    UNION ALL
+    SELECT 'v2', n_nationkey + 100, 'ev-' || n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 3 = 0
+    UNION ALL
+    SELECT 'restored', n_nationkey, n_name, CAST(NULL AS BIGINT)
+    FROM nation
+    """,
+)
+def versioned_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution + rollback through the native transaction log
+    (sources/versioned.py): v1 = base (k, name); v2 = additive
+    mergeSchema append of evolved rows carrying a NEW region column
+    (pre-evolution files must read back with region NULL under the
+    recorded union schema — no mergeSchema footer sweep); then
+    RESTORE(v1) and read the new head (region projected NULL again).
+    A backfill bug, a dropped evolution column, or a restore that
+    leaks v2 rows all land in the value hash. The append also carries
+    a CHECK constraint (region >= 0) — the write aborts before staging
+    if it ever fails."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.sources.versioned import VersionedTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = nation.select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    path = os.path.join(_SCRATCH, f"versioned_evo_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(path)
+    v1 = t.write(base)
+    evolved = nation.filter(F.col("n_nationkey") % 3 == 0).select(
+        (F.col("n_nationkey") + 100).alias("k"),
+        F.concat(F.lit("ev-"), F.col("n_name")).alias("name"),
+        F.col("n_regionkey").cast("long").alias("region"),
+    )
+    t.write(
+        evolved,
+        merge_schema=True,
+        checks={"region_nonneg": "region >= 0"},
+    )
+    v2_rows = t.read(spark).select(F.lit("v2").alias("snapshot"), "k", "name", "region")
+    t.restore(v1)
+    restored = t.read(spark).select(
+        F.lit("restored").alias("snapshot"),
+        "k",
+        "name",
+        F.lit(None).cast("long").alias("region"),
+    )
+    return v2_rows.unionByName(restored)
