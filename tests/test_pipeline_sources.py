@@ -561,3 +561,22 @@ def test_load_table_no_conf_side_effect_on_micros_fixture(spark, sf_dir):
     _TABLE_MEMO.get(spark, {}).pop((sf_dir, "events"), None)
     load_table(spark, sf_dir, "events").limit(1).collect()
     assert spark.conf.get(key, None) == before
+
+
+def test_versioned_lakehouse_example_runs(spark, sf_dir, capsys):
+    """The table-lifecycle example: the full write→evolve→merge→diff→
+    optimize→restore→vacuum→stream sequence completes against the
+    fixture without error (detailed behavior pins live in
+    tests/test_versioned.py; this keeps the runnable doc honest)."""
+    import sys as _sys
+
+    import examples.versioned_lakehouse as vl
+
+    argv = _sys.argv
+    _sys.argv = ["versioned_lakehouse.py", sf_dir]
+    try:
+        assert vl.main() == 0
+    finally:
+        _sys.argv = argv
+    out = capsys.readouterr().out
+    assert "RESTORE" in out and "streaming sink landed" in out
