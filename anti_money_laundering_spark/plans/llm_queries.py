@@ -1079,3 +1079,96 @@ def ml_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_pca_projection(emb, k=8)
+
+
+@register(
+    "hard_negatives_ann",
+    tags=("LLM", "ann", "sample"),
+    # exact over the label!=0 corpus: the GEMM path is exact, so the
+    # brute-force SQL replays it directly (no recall argument needed —
+    # unlike the LSH/IVF queries this one scores every candidate)
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               v.label AS neg_label, {_DUCK_COS} AS cosine
+        FROM embeddings q JOIN embeddings v ON v.label <> 0
+        WHERE q.label = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, neg_label, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(neg_label AS BIGINT) AS neg_label,
+           round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    label-0 anchor, the 3 most cosine-similar vectors of a DIFFERENT
+    label — close-but-wrong examples, the negatives that actually move
+    an embedding model (random negatives — negative_samples_docs — are
+    too easy). Plan: the corpus filter (label != 0) pushes into the
+    scan, then the broadcast-GEMM top-k path; at 100 TB swap in
+    ann_lsh_topk over the same filtered corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("label") == 0)
+    negatives = emb.filter(F.col("label") != 0)
+    out = cosine_topk_blas(anchors, negatives, k=3)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"))
+    return out.join(labels, "neighbor_id").select(
+        "query_id", "neighbor_id", "neg_label",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
+@register(
+    "chunk_sliding_windows",
+    tags=("LLM", "text", "sample"),
+    # identical chunk-count formula on both sides: 1 window when
+    # n <= size, else ceil((n-size)/stride)+1 — the last window may be
+    # short but always exists, and windows beyond the text never emit
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    sized AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) = 0 THEN 0
+                    WHEN len(t) <= 8 THEN 1
+                    ELSE CAST(ceil((len(t) - 8) / 4.0) AS INT) + 1 END AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS chunk_pos,
+           array_to_string(t[u.i * 4 + 1 : u.i * 4 + 8], ' ') AS chunk,
+           CAST(len(t[u.i * 4 + 1 : u.i * 4 + 8]) AS INT) AS chunk_tokens
+    FROM sized, UNNEST(range(0, n_chunks)) AS u(i)
+    """,
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 8 tokens, stride 4): the
+    retrieval-side document splitter — overlapping windows so no
+    boundary-straddling span is lost, the standard RAG-ingest shape
+    (vs pack_sequences' disjoint training packing). All codegen:
+    tokens (JVM split), window count arithmetic, sequence + explode +
+    slice — no interpreted lambda, no Python."""
+    from anti_money_laundering_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    n = F.size("t")
+    n_chunks = (
+        F.when(n == 0, 0)
+        .when(n <= 8, 1)
+        .otherwise(F.ceil((n - F.lit(8)) / 4.0).cast("int") + 1)
+    )
+    return (
+        toks.select("doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_pos"))
+        .filter(F.col("chunk_pos") >= 0)  # empty docs: sequence(0,-1) emits nothing
+        .select(
+            "doc_id",
+            "chunk_pos",
+            F.concat_ws(" ", F.slice("t", F.col("chunk_pos") * 4 + 1, 8)).alias("chunk"),
+            F.size(F.slice("t", F.col("chunk_pos") * 4 + 1, 8)).alias("chunk_tokens"),
+        )
+    )
