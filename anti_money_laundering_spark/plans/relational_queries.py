@@ -1016,3 +1016,45 @@ def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
         F.array_join(F.map_values(m), ",").alias("values_csv"),
     )
+
+
+@register(
+    "xml_roundtrip_props",
+    tags=("F-ext", "S2"),
+    # the oracle rebuilds Spark's exact to_xml rendering (ROW root,
+    # 4-space indent, one line per field) and echoes the re-parsed
+    # fields — serializer format AND parser fidelity sit in one hash.
+    # value is rounded to 2 first so double→string formatting agrees
+    # between engines.
+    oracle="""
+    SELECT event_id,
+           '<ROW>' || chr(10) ||
+           '    <et>' || event_type || '</et>' || chr(10) ||
+           '    <v>' || CAST(round(value, 2) AS VARCHAR) || '</v>' || chr(10) ||
+           '</ROW>' AS xml,
+           event_type AS et,
+           round(value, 2) AS v
+    FROM events
+    """,
+)
+def xml_roundtrip_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar functions (Spark 4's to_xml/from_xml — the last
+    serialization format next to CSV/JSON/ORC/parquet/VARIANT):
+    serialize (event_type, value) per event to XML, parse it back with
+    an explicit schema, and emit both the wire string and the
+    round-tripped fields."""
+    ev = _t(spark, sf_dir, "events")
+    xml = F.to_xml(
+        F.struct(
+            F.col("event_type").alias("et"), F.round("value", 2).alias("v")
+        )
+    )
+    return (
+        ev.select("event_id", xml.alias("xml"))
+        .select(
+            "event_id",
+            "xml",
+            F.from_xml("xml", "et string, v double").alias("__s"),
+        )
+        .select("event_id", "xml", F.col("__s.et").alias("et"), F.col("__s.v").alias("v"))
+    )
