@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Graph-loop stress run at 10-100x fixture scale: synthesize a
+power-law-ish random graph entirely with codegen expressions
+(spark.range + xxhash64 — no driver-side data), run the iterative
+operators, and record rounds/wall. The local[32] numbers go to
+SCALE.md §graph-stress; the point is the ROUND COUNTS and per-round
+behavior staying flat as edges grow 10x, not absolute wall (one box).
+
+Usage: python tools/stress_graph.py [n_edges] [n_vertices]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from anti_money_laundering_spark.graph import Graph  # noqa: E402
+from anti_money_laundering_spark.graph.components import connected_components  # noqa: E402
+from anti_money_laundering_spark.session import get_spark  # noqa: E402
+
+
+def synth_graph(spark, n_edges: int, n_vertices: int):
+    """Random multigraph with a heavy tail: ~1% of edges hit a 100-key
+    hub set (mule-ring shape), the rest uniform. Pure expressions —
+    the 10M-edge table never exists off-executor."""
+    e = spark.range(n_edges).select(
+        F.when(
+            F.xxhash64("id", F.lit("hub")) % 100 == 0,
+            F.pmod(F.xxhash64("id", F.lit("hubpick")), 100),
+        )
+        .otherwise(F.pmod(F.xxhash64("id", F.lit("src")), n_vertices))
+        .alias("src"),
+        F.pmod(F.xxhash64("id", F.lit("dst")), n_vertices).alias("dst"),
+    )
+    v = spark.range(n_vertices).select(F.col("id"))
+    return Graph(v, e)
+
+
+def main() -> int:
+    n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_vertices = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark(app_name="graph_stress", shuffle_partitions=64)
+    g = synth_graph(spark, n_edges, n_vertices)
+
+    t0 = time.perf_counter()
+    deg = g.degrees().agg(F.max("degree"), F.avg("degree")).collect()[0]
+    t_deg = time.perf_counter() - t0
+    print(f"degrees: max={deg[0]} avg={deg[1]:.2f}  wall={t_deg:.1f}s")
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    # join_rounds: range-derived synthetic inputs trip Catalyst's
+    # Union constraint rewrite at localCheckpoint (the documented
+    # key-not-found case in connected_components' docstring); the
+    # join+least formulation sidesteps the Union node entirely
+    cc = connected_components(g, max_iter=30, stats=stats, join_rounds=True)
+    n_comp = cc.select("component").distinct().count()
+    t_cc = time.perf_counter() - t0
+    print(
+        f"connected_components: rounds={stats['rounds']} components={n_comp} "
+        f"wall={t_cc:.1f}s round_seconds={stats['round_seconds']}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
