@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""LLM-pipeline stress at 20-30x fixture scale: MinHash-LSH dedup over
+~100k documents (with planted near-dup groups) and LSH ANN over ~100k
+synthetic embeddings — measuring the candidate-generation discipline
+(bucketed joins, never all-pairs) holds when the corpus grows.
+
+Inputs are synthesized from the sf0.1 fixtures with codegen expressions
+(crossJoin with a small replication range + per-copy mutation token) —
+no driver-side data. Results go to SCALE.md §llm-stress.
+
+Usage: python tools/stress_llm.py [replicas] [n_vectors]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from anti_money_laundering_spark.session import get_spark  # noqa: E402
+from anti_money_laundering_spark.sources import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    n_vectors = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    spark = get_spark(app_name="llm_stress", shuffle_partitions=64)
+
+    # --- dedup: replicate each fixture doc `replicas`x, mutating one
+    # trailing token per copy — every replica group is a planted
+    # near-dup cluster (J well above 0.7 for fixture-length docs).
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+        F.concat_ws(" ", "text", F.concat(F.lit("mut"), F.col("rep"))).alias("text"),
+    )
+    from anti_money_laundering_spark.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    t0 = time.perf_counter()
+    cands = minhash_lsh_candidates(corpus, "doc_id", "text", shingle_k=3)
+    n_cand = cands.count()
+    t_cand = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pairs = jaccard_pairs(corpus, "doc_id", "text", min_jaccard=0.7, pairs=cands, shingle_k=3)
+    n_pairs = pairs.count()
+    t_ver = time.perf_counter() - t0
+    print(
+        f"dedup: docs={n_docs * replicas} candidates={n_cand} ({t_cand:.1f}s) "
+        f"verified_pairs={n_pairs} ({t_ver:.1f}s)"
+    )
+
+    # --- ANN: synthetic unit-ish vectors (dim 16) from xxhash64;
+    # 1000 queries against the full corpus through the banded LSH path.
+    dim = 16
+    vec = F.array(
+        *[
+            (F.pmod(F.xxhash64("id", F.lit(f"d{i}")), 2000) / 1000.0 - 1.0).cast("double")
+            for i in range(dim)
+        ]
+    )
+    emb = spark.range(n_vectors).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    from anti_money_laundering_spark.vector import ann_lsh_topk
+
+    queries = emb.filter(F.col("vec_id") % (n_vectors // 1000) == 0)
+    t0 = time.perf_counter()
+    topk = ann_lsh_topk(queries, emb, k=5)
+    n_topk = topk.count()
+    t_ann = time.perf_counter() - t0
+    print(f"ann: corpus={n_vectors} queries~1000 topk_rows={n_topk} ({t_ann:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
