@@ -75,6 +75,17 @@ def main() -> int:
     n_topk = topk.count()
     t_ann = time.perf_counter() - t0
     print(f"ann: corpus={n_vectors} queries~1000 topk_rows={n_topk} ({t_ann:.1f}s)")
+
+    # --- decontamination: 5% of the replicated corpus as "benchmark",
+    # 4-gram posting-list overlap (broadcast benchmark grams).
+    from anti_money_laundering_spark.curation import ngram_overlap
+
+    bench = corpus.filter(F.col("doc_id") % 20 == 0)
+    rest = corpus.filter(F.col("doc_id") % 20 != 0)
+    t0 = time.perf_counter()
+    n_contam = ngram_overlap(rest, bench, n=4).count()
+    t_dc = time.perf_counter() - t0
+    print(f"decontam: corpus={n_docs * replicas} contaminated_docs={n_contam} ({t_dc:.1f}s)")
     return 0
 
 
