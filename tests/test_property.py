@@ -626,3 +626,78 @@ def test_label_propagation_matches_python_sync(spark, edges):
             nxt[u] = min(l for l, c in counts.items() if c == best)
         label = nxt
     assert got == label
+
+
+# --- versioned table vs in-memory model (model-based testing) ---------------
+
+op_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=4)),
+        st.tuples(st.just("overwrite"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=0, max_size=4)),
+        st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=4)),
+        st.tuples(st.just("restore"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=op_strategy)
+@settings(**SETTINGS)
+def test_versioned_table_matches_model(spark, ops):
+    """Model-based test: a random op sequence (append / overwrite /
+    merge / restore) applied to VersionedTable and to a plain Python
+    model of version→rows must agree on EVERY retained version's
+    content — snapshot isolation, merge upsert, and restore sharing
+    all fall out of one invariant. Merge sources are deduped by key
+    first (merge_into validates source uniqueness); appends replay as
+    bags (duplicate keys allowed)."""
+    import os as _os
+    import tempfile as _tf
+
+    from collections import Counter
+
+    from anti_money_laundering_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(_os.path.join(_tf.mkdtemp(prefix="vtbl_model_"), "t"))
+    model: dict[int, Counter] = {}  # version -> multiset of (k, v)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows or [], "k int, v int")
+
+    head = Counter()
+    for op, arg in ops:
+        if op == "append":
+            head = head + Counter(arg)
+            v = t.write(df_of(arg))
+        elif op == "overwrite":
+            head = Counter(arg)
+            v = t.write(df_of(arg), mode="overwrite")
+        elif op == "merge":
+            src = {k: val for k, val in arg}  # dedupe: last wins, like dict
+            if not model:
+                continue  # merging into an empty table: skip (read() raises)
+            # model semantics of merge_into: update matched keys, insert new
+            merged = Counter()
+            seen = set()
+            for (k, val), n in head.items():
+                if k in src:
+                    merged[(k, src[k])] += n
+                    seen.add(k)
+                else:
+                    merged[(k, val)] += n
+            for k, val in src.items():
+                if k not in seen:
+                    merged[(k, val)] += 1
+            head = merged
+            v = t.merge(spark, df_of(sorted(src.items())), on=["k"])
+        else:  # restore
+            if arg not in model:
+                continue
+            head = Counter(model[arg])
+            v = t.restore(arg)
+        model[v] = Counter(head)
+
+    for v, expect in model.items():
+        got = Counter((r.k, r.v) for r in t.read(spark, version=v).collect())
+        assert got == expect, (v, got, expect)
