@@ -432,6 +432,42 @@ def dedup_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_near_dup",
+    tags=("LLM", "dedup"),
+    # Same recall-1.0 justification as dedup_minhash_near_dups; the
+    # benchmark membership test is a parity predicate over the exact
+    # pair set. Non-empty at every SF: 5 / 2 / 27 contaminated docs
+    # (FIXTURES.md threshold rule).
+    oracle=f"""
+    WITH {_duck_trigram_jaccard_ctes(0.7)}
+    SELECT DISTINCT
+           CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS doc_id
+    FROM jp WHERE (id_a % 20 = 0) <> (id_b % 20 = 0)
+    """,
+)
+def decontam_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: corpus documents that are NEAR-duplicates
+    (Jaccard >= 0.7) of any benchmark document (doc_id % 20 == 0, the
+    same simulated eval slice as decontam_ngram_overlap) — the second
+    decontamination layer real pipelines run: exact n-gram overlap
+    catches verbatim leakage, near-dup catches paraphrased/mutated
+    copies that share shingle mass without any long exact run. Reuses
+    the shared LSH-verified pair set (memoized with the dedup family);
+    the benchmark test is a codegen'd parity predicate, so the whole
+    query is one filter over already-computed pairs."""
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    is_bench_a = F.col("id_a") % 20 == 0
+    is_bench_b = F.col("id_b") % 20 == 0
+    return (
+        pairs.filter(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_a, F.col("id_b")).otherwise(F.col("id_a")).alias("doc_id")
+        )
+        .distinct()
+    )
+
+
+@register(
     "dedup_near_clusters",
     tags=("LLM", "dedup", "G4"),
     # Same recall-1.0 justification as dedup_minhash_near_dups: with the
