@@ -191,3 +191,56 @@ def quality_rule_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_screen(docs)
+
+
+@register(
+    "corpus_datasheet",
+    tags=("LLM", "text", "A-ext"),
+    # one aggregation over per-doc signals that are each individually
+    # hash-attested elsewhere (tokens: text_token_stats; quality rules:
+    # quality_rule_screen) — the datasheet is their per-source rollup
+    oracle=f"""
+    WITH {_DUCK_REPETITION}
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(strlen(d.text)) AS BIGINT) AS total_chars,
+           round(avg(r.n_tokens), 6) AS mean_tokens,
+           CAST(sum(CASE WHEN r.n_tokens >= 20 AND r.top_token_share <= 0.12
+                          AND r.dup_2gram_frac <= 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           round(avg(r.top_token_share), 6) AS mean_top_share
+    FROM documents d JOIN rep r ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-datasets rollup: per-source document/token/char
+    volumes, mean length, quality-screen keep counts, and mean
+    repetition — the one-page summary a training pipeline publishes
+    with each corpus snapshot. Plan: the per-doc signals come from the
+    same two-agg repetition pipeline the screen uses (shared shape),
+    then ONE rollup keyed by source; at 100 TB this is a pure
+    map-side-combinable aggregation over already-needed signals."""
+    from anti_money_laundering_spark.curation import repetition_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_scores(docs)
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("top_token_share") <= 0.12)
+        & (F.col("dup_2gram_frac") <= 0.05)
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", F.length("text").cast("long").alias("__chars"))
+        .join(rep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("__chars").alias("total_chars"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.sum(keep).alias("n_keep"),
+            F.round(F.avg("top_token_share"), 6).alias("mean_top_share"),
+        )
+    )
