@@ -701,3 +701,73 @@ def test_versioned_table_matches_model(spark, ops):
     for v, expect in model.items():
         got = Counter((r.k, r.v) for r in t.read(spark, version=v).collect())
         assert got == expect, (v, got, expect)
+
+
+# --- shortest paths / triangle count vs Python oracles ----------------------
+
+
+@given(edges=digraph_strategy)
+@settings(**SETTINGS)
+def test_shortest_paths_match_python_bfs(spark, edges):
+    """Landmark shortest paths equal a directed Python BFS from every
+    vertex toward the landmarks (distances follow edge DIRECTION;
+    unreachable pairs absent)."""
+    from collections import deque
+
+    from anti_money_laundering_spark.graph import Graph, shortest_paths
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({x for ab in edges for x in ab})
+    landmarks = verts[:2]
+    v = spark.createDataFrame([(u,) for u in verts], "id long")
+    got = {
+        (r.id, r.landmark): r.distance
+        for r in shortest_paths(Graph(v, e), landmarks).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    exp = {}
+    for lm in landmarks:
+        # reverse BFS from the landmark over reversed edges = forward
+        # distance from every vertex TO the landmark
+        radj: dict[int, set[int]] = {}
+        for a, b in edges:
+            radj.setdefault(b, set()).add(a)
+        dist = {lm: 0}
+        dq = deque([lm])
+        while dq:
+            u = dq.popleft()
+            for w in radj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for u, d in dist.items():
+            exp[(u, lm)] = d
+    assert got == exp
+
+
+@given(edges=digraph_strategy)
+@settings(**SETTINGS)
+def test_triangle_count_matches_python(spark, edges):
+    """Per-vertex triangle counts equal brute-force enumeration over
+    the canonical undirected simple graph (direction + multiplicity
+    collapse, self-loops dropped)."""
+    from itertools import combinations
+
+    from anti_money_laundering_spark.graph import Graph, triangle_count
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    got = {r.id: r.n_triangles for r in triangle_count(Graph(v, e)).collect()}
+
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    verts = sorted({x for ab in edges for x in ab})
+    tri = {u: 0 for u in verts}
+    for a, b, c in combinations(verts, 3):
+        if ((a, b) in und) and ((b, c) in und) and ((a, c) in und):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert got == tri
