@@ -99,7 +99,15 @@ def decontaminate(
     """Corpus minus documents sharing more than ``max_shared`` distinct
     n-grams with the benchmark (and minus the benchmark docs
     themselves). Anti-join formulation: the contaminated id set from
-    :func:`ngram_overlap` is tiny, so both anti-joins broadcast."""
+    :func:`ngram_overlap` is tiny, so both anti-joins broadcast.
+
+    PRECONDITION: the benchmark-id anti-join assumes ``benchmark``'s
+    ``id_col`` values live in the CORPUS id space (benchmark ⊆ corpus,
+    the simulated-eval-slice shape the catalog query uses). When the
+    benchmark is an EXTERNAL suite with its own id space, a colliding
+    id would silently drop an unrelated corpus doc — pass such suites
+    with ids remapped out of the corpus range, or drop only by overlap
+    evidence (max_shared) and skip the id subtraction."""
     bad = (
         ngram_overlap(corpus, benchmark, id_col, text_col, n=n)
         .filter(F.col("n_shared_ngrams") > max_shared)

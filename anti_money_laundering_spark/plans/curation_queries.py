@@ -74,7 +74,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_duck_hash_bucket("doc_id", "shard-v1", 8)} AS shard,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
-           CAST(sum(strlen(text)) AS BIGINT) AS n_chars
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY 1
     """,
@@ -204,7 +204,7 @@ def quality_rule_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(r.n_tokens) AS BIGINT) AS total_tokens,
-           CAST(sum(strlen(d.text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
            round(avg(r.n_tokens), 6) AS mean_tokens,
            CAST(sum(CASE WHEN r.n_tokens >= 20 AND r.top_token_share <= 0.12
                           AND r.dup_2gram_frac <= 0.05 THEN 1 ELSE 0 END)

@@ -1198,9 +1198,13 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n <= 8, 1)
         .otherwise(F.ceil((n - F.lit(8)) / 4.0).cast("int") + 1)
     )
+    # review finding (verified): sequence(0, -1) does NOT emit nothing —
+    # Spark's sequence defaults to step -1 when start > stop, yielding
+    # [0, -1], so an empty doc produced a phantom empty chunk; filter
+    # zero-token docs out BEFORE the explode instead.
     return (
-        toks.select("doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_pos"))
-        .filter(F.col("chunk_pos") >= 0)  # empty docs: sequence(0,-1) emits nothing
+        toks.filter(n > 0)
+        .select("doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_pos"))
         .select(
             "doc_id",
             "chunk_pos",

@@ -26,6 +26,7 @@ import decimal
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Iterator
 
@@ -37,6 +38,11 @@ from pyspark.sql.datasource import (
 )
 
 __all__ = ["JsonlSinkDataSource", "register_jsonl_sink"]
+
+#: staged files older than this with no commit message are dead-attempt
+#: orphans; younger ones may belong to a concurrent writer (see
+#: _StreamWriter.commit)
+_ORPHAN_GRACE_S = 300.0
 
 
 def _json_default(o):
@@ -160,19 +166,25 @@ class _StreamWriter(DataSourceStreamWriter):
             final = os.path.join(self.path, f"{prefix}part-{i:04d}.jsonl")
             os.rename(os.path.join(staging, m.staged), final)
         # Staged files NOT in this batch's message list are orphans from
-        # dead/retried attempts (micro-batches run sequentially per
-        # query, so nothing later is staging concurrently). Without this
-        # prune they accumulate for the lifetime of the stream. The
-        # batch writer rmtree's staging wholesale; here we delete by
-        # name so the contract stays explicit.
+        # dead/retried attempts; without this prune they accumulate for
+        # the lifetime of the stream. Deletion is AGE-GATED (review
+        # finding): micro-batches of THIS query run sequentially, but a
+        # second query or a batch job writing the same path may be
+        # staging concurrently — its files are seconds old, while dead
+        # attempts' leftovers only get pruned once they predate the
+        # previous batch by a comfortable margin.
         if os.path.isdir(staging):
             committed = {m.staged for m in messages if m is not None}
+            now = time.time()
             for f in os.listdir(staging):
-                if f not in committed:
-                    try:
-                        os.unlink(os.path.join(staging, f))
-                    except FileNotFoundError:
-                        pass
+                if f in committed:
+                    continue
+                full = os.path.join(staging, f)
+                try:
+                    if now - os.path.getmtime(full) >= _ORPHAN_GRACE_S:
+                        os.unlink(full)
+                except FileNotFoundError:
+                    pass
         log = os.path.join(self.path, "_batches")
         logged: set[str] = set()
         if os.path.exists(log):

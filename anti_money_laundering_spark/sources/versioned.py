@@ -27,7 +27,9 @@ name. This module reproduces the OBSERVABLE contract of that usage:
   union (names+types compared, nullability ignored).
 - **Vacuum**: deletes data files referenced ONLY by dropped manifests
   (and orphans from crashed writers), keeping the last ``retain``
-  versions — never a file a retained manifest lists.
+  versions — never a file a retained manifest lists, and never an
+  unreferenced file younger than the grace window (it may belong to a
+  writer mid-commit; Delta's retention-hours floor, same reason).
 
 Scale posture: the log holds FILE LISTS, not data — manifests are
 O(files) JSON and the exclusive-create is one metadata op, so commit
@@ -205,14 +207,23 @@ class VersionedTable:
         if checks:
             from pyspark.sql import functions as F
 
-            failing = None
-            for cname, expr in checks.items():
-                bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
-                if bad.count() > 0:
-                    failing = cname
-                    break
-            if failing is not None:
-                raise ValueError(f"CHECK constraint violated: {failing} ({checks[failing]})")
+            # ONE aggregate pass for every constraint (the same
+            # conditional-count shape as operators.expectations; a
+            # per-check filter+count would re-execute df's lineage
+            # once per rule) — NULL counts as a violation.
+            counts = df.agg(
+                *[
+                    F.sum(
+                        (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+                    ).alias(name)
+                    for name, expr in checks.items()
+                ]
+            ).collect()[0]
+            violated = [n for n in checks if (counts[n] or 0) > 0]
+            if violated:
+                raise ValueError(
+                    f"CHECK constraint violated: {violated[0]} ({checks[violated[0]]})"
+                )
         base = self.latest_version()
         prev = self._load(base) if base is not None else None
         schema_key = _schema_key(df.schema)
@@ -268,16 +279,22 @@ class VersionedTable:
             stats=carried_stats or None,
             meta=meta,
         )
+        return self._commit_manifest(manifest)
+
+    def _commit_manifest(self, manifest: _Manifest) -> int:
+        """THE commit protocol — the single definition write() and
+        restore() share (review finding: two hand-maintained copies of
+        the atomicity-critical block drift). Publish the fully-written
+        tmp under the final name via exclusive-create hard link;
+        EEXIST = lost the optimistic race (staged data files become
+        orphans; vacuum reclaims them after its grace period). On an
+        object store this maps to a conditional PUT."""
         tmp = _manifest_path(self.path, manifest.version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest.__dict__, f)
         try:
-            # exclusive create = the atomic commit point (conditional
-            # PUT on an object store). link() publishes the fully
-            # written tmp under the final name; EEXIST = lost the race.
             os.link(tmp, _manifest_path(self.path, manifest.version))
         except FileExistsError as e:
-            # the staged data files become orphans; vacuum reclaims them
             raise CommitConflict(
                 f"version {manifest.version} already committed"
             ) from e
@@ -368,38 +385,24 @@ class VersionedTable:
         spark: SparkSession,
         source: DataFrame,
         on: list[str],
+        meta: dict | None = None,
         **merge_kwargs,
     ) -> int:
         """MERGE INTO (Delta's upsert face): rewrite the latest
         snapshot merged with ``source`` as a new version. Reuses
         ``operators.merge_into`` (the hash-attested MERGE semantics —
         ``matched_delete`` / ``when_not_matched`` pass through) so the
-        versioned face and the in-memory face can't diverge."""
+        versioned face and the in-memory face can't diverge. The
+        operation label and ``meta`` ride in the SAME commit — a
+        post-commit annotation rewrite would leave a window where the
+        manifest exists without its metadata (review finding: the
+        streaming sink's exactly-once ledger depended on exactly that
+        window never being observed)."""
         from anti_money_laundering_spark.operators import merge_into
 
         target = self.read(spark)
         merged = merge_into(target, source, on=on, **merge_kwargs)
-        v = self.write(merged, mode="overwrite")
-        # annotate the operation: the manifest is ours (we just won its
-        # exclusive create) so a REWRITE can't race another writer, but
-        # a concurrent READER can race us — go through tmp + atomic
-        # replace so every on-disk state parses
-        m = self._load(v)
-        m.operation = "merge"
-        self._rewrite_manifest(m)
-        return v
-
-    def _rewrite_manifest(self, m: _Manifest) -> None:
-        """Atomically replace an already-committed manifest we own
-        (annotation only — never changes the file set). In-place
-        open('w') truncates before writing, so a concurrent _load
-        could read half a manifest; tmp + os.replace keeps every
-        observable state valid JSON."""
-        final = _manifest_path(self.path, m.version)
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m.__dict__, f)
-        os.replace(tmp, final)
+        return self.write(merged, mode="overwrite", operation="merge", meta=meta)
 
     # -- change data feed ---------------------------------------------
     def diff(
@@ -431,9 +434,8 @@ class VersionedTable:
         shares data files with the source version; vacuum keeps them
         as long as either manifest is retained."""
         src = self._load(version)
-        target = (self.latest_version() or 0) + 1
         manifest = _Manifest(
-            version=target,
+            version=(self.latest_version() or 0) + 1,
             operation=f"restore(v{version})",
             timestamp=time.time(),
             files=list(src.files),
@@ -441,16 +443,7 @@ class VersionedTable:
             stats=dict(src.stats) if src.stats else None,
             meta=None,
         )
-        tmp = _manifest_path(self.path, target) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest.__dict__, f)
-        try:
-            os.link(tmp, _manifest_path(self.path, target))
-        except FileExistsError as e:
-            raise CommitConflict(f"version {target} already committed") from e
-        finally:
-            os.unlink(tmp)
-        return target
+        return self._commit_manifest(manifest)
 
     # -- maintenance --------------------------------------------------
     def compact(
@@ -485,26 +478,46 @@ class VersionedTable:
         """
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            # Replay guard: batch ids are delivered in order, so a
+            # replayed id can only sit in the most recent commits —
+            # scan from the tail and STOP once we see a smaller id
+            # (review finding: an unbounded scan made the guard
+            # O(versions) per batch, O(n²) over a stream's lifetime).
             for v in reversed(self.versions()):
                 meta = self._load(v).meta
-                if meta and meta.get("batch_id") == batch_id:
+                if not meta or "batch_id" not in meta:
+                    continue
+                if meta["batch_id"] == batch_id:
                     return  # replayed batch: already committed
+                if meta["batch_id"] < batch_id:
+                    break
             if on is not None and self.latest_version() is not None:
-                v = self.merge(batch_df.sparkSession, batch_df, on=on)
-                m = self._load(v)
-                m.meta = {"batch_id": batch_id}
-                self._rewrite_manifest(m)
+                # meta rides in the SAME commit as the merge — no
+                # annotation window for a crash to split (see merge())
+                self.merge(
+                    batch_df.sparkSession, batch_df, on=on,
+                    meta={"batch_id": batch_id},
+                )
             else:
                 self.write(batch_df, mode="append", meta={"batch_id": batch_id})
 
         return _sink
 
     # -- vacuum -------------------------------------------------------
-    def vacuum(self, retain: int = 2) -> list[str]:
+    def vacuum(self, retain: int = 2, orphan_grace_s: float = 600.0) -> list[str]:
         """Drop manifests older than the last ``retain`` versions and
         delete data files no RETAINED manifest references (this also
         reclaims orphans from crashed/conflicted writers). Returns the
-        deleted file names."""
+        deleted file names.
+
+        ``orphan_grace_s``: an UNREFERENCED file younger than this is
+        kept — it may belong to an IN-FLIGHT writer that has moved its
+        parts into ``data/`` but not yet won the manifest
+        exclusive-create (review finding: without the grace window,
+        vacuum racing a live write deletes files the writer then
+        commits, corrupting that version — the same reason Delta's
+        VACUUM has a retention-hours floor). Pass 0 only when no
+        writer can be active."""
         if retain < 1:
             raise ValueError("retain must be >= 1 (never drop the head)")
         vs = self.versions()
@@ -512,11 +525,20 @@ class VersionedTable:
         referenced: set[str] = set()
         for v in keep_vs:
             referenced.update(self._load(v).files)
+        now = time.time()
         deleted = []
         for f in os.listdir(_data_dir(self.path)):
-            if f not in referenced:
-                os.unlink(os.path.join(_data_dir(self.path), f))
-                deleted.append(f)
+            if f in referenced:
+                continue
+            full = os.path.join(_data_dir(self.path), f)
+            try:
+                age = now - os.path.getmtime(full)
+            except FileNotFoundError:
+                continue  # another vacuum raced us
+            if age < orphan_grace_s:
+                continue  # possibly an in-flight writer's staged file
+            os.unlink(full)
+            deleted.append(f)
         for v in vs[:-retain]:
             os.unlink(_manifest_path(self.path, v))
         return sorted(deleted)

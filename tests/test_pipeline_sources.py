@@ -6,6 +6,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import time
 import tempfile
 
 import pytest
@@ -501,13 +502,20 @@ def test_jsonl_stream_sink_commit_prunes_orphans(spark):
     staging = os.path.join(out, "_staging")
     os.makedirs(staging)
     w = _StreamWriter({"path": out})
-    # dead attempt's leftover + this attempt's staged part
+    # dead attempt's leftover (aged past the grace window) + a FRESH
+    # foreign staged file (a concurrent writer's shape) + this
+    # attempt's staged part
     with open(os.path.join(staging, "dead.jsonl"), "w") as f:
         f.write('{"i": 99}\n')
+    old = time.time() - 3600
+    os.utime(os.path.join(staging, "dead.jsonl"), (old, old))
+    with open(os.path.join(staging, "foreign.jsonl"), "w") as f:
+        f.write('{"i": 5}\n')
     with open(os.path.join(staging, "live.jsonl"), "w") as f:
         f.write('{"i": 1}\n')
     w.commit([_Staged("live.jsonl")], batchId=3)
-    assert os.listdir(staging) == []  # orphan pruned, live renamed out
+    # aged orphan pruned, live renamed out, fresh foreign file SURVIVES
+    assert os.listdir(staging) == ["foreign.jsonl"]
     parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
     assert parts == ["batch-00003-part-0000.jsonl"]
 

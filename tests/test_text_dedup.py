@@ -214,3 +214,36 @@ def test_pack_sequences_closed_form(spark):
     assert [rows[d].bin_id for d in "abcd"] == [0, 0, 0, 1]
     # b ends at 399 (<512): stays; c spans 400..599 crossing 512
     assert [rows[d].crosses_boundary for d in "abcd"] == [False, False, True, False]
+
+
+def test_chunk_sliding_windows_empty_doc_emits_nothing(spark):
+    """r5 review finding (verified): Spark's sequence(0, -1) defaults
+    to step -1 and yields [0, -1] — an empty document used to emit a
+    phantom (pos=0, '', 0) chunk, diverging from the DuckDB oracle.
+    Zero-token docs must produce zero chunk rows."""
+    from anti_money_laundering_spark.functions import tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    # replicate the catalog query's exact window arithmetic on a frame
+    # with empty docs (the fixture has none)
+
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    n = F.size("t")
+    n_chunks = (
+        F.when(n == 0, 0).when(n <= 8, 1)
+        .otherwise(F.ceil((n - F.lit(8)) / 4.0).cast("int") + 1)
+    )
+    out = (
+        toks.filter(n > 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("p"))
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.p)
+    assert 1 not in by_doc and 2 not in by_doc  # empty/whitespace: no rows
+    assert by_doc[3] == [0, 1]  # 10 tokens, size 8 stride 4 -> 2 windows
