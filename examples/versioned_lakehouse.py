@@ -56,7 +56,8 @@ def main() -> int:
     print("time travel v2 still readable:", t.read(spark, version=v2).count(), "rows")
     print("pruned read k>=20 plans", len(t.read(spark, prune=("k", 20, None)).inputFiles()), "file(s)")
 
-    deleted = t.vacuum(retain=2)
+    # grace 0: the demo owns this table, no concurrent writers
+    deleted = t.vacuum(retain=2, orphan_grace_s=0)
     print("vacuum: removed", len(deleted), "unreferenced files; history:")
     t.history(spark).orderBy("version").show()
 

@@ -320,3 +320,37 @@ def test_restore_points_head_back_and_keeps_history(spark):
     # vacuum keeping the restored head must keep its (shared) files
     t.vacuum(retain=1)
     assert [r.k for r in t.read(spark).collect()] == [1]
+
+
+def test_concurrent_appends_with_retry_all_land(spark):
+    """Real-concurrency pin for the optimistic protocol: two threads
+    each append 4 single-row versions, retrying on CommitConflict.
+    Every append must land exactly once — contiguous versions, all 8
+    rows present, no row duplicated or lost."""
+    import threading
+
+    t = _tbl()
+    errors = []
+
+    def worker(tag: int) -> None:
+        try:
+            for i in range(4):
+                row = _df(spark, [(tag * 10 + i, f"w{tag}")])
+                while True:
+                    try:
+                        t.write(row)
+                        break
+                    except CommitConflict:
+                        continue  # re-read the log and retry
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.versions() == list(range(1, 9))  # contiguous, no gaps
+    rows = sorted(r.k for r in t.read(spark).collect())
+    assert rows == sorted([10, 11, 12, 13, 20, 21, 22, 23])
