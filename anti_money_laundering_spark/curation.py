@@ -95,6 +95,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     max_shared: int = 0,
+    drop_benchmark_ids: bool = True,
 ) -> DataFrame:
     """Corpus minus documents sharing more than ``max_shared`` distinct
     n-grams with the benchmark (and minus the benchmark docs
@@ -106,16 +107,17 @@ def decontaminate(
     the simulated-eval-slice shape the catalog query uses). When the
     benchmark is an EXTERNAL suite with its own id space, a colliding
     id would silently drop an unrelated corpus doc — pass such suites
-    with ids remapped out of the corpus range, or drop only by overlap
-    evidence (max_shared) and skip the id subtraction."""
+    with ids remapped out of the corpus range, or pass
+    ``drop_benchmark_ids=False`` to drop only by overlap evidence."""
     bad = (
         ngram_overlap(corpus, benchmark, id_col, text_col, n=n)
         .filter(F.col("n_shared_ngrams") > max_shared)
         .select(id_col)
     )
-    return corpus.join(F.broadcast(bad), id_col, "left_anti").join(
-        F.broadcast(benchmark.select(id_col)), id_col, "left_anti"
-    )
+    out = corpus.join(F.broadcast(bad), id_col, "left_anti")
+    if drop_benchmark_ids:
+        out = out.join(F.broadcast(benchmark.select(id_col)), id_col, "left_anti")
+    return out
 
 
 def shard_manifest(

@@ -152,3 +152,16 @@ def test_redact_pii_custom_patterns_and_counts_before_redaction(spark):
     out = redact_pii(df, patterns={"code": r"ABC-\d{3}"}).collect()[0]
     assert out.n_code == 2
     assert out.text_redacted == "id [CODE] and [CODE]"
+
+
+def test_decontaminate_external_id_space_opt_out(spark):
+    """External benchmark suites with their own id space must not
+    collide-drop unrelated corpus docs: with drop_benchmark_ids=False
+    only overlap evidence removes documents."""
+    corpus = _docs(spark, [(100, "totally unrelated words here"), (2, "x y z")])
+    bench = _docs(spark, [(100, "the quick brown fox ran")])  # id collides
+    kept = decontaminate(corpus, bench, n=3, drop_benchmark_ids=False)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 100]
+    # default behavior (benchmark ⊆ corpus id space) still subtracts
+    kept_default = decontaminate(corpus, bench, n=3)
+    assert sorted(r.doc_id for r in kept_default.collect()) == [2]
