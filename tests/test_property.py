@@ -771,3 +771,34 @@ def test_triangle_count_matches_python(spark, edges):
             tri[b] += 1
             tri[c] += 1
     assert got == tri
+
+
+# --- EWMA truncation bound vs exact recurrence -------------------------------
+
+
+@given(
+    vals=st.lists(st.floats(0.0, 100.0, allow_nan=False), min_size=1, max_size=30)
+)
+@settings(**SETTINGS)
+def test_ewma_truncation_bound_vs_exact_recurrence(spark, vals):
+    """features.ewma truncates the lag chain at max_lags; its docstring
+    claims the residual mass (1-alpha)^max_lags bounds the
+    approximation. Pin it: |truncated - exact recurrence| <=
+    (1-alpha)^max_lags * max|value| on random non-negative series
+    (the exact EWMA is a convex combination, so dropped tail weight
+    times the value bound majorizes the error)."""
+    from anti_money_laundering_spark.features import ewma
+
+    alpha, max_lags = 0.3, 12
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, seq int, v double")
+    e = ewma(key="k", value="v", order_by=["seq"], alpha=alpha, max_lags=max_lags)
+    got = {r.seq: r.e for r in df.select("seq", e.alias("e")).collect()}
+
+    bound = (1 - alpha) ** max_lags * max(vals)
+    # exact normalized EWMA over the full history at position t:
+    # sum_j (1-a)^j v[t-j] / sum_j (1-a)^j
+    for t in range(len(vals)):
+        num = sum((1 - alpha) ** j * vals[t - j] for j in range(t + 1))
+        den = sum((1 - alpha) ** j for j in range(t + 1))
+        assert abs(got[t] - num / den) <= bound + 1e-9, (t, got[t], num / den)
