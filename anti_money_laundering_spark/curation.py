@@ -29,6 +29,7 @@ __all__ = [
     "decontaminate",
     "shard_manifest",
     "rebalance_to_min_source",
+    "rebalance_to_target_mix",
     "repetition_scores",
     "quality_screen",
     "redact_pii",
@@ -298,3 +299,50 @@ def redact_pii(
     for k, p in pats.items():
         red = F.regexp_replace(red, p, f"[{k.upper()}]")
     return df.select("*", *cols, red.alias(out_col))
+
+
+def rebalance_to_target_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Downsample source strata toward an arbitrary TARGET mix
+    (e.g. {"web": 0.4, "code": 0.3, ...}) — the general form of
+    :func:`rebalance_to_min_source` (which is the uniform special
+    case). The achievable corpus size is K = min_s(n_s / w_s) docs
+    (the scarcest stratum relative to its target binds everything);
+    each source keeps ~w_s·K docs via the same deterministic
+    md5-bucket rule: keep iff bucket · n_s < resolution · w_s · K.
+    Sources absent from ``weights`` are dropped (weight 0).
+
+    Same plan shape as the uniform case: one tiny per-source count agg
+    broadcast back, the binding K as a scalar in the same broadcast,
+    codegen'd filter — no window, no data shuffle."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = sum(weights.values())
+    norm = {s: w / total for s, w in weights.items() if w > 0}
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_src"))
+    w_expr = F.coalesce(
+        *[F.when(F.col(source_col) == s, F.lit(w)) for s, w in norm.items()],
+        F.lit(0.0),
+    )
+    sized = counts.select(source_col, "__n_src", w_expr.alias("__w"))
+    k = sized.filter(F.col("__w") > 0).agg(
+        F.min(F.col("__n_src") / F.col("__w")).alias("__k")
+    )
+    keep = (
+        F.col("__w") > 0
+    ) & (
+        hash_bucket(id_col, resolution, salt=salt) * F.col("__n_src")
+        < F.lit(resolution) * F.col("__w") * F.col("__k")
+    )
+    return (
+        df.join(F.broadcast(sized), source_col)
+        .crossJoin(F.broadcast(k))
+        .filter(keep)
+        .drop("__n_src", "__w", "__k")
+    )

@@ -165,3 +165,34 @@ def test_decontaminate_external_id_space_opt_out(spark):
     # default behavior (benchmark ⊆ corpus id space) still subtracts
     kept_default = decontaminate(corpus, bench, n=3)
     assert sorted(r.doc_id for r in kept_default.collect()) == [2]
+
+
+def test_rebalance_target_mix_proportions_and_binding_stratum(spark, sf_dir):
+    """Target-mix rebalancing: kept counts track w_s·K where
+    K = min(n_s/w_s); the binding stratum is kept (nearly) whole,
+    zero-weight sources are dropped, and selection is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    a, b, c = sorted(srcs)[:3]
+    weights = {a: 0.5, b: 0.25, c: 0.25}
+    from anti_money_laundering_spark.curation import rebalance_to_target_mix
+
+    kept = rebalance_to_target_mix(docs, weights)
+    per = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per) <= {a, b, c}  # zero-weight sources dropped
+    n = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    K = min(n[s] / w for s, w in weights.items())
+    for s, w in weights.items():
+        target = w * K
+        assert abs(per.get(s, 0) - target) <= max(5, 0.5 * target), (s, per.get(s), target)
+    # determinism
+    again = rebalance_to_target_mix(docs, weights)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # uniform weights reduce to ~the min-source behavior
+    uni = rebalance_to_target_mix(docs, {s: 1.0 for s in srcs})
+    per_u = {r.source: r.n for r in uni.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_min = min(n.values())
+    for s, cnt in per_u.items():
+        assert abs(cnt - n_min) <= max(5, 0.5 * n_min), (s, cnt, n_min)
