@@ -244,3 +244,37 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("top_token_share"), 6).alias("mean_top_share"),
         )
     )
+
+
+@register(
+    "rebalance_target_mix",
+    tags=("LLM", "sample", "A-ext"),
+    # weights by source-number parity (even sources get 2x the share of
+    # odd ones — all 20 sources exist at every SF); the oracle replays
+    # K = min(n_s/w_s) and the md5 keep rule exactly
+    oracle=f"""
+    WITH w AS (
+        SELECT source, count(*) AS n_src,
+               CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
+                    THEN 2.0 ELSE 1.0 END / 30.0 AS wgt
+        FROM documents GROUP BY source
+    ),
+    kk AS (SELECT min(n_src / wgt) AS k FROM w)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source) CROSS JOIN kk
+    WHERE {_duck_hash_bucket("d.doc_id", "mix-v1", 10000)} * w.n_src
+          < 10000 * w.wgt * kk.k
+    """,
+)
+def rebalance_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-target-mix rebalancing (curation.rebalance_to_target_mix):
+    even-numbered sources get twice the corpus share of odd ones; the
+    achievable size is K = min(n_s/w_s) and each stratum keeps
+    ~w_s·K docs via the deterministic md5 keep rule — no RNG, no
+    window, per-source counts broadcast. The 10 even weights of 2 and
+    10 odd weights of 1 normalize over 30."""
+    from anti_money_laundering_spark.curation import rebalance_to_target_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (2.0 if i % 2 == 0 else 1.0) for i in range(20)}
+    return rebalance_to_target_mix(docs, weights).select("doc_id", "source")
