@@ -802,3 +802,54 @@ def test_ewma_truncation_bound_vs_exact_recurrence(spark, vals):
         num = sum((1 - alpha) ** j * vals[t - j] for j in range(t + 1))
         den = sum((1 - alpha) ** j for j in range(t + 1))
         assert abs(got[t] - num / den) <= bound + 1e-9, (t, got[t], num / den)
+
+
+# --- range join vs brute-force interval containment -------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50000)), min_size=1, max_size=15
+    ),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50000), st.integers(0, 9000)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce(spark, pts, ivs):
+    """Bucketized range_join equals the brute-force containment join
+    on random points/intervals — including intervals spanning multiple
+    buckets, zero-length intervals (empty [lo, lo)), and bucket-edge
+    points."""
+    import datetime as dtt
+
+    from anti_money_laundering_spark.operators import range_join
+
+    base = dtt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dtt.timedelta(seconds=s)
+
+    ldf = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(pts)], "k int, p timestamp, pid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(s), ts(s + d), j) for j, (k, s, d) in enumerate(ivs)],
+        "k int, lo timestamp, hi timestamp, iid int",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            ldf, rdf, by=["k"], point="p", lo="lo", hi="hi",
+            bucket_width_seconds=3600,
+        ).collect()
+    }
+    exp = {
+        (i, j)
+        for i, (pk, psec) in enumerate(pts)
+        for j, (ik, isec, d) in enumerate(ivs)
+        if pk == ik and isec <= psec < isec + d
+    }
+    assert got == exp
