@@ -60,15 +60,34 @@ __all__ = [
 ]
 
 
-def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, id_col: str, text_col: str, max_ids: int = 100
+) -> DataFrame:
     """Groups of documents with identical canonical text. Returns
-    (fingerprint, n_docs, doc_ids sorted, keep_id = min id) for groups
-    of size >= 2 — everything but ``keep_id`` is droppable."""
+    (fingerprint, n_docs exact, doc_ids = first ``max_ids`` ids in
+    sorted order, keep_id = min id) for groups of size >= 2 —
+    everything but ``keep_id`` is droppable.
+
+    ``doc_ids`` is CAPPED at ``max_ids`` (r5 verdict item 4): an
+    unbounded ``collect_list`` builds the whole group in one
+    aggregation buffer, so a pathological duplicate (10^8 copies of an
+    empty doc) would OOM a single task. The cap is enforced BEFORE the
+    list is collected — ids are ranked per fingerprint and only ranks
+    <= max_ids reach the collect — so the buffer itself is bounded, not
+    just the output. ``n_docs`` stays exact via a whole-partition count
+    window. Both the rank window and the groupBy key on fingerprint, so
+    Catalyst plans ONE shuffle (the aggregation reuses the window's
+    hash partitioning)."""
+    fp = docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+    by_fp = Window.partitionBy("fingerprint")
+    ranked = fp.withColumn("__rn", F.row_number().over(by_fp.orderBy(id_col))).withColumn(
+        "__n", F.count(F.lit(1)).over(by_fp)
+    )
     return (
-        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        ranked.filter(F.col("__rn") <= max_ids)
         .groupBy("fingerprint")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.max("__n").alias("n_docs"),
             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
             F.min(id_col).alias("keep_id"),
         )

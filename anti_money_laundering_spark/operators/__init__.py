@@ -128,17 +128,29 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
     seed: int = 7,
+    left_key: str | Column | None = None,
 ) -> DataFrame:
     """Skew-mitigating equi-join: split each hot left key across
     ``salt`` sub-keys and replicate the right side once per sub-key, so
     one pathological key (the AML mule account with 10^8 transactions)
     spreads over ``salt`` reducers instead of stalling one.
 
-    Left rows get a uniform salt in [0, salt); right rows are exploded
-    onto all salt values; the join keys become ``on + [salt]``. Result
-    is row-identical to ``left.join(right, on, how)`` for inner/left —
-    the salt only changes WHERE rows meet, never which rows meet
-    (asserted against the plain join in tests/test_operators.py).
+    Left rows get a DETERMINISTIC salt in [0, salt) — the repo's md5
+    hash-bucket discipline over ``left_key`` (a column spreading rows
+    within a hot join key: an event id, a timestamp; defaults to the
+    concat of ALL left columns, which is deterministic for any input
+    but costs hashing the full row — pass a compact key in hot paths).
+    Right rows are exploded onto all salt values; the join keys become
+    ``on + [salt]``. Result is row-identical to
+    ``left.join(right, on, how)`` for inner/left — the salt only
+    changes WHERE rows meet, never which rows meet (asserted against
+    the plain join in tests/test_operators.py).
+
+    r5 verdict item 5: the salt was previously ``F.rand(seed)``, which
+    depends on partition layout — re-running after a repartition moved
+    rows to different reducers, defeating the "deterministic layout"
+    use case this operator advertises. md5 over row content is a pure
+    function of the data: same row, same reducer, any layout.
 
     This is the manual fallback when AQE's skew-join can't kick in
     (e.g. the skew only materializes after upstream transforms, or a
@@ -147,7 +159,17 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
-    l_s = left.withColumn("__salt", F.floor(F.rand(seed) * salt).cast("int"))
+    from anti_money_laundering_spark.sampling import hash_bucket
+
+    if left_key is None:
+        key_col = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in left.columns]
+        )
+    else:
+        key_col = F.col(left_key) if isinstance(left_key, str) else left_key
+    l_s = left.withColumn(
+        "__salt", hash_bucket(key_col, buckets=salt, salt=f"salted-join-{seed}").cast("int")
+    )
     r_s = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return l_s.join(r_s, [*on, "__salt"], how).drop("__salt")
 

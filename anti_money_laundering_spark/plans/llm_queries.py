@@ -214,7 +214,10 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM corpus
     )
     SELECT fingerprint, count(*) AS n_docs,
-           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+           -- mirrors exact_duplicates' doc_ids cap (first 100 in id
+           -- order; the bound protects the Spark agg buffer from
+           -- pathological mega-groups — no-op at fixture scale)
+           array_to_string((list_sort(list(doc_id)))[1:100], ',') AS doc_ids,
            min(doc_id) AS keep_id
     FROM fp GROUP BY fingerprint HAVING count(*) >= 2
     """,

@@ -247,3 +247,19 @@ def test_chunk_sliding_windows_empty_doc_emits_nothing(spark):
         by_doc.setdefault(r.doc_id, []).append(r.p)
     assert 1 not in by_doc and 2 not in by_doc  # empty/whitespace: no rows
     assert by_doc[3] == [0, 1]  # 10 tokens, size 8 stride 4 -> 2 windows
+
+
+def test_exact_duplicates_mega_group_bounded(spark):
+    # r5 verdict item 4: a 10^4-way duplicate group must yield an EXACT
+    # n_docs but a doc_ids payload capped at max_ids (enforced before
+    # the collect, so no aggregation buffer ever holds the full group).
+    big = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("same exact text").alias("text")
+    )
+    uniq = spark.createDataFrame([(100_000, "one of a kind")], "doc_id long, text string")
+    groups = exact_duplicates(big.unionAll(uniq), "doc_id", "text", max_ids=50).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 10_000
+    assert g.doc_ids == list(range(50))  # first max_ids in id order
+    assert g.keep_id == 0
