@@ -97,6 +97,7 @@ def decontaminate(
     n: int = 8,
     max_shared: int = 0,
     drop_benchmark_ids: bool = True,
+    validate_ids: bool = True,
 ) -> DataFrame:
     """Corpus minus documents sharing more than ``max_shared`` distinct
     n-grams with the benchmark (and minus the benchmark docs
@@ -109,7 +110,38 @@ def decontaminate(
     benchmark is an EXTERNAL suite with its own id space, a colliding
     id would silently drop an unrelated corpus doc — pass such suites
     with ids remapped out of the corpus range, or pass
-    ``drop_benchmark_ids=False`` to drop only by overlap evidence."""
+    ``drop_benchmark_ids=False`` to drop only by overlap evidence.
+
+    ``validate_ids`` ENFORCES the precondition at runtime (r5 advice:
+    documentation alone let a real eval suite wired in with colliding
+    ids lose data silently): with ``drop_benchmark_ids=True``, the
+    benchmark id set must be DISJOINT from the corpus ids (external
+    suite, clean id space — the id anti-join is then a no-op) or a
+    SUBSET of them (the eval-slice shape); a partial overlap is exactly
+    the colliding-external-suite symptom and raises ``ValueError``.
+    Cost: two bounded counting actions over the (tiny, broadcastable)
+    benchmark id set — pass ``validate_ids=False`` in a hot loop where
+    the caller has already proven the id discipline."""
+    if drop_benchmark_ids and validate_ids:
+        b_ids = benchmark.select(id_col).distinct()
+        n_bench = b_ids.count()
+        # broadcast the TINY benchmark side; the corpus id column
+        # streams map-side through the semi-join (never collected)
+        n_shared_ids = (
+            corpus.select(id_col)
+            .join(F.broadcast(b_ids), id_col, "left_semi")
+            .distinct()
+            .count()
+        )
+        if 0 < n_shared_ids < n_bench:
+            raise ValueError(
+                f"decontaminate: benchmark id space partially collides with the "
+                f"corpus ({n_shared_ids}/{n_bench} benchmark ids present) — an "
+                f"external suite sharing id VALUES would silently drop unrelated "
+                f"corpus docs. Remap the benchmark ids out of the corpus range, "
+                f"or pass drop_benchmark_ids=False to drop only by overlap "
+                f"evidence (validate_ids=False skips this check)."
+            )
     bad = (
         ngram_overlap(corpus, benchmark, id_col, text_col, n=n)
         .filter(F.col("n_shared_ngrams") > max_shared)

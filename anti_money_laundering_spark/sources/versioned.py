@@ -176,6 +176,7 @@ class VersionedTable:
         meta: dict | None = None,
         merge_schema: bool = False,
         checks: dict[str, str] | None = None,
+        expected_base: int | None = None,
     ) -> int:
         """Stage ``df`` as parquet files, then commit them as the next
         version. Returns the committed version number. Raises
@@ -201,6 +202,17 @@ class VersionedTable:
         rows violating any expression abort the write BEFORE anything
         stages (one counting action over df; NULL = violation, same
         rule as operators.expectations).
+
+        ``expected_base`` pins READ-SET VALIDATION for writes derived
+        from a snapshot (merge/compact): the commit targets exactly
+        ``expected_base + 1``, so a concurrent commit that bumped the
+        head past ``expected_base`` trips the manifest exclusive-create
+        and surfaces :class:`CommitConflict` for the caller to re-read
+        and retry — instead of silently overwriting on top of a stale
+        snapshot and discarding the concurrent commit's rows (Delta's
+        ConcurrentAppendException semantics; r5 advice, medium). When
+        ``None`` (plain append/overwrite, no read dependency) the write
+        targets the current head + 1 as before.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -224,7 +236,7 @@ class VersionedTable:
                 raise ValueError(
                     f"CHECK constraint violated: {violated[0]} ({checks[violated[0]]})"
                 )
-        base = self.latest_version()
+        base = self.latest_version() if expected_base is None else expected_base
         prev = self._load(base) if base is not None else None
         schema_key = _schema_key(df.schema)
         if mode == "append" and prev is not None and prev.files:
@@ -397,12 +409,29 @@ class VersionedTable:
         post-commit annotation rewrite would leave a window where the
         manifest exists without its metadata (review finding: the
         streaming sink's exactly-once ledger depended on exactly that
-        window never being observed)."""
+        window never being observed).
+
+        The snapshot version is PINNED at read time and passed to
+        write() as the expected base, so a concurrent commit landing
+        between the snapshot read and this merge's commit raises
+        :class:`CommitConflict` (re-read and retry) instead of being
+        silently overwritten (r5 advice, medium: the previous shape
+        re-resolved the head at commit time and could discard an
+        interleaved append without any error)."""
         from anti_money_laundering_spark.operators import merge_into
 
-        target = self.read(spark)
+        snapshot_v = self.latest_version()
+        if snapshot_v is None:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        target = self.read(spark, version=snapshot_v)
         merged = merge_into(target, source, on=on, **merge_kwargs)
-        return self.write(merged, mode="overwrite", operation="merge", meta=meta)
+        return self.write(
+            merged,
+            mode="overwrite",
+            operation="merge",
+            meta=meta,
+            expected_base=snapshot_v,
+        )
 
     # -- change data feed ---------------------------------------------
     def diff(
@@ -457,10 +486,19 @@ class VersionedTable:
         is untouched — only the file layout changes (small-file
         compaction after many streaming/append commits; at scale this
         is where clustering/Z-ordering by ``stats_cols`` would sort
-        before the write so the recorded min/max ranges disjoint)."""
-        df = self.read(spark).coalesce(target_files)
+        before the write so the recorded min/max ranges disjoint).
+        Snapshot-pinned like merge(): a concurrent commit during the
+        rewrite raises CommitConflict instead of being lost."""
+        snapshot_v = self.latest_version()
+        if snapshot_v is None:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        df = self.read(spark, version=snapshot_v).coalesce(target_files)
         return self.write(
-            df, mode="overwrite", operation="optimize", stats_cols=stats_cols
+            df,
+            mode="overwrite",
+            operation="optimize",
+            stats_cols=stats_cols,
+            expected_base=snapshot_v,
         )
 
     # -- streaming sink -----------------------------------------------
@@ -478,30 +516,44 @@ class VersionedTable:
         """
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            # Replay guard: batch ids are delivered in order, so a
-            # replayed id can only sit in the most recent commits —
-            # scan from the tail and STOP once we see a smaller id
-            # (review finding: an unbounded scan made the guard
-            # O(versions) per batch, O(n²) over a stream's lifetime).
-            for v in reversed(self.versions()):
-                meta = self._load(v).meta
-                if not meta or "batch_id" not in meta:
-                    continue
-                if meta["batch_id"] == batch_id:
-                    return  # replayed batch: already committed
-                if meta["batch_id"] < batch_id:
-                    break
+            # Replay guard (Delta's txnVersion rule): batch ids are
+            # delivered in order, so ANY id <= the max ever committed
+            # is a re-delivery — skip it. The max is read from the
+            # newest batch-bearing manifest, which carries it forward
+            # in ``max_batch_id`` (r5 advice, low: the guard previously
+            # matched exact batch_id values in retained manifests, so a
+            # vacuum that dropped the manifest carrying a later
+            # re-delivered id let the batch re-apply as a duplicate;
+            # vacuum now also refuses to drop the newest batch-bearing
+            # manifest, so the carried max survives log truncation).
+            last = self._last_committed_batch_id()
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already committed
+            batch_meta = {"batch_id": batch_id, "max_batch_id": batch_id}
             if on is not None and self.latest_version() is not None:
                 # meta rides in the SAME commit as the merge — no
                 # annotation window for a crash to split (see merge())
                 self.merge(
-                    batch_df.sparkSession, batch_df, on=on,
-                    meta={"batch_id": batch_id},
+                    batch_df.sparkSession, batch_df, on=on, meta=batch_meta
                 )
             else:
-                self.write(batch_df, mode="append", meta={"batch_id": batch_id})
+                self.write(batch_df, mode="append", meta=batch_meta)
 
         return _sink
+
+    def _last_committed_batch_id(self) -> int | None:
+        """Max batch id ever committed by stream_sink, or None. Bounded
+        scan: stops at the first batch-bearing manifest from the tail —
+        sink commits carry the running max forward, so the newest
+        batch-bearing manifest always holds the global max (interleaved
+        non-sink commits carry no meta and are skipped)."""
+        for v in reversed(self.versions()):
+            meta = self._load(v).meta or {}
+            if "max_batch_id" in meta:
+                return meta["max_batch_id"]
+            if "batch_id" in meta:  # pre-carry manifests (back-compat)
+                return meta["batch_id"]
+        return None
 
     # -- vacuum -------------------------------------------------------
     def vacuum(self, retain: int = 2, orphan_grace_s: float = 600.0) -> list[str]:
@@ -517,14 +569,45 @@ class VersionedTable:
         vacuum racing a live write deletes files the writer then
         commits, corrupting that version — the same reason Delta's
         VACUUM has a retention-hours floor). Pass 0 only when no
-        writer can be active."""
+        writer can be active.
+
+        Two r5-advice hardenings: (1) expired MANIFESTS are unlinked
+        BEFORE their data files, and the unlink tolerates
+        FileNotFoundError — a reader racing vacuum now fails fast with
+        "no such version" instead of resolving a manifest whose files
+        are already gone mid-scan, and two concurrent vacuums no longer
+        crash on the manifest unlink; (2) the NEWEST batch-bearing
+        manifest is never dropped even when it falls outside ``retain``
+        — it is the stream sink's exactly-once ledger (carries
+        ``max_batch_id``), and truncating it would let a post-vacuum
+        crash-recovery replay re-apply an old batch as duplicates."""
         if retain < 1:
             raise ValueError("retain must be >= 1 (never drop the head)")
         vs = self.versions()
-        keep_vs = vs[-retain:]
+        keep_vs = set(vs[-retain:])
+        # preserve the exactly-once ledger: the newest manifest whose
+        # meta carries a batch id stays, whatever its age
+        for v in reversed(vs):
+            try:
+                meta = self._load(v).meta or {}
+            except FileNotFoundError:
+                continue  # another vacuum raced us
+            if "max_batch_id" in meta or "batch_id" in meta:
+                keep_vs.add(v)
+                break
         referenced: set[str] = set()
-        for v in keep_vs:
+        for v in sorted(keep_vs):
             referenced.update(self._load(v).files)
+        # 1) drop expired manifests FIRST (guarded): readers then fail
+        # fast with "no such version" rather than chasing deleted files
+        for v in vs:
+            if v in keep_vs:
+                continue
+            try:
+                os.unlink(_manifest_path(self.path, v))
+            except FileNotFoundError:
+                pass  # another vacuum raced us
+        # 2) then reclaim data files no retained manifest references
         now = time.time()
         deleted = []
         for f in os.listdir(_data_dir(self.path)):
@@ -537,8 +620,9 @@ class VersionedTable:
                 continue  # another vacuum raced us
             if age < orphan_grace_s:
                 continue  # possibly an in-flight writer's staged file
-            os.unlink(full)
+            try:
+                os.unlink(full)
+            except FileNotFoundError:
+                continue  # another vacuum raced us
             deleted.append(f)
-        for v in vs[:-retain]:
-            os.unlink(_manifest_path(self.path, v))
         return sorted(deleted)

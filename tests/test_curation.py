@@ -196,3 +196,27 @@ def test_rebalance_target_mix_proportions_and_binding_stratum(spark, sf_dir):
     n_min = min(n.values())
     for s, cnt in per_u.items():
         assert abs(cnt - n_min) <= max(5, 0.5 * n_min), (s, cnt, n_min)
+
+
+def test_decontaminate_partial_id_collision_raises(spark):
+    """r5 advice: a benchmark id space PARTIALLY overlapping the corpus
+    is the colliding-external-suite symptom — the id anti-join would
+    silently drop an unrelated corpus doc, so decontaminate refuses
+    unless the caller opts out of id-dropping or validation."""
+    import pytest
+
+    corpus = _docs(spark, [(100, "totally unrelated words here"), (2, "x y z")])
+    # id 100 collides with an unrelated corpus doc; id 500 is external
+    bench = _docs(spark, [(100, "the quick brown fox ran"), (500, "lorem ipsum dolor")])
+    with pytest.raises(ValueError, match="partially collides"):
+        decontaminate(corpus, bench, n=3)
+    # evidence-only mode never needs the id check
+    kept = decontaminate(corpus, bench, n=3, drop_benchmark_ids=False)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 100]
+    # explicit validation opt-out restores the old (documented) behavior
+    kept_forced = decontaminate(corpus, bench, n=3, validate_ids=False)
+    assert sorted(r.doc_id for r in kept_forced.collect()) == [2]
+    # fully-disjoint external suites pass validation (id drop is a no-op)
+    disjoint = _docs(spark, [(900, "the quick brown fox ran")])
+    kept_disjoint = decontaminate(corpus, disjoint, n=3)
+    assert sorted(r.doc_id for r in kept_disjoint.collect()) == [2, 100]

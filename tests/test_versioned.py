@@ -354,3 +354,74 @@ def test_concurrent_appends_with_retry_all_land(spark):
     assert t.versions() == list(range(1, 9))  # contiguous, no gaps
     rows = sorted(r.k for r in t.read(spark).collect())
     assert rows == sorted([10, 11, 12, 13, 20, 21, 22, 23])
+
+
+def test_merge_detects_lost_update_via_pinned_base(spark):
+    # r5 advice (medium): a commit landing between merge's snapshot
+    # read and its own commit must surface CommitConflict — not be
+    # silently overwritten by a merge computed from the stale snapshot.
+    from anti_money_laundering_spark.operators import merge_into
+
+    t = _tbl()
+    t.write(_df(spark, [(1, "a")]))
+
+    class _RacingTable(VersionedTable):
+        raced = False
+
+        def write(self, df, **kw):
+            # interleave a concurrent append exactly once, after the
+            # merge has read its snapshot but before it commits
+            if kw.get("operation") == "merge" and not _RacingTable.raced:
+                _RacingTable.raced = True
+                VersionedTable(self.path).write(_df(spark, [(99, "zz")]))
+            return super().write(df, **kw)
+
+    rt = _RacingTable(t.path)
+    with pytest.raises(CommitConflict):
+        rt.merge(spark, _df(spark, [(1, "A")]), on=["k"])
+    # the concurrent append's row is still visible (nothing lost)...
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 99]
+    # ...and a retry from the fresh snapshot lands cleanly
+    v = t.merge(spark, _df(spark, [(1, "A")]), on=["k"])
+    got = {r.k: r.v for r in t.read(spark, version=v).collect()}
+    assert got == {1: "A", 99: "zz"}
+
+
+def test_stream_sink_replay_guard_survives_vacuum(spark):
+    # r5 advice (low): after vacuum truncates the log, a crash-recovery
+    # re-delivery of an old batch must still be skipped. The newest
+    # batch-bearing manifest (the ledger) survives vacuum and carries
+    # max_batch_id forward.
+    t = _tbl()
+    sink = t.stream_sink()
+    for b in range(4):
+        sink(_df(spark, [(b, f"v{b}")]), b)
+    # user maintenance commits push the batch manifests past `retain`
+    t.compact(spark)
+    t.vacuum(retain=1, orphan_grace_s=0)
+    # the newest batch-bearing manifest (batch 3's) must have survived
+    assert t._last_committed_batch_id() == 3
+    before = sorted((r.k, r.v) for r in t.read(spark).collect())
+    sink(_df(spark, [(2, "v2")]), 2)  # re-delivery of an old batch
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == before
+    sink(_df(spark, [(4, "v4")]), 4)  # genuinely new batch still lands
+    assert (4, "v4") in {(r.k, r.v) for r in t.read(spark).collect()}
+
+
+def test_vacuum_drops_manifests_before_data_and_tolerates_races(spark):
+    # r5 advice (low): expired manifests go first (readers fail fast
+    # with "no such version", never a mid-scan missing file), and a
+    # concurrent vacuum having already unlinked a manifest or data file
+    # must not crash this one.
+    t = _tbl()
+    t.write(_df(spark, [(1, "a")]))
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="overwrite")
+    # simulate the concurrent vacuum: version 1's manifest already gone
+    os.unlink(os.path.join(t.path, "_log", "00000001.json"))
+    deleted = t.vacuum(retain=1, orphan_grace_s=0)  # must not raise
+    assert t.versions() == [3]
+    assert deleted  # v1+v2 data files reclaimed
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=2)
+    assert [r.k for r in t.read(spark).collect()] == [3]
