@@ -15,9 +15,15 @@ the same superstep decomposition it uses internally: per superstep,
 Lineage is cut with localCheckpoint each superstep (SURVEY §4 O5).
 
 Expression conventions: message expressions reference ``src.<col>`` /
-``edge.<col>`` / ``dst_id``; the update expression references the
-vertex's own columns plus ``msg`` (the aggregated message, NULL when
-none arrived).
+``edge.<col>`` / ``dst_id`` — and, when any message expression names
+``dst.<col>``, the DESTINATION vertex struct ``dst`` (GraphFrames'
+``Pregel.dst(...)`` parity; r5 verdict item 7). The dst struct costs a
+second vertex join per superstep keyed on the edge's dst (exactly what
+GraphFrames' triplets pay), so it is attached ONLY when a message
+expression actually references it (auto-detected from the unresolved
+expression tree, overridable via ``use_dst_state``). The update
+expression references the vertex's own columns plus ``msg`` (the
+aggregated message, NULL when none arrived).
 """
 
 from __future__ import annotations
@@ -31,6 +37,16 @@ if TYPE_CHECKING:
     from anti_money_laundering_spark.graph import Graph
 
 
+def _references_dst(expr: Column) -> bool:
+    """True if the unresolved expression tree names a ``dst.<col>``
+    attribute. The unresolved repr prints attributes verbatim as
+    written (``Column<'(dst.score / 2)'>``), so a substring scan is
+    reliable for expressions built from F.col("dst...."); a string
+    LITERAL containing "dst." could false-positive, which only costs
+    the extra join — callers can force ``use_dst_state=False``."""
+    return "dst." in str(expr)
+
+
 def pregel(
     graph: "Graph",
     state_col: str,
@@ -41,16 +57,25 @@ def pregel(
     msg_to_src: Column | None = None,
     max_iter: int = 3,
     checkpoint_interval: int = 1,
+    use_dst_state: bool | None = None,
 ) -> DataFrame:
     """Run ``max_iter`` supersteps; returns vertices + ``state_col``.
 
     ``agg_expr`` defaults to ``sum(msg)`` (the reference's aggMsgs,
     01:458). Messages are Columns over the triplet view (``src.*`` /
-    ``edge.*`` structs, ``dst_id``/``src_id``).
+    ``edge.*`` structs, ``dst_id``/``src_id``, and — when referenced —
+    the ``dst`` vertex struct). ``use_dst_state=None`` auto-detects a
+    ``dst.<col>`` reference in the message expressions; pass
+    True/False to force (the detection reads the unresolved expression
+    tree, which names the attribute exactly as written).
     """
     if msg_to_dst is None and msg_to_src is None:
         raise ValueError("at least one of msg_to_dst / msg_to_src is required")
     agg = agg_expr if agg_expr is not None else F.sum(F.col("msg"))
+    if use_dst_state is None:
+        use_dst_state = any(
+            _references_dst(m) for m in (msg_to_dst, msg_to_src) if m is not None
+        )
 
     vcols = graph.vertices.columns
     vertices = graph.vertices.withColumn(state_col, initial_expr)
@@ -67,6 +92,14 @@ def pregel(
             )
             .select("src", "edge", F.col("edge.dst").alias("dst_id"), F.col("edge.src").alias("src_id"))
         )
+        if use_dst_state:
+            # second vertex join keyed on the edge's dst — the same
+            # per-superstep cost GraphFrames' triplet view pays; only
+            # built when a message expression names dst.<col>
+            triplets = triplets.join(
+                vertices.select(F.struct(*vertices.columns).alias("dst")),
+                F.col("dst_id") == F.col("dst.id"),
+            )
         parts = []
         if msg_to_dst is not None:
             parts.append(triplets.select(F.col("dst_id").alias("id"), msg_to_dst.alias("msg")))
@@ -107,6 +140,52 @@ def risk_propagation(graph: "Graph", risk_col: str = "risk", max_iter: int = 3) 
         agg_expr=F.sum(F.col("msg")),
         max_iter=max_iter,
     )
+
+
+def trust_averaging(
+    graph: "Graph", score_col: str = "risk", alpha: float = 0.5, max_iter: int = 3
+) -> DataFrame:
+    """In-degree-normalized trust averaging — the dst-state Pregel
+    exemplar (r5 verdict item 7): each superstep every vertex moves
+    toward the MEAN of its in-neighbors' scores,
+
+        new_v = alpha * old_v + (1 - alpha) * Σ_{u→v} old_u / indeg_v,
+
+    and vertices with no in-edges keep their score. The per-edge
+    message divides by the RECEIVER's in-degree — a ``dst.<col>``
+    reference the triplet view now carries (GraphFrames writes this
+    with ``Pregel.dst("indeg")``); sender-side state alone cannot
+    express it. Multigraph semantics: every edge row sends, and indeg
+    counts edge rows, so parallel edges weight a neighbor's score
+    multiply — consistent with risk_propagation's per-row sends.
+
+    Returns the vertex table + ``trust`` (the final score).
+    """
+    from anti_money_laundering_spark.graph import Graph
+
+    indeg = graph.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("__ta_indeg")
+    )
+    vertices = graph.vertices.join(indeg, "id", "left").select(
+        *graph.vertices.columns, F.coalesce("__ta_indeg", F.lit(0)).alias("__ta_indeg")
+    )
+    out = pregel(
+        Graph(vertices, graph.edges),
+        state_col="trust",
+        initial_expr=F.col(score_col).cast("double"),
+        # dst-state reference: normalize by the receiver's in-degree.
+        # try_divide for the same ANSI pushdown reason as pagerank
+        # (indeg >= 1 for any vertex that appears as a dst, but the
+        # projection can be evaluated below the join).
+        msg_to_dst=F.try_divide(F.col("src.trust"), F.col("dst.__ta_indeg")),
+        update_expr=F.coalesce(
+            F.lit(alpha) * F.col("trust") + F.lit(1.0 - alpha) * F.col("msg"),
+            F.col("trust"),
+        ),
+        agg_expr=F.sum(F.col("msg")),
+        max_iter=max_iter,
+    )
+    return out.drop("__ta_indeg")
 
 
 def pagerank(graph: "Graph", max_iter: int = 3, damping: float = 0.85) -> DataFrame:

@@ -178,6 +178,8 @@ _R7_PLAN: tuple[str, ...] = (
     "chi2_type_weekday",
     "zorder_layout_keys",
     "histogram_equi_height",
+    # r6-new queries (registered after the r6 window froze)
+    "pregel_trust_averaging",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -459,3 +459,62 @@ def test_pregel_hub_fanin_closed_form(spark):
     rows = {r.id: r.agg_msg for r in out.collect()}
     assert rows[0] == n * (n + 1) / 2
     assert len(rows) == 1  # only the hub receives messages
+
+
+def test_pregel_trust_averaging_matches_simulation(spark):
+    # r5 verdict item 7: dst-vertex-state messages. Trust averaging's
+    # per-edge message is src.trust / dst.indeg — verify 3 supersteps
+    # against a Python simulation on a small MULTIGRAPH (parallel edge
+    # 1->4 doubles that neighbor's weight, and indeg counts edge rows).
+    from anti_money_laundering_spark.graph.pregel import trust_averaging
+
+    edges = [(1, 4), (2, 4), (1, 4), (3, 1), (4, 3)]
+    scores = {1: 1.0, 2: 3.0, 3: 5.0, 4: 7.0}
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    v_df = spark.createDataFrame(list(scores.items()), "id long, s double")
+
+    state = dict(scores)
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    for _ in range(3):
+        inbox = {}
+        for s, d in edges:
+            inbox[d] = inbox.get(d, 0.0) + state[s] / indeg[d]
+        state = {
+            v: (0.5 * old + 0.5 * inbox[v]) if v in inbox else old
+            for v, old in state.items()
+        }
+
+    got = {
+        r.id: r.trust
+        for r in trust_averaging(Graph(v_df, e_df), score_col="s", max_iter=3).collect()
+    }
+    assert got.keys() == state.keys()
+    for v in state:
+        assert abs(got[v] - state[v]) < 1e-9, (v, got[v], state[v])
+
+
+def test_pregel_dst_state_auto_detection(spark):
+    # the dst join is built ONLY when a message expression names
+    # dst.<col>: risk propagation's plan must stay dst-join-free while
+    # trust averaging's carries the second vertex join.
+    from anti_money_laundering_spark.graph.pregel import _references_dst
+
+    assert not _references_dst(F.col("src.risk_score") / 2)
+    assert _references_dst(F.try_divide(F.col("src.trust"), F.col("dst.__ta_indeg")))
+    # and forcing use_dst_state=True on a src-only message still works
+    from anti_money_laundering_spark.graph.pregel import pregel
+
+    e_df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    v_df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 4.0)], "id long, r double")
+    out = pregel(
+        Graph(v_df, e_df),
+        state_col="score",
+        initial_expr=F.col("r"),
+        msg_to_dst=F.col("src.score"),
+        update_expr=F.coalesce(F.col("msg"), F.col("score")),
+        max_iter=1,
+        use_dst_state=True,
+    )
+    assert {r.id: r.score for r in out.collect()} == {1: 1.0, 2: 1.0, 3: 2.0}
