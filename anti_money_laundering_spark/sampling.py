@@ -140,11 +140,18 @@ def dense_index(
     contiguous, ascending key range), sort within partitions, then
     index = per-partition ``row_number`` (parallel windows, one per
     partition) + the partition's global row offset. Offsets come from a
-    per-partition count — a bounded P-row collect, and because both
-    actions run over the SAME DataFrame instance, the second job reuses
-    the range shuffle's map output (stage skipped), so the data is
-    ranged+sorted once. Everything stays in codegen'd JVM expressions;
-    no RDD round-trip, no ``zipWithIndex`` pickling.
+    per-partition count — a bounded P-row collect. Everything stays in
+    codegen'd JVM expressions; no RDD round-trip, no ``zipWithIndex``
+    pickling.
+
+    The ranged frame is materialized ONCE with ``localCheckpoint``
+    before the count: the offsets action and the main query would
+    otherwise re-plan independently, and ``repartitionByRange`` SAMPLES
+    its boundaries with a per-plan seed — two executions may split
+    ranges differently on skewed data, silently mismatching the
+    collected offsets against the final partition layout. Freezing the
+    partitioning makes the pid→offset map exact (and pays the range
+    shuffle once instead of twice).
 
     ``key`` must be non-null; ties get an arbitrary-but-consistent
     order within their partition (callers wanting a total order pass a
@@ -156,6 +163,7 @@ def dense_index(
         df.repartitionByRange(n_parts, F.col(key))
         .sortWithinPartitions(key)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # Bounded driver action: one row per partition. Range partitions are
     # emitted in key order, so ascending pid == ascending key range.

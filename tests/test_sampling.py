@@ -137,6 +137,7 @@ def test_dense_index_plan_has_no_single_task_window(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = explain_str(dense_index(docs.select("doc_id"), "doc_id"))
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the per-partition window clusters on __pid (parallel), never global
+    assert "hashpartitioning(__pid" in plan
     neg_plan = explain_str(negative_samples(docs, "doc_id", docs, "doc_id", n_negatives=3))
     assert "SinglePartition" not in neg_plan
