@@ -853,3 +853,23 @@ def test_range_join_matches_bruteforce(spark, pts, ivs):
         if pk == ik and isec <= psec < isec + d
     }
     assert got == exp
+
+
+# --- dense_index vs sorted-enumerate oracle ---------------------------------
+
+
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=80, unique=True),
+    parts=st.integers(1, 9),
+)
+@settings(**SETTINGS)
+def test_dense_index_equals_sorted_enumerate(spark, keys, parts):
+    from anti_money_laundering_spark.sampling import dense_index
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["__idx"]
+        for r in dense_index(df.repartition(3), "k", num_partitions=parts).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want

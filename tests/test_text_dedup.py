@@ -263,3 +263,15 @@ def test_exact_duplicates_mega_group_bounded(spark):
     assert g.n_docs == 10_000
     assert g.doc_ids == list(range(50))  # first max_ids in id order
     assert g.keep_id == 0
+
+
+def test_exact_duplicates_plans_single_shuffle(spark):
+    # the rank window and the group-by share the fingerprint key, so
+    # Catalyst reuses the window's hash partitioning: exactly ONE
+    # Exchange in the whole plan (the docstring's claim, pinned)
+    from tests.test_plans import explain_str
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string")
+    plan = explain_str(exact_duplicates(df, "doc_id", "text"))
+    n_exchanges = sum(1 for line in plan.splitlines() if line.strip().startswith("(") and "Exchange" in line)
+    assert n_exchanges == 1, plan
