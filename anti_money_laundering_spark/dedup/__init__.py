@@ -49,6 +49,7 @@ from anti_money_laundering_spark.functions import (
 
 __all__ = [
     "exact_duplicates",
+    "repeated_spans",
     "shingle_sets",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -92,6 +93,73 @@ def exact_duplicates(
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_k: int = 8,
+    min_span_tokens: int = 12,
+) -> DataFrame:
+    """Exact repeated-substring spans — the sub-document dedup unit of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022, the ExactSubstr setting): maximal runs of token positions
+    whose ``gram_k``-gram occurs at least twice in the corpus (another
+    document, or another position of the same document — boilerplate,
+    license headers, templated paragraphs). Doc-level MinHash misses
+    these when the surrounding text differs; span-level cutting is how
+    production corpora drop repeated passages without dropping docs.
+
+    Equivalence: any repeated substring of >= gram_k tokens contains
+    only repeated k-grams, so the union of maximal covered-position
+    runs >= ``min_span_tokens`` is exactly the repeated-span set at
+    k-gram resolution (the suffix-array method resolves to 1 token;
+    k-gram chaining trades that precision for pure DataFrame ops).
+
+    Plan shape (all keyed shuffles, nothing quadratic): posexplode
+    tokens → per-doc window builds each position's k-gram from
+    ``lead`` columns (codegen'd concat — NULL at the tail, filtered);
+    a count window keyed on the GRAM marks positions whose gram
+    repeats; a per-doc window turns covered positions into islands
+    (pos - row_number, the gaps-and-islands rewrite); groupBy(doc,
+    island) emits spans. The gram-keyed shuffle carries the gram
+    string itself (~gram_k words); at 100 TB substitute
+    ``xxhash64(gram)`` as the shuffle key to cut payload ~10x (64-bit
+    collisions only ever ADD a covered position, and only with
+    probability ~n²/2⁶⁴).
+
+    Returns (id, span_start, span_end, span_tokens), positions
+    0-based token offsets, span_end inclusive.
+    """
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    gram_parts: list = [F.col("tok")]
+    for j in range(1, gram_k):
+        gram_parts += [F.lit(" "), F.lead("tok", j).over(by_doc)]
+    # concat (not concat_ws): NULL leads at the doc tail null the whole
+    # gram, so incomplete grams drop with one isNotNull filter
+    grams = toks.withColumn("__gram", F.concat(*gram_parts)).filter(
+        F.col("__gram").isNotNull()
+    )
+    covered = grams.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__gram"))
+    ).filter(F.col("__cnt") >= 2)
+    islands = covered.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(by_doc)
+    )
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + gram_k - 1).cast("long").alias("span_end"),
+            (F.max("pos") + gram_k - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .drop("__grp")
     )
 
 

@@ -180,6 +180,7 @@ _R7_PLAN: tuple[str, ...] = (
     "histogram_equi_height",
     # r6-new queries (registered after the r6 window froze)
     "pregel_trust_averaging",
+    "dedup_repeated_spans",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -470,6 +470,64 @@ def decontam_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 8  # gram width; fixture probe: spans non-empty at every SF
+_SPAN_MIN = 12  # min span tokens; fixture span medians are 42-66
+_SPAN_LEADS = " || ' ' || ".join(f"lead(tok, {j}) OVER w" for j in range(1, _SPAN_K))
+
+
+@register(
+    "dedup_repeated_spans",
+    tags=("LLM", "dedup", "W-ext"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, ts[i] AS tok, i - 1 AS pos
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '{_DUCK_WS}+'),
+                                 t -> t <> '') AS ts
+              FROM documents) d,
+             (SELECT unnest(generate_series(1, 100000)) AS i) gs
+        WHERE i <= len(ts)
+    ),
+    grams AS (
+        SELECT doc_id, pos, tok || ' ' || {_SPAN_LEADS} AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    covered AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+            FROM grams WHERE gram IS NOT NULL
+        ) WHERE cnt >= 2
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM covered
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(max(pos) + {_SPAN_K} - min(pos) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, grp
+    HAVING max(pos) + {_SPAN_K} - min(pos) >= {_SPAN_MIN}
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2022 ExactSubstr
+    shape) over the documents corpus: maximal token runs whose every
+    8-gram occurs >= 2 times corpus-wide — the sub-document passages
+    (boilerplate, templated paragraphs) span-level dedup cuts without
+    dropping whole docs. dedup.repeated_spans; thresholds probed
+    against the fixture at all SFs (45/47/477 spans)."""
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    from anti_money_laundering_spark.dedup import repeated_spans
+
+    return repeated_spans(
+        docs, "doc_id", "text", gram_k=_SPAN_K, min_span_tokens=_SPAN_MIN
+    )
+
+
 @register(
     "dedup_near_clusters",
     tags=("LLM", "dedup", "G4"),

@@ -275,3 +275,32 @@ def test_exact_duplicates_plans_single_shuffle(spark):
     plan = explain_str(exact_duplicates(df, "doc_id", "text"))
     n_exchanges = sum(1 for line in plan.splitlines() if line.strip().startswith("(") and "Exchange" in line)
     assert n_exchanges == 1, plan
+
+
+def test_repeated_spans_planted_passage(spark):
+    # Two docs share a 16-token passage embedded in different contexts;
+    # a third doc repeats an internal 10-token run twice. Span dedup
+    # must find exactly those runs (k=8 resolution), not whole docs.
+    from anti_money_laundering_spark.dedup import repeated_spans
+
+    passage = " ".join(f"p{i}" for i in range(16))
+    rep = " ".join(f"r{i}" for i in range(10))
+    rows = [
+        (1, f"alpha beta gamma {passage} delta epsilon"),
+        (2, f"one two {passage} three four five six"),
+        (3, f"start {rep} middle words here {rep} finish"),
+        (4, "totally unique text with no repeats at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(df, "doc_id", "text", gram_k=8, min_span_tokens=10).collect()
+    }
+    # doc 1: passage at token offset 3..18; doc 2: offset 2..17
+    assert (1, 3, 18, 16) in got
+    assert (2, 2, 17, 16) in got
+    # doc 3: both copies of the 10-token run are covered spans
+    assert (3, 1, 10, 10) in got
+    assert (3, 14, 23, 10) in got  # start + 10 run + middle/words/here = offset 14
+    assert not any(d == 4 for d, *_ in got)
+    assert len(got) == 4
