@@ -181,6 +181,7 @@ _R7_PLAN: tuple[str, ...] = (
     # r6-new queries (registered after the r6 window froze)
     "pregel_trust_averaging",
     "dedup_repeated_spans",
+    "bucketed_join_segments",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

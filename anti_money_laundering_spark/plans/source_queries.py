@@ -334,3 +334,53 @@ def versioned_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(None).cast("long").alias("region"),
     )
     return v2_rows.unionByName(restored)
+
+
+@register(
+    "bucketed_join_segments",
+    tags=("S4", "OP", "A1"),
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice) + 1e-6, 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join through BUCKETED managed tables
+    (sources.save_bucketed): orders and customer are both written
+    bucketed 8 ways on the customer key, read back via the catalog, and
+    joined on that key — at scale the bucketed layout deletes the
+    fact-side shuffle entirely (the no-Exchange plan shape is pinned in
+    tests/test_operators.py::test_bucketed_tables_join_without_exchange;
+    here the oracle hash-verifies the bucketed write→scan→join chain
+    end to end, which no catalog query covered before). Values are
+    identical to the plain join by construction — bucketing changes
+    layout, never content."""
+    from pyspark.sql import functions as F
+
+    _sweep_stale_roundtrips(spark)
+    pid = os.getpid()
+    db = f"aml_roundtrip_{pid}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    from anti_money_laundering_spark.sources import save_bucketed
+
+    for tbl, src, key in (
+        ("orders_bkt", load_table(spark, sf_dir, "orders"), "o_custkey"),
+        ("customer_bkt", load_table(spark, sf_dir, "customer"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        shutil.rmtree(os.path.join(warehouse, f"{db}.db", tbl), ignore_errors=True)
+        save_bucketed(src, f"{db}.{tbl}", 8, [key], sort_by=[key])
+    o = spark.table(f"{db}.orders_bkt")
+    c = spark.table(f"{db}.customer_bkt")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-6, 2).alias("revenue"),
+        )
+    )
