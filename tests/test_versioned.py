@@ -425,3 +425,40 @@ def test_vacuum_drops_manifests_before_data_and_tolerates_races(spark):
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=2)
     assert [r.k for r in t.read(spark).collect()] == [3]
+
+
+def test_compact_zorder_clustering_enables_two_way_pruning(spark):
+    # OPTIMIZE ZORDER: after a Morton-clustered rewrite, a range read
+    # selective in EITHER dimension must skip files from manifest stats
+    # alone; the arrival-ordered layout (plain compact) cannot skip on
+    # the second dimension at all. Content must be identical either way.
+    import itertools
+
+    t = _tbl()
+    # 32x32 grid arriving in row-major order: y is scattered across
+    # every arrival batch, so unclustered file stats on y all overlap
+    rows = [(x, y, x * 32 + y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x int, y int, v int").repartition(8)
+    t.write(df, stats_cols=["x", "y"])
+
+    # plain compact: 8 files, arrival order — y ranges overlap
+    t.compact(spark, target_files=8, stats_cols=["x", "y"])
+    plain = t._load(t.latest_version())
+    plain_y = t._prune_files(plain, ("y", 0, 3))
+    assert len(plain_y) == len(plain.files)  # no skipping on y
+
+    # z-ordered compact: both dimensions prune
+    t.compact(spark, target_files=8, cluster_by=["x", "y"])
+    m = t._load(t.latest_version())
+    assert len(m.files) > 1
+    kept_x = t._prune_files(m, ("x", 0, 3))
+    kept_y = t._prune_files(m, ("y", 0, 3))
+    assert len(kept_x) < len(m.files), (len(kept_x), len(m.files))
+    assert len(kept_y) < len(m.files), (len(kept_y), len(m.files))
+    # pruned reads stay CORRECT (pruning is an optimization, never a
+    # semantics change) and content survived both rewrites
+    got = sorted(
+        (r.x, r.y, r.v) for r in t.read(spark, prune=("y", 0, 3)).collect()
+    )
+    assert got == sorted((x, y, v) for x, y, v in rows if y <= 3)
+    assert t.read(spark).count() == 32 * 32
