@@ -182,6 +182,7 @@ _R7_PLAN: tuple[str, ...] = (
     "pregel_trust_averaging",
     "dedup_repeated_spans",
     "bucketed_join_segments",
+    "ann_quantized_topk",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

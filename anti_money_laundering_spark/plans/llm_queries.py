@@ -814,6 +814,37 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_quantized_topk",
+    tags=("LLM", "ann"),
+    # Same verification-mode pattern as ann_ivf_topk: exact_rerank
+    # unions the int8 shortlist with the brute-force pair set before
+    # the exact-cosine rank, so the output equals brute force (pinned
+    # by tests/test_vector.py::test_quantized_exact_rerank_equals_
+    # bruteforce) and the exact top-k SQL oracle applies while the
+    # quantize → int8-GEMM shortlist → float rerank chain still
+    # executes. At 100 TB exact_rerank stays off and the shortlist's
+    # recall (>= 0.95 pinned) is the contract.
+    oracle=_DUCK_ANN_TOPK,
+)
+def ann_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search (vector.ann_quantized_topk): the
+    corpus streams as int8 codes (4x less memory/IO than float32 —
+    FAISS SQ8's layout) against the broadcast query matrix for a
+    shortlist, then only the shortlist fetches original floats for the
+    exact rank. Registered in verification mode (exact_rerank) so the
+    driver hash-compares it against the exact oracle."""
+    from anti_money_laundering_spark.vector import ann_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_quantized_topk(
+        emb.filter(F.col("label") == 0), emb, k=5, rerank_factor=4, exact_rerank=True
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

@@ -37,6 +37,8 @@ __all__ = [
     "table_buckets_udf",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "quantize_int8",
+    "ann_quantized_topk",
 ]
 
 
@@ -531,6 +533,124 @@ def _ann_lsh_topk_shuffle(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    vv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"))
+    cos = cosine_pairs_udf()
+    scored = (
+        candidates.join(qv, "query_id")
+        .join(vv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos(F.col("__qv"), F.col("__vv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale =
+    max(|v_i|)/127, q_i = round(v_i/scale) — the memory/IO layout trick
+    of production vector stores (FAISS SQ8): the stored corpus shrinks
+    4× vs float32 (8× vs float64), and candidate scoring reads a
+    quarter of the bytes. Dequantized ``q_i*scale`` reconstructs each
+    component to within scale/2, so approximate cosines land within
+    ~dim·(scale/2) of exact — rerank the shortlist with the ORIGINAL
+    floats (``ann_quantized_topk``) to erase the error.
+
+    One numpy pass per Arrow batch (pandas_udf discipline — per-component
+    higher-order exprs evaluate interpreted). Returns (id, __q
+    array<tinyint>, __scale double). Zero vectors get scale 0 and an
+    all-zero code.
+    """
+    fields = f"__q array<tinyint>, __scale double"
+
+    @F.pandas_udf(fields)
+    def quant(v: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        scale = np.abs(mat).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.clip(np.round(mat / safe[:, None]), -127, 127).astype(np.int8)
+        return pd.DataFrame({"__q": list(q), "__scale": scale})
+
+    return vectors.select(
+        F.col(id_col), quant(F.col(vec_col).cast("array<double>")).alias("__sq")
+    ).select(id_col, F.col("__sq.__q").alias("__q"), F.col("__sq.__scale").alias("__scale"))
+
+
+def ann_quantized_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_factor: int = 4,
+    max_queries: int = 100_000,
+    exact_rerank: bool = False,
+) -> DataFrame:
+    """Approximate top-k over the INT8-quantized corpus with exact
+    float rerank — the two-stage shape every production vector search
+    runs at memory-bound scale: stage 1 streams the 4×-smaller
+    quantized representation (``quantize_int8``) against the broadcast
+    query matrix and keeps a ``rerank_factor * k`` shortlist per query;
+    stage 2 fetches ONLY the shortlist's original float vectors (an
+    equi-join on id, ~rerank_factor·k·q rows — never the corpus) and
+    ranks by exact cosine. Quantization error can only demote a true
+    neighbor out of the shortlist, never corrupt a returned score.
+
+    ``exact_rerank=True`` unions the shortlist with the brute-force
+    top-k pairs before the exact rank (same verification mode as
+    :func:`ann_ivf_topk`): output then EQUALS brute force, making the
+    operator hash-attestable against the exact SQL oracle while still
+    exercising the quantize→shortlist→rerank chain. Recall of the
+    pure shortlist is pinned separately in tests/test_vector.py.
+
+    Scale posture: at 100 TB the quantized table is PERSISTED once
+    (write ``quantize_int8``'s output; int8 parquet is what scans
+    daily) — here it is derived in the same job, which exercises
+    identical plumbing. Candidate generation is one mapInPandas pass,
+    no shuffle; the only shuffles are the shortlist's id-joins and the
+    final per-query rank. Same output contract as :func:`cosine_topk`.
+    """
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(f"{len(q_rows)} queries exceed max_queries={max_queries}")
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat))
+
+    shortlist_n = rerank_factor * k
+    cand_schema = (
+        f"query_id {dict(queries.dtypes)[id_col]}, "
+        f"neighbor_id {dict(vectors.dtypes)[id_col]}"
+    )
+
+    def shortlist(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            q = np.vstack(pdf["__q"].to_numpy()).astype(np.float64)
+            scale = pdf["__scale"].to_numpy()
+            deq = q * scale[:, None]  # dequantized corpus batch
+            norms = np.maximum(np.linalg.norm(deq, axis=1), 1e-300)
+            sims = mat @ (deq / norms[:, None]).T  # approx cosine
+            n_ids = pdf[id_col].to_numpy()
+            kk = min(shortlist_n, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                cand = np.flatnonzero(n_ids != ids[qi])
+                if cand.size == 0:
+                    continue
+                take = cand[np.lexsort((n_ids[cand], -row[cand]))[:kk]]
+                yield pd.DataFrame({"query_id": ids[qi], "neighbor_id": n_ids[take]})
+
+    quantized = quantize_int8(vectors, id_col=id_col, vec_col=vec_col)
+    candidates = quantized.mapInPandas(shortlist, schema=cand_schema)
+    if exact_rerank:
+        exact_pairs = cosine_topk_blas(
+            queries, vectors, id_col=id_col, vec_col=vec_col, k=k
+        ).select("query_id", "neighbor_id")
+        candidates = candidates.unionByName(exact_pairs).distinct()
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     vv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"))
     cos = cosine_pairs_udf()

@@ -182,3 +182,55 @@ def test_ivf_exact_rerank_equals_bruteforce(spark, sf_dir):
                     queries, emb, k=5, n_lists=16, n_probe=4, exact_rerank=True
                 ).collect()}
     assert reranked == exact
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark, sf_dir):
+    """Symmetric int8 quantization: every dequantized component must sit
+    within scale/2 of the original, and scale = max|v|/127 exactly."""
+    import numpy as np
+
+    from anti_money_laundering_spark.vector import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in quantize_int8(emb).collect():
+        v = orig[r.vec_id]
+        scale = np.abs(v).max() / 127.0
+        assert abs(r["__scale"] - scale) < 1e-12
+        deq = np.array(r["__q"], dtype=np.float64) * r["__scale"]
+        assert np.all(np.abs(deq - v) <= max(scale / 2, 1e-12) + 1e-12)
+
+
+def test_quantized_shortlist_recall(spark, sf_dir):
+    """The pure int8 shortlist (no exact union) must recover >= 95% of
+    the true top-5 pairs at fixture scale — the recall contract the
+    100 TB path rides on (rerank can only fix what the shortlist
+    keeps)."""
+    from anti_money_laundering_spark.vector import ann_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_blas(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_quantized_topk(queries, emb, k=5, rerank_factor=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_quantized_exact_rerank_equals_bruteforce(spark, sf_dir):
+    """exact_rerank mode: shortlist ∪ brute-force pairs, exact-ranked,
+    must EQUAL brute force — the invariant the ann_quantized_topk
+    DuckDB oracle relies on (same contract as the IVF/LSH pins; run at
+    every SF before the driver)."""
+    from anti_money_laundering_spark.vector import ann_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in cosine_topk_blas(queries, emb, k=5).collect()}
+    reranked = {(r.query_id, r.neighbor_id, r.rank)
+                for r in ann_quantized_topk(
+                    queries, emb, k=5, rerank_factor=4, exact_rerank=True
+                ).collect()}
+    assert reranked == exact
