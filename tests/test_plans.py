@@ -305,3 +305,34 @@ def test_repetition_scores_jvm_only_partial_agg(spark, sf_dir):
     assert "aggregate(" not in plan.lower().replace("hashaggregate(", "").replace(
         "objecthashaggregate(", ""
     ).replace("sortaggregate(", "")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime row-level filtering — the engine's 100 TB
+    answer for selective dim⋈fact joins — injects a bloom filter built
+    from the (filtered) orders keys into the lineitem scan side, so
+    fact rows that cannot match die BEFORE the join shuffle. The
+    application-side threshold defaults to 10 GB of scanned bytes
+    (sized for clusters, not fixtures), so the test lowers it to prove
+    the mechanism engages and that the bloom is semantics-free: false
+    positives only ever pass EXTRA rows into the exact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    conf = spark.conf
+    app_thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    saved_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_app = conf.get(app_thresh)
+    baseline = j.count()
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(app_thresh, "0")
+    try:
+        plan = explain_str(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        assert j.count() == baseline  # bloom never changes the result
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        conf.set(app_thresh, saved_app)
