@@ -50,6 +50,7 @@ from anti_money_laundering_spark.functions import (
 __all__ = [
     "exact_duplicates",
     "repeated_spans",
+    "cut_spans",
     "shingle_sets",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -160,6 +161,70 @@ def repeated_spans(
         )
         .filter(F.col("span_tokens") >= min_span_tokens)
         .drop("__grp")
+    )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply :func:`repeated_spans` output: remove every token position
+    covered by a span and reassemble the remainder — the second half of
+    the ExactSubstr loop (find repeated passages, then CUT them, not
+    the documents containing them). Which occurrences to cut is the
+    CALLER's policy, expressed by filtering ``spans`` first (e.g.
+    anti-join one canonical doc per passage to keep a single copy;
+    passing the raw span set cuts every occurrence, Lee et al.'s
+    default for boilerplate).
+
+    Output: (id, text_clean, n_cut_tokens). ``text_clean`` is the
+    space-joined LOWERCASED token stream (the same canonical form the
+    span offsets index into — cutting from raw text would misalign the
+    offsets); docs with no spans pass through with n_cut_tokens 0, and
+    a fully-covered doc yields the empty string (drop or keep is again
+    caller policy).
+
+    Plan: tokens posexplode, a left join onto spans keyed on the doc id
+    with the range-containment residual (spans per doc are few, so the
+    id-keyed join is cheap and never pairwise), then one per-doc
+    reassembly agg. Reassembly sorts each doc's surviving (pos, tok)
+    structs — per-doc arrays, bounded by doc length; at 100 TB keep
+    the output tokenized (skip the array_join) and feed the arrays
+    straight to the tokenizer."""
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    sp = spans.select(
+        F.col(id_col), F.col("span_start"), F.col("span_end"), F.lit(True).alias("__cut")
+    )
+    marked = toks.join(
+        sp,
+        on=[
+            toks[id_col] == sp[id_col],
+            F.col("pos") >= F.col("span_start"),
+            F.col("pos") <= F.col("span_end"),
+        ],
+        how="left",
+    ).select(toks[id_col], "pos", "tok", "__cut")
+    # a position inside two overlapping spans joins twice — collapse
+    # before counting cuts
+    marked = marked.groupBy(id_col, "pos", "tok").agg(
+        F.max(F.coalesce("__cut", F.lit(False))).alias("__cut")
+    )
+    return marked.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN NOT __cut THEN "
+                    "struct(pos, tok) END)), s -> s.tok)"
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+        F.sum(F.col("__cut").cast("long")).alias("n_cut_tokens"),
     )
 
 

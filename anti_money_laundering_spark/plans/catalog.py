@@ -183,6 +183,7 @@ _R7_PLAN: tuple[str, ...] = (
     "dedup_repeated_spans",
     "bucketed_join_segments",
     "ann_quantized_topk",
+    "corpus_despan_clean",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -529,6 +529,69 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_despan_clean",
+    tags=("LLM", "dedup", "text"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, ts[i] AS tok, i - 1 AS pos
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '{_DUCK_WS}+'),
+                                 t -> t <> '') AS ts
+              FROM documents) d,
+             (SELECT unnest(generate_series(1, 100000)) AS i) gs
+        WHERE i <= len(ts)
+    ),
+    grams AS (
+        SELECT doc_id, pos, tok || ' ' || {_SPAN_LEADS} AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    covered AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+            FROM grams WHERE gram IS NOT NULL
+        ) WHERE cnt >= 2
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM covered
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_K} - 1 AS e
+        FROM islands GROUP BY doc_id, grp
+        HAVING max(pos) + {_SPAN_K} - min(pos) >= {_SPAN_MIN}
+    ),
+    marked AS (
+        SELECT t.doc_id, t.pos, t.tok,
+               EXISTS(SELECT 1 FROM spans s
+                      WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e) AS cut
+        FROM toks t
+    )
+    SELECT doc_id,
+           coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cut), '')
+               AS text_clean,
+           CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_tokens
+    FROM marked GROUP BY doc_id
+    """,
+)
+def corpus_despan_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ExactSubstr loop over the corpus: find repeated spans
+    (dedup.repeated_spans, 8-gram resolution) and CUT every occurrence
+    from the tokenized text (dedup.cut_spans), returning the cleaned
+    token stream + per-doc cut counts — passage-level boilerplate
+    removal without dropping documents."""
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    from anti_money_laundering_spark.dedup import cut_spans, repeated_spans
+
+    spans = repeated_spans(
+        docs, "doc_id", "text", gram_k=_SPAN_K, min_span_tokens=_SPAN_MIN
+    )
+    return cut_spans(docs, spans, "doc_id", "text")
+
+
+@register(
     "dedup_near_clusters",
     tags=("LLM", "dedup", "G4"),
     # Same recall-1.0 justification as dedup_minhash_near_dups: with the

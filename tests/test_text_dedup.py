@@ -304,3 +304,38 @@ def test_repeated_spans_planted_passage(spark):
     assert (3, 14, 23, 10) in got  # start + 10 run + middle/words/here = offset 14
     assert not any(d == 4 for d, *_ in got)
     assert len(got) == 4
+
+
+def test_cut_spans_removes_planted_passages(spark):
+    from anti_money_laundering_spark.dedup import cut_spans, repeated_spans
+
+    passage = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (1, f"alpha beta gamma {passage} delta epsilon"),
+        (2, f"one two {passage} three four five six"),
+        (4, "totally unique text with no repeats at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(df, "doc_id", "text", gram_k=8, min_span_tokens=10)
+    out = {r.doc_id: (r.text_clean, r.n_cut_tokens) for r in cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1] == ("alpha beta gamma delta epsilon", 16)
+    assert out[2] == ("one two three four five six", 16)
+    assert out[4] == ("totally unique text with no repeats at all whatsoever", 0)
+    # convergence: the cleaned corpus has no repeated spans left
+    clean = spark.createDataFrame(
+        [(k, v[0]) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert repeated_spans(clean, "doc_id", "text", gram_k=8, min_span_tokens=10).count() == 0
+    # caller policy: keep doc 1's copy by filtering its spans out
+    keep_first = spans.filter(F.col("doc_id") != 1)
+    kept = {r.doc_id: r.text_clean for r in cut_spans(df, keep_first, "doc_id", "text").collect()}
+    assert passage in kept[1] and passage not in kept[2]
+
+
+def test_cut_spans_fully_covered_doc_yields_empty(spark):
+    from anti_money_laundering_spark.dedup import cut_spans
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    spans = spark.createDataFrame([(1, 0, 3, 4)], "doc_id long, span_start long, span_end long, span_tokens long")
+    out = cut_spans(df, spans, "doc_id", "text").collect()[0]
+    assert out.text_clean == "" and out.n_cut_tokens == 4
