@@ -873,3 +873,65 @@ def test_dense_index_equals_sorted_enumerate(spark, keys, parts):
     }
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+# --- repeated spans vs brute-force k-gram oracle ----------------------------
+
+
+def _spans_oracle(docs, k, min_span):
+    """Brute-force ExactSubstr at k-gram resolution: count every k-gram
+    corpus-wide, mark positions whose gram repeats, merge adjacent
+    positions into maximal runs, emit runs >= min_span tokens."""
+    from collections import Counter
+
+    toks = {d: t.lower().split() for d, t in docs}
+    grams = Counter()
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    out = set()
+    for d, ts in toks.items():
+        covered = sorted(
+            i for i in range(len(ts) - k + 1) if grams[tuple(ts[i : i + k])] >= 2
+        )
+        run = []
+        for i in covered:
+            if run and i == run[-1] + 1:
+                run.append(i)
+            else:
+                if run and (run[-1] + k - run[0]) >= min_span:
+                    out.add((d, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+                run = [i]
+        if run and (run[-1] + k - run[0]) >= min_span:
+            out.add((d, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 99),
+            st.lists(
+                st.sampled_from("a b c d".split()), min_size=0, max_size=12
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_repeated_spans_equals_bruteforce(spark, docs, k):
+    # tiny alphabet forces heavy gram collisions: overlapping islands,
+    # same-doc repeats, whole-doc coverage, sub-k docs — the corner net
+    from anti_money_laundering_spark.dedup import repeated_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in repeated_spans(
+            df, "doc_id", "text", gram_k=k, min_span_tokens=k
+        ).collect()
+    }
+    assert got == _spans_oracle(docs, k, min_span=k)
