@@ -46,6 +46,7 @@ __all__ = [
     "score_pairs",
     "term_frequencies",
     "round_params",
+    "match_weights",
     "link_dedupe",
 ]
 
@@ -357,6 +358,35 @@ def round_params(params: dict, ndigits: int = 6) -> dict:
         "m": {k: [round(v, ndigits) for v in vs] for k, vs in params["m"].items()},
         "u": {k: [round(v, ndigits) for v in vs] for k, vs in params["u"].items()},
     }
+
+
+def match_weights(spark, params: dict, comparisons: list[Comparison]) -> DataFrame:
+    """Splink's match-weight ("waterfall") chart DATA as a DataFrame:
+    per comparison level the Bayes factor m/u and its log2 match
+    weight, plus the ``__prior__`` row carrying λ/(1-λ) — exactly the
+    quantities :func:`score_pairs` sums per pair, exposed so an analyst
+    can read WHICH level drives a match decision (the reference leans
+    on Splink's chart for this, 03_aml_entity_resolution.py:72-75; E5
+    scopes the rendering out, the numbers are the contract).
+
+    Fitted params are a tiny driver-side dict (the same shape
+    ``em_fit`` returns), so this is a createDataFrame of
+    Σ(levels)+1 rows — no cluster work."""
+    import math
+
+    lam = float(params["lambda"])
+    rows: list[tuple] = [
+        ("__prior__", -1, lam / (1.0 - lam), math.log2(lam / (1.0 - lam)))
+    ]
+    for c in comparisons:
+        for lvl in range(c.n_levels):
+            m = float(params["m"][c.name][lvl])
+            u = float(params["u"][c.name][lvl])
+            rows.append((c.name, lvl, m / u, math.log2(m / u)))
+    return spark.createDataFrame(
+        rows,
+        "comparison string, gamma_level int, bayes_factor double, match_weight double",
+    )
 
 
 def link_dedupe(

@@ -184,6 +184,7 @@ _R7_PLAN: tuple[str, ...] = (
     "bucketed_join_segments",
     "ann_quantized_topk",
     "corpus_despan_clean",
+    "linkage_match_weights",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -183,6 +183,25 @@ def _em_params_oracle() -> str:
     return _em_cte_prefix() + " " + " UNION ALL ".join(parts)
 
 
+def _match_weights_oracle() -> str:
+    # log2 is not correctly-rounded across libms, so round both sides
+    # to 6 decimals (the m/u inputs themselves replay bit-identically —
+    # linkage_em_params hash-matches unrounded).
+    parts = [
+        "SELECT '__prior__' AS comparison, -1 AS gamma_level, "
+        "round(lam / (1 - lam), 6) AS bayes_factor, "
+        "round(log2(lam / (1 - lam)), 6) AS match_weight FROM emf"
+    ]
+    for name, n, _ in _COMP_SQL:
+        for lvl in range(n):
+            parts.append(
+                f"SELECT '{name}', {lvl}, "
+                f"round(m_{name}_{lvl} / u_{name}_{lvl}, 6), "
+                f"round(log2(m_{name}_{lvl} / u_{name}_{lvl}), 6) FROM emf"
+            )
+    return _em_cte_prefix() + " " + " UNION ALL ".join(parts)
+
+
 @register(
     "linkage_blocked_pairs",
     tags=("E1", "E2", "J5"),
@@ -284,6 +303,31 @@ def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lvl in range(c.n_levels):
             rows.append((c.name, lvl, float(params["m"][c.name][lvl]), float(params["u"][c.name][lvl])))
     return spark.createDataFrame(rows, "comparison string, gamma_level int, m double, u double")
+
+
+@register(
+    "linkage_match_weights",
+    tags=("E5",),
+    oracle=_match_weights_oracle(),
+)
+def linkage_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink's match-weight waterfall DATA (E5): per comparison level
+    the Bayes factor m/u and log2 match weight from the fitted EM
+    params, plus the λ/(1-λ) prior row — which level drives a match
+    decision, as numbers instead of the reference's Splink chart
+    (03_aml_entity_resolution.py:72-75)."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.linkage import match_weights
+
+    _, params = _shared_em(spark, sf_dir)
+    out = match_weights(spark, params, _comparisons())
+    return out.select(
+        "comparison",
+        "gamma_level",
+        F.round("bayes_factor", 6).alias("bayes_factor"),
+        F.round("match_weight", 6).alias("match_weight"),
+    )
 
 
 @register(
