@@ -185,6 +185,8 @@ _R7_PLAN: tuple[str, ...] = (
     "ann_quantized_topk",
     "corpus_despan_clean",
     "linkage_match_weights",
+    "dormant_activation_alerts",
+    "counterparty_concentration",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -524,6 +524,98 @@ def window_lag_lead_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dormant_activation_alerts",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, value,
+               date_diff('microsecond', lag(ts) OVER w, ts) AS gap_micros
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, gap_micros, round(value + 1e-6, 2) AS value
+    FROM g WHERE gap_micros > 129600000000 AND value > 110
+    """,
+)
+def dormant_activation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant-account reactivation (AML classic): a user silent for
+    > 1.5 days whose next transaction is high-value (> 110). Thresholds
+    sit between the fixture's p90 gap (~1.0 day) / p99 (~2.0) and at
+    the value p90 — 4/29/383 alerts at the three SFs. One per-user
+    event-time window; exact microsecond gaps so both engines compute
+    identical integers."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+                "gap_micros"
+            ),
+        )
+        .filter((F.col("gap_micros") > 129_600_000_000) & (F.col("value") > 110))
+        .select("user_id", "event_id", "gap_micros", F.round(F.col("value") + 1e-6, 2).alias("value"))
+    )
+
+
+@register(
+    "counterparty_concentration",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH flows AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS cp,
+               round(sum(value) + 1e-6, 2) AS amt
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, round(sum(amt) + 1e-6, 2) AS total FROM flows GROUP BY 1),
+    ranked AS (
+        SELECT f.user_id, f.cp, f.amt, t.total,
+               row_number() OVER (PARTITION BY f.user_id
+                                  ORDER BY f.amt DESC, f.cp) AS rn
+        FROM flows f JOIN tot t USING (user_id)
+    )
+    SELECT user_id, cp AS top_cp, amt AS top_amt, total,
+           round(amt / total, 6) AS share
+    FROM ranked WHERE rn = 1 AND amt / total > 0.12
+    """,
+)
+def counterparty_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterparty-concentration alerts: users whose single largest
+    counterparty receives > 12% of their total outflow (fixture p90
+    share ~0.117-0.12; 1/12/154 alerts at the three SFs — funnel
+    accounts funnel). Per-counterparty sums are rounded BEFORE ranking
+    so the top-1 pick is engine-stable; one groupBy + one per-user
+    rank."""
+    ev = _t(spark, sf_dir, "events")
+    flows = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("cp"),
+            "value",
+        )
+        .groupBy("user_id", "cp")
+        .agg(F.round(F.sum("value") + 1e-6, 2).alias("amt"))
+    )
+    tot = flows.groupBy("user_id").agg(F.round(F.sum("amt") + 1e-6, 2).alias("total"))
+    w = Window.partitionBy("user_id").orderBy(F.col("amt").desc(), F.col("cp"))
+    return (
+        flows.join(tot, "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("amt") / F.col("total") > 0.12))
+        .select(
+            "user_id",
+            F.col("cp").alias("top_cp"),
+            F.col("amt").alias("top_amt"),
+            "total",
+            F.round(F.col("amt") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
     "sessionize_events",
     headline=True,
     tags=("W-ext",),
