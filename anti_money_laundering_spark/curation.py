@@ -119,9 +119,14 @@ def decontaminate(
     suite, clean id space — the id anti-join is then a no-op) or a
     SUBSET of them (the eval-slice shape); a partial overlap is exactly
     the colliding-external-suite symptom and raises ``ValueError``.
-    Cost: two bounded counting actions over the (tiny, broadcastable)
-    benchmark id set — pass ``validate_ids=False`` in a hot loop where
-    the caller has already proven the id discipline."""
+    KNOWN BLIND SPOT: a fully-colliding external suite (every benchmark
+    id coincidentally present in the corpus) is INDISTINGUISHABLE from
+    a legitimate eval slice by id arithmetic alone — the check cannot
+    catch it; external suites should remap ids or pass
+    ``drop_benchmark_ids=False`` regardless of this validation.
+    Cost: one corpus-scan action plus a tiny benchmark count — pass
+    ``validate_ids=False`` in a hot loop where the caller has already
+    proven the id discipline."""
     if drop_benchmark_ids and validate_ids:
         b_ids = benchmark.select(id_col).distinct()
         n_bench = b_ids.count()

@@ -213,7 +213,7 @@ def cut_spans(
     marked = marked.groupBy(id_col, "pos", "tok").agg(
         F.max(F.coalesce("__cut", F.lit(False))).alias("__cut")
     )
-    return marked.groupBy(id_col).agg(
+    cleaned = marked.groupBy(id_col).agg(
         F.coalesce(
             F.array_join(
                 F.expr(
@@ -225,6 +225,19 @@ def cut_spans(
             F.lit(""),
         ).alias("text_clean"),
         F.sum(F.col("__cut").cast("long")).alias("n_cut_tokens"),
+    )
+    # Token-less docs never reach posexplode; re-attach them so the
+    # output covers EVERY input doc (r6 review finding — a cleaning
+    # pipeline replacing docs with this output must not lose empty
+    # docs): their cleaned token stream is the empty string.
+    return (
+        docs.select(F.col(id_col))
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_cut_tokens", F.lit(0)).alias("n_cut_tokens"),
+        )
     )
 
 

@@ -95,10 +95,17 @@ def pregel(
         if use_dst_state:
             # second vertex join keyed on the edge's dst — the same
             # per-superstep cost GraphFrames' triplet view pays; only
-            # built when a message expression names dst.<col>
+            # built when a message expression names dst.<col>. LEFT
+            # join (r6 review finding): a dangling edge (dst not in
+            # the vertex table) must not silently suppress its
+            # msg_to_src message — it gets dst = NULL, so only
+            # dst-dependent expressions null out (and null messages
+            # are filtered), while src-directed messages behave
+            # exactly as with use_dst_state=False.
             triplets = triplets.join(
                 vertices.select(F.struct(*vertices.columns).alias("dst")),
                 F.col("dst_id") == F.col("dst.id"),
+                "left",
             )
         parts = []
         if msg_to_dst is not None:

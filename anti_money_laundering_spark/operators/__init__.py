@@ -129,6 +129,7 @@ def salted_join(
     how: str = "inner",
     seed: int = 7,
     left_key: str | Column | None = None,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Skew-mitigating equi-join: split each hot left key across
     ``salt`` sub-keys and replicate the right side once per sub-key, so
@@ -152,6 +153,18 @@ def salted_join(
     use case this operator advertises. md5 over row content is a pure
     function of the data: same row, same reducer, any layout.
 
+    CAP of the content-derived salt (inherent to ANY deterministic
+    salt): byte-identical duplicate rows necessarily draw the same
+    salt, so a hot key whose rows are indistinguishable (e.g. after a
+    projection dropped the discriminating columns) still lands on one
+    reducer. Pass a ``left_key`` that VARIES within the hot join key —
+    an event id, a timestamp — whenever one exists; if rows are truly
+    identical, aggregate the duplicates first (count them) or accept
+    AQE's skew-split as the fallback.
+
+    ``keep_salt=True`` retains the ``__salt`` column in the output so
+    callers (and the determinism test) can observe assignments.
+
     This is the manual fallback when AQE's skew-join can't kick in
     (e.g. the skew only materializes after upstream transforms, or a
     deterministic layout is needed); cost = right side inflated
@@ -171,7 +184,8 @@ def salted_join(
         "__salt", hash_bucket(key_col, buckets=salt, salt=f"salted-join-{seed}").cast("int")
     )
     r_s = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-    return l_s.join(r_s, [*on, "__salt"], how).drop("__salt")
+    out = l_s.join(r_s, [*on, "__salt"], how)
+    return out if keep_salt else out.drop("__salt")
 
 
 def range_join(

@@ -148,10 +148,13 @@ _WINDOW: tuple[str, ...] = (
 
 #: ROUND-7 COMPLETION SCHEDULE (r5 verdict item 2 — committed now so
 #: the endgame is mechanical): after the r6 driver run, exactly these
-#: oracled queries will never have received a driver row. The r7 window
-#: is the 8-query keep core above + all 23 of these + the 2 permanently
-#: rows-only queries listed in _ROWS_ONLY_UNATTESTABLE (33-35 slots of
-#: 50; the remainder re-attests rotated-out flagships), which closes
+#: oracled queries will never have received a driver row — the 23
+#: never-attested survivors of the r6 rotation plus every query
+#: REGISTERED DURING r6 after the window froze (appended below as they
+#: landed; the window test refuses a new query outside this plan). The
+#: r7 window is the 8-query keep core above + this whole tuple + the 2
+#: permanently rows-only queries in _ROWS_ONLY_UNATTESTABLE; any slots
+#: left of the 50 re-attest rotated-out flagships. That closes
 #: full-catalog driver attestation. Enforced by
 #: tests/test_catalog_window.py::test_r7_plan_closes_attestation.
 _R7_PLAN: tuple[str, ...] = (

@@ -566,12 +566,20 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                EXISTS(SELECT 1 FROM spans s
                       WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e) AS cut
         FROM toks t
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cut), '')
+                   AS text_clean,
+               CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_tokens
+        FROM marked GROUP BY doc_id
     )
-    SELECT doc_id,
-           coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cut), '')
-               AS text_clean,
-           CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_tokens
-    FROM marked GROUP BY doc_id
+    -- left join from documents: token-less docs (no toks rows) still
+    -- appear with an empty cleaned stream, mirroring cut_spans
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(a.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def corpus_despan_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

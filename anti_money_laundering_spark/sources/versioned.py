@@ -536,7 +536,7 @@ class VersionedTable:
         )
 
     # -- streaming sink -----------------------------------------------
-    def stream_sink(self, on: list[str] | None = None):
+    def stream_sink(self, on: list[str] | None = None, app_id: str = "default"):
         """``foreachBatch`` function giving EXACTLY-ONCE streaming
         writes into the versioned table: each micro-batch commits one
         version carrying its batch id in the manifest ``meta``; a
@@ -546,24 +546,38 @@ class VersionedTable:
         upsert — Delta's `foreachBatch + MERGE` recipe); without, it
         appends.
 
+        ``app_id`` scopes the ledger per streaming query (Delta's
+        txnAppId): batch ids restart at 0 whenever a NEW query (fresh
+        checkpoint dir) targets the table, so an unscoped max would
+        silently discard every batch of the successor query (r6 review
+        finding). Distinct queries writing the same table must pass
+        distinct app ids; a RESTARTED query must keep its app id (same
+        checkpoint = same id sequence = the replay case the guard is
+        for).
+
         >>> q = stream.writeStream.foreachBatch(t.stream_sink(on=["k"]))
         """
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            # Replay guard (Delta's txnVersion rule): batch ids are
-            # delivered in order, so ANY id <= the max ever committed
-            # is a re-delivery — skip it. The max is read from the
-            # newest batch-bearing manifest, which carries it forward
-            # in ``max_batch_id`` (r5 advice, low: the guard previously
-            # matched exact batch_id values in retained manifests, so a
-            # vacuum that dropped the manifest carrying a later
-            # re-delivered id let the batch re-apply as a duplicate;
-            # vacuum now also refuses to drop the newest batch-bearing
-            # manifest, so the carried max survives log truncation).
-            last = self._last_committed_batch_id()
+            # Replay guard (Delta's txnAppId/txnVersion rule): within
+            # one app, batch ids are delivered in order, so ANY id <=
+            # that app's max ever committed is a re-delivery — skip it.
+            # The per-app max map is carried forward in every sink
+            # commit (r5 advice, low: the guard previously matched
+            # exact batch_id values in retained manifests, so a vacuum
+            # that dropped the manifest carrying a later re-delivered
+            # id let the batch re-apply as a duplicate; vacuum also
+            # refuses to drop the newest batch-bearing manifest, so the
+            # carried map survives log truncation).
+            ledger = self._committed_batch_ledger()
+            last = ledger.get(app_id)
             if last is not None and batch_id <= last:
                 return  # replayed batch: already committed
-            batch_meta = {"batch_id": batch_id, "max_batch_id": batch_id}
+            batch_meta = {
+                "app_id": app_id,
+                "batch_id": batch_id,
+                "max_batch_ids": {**ledger, app_id: batch_id},
+            }
             if on is not None and self.latest_version() is not None:
                 # meta rides in the SAME commit as the merge — no
                 # annotation window for a crash to split (see merge())
@@ -575,19 +589,28 @@ class VersionedTable:
 
         return _sink
 
-    def _last_committed_batch_id(self) -> int | None:
-        """Max batch id ever committed by stream_sink, or None. Bounded
-        scan: stops at the first batch-bearing manifest from the tail —
-        sink commits carry the running max forward, so the newest
-        batch-bearing manifest always holds the global max (interleaved
-        non-sink commits carry no meta and are skipped)."""
+    def _committed_batch_ledger(self) -> dict:
+        """{app_id: max committed batch id} across all stream_sink
+        commits. Bounded scan: stops at the first batch-bearing
+        manifest from the tail — sink commits carry the whole map
+        forward, so the newest batch-bearing manifest holds every
+        app's max (interleaved non-sink commits carry no meta and are
+        skipped). Pre-r6 manifests carried a single unscoped
+        ``max_batch_id``/``batch_id`` — mapped to app 'default'."""
         for v in reversed(self.versions()):
             meta = self._load(v).meta or {}
-            if "max_batch_id" in meta:
-                return meta["max_batch_id"]
+            if "max_batch_ids" in meta:
+                return dict(meta["max_batch_ids"])
+            if "max_batch_id" in meta:  # r6 pre-scoping manifests
+                return {"default": meta["max_batch_id"]}
             if "batch_id" in meta:  # pre-carry manifests (back-compat)
-                return meta["batch_id"]
-        return None
+                return {meta.get("app_id", "default"): meta["batch_id"]}
+        return {}
+
+    def _last_committed_batch_id(self) -> int | None:
+        """Back-compat face of :meth:`_committed_batch_ledger` for the
+        single-app ('default') case."""
+        return self._committed_batch_ledger().get("default")
 
     # -- vacuum -------------------------------------------------------
     def vacuum(self, retain: int = 2, orphan_grace_s: float = 600.0) -> list[str]:
@@ -626,12 +649,15 @@ class VersionedTable:
                 meta = self._load(v).meta or {}
             except FileNotFoundError:
                 continue  # another vacuum raced us
-            if "max_batch_id" in meta or "batch_id" in meta:
+            if "max_batch_ids" in meta or "max_batch_id" in meta or "batch_id" in meta:
                 keep_vs.add(v)
                 break
         referenced: set[str] = set()
         for v in sorted(keep_vs):
-            referenced.update(self._load(v).files)
+            try:
+                referenced.update(self._load(v).files)
+            except FileNotFoundError:
+                keep_vs = keep_vs - {v}  # a racing vacuum dropped it
         # 1) drop expired manifests FIRST (guarded): readers then fail
         # fast with "no such version" rather than chasing deleted files
         for v in vs:

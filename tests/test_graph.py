@@ -518,3 +518,28 @@ def test_pregel_dst_state_auto_detection(spark):
         use_dst_state=True,
     )
     assert {r.id: r.score for r in out.collect()} == {1: 1.0, 2: 1.0, 3: 2.0}
+
+
+def test_pregel_dst_state_left_join_keeps_dangling_edge_messages(spark):
+    # r6 review finding: enabling dst-state must not change msg_to_src
+    # semantics on a dangling edge (dst missing from the vertex table).
+    from anti_money_laundering_spark.graph.pregel import pregel
+
+    e_df = spark.createDataFrame([(1, 2), (2, 99)], "src long, dst long")  # 99 dangling
+    v_df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, r double")
+
+    def run(use_dst):
+        out = pregel(
+            Graph(v_df, e_df),
+            state_col="score",
+            initial_expr=F.col("r"),
+            msg_to_dst=None,
+            msg_to_src=F.lit(10.0),  # src of every edge gets 10
+            update_expr=F.coalesce(F.col("msg"), F.col("score")),
+            max_iter=1,
+            use_dst_state=use_dst,
+        )
+        return {r.id: r.score for r in out.collect()}
+
+    # vertex 2's only edge dangles; its message must survive either way
+    assert run(False) == run(True) == {1: 10.0, 2: 10.0}

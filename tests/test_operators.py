@@ -445,18 +445,16 @@ def test_salted_join_salt_deterministic_across_repartitionings(spark, sf_dir):
     )
 
     def salts(df):
-        j = salted_join(df, cust, on=["user_id"], salt=8, left_key="event_id")
-        # re-derive the salt column pre-drop by reproducing the build
-        from anti_money_laundering_spark.sampling import hash_bucket
-
-        return {
-            (r.event_id, r["__salt"])
-            for r in df.withColumn(
-                "__salt", hash_bucket(F.col("event_id"), buckets=8, salt="salted-join-7")
-            ).collect()
-        }
+        # keep_salt=True: observe the ACTUAL assignment the join used
+        # (r6 review finding: recomputing the hash expression outside
+        # the join proved nothing about salted_join itself)
+        j = salted_join(
+            df, cust, on=["user_id"], salt=8, left_key="event_id", keep_salt=True
+        )
+        return {(r.event_id, r["__salt"]) for r in j.select("event_id", "__salt").collect()}
 
     assert salts(ev) == salts(ev.repartition(17)) == salts(ev.coalesce(1))
+    assert len({s for _, s in salts(ev)}) > 1  # salt actually spreads
     # and parity with the plain join still holds with an explicit key
     plain = {
         (r.event_id, r.one)

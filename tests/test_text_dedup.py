@@ -339,3 +339,34 @@ def test_cut_spans_fully_covered_doc_yields_empty(spark):
     spans = spark.createDataFrame([(1, 0, 3, 4)], "doc_id long, span_start long, span_end long, span_tokens long")
     out = cut_spans(df, spans, "doc_id", "text").collect()[0]
     assert out.text_clean == "" and out.n_cut_tokens == 4
+
+
+def test_span_oracle_token_cap_has_headroom():
+    """The dedup_repeated_spans / corpus_despan_clean DuckDB oracles
+    enumerate token positions with generate_series(1, 100000) — an
+    oracle-side cap the Spark side doesn't have. Pin 10x headroom at
+    the driver's SF so a fixture regen with longer documents fails HERE
+    (with this explanation) instead of as an inscrutable driver hash
+    mismatch. Spark-side repeated_spans itself is unbounded."""
+    import duckdb
+
+    max_toks = duckdb.sql(
+        "SELECT max(len(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'))) "
+        "FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchone()[0]
+    assert max_toks * 10 < 100_000, max_toks
+
+
+def test_cut_spans_keeps_tokenless_docs(spark):
+    # r6 review finding: empty/whitespace-only docs never reach
+    # posexplode but must still appear in the output with ("", 0).
+    from anti_money_laundering_spark.dedup import cut_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long, span_tokens long"
+    )
+    out = {r.doc_id: (r.text_clean, r.n_cut_tokens) for r in cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out == {1: ("a b c", 0), 2: ("", 0), 3: ("", 0)}

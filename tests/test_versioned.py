@@ -462,3 +462,21 @@ def test_compact_zorder_clustering_enables_two_way_pruning(spark):
     )
     assert got == sorted((x, y, v) for x, y, v in rows if y <= 3)
     assert t.read(spark).count() == 32 * 32
+
+
+def test_stream_sink_ledger_scoped_per_app(spark):
+    # r6 review finding: a NEW streaming query (fresh checkpoint,
+    # batch ids restarting at 0) must not have its batches swallowed
+    # by a prior query's max. Ledgers are per app_id (Delta txnAppId).
+    t = _tbl()
+    a = t.stream_sink(app_id="query-a")
+    for b in range(3):
+        a(_df(spark, [(b, f"a{b}")]), b)
+    b_sink = t.stream_sink(app_id="query-b")
+    b_sink(_df(spark, [(100, "b0")]), 0)  # restarts at 0 — must land
+    assert (100, "b0") in {(r.k, r.v) for r in t.read(spark).collect()}
+    # replay WITHIN an app is still deduped, and app A's ledger survives
+    b_sink(_df(spark, [(100, "b0")]), 0)
+    a(_df(spark, [(0, "a0")]), 0)  # replay of app A's batch 0
+    assert t.read(spark).count() == 4
+    assert t._committed_batch_ledger() == {"query-a": 2, "query-b": 0}
