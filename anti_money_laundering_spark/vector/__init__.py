@@ -586,6 +586,7 @@ def ann_quantized_topk(
     rerank_factor: int = 4,
     max_queries: int = 100_000,
     exact_rerank: bool = False,
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k over the INT8-quantized corpus with exact
     float rerank — the two-stage shape every production vector search
@@ -604,10 +605,18 @@ def ann_quantized_topk(
     exercising the quantize→shortlist→rerank chain. Recall of the
     pure shortlist is pinned separately in tests/test_vector.py.
 
-    Scale posture: at 100 TB the quantized table is PERSISTED once
-    (write ``quantize_int8``'s output; int8 parquet is what scans
-    daily) — here it is derived in the same job, which exercises
-    identical plumbing. Candidate generation is one mapInPandas pass,
+    Scale posture — WHEN THIS PAYS, measured honestly (SCALE.md §SQ8):
+    the win is reading a PERSISTED int8 table (pass it via
+    ``quantized``: write ``quantize_int8``'s output once, scan it
+    daily). Deriving the codes in the same job (``quantized=None``,
+    the default and the verification path) costs an extra Arrow
+    pass and is SLOWER than scoring floats directly — measured 35 s
+    vs 6-16 s at 500k×64 on one box — so in-job derivation is for
+    correctness testing, never the hot path. On persisted tables the
+    byte win tracks the data's compressibility: raw-float embeddings
+    shrink ~4×; dictionary-encodable synthetic fixtures barely shrink
+    at all (measured 47 → 35 MB), where int8 and float32 scan+score
+    in the same ~0.7 s. Candidate generation is one mapInPandas pass,
     no shuffle; the only shuffles are the shortlist's id-joins and the
     final per-query rank. Same output contract as :func:`cosine_topk`.
     """
@@ -644,7 +653,8 @@ def ann_quantized_topk(
                 take = cand[np.lexsort((n_ids[cand], -row[cand]))[:kk]]
                 yield pd.DataFrame({"query_id": ids[qi], "neighbor_id": n_ids[take]})
 
-    quantized = quantize_int8(vectors, id_col=id_col, vec_col=vec_col)
+    if quantized is None:
+        quantized = quantize_int8(vectors, id_col=id_col, vec_col=vec_col)
     candidates = quantized.mapInPandas(shortlist, schema=cand_schema)
     if exact_rerank:
         exact_pairs = cosine_topk_blas(

@@ -234,3 +234,20 @@ def test_quantized_exact_rerank_equals_bruteforce(spark, sf_dir):
                     queries, emb, k=5, rerank_factor=4, exact_rerank=True
                 ).collect()}
     assert reranked == exact
+
+
+def test_quantized_topk_accepts_persisted_codes(spark, sf_dir, tmp_path):
+    """The deployment shape: quantize once, persist, search from the
+    int8 table — results must equal the in-job-derivation path."""
+    from anti_money_laundering_spark.vector import ann_quantized_topk, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    path = str(tmp_path / "codes")
+    quantize_int8(emb).write.parquet(path)
+    persisted = spark.read.parquet(path)
+    a = {(r.query_id, r.neighbor_id, r.rank)
+         for r in ann_quantized_topk(queries, emb, k=5, quantized=persisted).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank)
+         for r in ann_quantized_topk(queries, emb, k=5).collect()}
+    assert a == b
