@@ -480,3 +480,40 @@ def test_stream_sink_ledger_scoped_per_app(spark):
     a(_df(spark, [(0, "a0")]), 0)  # replay of app A's batch 0
     assert t.read(spark).count() == 4
     assert t._committed_batch_ledger() == {"query-a": 2, "query-b": 0}
+
+
+def test_concurrent_merges_with_retry_lose_no_updates(spark):
+    # The r6 lost-update fix under REAL concurrency: 4 threads each
+    # apply 5 read-modify-write merges (increment a counter row) with
+    # CommitConflict retry. Snapshot pinning makes every stale merge
+    # conflict instead of silently overwriting, so the final counter
+    # must equal the total number of increments — the textbook
+    # lost-update test.
+    import threading
+
+    t = _tbl()
+    t.write(_df(spark, [(1, "0")]))
+    N_THREADS, N_MERGES = 4, 5
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(N_MERGES):
+                while True:
+                    cur = int(t.read(spark).collect()[0].v)
+                    src = _df(spark, [(1, str(cur + 1))])
+                    try:
+                        t.merge(spark, src, on=["k"])
+                        break
+                    except CommitConflict:
+                        continue  # re-read and retry
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(N_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert int(t.read(spark).collect()[0].v) == N_THREADS * N_MERGES
