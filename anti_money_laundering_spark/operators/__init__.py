@@ -269,6 +269,7 @@ def merge_into(
     matched_delete: Column | None = None,
     when_not_matched: str = "insert",
     validate_unique_source: bool = True,
+    when_not_matched_by_source: str = "keep",
 ) -> DataFrame:
     """Batch MERGE (upsert): the Delta-Lake ``MERGE INTO`` clause set
     the reference's sinks imply (every notebook persists Delta —
@@ -282,7 +283,12 @@ def merge_into(
       flag);
     - source row matches nothing       → INSERTED
       (``when_not_matched='ignore'`` drops it instead);
-    - target row matches nothing       → kept as-is.
+    - target row matches nothing       → kept as-is
+      (``when_not_matched_by_source='delete'`` drops it instead —
+      Delta/SQL:2023's WHEN NOT MATCHED BY SOURCE clause, which turns
+      MERGE into a full table sync: after
+      ``merge_into(t, s, on, when_not_matched_by_source='delete')``
+      the keys of the result are exactly the source's surviving keys).
 
     ``source`` must carry every ``target`` column (extra columns are
     allowed — e.g. CDC flags — and are not written). Output column
@@ -304,6 +310,8 @@ def merge_into(
     """
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError("when_not_matched must be 'insert'|'ignore'")
+    if when_not_matched_by_source not in ("keep", "delete"):
+        raise ValueError("when_not_matched_by_source must be 'keep'|'delete'")
     missing = [c for c in target.columns if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks target columns: {missing}")
@@ -342,7 +350,9 @@ def merge_into(
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     insert_only = F.col("__t").isNull()
     keep = F.when(matched, ~F.col("__s.__del")).otherwise(
-        F.when(insert_only, F.lit(when_not_matched == "insert")).otherwise(F.lit(True))
+        F.when(insert_only, F.lit(when_not_matched == "insert")).otherwise(
+            F.lit(when_not_matched_by_source == "keep")
+        )
     )
     chosen = F.when(F.col("__s").isNotNull(), F.col("__s")).otherwise(
         # pad __t with a dummy __del so both branches agree on type

@@ -467,3 +467,27 @@ def test_salted_join_salt_deterministic_across_repartitionings(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_merge_not_matched_by_source_delete_syncs_table(spark):
+    # SQL:2023 / Delta's WHEN NOT MATCHED BY SOURCE: with 'delete',
+    # MERGE becomes a full sync — result keys == surviving source keys.
+    from anti_money_laundering_spark.operators import merge_into
+
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    source = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    synced = merge_into(target, source, on=["k"], when_not_matched_by_source="delete")
+    assert {(r.k, r.v) for r in synced.collect()} == {(2, "B"), (4, "d")}
+    # default 'keep' preserves the old upsert semantics
+    upserted = merge_into(target, source, on=["k"])
+    assert {(r.k, r.v) for r in upserted.collect()} == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # and it composes with matched_delete (CDC delete + sync)
+    cdc = spark.createDataFrame([(2, "B", "D"), (4, "d", "U")], "k int, v string, op string")
+    full = merge_into(
+        target, cdc, on=["k"],
+        matched_delete=F.col("op") == "D",
+        when_not_matched_by_source="delete",
+    )
+    assert {(r.k, r.v) for r in full.collect()} == {(4, "d")}
+    with pytest.raises(ValueError):
+        merge_into(target, source, on=["k"], when_not_matched_by_source="nope")

@@ -517,3 +517,12 @@ def test_concurrent_merges_with_retry_lose_no_updates(spark):
         th.join()
     assert not errors, errors
     assert int(t.read(spark).collect()[0].v) == N_THREADS * N_MERGES
+
+
+def test_versioned_merge_supports_sync_mode(spark):
+    # when_not_matched_by_source passes through the versioned face
+    t = _tbl()
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(spark, _df(spark, [(2, "B"), (3, "c")]), on=["k"],
+            when_not_matched_by_source="delete")
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(2, "B"), (3, "c")}
