@@ -935,3 +935,42 @@ def test_repeated_spans_equals_bruteforce(spark, docs, k):
         ).collect()
     }
     assert got == _spans_oracle(docs, k, min_span=k)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 99),
+            st.lists(
+                st.sampled_from("a b c d".split()), min_size=0, max_size=12
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_cut_spans_equals_bruteforce(spark, docs, k):
+    # find + cut round trip vs pure-Python: every doc present, covered
+    # positions excised, token order preserved
+    from anti_money_laundering_spark.dedup import cut_spans, repeated_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = repeated_spans(df, "doc_id", "text", gram_k=k, min_span_tokens=k)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_cut_tokens"])
+        for r in cut_spans(df, spans, "doc_id", "text").collect()
+    }
+    span_set = _spans_oracle(docs, k, min_span=k)
+    want = {}
+    for d, t in docs:
+        ts = t.lower().split()
+        cut = set()
+        for sd, s, e, _ in span_set:
+            if sd == d:
+                cut.update(range(s, e + 1))
+        kept = [tok for i, tok in enumerate(ts) if i not in cut]
+        want[d] = (" ".join(kept), len(cut))
+    assert got == want
