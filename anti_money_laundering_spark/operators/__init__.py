@@ -47,15 +47,21 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: attach to every left row the nearest-in-time right
     row per ``by`` group (backward: greatest right_time <= left_time;
-    forward: least right_time >= left_time).
+    forward: least right_time >= left_time; nearest: whichever of the
+    two is closer in absolute time, ties going backward — pandas
+    ``merge_asof(direction='nearest')`` semantics).
 
     Matched right columns come back as ``<col><suffix>`` plus
     ``<right_time><suffix>``. ``how='left'`` keeps unmatched left rows
     with nulls; ``tolerance_seconds`` voids matches farther than the
     tolerance.
+
+    ``nearest`` costs one extra within-partition sort (the same
+    union frame window-filled in both time orders — still ONE shuffle
+    on ``by``, no join explosion).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     rt = right_time or left_time
@@ -85,19 +91,42 @@ def asof_join(
 
     # Backward: ascending time, right rows (0) before left (1) at equal
     # timestamps so an exactly-simultaneous right row matches
-    # (inclusive). Forward: descending time, same tag order.
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(t_order, F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = both.select(
-        "__is_left",
-        "__lrow",
-        "__t",
-        F.last("__rrow", ignorenulls=True).over(w).alias("__frow"),
-    ).filter(F.col("__is_left") == 1)
+    # (inclusive). Forward: descending time, same tag order. Nearest:
+    # BOTH fills over the same partitioning (one shuffle, two sorts),
+    # then pick the closer by absolute time, ties backward.
+    def _fill(ascending: bool):
+        t_order = F.col("__t").asc() if ascending else F.col("__t").desc()
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(t_order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rrow", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        with_fills = both.select(
+            "__is_left", "__lrow", "__t",
+            _fill(True).alias("__bw"), _fill(False).alias("__fw"),
+        ).filter(F.col("__is_left") == 1)
+        micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        d_b = micros(F.col("__t")) - micros(F.col("__bw.__rt"))
+        d_f = micros(F.col("__fw.__rt")) - micros(F.col("__t"))
+        nearest = (
+            F.when(F.col("__bw").isNull(), F.col("__fw"))
+            .when(F.col("__fw").isNull(), F.col("__bw"))
+            .when(d_f < d_b, F.col("__fw"))
+            .otherwise(F.col("__bw"))
+        )
+        filled = with_fills.select(
+            "__is_left", "__lrow", "__t", nearest.alias("__frow")
+        )
+    else:
+        filled = both.select(
+            "__is_left",
+            "__lrow",
+            "__t",
+            _fill(direction == "backward").alias("__frow"),
+        ).filter(F.col("__is_left") == 1)
 
     if tolerance_seconds is not None:
         delta = F.abs(

@@ -491,3 +491,28 @@ def test_merge_not_matched_by_source_delete_syncs_table(spark):
     assert {(r.k, r.v) for r in full.collect()} == {(4, "d")}
     with pytest.raises(ValueError):
         merge_into(target, source, on=["k"], when_not_matched_by_source="nope")
+
+
+def test_asof_nearest_matches_pandas(spark, trades, quotes):
+    # direction='nearest' must reproduce pandas merge_asof semantics
+    # (closest in absolute time; our documented tie rule: backward)
+    import pandas as pd
+
+    out = {r.tid: r.px_matched
+           for r in asof_join(trades, quotes, by=["sym"], direction="nearest",
+                              how="left").collect()}
+    tp = trades.toPandas().sort_values("ts")
+    qp = quotes.toPandas().sort_values("ts")
+    merged = pd.merge_asof(tp, qp, on="ts", by="sym", direction="nearest")
+    want = {row.tid: (None if pd.isna(row.px) else row.px) for row in merged.itertuples()}
+    assert out == want
+    # explicit tie: trade at :05 with quotes at :00 and :10 -> backward wins
+    t1 = spark.createDataFrame([(1, ts(5), "t")], "sym long, ts timestamp, tid string")
+    q1 = spark.createDataFrame([(1, ts(0), 1.0), (1, ts(10), 2.0)],
+                               "sym long, ts timestamp, px double")
+    tie = asof_join(t1, q1, by=["sym"], direction="nearest").collect()[0]
+    assert tie.px_matched == 1.0
+    # tolerance still applies on the chosen side
+    tol = asof_join(t1, q1, by=["sym"], direction="nearest", how="left",
+                    tolerance_seconds=60).collect()[0]
+    assert tol.px_matched is None
