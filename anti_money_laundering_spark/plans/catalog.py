@@ -190,6 +190,7 @@ _R7_PLAN: tuple[str, ...] = (
     "linkage_match_weights",
     "dormant_activation_alerts",
     "counterparty_concentration",
+    "asof_nearest_purchase",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -252,3 +252,65 @@ def incremental_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") + 1e-6, 2).alias("revenue"),
         F.col("n_orders").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "asof_nearest_purchase",
+    tags=("OP", "asof"),
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    purch AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    bwd AS (
+        SELECT a.event_id, a.user_id, a.ts, b.event_id AS pid,
+               b.value AS pv, b.ts AS bts
+        FROM clicks a ASOF LEFT JOIN purch b
+          ON a.user_id = b.user_id AND a.ts >= b.ts
+    ),
+    fwd AS (
+        SELECT a.event_id, f.event_id AS pid, f.value AS pv, f.ts AS fts
+        FROM clicks a ASOF LEFT JOIN purch f
+          ON a.user_id = f.user_id AND a.ts <= f.ts
+    ),
+    both_sides AS (
+        SELECT b.event_id, b.user_id, b.ts,
+               b.pid AS b_pid, b.pv AS b_pv, b.bts,
+               f.pid AS f_pid, f.pv AS f_pv, f.fts,
+               date_diff('microsecond', b.bts, b.ts) AS d_b,
+               date_diff('microsecond', b.ts, f.fts) AS d_f
+        FROM bwd b JOIN fwd f USING (event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN bts IS NULL THEN f_pid
+                WHEN fts IS NULL THEN b_pid
+                WHEN d_f < d_b THEN f_pid ELSE b_pid END AS purchase_id,
+           round(CASE WHEN bts IS NULL THEN f_pv
+                      WHEN fts IS NULL THEN b_pv
+                      WHEN d_f < d_b THEN f_pv ELSE b_pv END, 2) AS purchase_value,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN d_f < d_b THEN fts ELSE bts END AS ts_matched
+    FROM both_sides
+    WHERE bts IS NOT NULL OR fts IS NOT NULL
+    """,
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the same user's CLOSEST purchase in absolute
+    time, before or after (operators.asof_join direction='nearest', the
+    r6 pandas-parity extension; ties go backward). The oracle composes
+    DuckDB's backward and forward ASOF LEFT JOINs and picks the closer
+    side with the same tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, by=["user_id"],
+        right_cols=["purchase_id", "purchase_value"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_id_matched").alias("purchase_id"),
+        F.round("purchase_value_matched", 2).alias("purchase_value"),
+        "ts_matched",
+    )
