@@ -974,3 +974,42 @@ def test_cut_spans_equals_bruteforce(spark, docs, k):
         kept = [tok for i, tok in enumerate(ts) if i not in cut]
         want[d] = (" ".join(kept), len(cut))
     assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 1)),
+    min_size=2, max_size=24,
+))
+@settings(**SETTINGS)
+def test_asof_nearest_matches_bruteforce(spark, rows):
+    # direction='nearest' vs a per-row Python scan applying the
+    # documented tie rule (equal distance -> backward); unique (k, t)
+    # on the right for the same tie-arbitrary reason as the backward test
+    from anti_money_laundering_spark.operators import asof_join
+
+    left = [(k, t) for k, t, side in rows if side == 0]
+    right_d = {(k, t): float(k * 100 + t) for k, t, side in rows if side == 1}
+    if not left or not right_d:
+        return
+    base = pd.Timestamp(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(seconds=t)).to_pydatetime()) for k, t in left],
+        "k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(seconds=t)).to_pydatetime(), v)
+         for (k, t), v in right_d.items()],
+        "k long, ts timestamp, obs double",
+    )
+    got = {
+        (r.k, r.ts): r.obs_matched
+        for r in asof_join(ldf, rdf, by=["k"], right_cols=["obs"],
+                           direction="nearest", how="left").collect()
+    }
+    want = {}
+    for k, t in left:
+        cands = [(abs(rt - t), 0 if rt <= t else 1, rv)
+                 for (rk, rt), rv in right_d.items() if rk == k]
+        key = (k, (base + pd.Timedelta(seconds=t)).to_pydatetime())
+        want[key] = min(cands)[2] if cands else None
+    assert got == want
