@@ -543,3 +543,32 @@ def test_pregel_dst_state_left_join_keeps_dangling_edge_messages(spark):
 
     # vertex 2's only edge dangles; its message must survive either way
     assert run(False) == run(True) == {1: 10.0, 2: 10.0}
+
+
+def test_pregel_dst_join_only_when_referenced(spark):
+    # plan-shape guard on the auto-detection: a src-only message plans
+    # ONE vertex join per superstep; a dst-referencing message plans
+    # TWO. If _references_dst ever breaks, one of these counts moves.
+    from anti_money_laundering_spark.graph.pregel import pregel
+    from tests.test_plans import explain_str
+
+    e_df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    v_df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 4.0)], "id long, r double")
+
+    def plan_of(msg):
+        # checkpoint_interval=2 with max_iter=1: the superstep is NOT
+        # eagerly checkpointed, so its joins stay visible in the plan
+        out = pregel(
+            Graph(v_df, e_df),
+            state_col="s",
+            initial_expr=F.col("r"),
+            msg_to_dst=msg,
+            update_expr=F.coalesce(F.col("msg"), F.col("s")),
+            max_iter=1,
+            checkpoint_interval=2,
+        )
+        return explain_str(out, "simple")
+
+    n_src = plan_of(F.col("src.s")).count("Join")
+    n_dst = plan_of(F.try_divide(F.col("src.s"), F.col("dst.r"))).count("Join")
+    assert n_src >= 1 and n_dst == n_src + 1, (n_src, n_dst)
