@@ -351,16 +351,42 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """(id, __sim long) 64-bit SimHash signatures (Charikar 2002).
 
-    Explode tokens, hash each token ONCE (codegen'd xxhash64), then 64
+    Explode tokens, hash each token ONCE (codegen'd), then 64
     sum-aggregates of ±1 per bit in one partial-aggregated groupBy —
     the lambda formulation re-hashes every token 64 times, interpreted.
     Token-less documents get signature 0 (same as the lambda's empty
-    aggregate)."""
+    aggregate).
+
+    ``token_hash`` picks the per-token 64-bit hash:
+
+    - ``"xxhash64"`` (default): Spark's codegen'd XXH64 — fastest, but
+      engine-specific, so results can only be checked rows-only.
+    - ``"md5"``: the first 16 hex chars of md5(token), assembled hi<<32
+      | lo from two 32-bit halves — ~2x the hash cost, but bit-exactly
+      reproducible in any engine with md5 (the DuckDB oracle for
+      ``dedup_simhash_candidates`` recomputes it), which is what lets
+      the driver hash-attest the whole candidate pipeline.
+
+    Both are uniform over the 64-bit space, so near-dup quality is the
+    same; only cross-engine verifiability differs."""
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-    h = F.xxhash64(F.col("__t"))
+    if token_hash == "xxhash64":
+        h = F.xxhash64(F.col("__t"))
+    elif token_hash == "md5":
+        # hi/lo are 32-bit non-negative, so shiftleft(hi, 32) | lo is the
+        # exact 64-bit pattern (possibly negative as a signed long; every
+        # downstream use is shiftright-&1 / xor, which are sign-agnostic).
+        hex16 = F.md5(F.col("__t"))
+        hi = F.conv(F.substring(hex16, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hex16, 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r} (xxhash64|md5)")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -388,14 +414,18 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     sub_bands: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via SimHash sub-band blocking: split
     the 64-bit signature into ``sub_bands`` pieces; by pigeonhole, any
     pair within Hamming distance < sub_bands shares at least one piece
     exactly. Verified with bit_count(xor) <= max_hamming.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming). ``token_hash`` as in
+    :func:`simhash_signatures` ("md5" = cross-engine-verifiable)."""
     width = 64 // sub_bands
-    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=False)
+    sigs = simhash_signatures(docs, id_col, text_col, token_hash=token_hash).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         F.col(id_col),
         F.col("__sim"),

@@ -138,13 +138,15 @@ _WINDOW: tuple[str, ...] = (
     # pytest invariants instead — see _ROWS_ONLY_UNATTESTABLE)
     "ml_embedding_pca",
     "approx_quantiles_prices",
-    # --- 8 re-attest fillers: rotated-out bench headliners ------------
+    # --- 8 re-attest fillers: rotated-out bench headliners, plus the
+    # two queries promoted from rows-only to oracled this round (r6
+    # verdict items 3+4) for their FIRST hash-green rows --------------
     "dedup_minhash_near_dups",  # LLM,dedup (headline)
     "corpus_clean_pipeline",    # LLM,dedup,text (headline composite)
-    "ann_cosine_topk",          # LLM,ann (headline exact baseline)
+    "dedup_simhash_candidates", # LLM,dedup (md5-portable hash, newly oracled)
+    "approx_distinct_parts",    # A-ext (HLL bound pin, newly oracled)
     "connected_components",     # G4,G7 (headline iterative)
     "pregel_risk_propagation",  # G6,G7 (headline iterative)
-    "asof_join_last_purchase",  # OP,J-ext (headline as-of)
     "pricing_summary",          # A1,A-ext,W1 (headline TPC-H q1 analogue)
     "sessionize_events",        # W-ext,OP (headline sessionization)
 )

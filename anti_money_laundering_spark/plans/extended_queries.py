@@ -105,19 +105,42 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_parts",
     tags=("A-ext",),
-    # HLL sketches differ across engines; the check is exactness-bounded
-    # instead: rows-only here, rsd-bounded assertion in tests.
-    oracle=None,
+    # r6 verdict item 4: HLL sketch values differ across engines, so the
+    # raw estimate can't hash-match — but the sketch's CONTRACT can. Both
+    # sides emit the exact distinct count plus a boolean pinning the
+    # estimate inside 5% relative error (2.5x the rsd=0.02 sketch
+    # parameter); the oracle asserts the boolean as literal TRUE, so any
+    # supplier whose HLL++ estimate drifts out of bound flips the hash.
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_suppkey
+    """,
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per supplier — the
     cardinality sketch for 100TB-scale distinct counting (exact
     distinct of a high-cardinality key is a full shuffle; HLL is one
-    pass, mergeable, constant memory)."""
+    pass, mergeable, constant memory). For attestation the query also
+    computes the exact count and emits |approx-exact|/exact <= 0.05 as
+    a hash-covered boolean (the sketch estimate itself is
+    engine-specific and stays out of the compared columns)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_suppkey",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
     )
 
 

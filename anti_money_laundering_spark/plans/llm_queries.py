@@ -780,13 +780,73 @@ def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_candidates",
     tags=("LLM", "dedup"),
-    oracle=None,
+    # r6 verdict item 3: the md5 token-hash variant is bit-exactly
+    # reproducible in DuckDB (CAST('0x'||substr(md5(t),..) AS BIGINT)),
+    # so the whole SimHash pipeline — per-token hash, 64 sign-sums,
+    # signature assembly, 4x16-bit pigeonhole banding, Hamming verify —
+    # is hash-attested end-to-end. The oracle keeps the signature as
+    # two 32-bit halves (hi, lo) to stay inside BIGINT; band pieces and
+    # xor-popcount Hamming distances are identical either way.
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, g.b,
+               sum(CASE WHEN ((CASE WHEN g.b < 32 THEN lo ELSE hi END
+                               >> (g.b % 32)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) g
+        GROUP BY doc_id, g.b
+    ),
+    sigp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32 AND s > 0
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN b >= 32 AND s > 0
+                             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT d.doc_id, coalesce(s.hi, 0) AS hi, coalesce(s.lo, 0) AS lo
+        FROM documents d LEFT JOIN sigp s ON d.doc_id = s.doc_id
+    ),
+    banded AS (
+        SELECT doc_id, g.band,
+               CASE g.band
+                   WHEN 0 THEN lo & 65535
+                   WHEN 1 THEN (lo >> 16) & 65535
+                   WHEN 2 THEN hi & 65535
+                   ELSE (hi >> 16) & 65535
+               END AS piece
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) g
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.piece = b.piece
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(bit_count(xor(sa.hi, sb.hi))
+                + bit_count(xor(sa.lo, sb.lo)) AS INT) AS hamming
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo)) <= 3
+    """,
 )
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 4x16-bit sub-band blocking,
-    verified at Hamming <= 3 (pigeonhole guarantees recall there)."""
+    verified at Hamming <= 3 (pigeonhole guarantees recall there).
+    Uses the portable md5 token hash so the driver hash-attests the
+    pipeline; the xxhash64 default stays for production throughput."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3, token_hash="md5")
 
 
 # ---------------------------------------------------------------------------
