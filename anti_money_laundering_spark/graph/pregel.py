@@ -37,14 +37,33 @@ if TYPE_CHECKING:
     from anti_money_laundering_spark.graph import Graph
 
 
+_DST_ATTR_RE = None  # compiled lazily; module import stays cheap
+
+
 def _references_dst(expr: Column) -> bool:
-    """True if the unresolved expression tree names a ``dst.<col>``
-    attribute. The unresolved repr prints attributes verbatim as
-    written (``Column<'(dst.score / 2)'>``), so a substring scan is
-    reliable for expressions built from F.col("dst...."); a string
-    LITERAL containing "dst." could false-positive, which only costs
-    the extra join — callers can force ``use_dst_state=False``."""
-    return "dst." in str(expr)
+    """True if the unresolved expression tree references the ``dst``
+    vertex: a ``dst.<col>`` attribute or a ``dst['col']`` getItem /
+    getField access. The unresolved repr prints attributes bare
+    (``Column<'(dst.score / 2)'>``), getItem/getField as
+    ``dst['score']``, and string LITERALS single-quoted
+    (``Column<''dst.x''>``) — so stripping quoted segments first and
+    anchoring on ``dst.`` / ``dst[`` at a non-word boundary detects
+    every access style without literal false-positives (r6 advice:
+    the plain substring scan missed getField and paid the extra dst
+    join on literals containing "dst."). A literal that itself
+    contains a quote can leave fragments behind after the strip;
+    worst case that costs the extra join — callers can always force
+    ``use_dst_state=False``."""
+    global _DST_ATTR_RE
+    if _DST_ATTR_RE is None:
+        import re
+
+        _DST_ATTR_RE = re.compile(r"(?<![\w.`])dst[.\[]")
+    body = str(expr)
+    if body.startswith("Column<'") and body.endswith("'>"):
+        body = body[len("Column<'") : -2]  # unwrap the repr's own quotes
+    # splitting on ' leaves code at even indexes, literal text at odd
+    return any(_DST_ATTR_RE.search(seg) for seg in body.split("'")[::2])
 
 
 def pregel(

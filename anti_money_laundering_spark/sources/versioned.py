@@ -212,7 +212,11 @@ class VersionedTable:
         snapshot and discarding the concurrent commit's rows (Delta's
         ConcurrentAppendException semantics; r5 advice, medium). When
         ``None`` (plain append/overwrite, no read dependency) the write
-        targets the current head + 1 as before.
+        targets the current head + 1 as before. ``expected_base=0``
+        pins "I read the table as EMPTY": the commit targets version 1
+        exclusively, so a racing first writer surfaces as a conflict
+        rather than this write landing at version 2 on top of state it
+        never saw (the streaming sink's empty-table bootstrap case).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -236,7 +240,10 @@ class VersionedTable:
                 raise ValueError(
                     f"CHECK constraint violated: {violated[0]} ({checks[violated[0]]})"
                 )
-        base = self.latest_version() if expected_base is None else expected_base
+        if expected_base is None:
+            base = self.latest_version()
+        else:
+            base = expected_base if expected_base > 0 else None  # 0 = pinned-empty
         prev = self._load(base) if base is not None else None
         schema_key = _schema_key(df.schema)
         if mode == "append" and prev is not None and prev.files:
@@ -398,6 +405,7 @@ class VersionedTable:
         source: DataFrame,
         on: list[str],
         meta: dict | None = None,
+        snapshot_version: int | None = None,
         **merge_kwargs,
     ) -> int:
         """MERGE INTO (Delta's upsert face): rewrite the latest
@@ -417,10 +425,17 @@ class VersionedTable:
         :class:`CommitConflict` (re-read and retry) instead of being
         silently overwritten (r5 advice, medium: the previous shape
         re-resolved the head at commit time and could discard an
-        interleaved append without any error)."""
+        interleaved append without any error).
+
+        ``snapshot_version`` lets a caller that already resolved the
+        head (the streaming sink, which must derive its replay ledger
+        from the SAME version the commit is based on) pin it
+        explicitly; by default the current head is pinned here."""
         from anti_money_laundering_spark.operators import merge_into
 
-        snapshot_v = self.latest_version()
+        snapshot_v = (
+            snapshot_version if snapshot_version is not None else self.latest_version()
+        )
         if snapshot_v is None:
             raise FileNotFoundError(f"no committed versions at {self.path}")
         target = self.read(spark, version=snapshot_v)
@@ -501,7 +516,18 @@ class VersionedTable:
         pruning degenerates to scanning everything — at 100 TB the
         clustered rewrite is the difference between data skipping
         working and merely existing. stats for ``cluster_by`` columns
-        are always recorded (union'd into ``stats_cols``)."""
+        are always recorded (union'd into ``stats_cols``).
+
+        Cluster values are first linearly rescaled from their OBSERVED
+        [min, max] (one bounded agg over the snapshot) into the
+        ``cluster_bits``-wide bucket domain before interleaving —
+        morton_code masks raw values to its bit width, so without the
+        rescale any domain wider than 2^bits (or negative, whose
+        two's-complement low bits interleave meaninglessly) silently
+        aliased and clustering quality degraded to near-random (r6
+        advice). Pruning correctness never depended on this — file
+        stats are recorded on the real columns — but the LAYOUT now
+        actually clusters for arbitrary numeric domains."""
         snapshot_v = self.latest_version()
         if snapshot_v is None:
             raise FileNotFoundError(f"no committed versions at {self.path}")
@@ -513,11 +539,32 @@ class VersionedTable:
 
             from anti_money_laundering_spark.functions import morton_code
 
-            key = (
-                F.col(cluster_by[0])
-                if len(cluster_by) == 1
-                else morton_code(cluster_by[0], cluster_by[1], bits=cluster_bits)
-            )
+            if len(cluster_by) == 1:
+                key = F.col(cluster_by[0])
+            else:
+                n_buckets = 1 << cluster_bits
+                bounds = df.agg(
+                    *(F.min(c).alias(f"mn{i}") for i, c in enumerate(cluster_by)),
+                    *(F.max(c).alias(f"mx{i}") for i, c in enumerate(cluster_by)),
+                ).collect()[0]
+
+                def _bucket(i: int) -> Column:
+                    mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
+                    if mn is None or mx is None or mx <= mn:
+                        return F.lit(0).cast("long")
+                    span = float(mx) - float(mn) + 1.0
+                    scaled = F.floor(
+                        (F.col(cluster_by[i]).cast("double") - float(mn))
+                        / span
+                        * n_buckets
+                    )
+                    # clamp: float rounding at the top edge, NULLs to 0
+                    return F.coalesce(
+                        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), scaled)),
+                        F.lit(0),
+                    ).cast("long")
+
+                key = morton_code(_bucket(0), _bucket(1), bits=cluster_bits)
             df = (
                 df.withColumn("__zkey", key)
                 .repartitionByRange(target_files, F.col("__zkey"))
@@ -569,43 +616,93 @@ class VersionedTable:
             # id let the batch re-apply as a duplicate; vacuum also
             # refuses to drop the newest batch-bearing manifest, so the
             # carried map survives log truncation).
-            ledger = self._committed_batch_ledger()
-            last = ledger.get(app_id)
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already committed
-            batch_meta = {
-                "app_id": app_id,
-                "batch_id": batch_id,
-                "max_batch_ids": {**ledger, app_id: batch_id},
-            }
-            if on is not None and self.latest_version() is not None:
-                # meta rides in the SAME commit as the merge — no
-                # annotation window for a crash to split (see merge())
-                self.merge(
-                    batch_df.sparkSession, batch_df, on=on, meta=batch_meta
+            #
+            # TOCTOU closure (r6 advice, medium): the carried map MUST
+            # be derived from the commit's immediate parent, or a
+            # commit by app A landing between our ledger read and our
+            # commit gets its max rolled back by our stale map (A's
+            # next crash-replay would then re-apply as duplicates). So:
+            # pin the base version, read the ledger AS OF that base,
+            # commit with expected_base=base (the empty table pins as
+            # base 0), and on CommitConflict re-read from the new
+            # parent and retry — the carried map is always derived from
+            # the version the commit sits on.
+            while True:
+                base = self.latest_version()
+                ledger = (
+                    self._committed_batch_ledger(as_of=base) if base is not None else {}
                 )
-            else:
-                self.write(batch_df, mode="append", meta=batch_meta)
+                last = ledger.get(app_id)
+                if last is not None and batch_id <= last:
+                    return  # replayed batch: already committed
+                batch_meta = {
+                    "app_id": app_id,
+                    "batch_id": batch_id,
+                    "max_batch_ids": {**ledger, app_id: batch_id},
+                }
+                try:
+                    if on is not None and base is not None:
+                        # meta rides in the SAME commit as the merge — no
+                        # annotation window for a crash to split (merge());
+                        # the merge snapshot is pinned to the SAME base the
+                        # ledger was read at.
+                        self.merge(
+                            batch_df.sparkSession,
+                            batch_df,
+                            on=on,
+                            meta=batch_meta,
+                            snapshot_version=base,
+                        )
+                    else:
+                        self.write(
+                            batch_df,
+                            mode="append",
+                            meta=batch_meta,
+                            expected_base=base if base is not None else 0,
+                        )
+                    return
+                except CommitConflict:
+                    continue  # head moved: re-derive the ledger from it
 
         return _sink
 
-    def _committed_batch_ledger(self) -> dict:
+    def _committed_batch_ledger(self, as_of: int | None = None) -> dict:
         """{app_id: max committed batch id} across all stream_sink
-        commits. Bounded scan: stops at the first batch-bearing
-        manifest from the tail — sink commits carry the whole map
-        forward, so the newest batch-bearing manifest holds every
-        app's max (interleaved non-sink commits carry no meta and are
-        skipped). Pre-r6 manifests carried a single unscoped
-        ``max_batch_id``/``batch_id`` — mapped to app 'default'."""
+        commits, as of version ``as_of`` (default: the whole log).
+        Bounded scan on modern logs: stops at the first manifest
+        carrying the full ``max_batch_ids`` map from the tail — sink
+        commits carry the whole map forward, so the newest carrying
+        manifest holds every app's max (interleaved non-sink commits
+        carry no meta and are skipped).
+
+        Pre-carry manifests (``max_batch_id`` = r6 pre-scoping single
+        'default' max; ``batch_id`` = per-commit id) are PARTIAL
+        evidence: the scan keeps walking older manifests and unions
+        per-app maxes until a full-carry manifest (or the log head) is
+        reached (r6 advice, low: returning at the first pre-carry hit
+        lost every other app's max on multi-writer pre-upgrade logs,
+        permitting one duplicate replay per lost app). Legacy logs pay
+        a full scan once; the next sink commit writes the full map and
+        restores the O(1) tail read."""
+        acc: dict = {}
         for v in reversed(self.versions()):
-            meta = self._load(v).meta or {}
+            if as_of is not None and v > as_of:
+                continue
+            try:
+                meta = self._load(v).meta or {}
+            except FileNotFoundError:
+                continue  # a racing vacuum dropped this manifest
             if "max_batch_ids" in meta:
-                return dict(meta["max_batch_ids"])
+                carried = dict(meta["max_batch_ids"])
+                for app, b in acc.items():  # newer pre-carry ids win
+                    carried[app] = max(carried.get(app, b), b)
+                return carried
             if "max_batch_id" in meta:  # r6 pre-scoping manifests
-                return {"default": meta["max_batch_id"]}
-            if "batch_id" in meta:  # pre-carry manifests (back-compat)
-                return {meta.get("app_id", "default"): meta["batch_id"]}
-        return {}
+                acc.setdefault("default", meta["max_batch_id"])
+            elif "batch_id" in meta:  # pre-carry manifests (back-compat)
+                app = meta.get("app_id", "default")
+                acc.setdefault(app, meta["batch_id"])
+        return acc
 
     def _last_committed_batch_id(self) -> int | None:
         """Back-compat face of :meth:`_committed_batch_ledger` for the

@@ -572,3 +572,21 @@ def test_pregel_dst_join_only_when_referenced(spark):
     n_src = plan_of(F.col("src.s")).count("Join")
     n_dst = plan_of(F.try_divide(F.col("src.s"), F.col("dst.r"))).count("Join")
     assert n_src >= 1 and n_dst == n_src + 1, (n_src, n_dst)
+
+
+def test_references_dst_detects_all_access_styles(spark):
+    # r6 advice: the substring scan missed getItem/getField access and
+    # false-positived on string literals containing "dst.". The
+    # detector now strips quoted literal segments from the unresolved
+    # repr and anchors on dst. / dst[ at non-word boundaries.
+    from anti_money_laundering_spark.graph.pregel import _references_dst
+
+    assert _references_dst(F.col("dst.score") / 2)
+    assert _references_dst(F.col("dst")["score"])
+    assert _references_dst(F.col("dst").getField("score"))
+    assert _references_dst(F.coalesce(F.col("msg"), F.col("dst.old")))
+    assert _references_dst(F.when(F.col("msg").isNull(), F.col("dst.v")).otherwise(F.lit(0)))
+    assert not _references_dst(F.lit("dst.x"))
+    assert not _references_dst(F.concat(F.lit("a dst. b"), F.col("x")))
+    assert not _references_dst(F.col("src.score") + F.col("msg"))
+    assert not _references_dst(F.col("xdst.score"))

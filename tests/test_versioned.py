@@ -526,3 +526,103 @@ def test_versioned_merge_supports_sync_mode(spark):
     t.merge(spark, _df(spark, [(2, "B"), (3, "c")]), on=["k"],
             when_not_matched_by_source="delete")
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(2, "B"), (3, "c")}
+
+
+def test_stream_sink_carried_ledger_survives_interleaved_commit(spark):
+    # r6 advice (medium): app B's sink read the ledger BEFORE its
+    # commit's base was resolved, so an app-A commit landing in that
+    # gap had its max rolled back by B's stale carried map — A's next
+    # crash-replay then re-applied as duplicates. The sink now pins
+    # base, reads the ledger as of it, commits with expected_base, and
+    # re-reads on CommitConflict. Interleave deterministically: B's
+    # first write attempt triggers A's commit first, forcing B through
+    # the conflict-retry path.
+    t = _tbl()
+    a_sink = t.stream_sink(app_id="A")
+    a_sink(_df(spark, [(0, "a0")]), 0)
+    a_sink(_df(spark, [(1, "a1")]), 1)
+
+    real_write = t.write
+    state = {"interleaved": False}
+
+    def racy_write(*args, **kwargs):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            a_sink(_df(spark, [(2, "a2")]), 2)  # lands between B's ledger read and commit
+        return real_write(*args, **kwargs)
+
+    t.write = racy_write  # instance override; sink resolves self.write here
+    b_sink = t.stream_sink(app_id="B")
+    b_sink(_df(spark, [(100, "b0")]), 0)
+    t.write = real_write
+    # B's commit must carry A's max as 2 (not the stale 1)
+    assert t._committed_batch_ledger() == {"A": 2, "B": 0}
+    n = t.read(spark).count()
+    a_sink(_df(spark, [(2, "a2")]), 2)  # crash-replay of A's batch 2
+    assert t.read(spark).count() == n, "replayed batch re-applied: ledger was rolled back"
+
+
+def test_stream_sink_empty_table_bootstrap_pins_version_one(spark):
+    # expected_base=0 pins "read as empty": a racing first writer makes
+    # the sink retry (and see the racer's ledger) instead of landing at
+    # v2 with an empty carried map.
+    t = _tbl()
+    real_write = t.write
+    state = {"interleaved": False}
+
+    def racy_write(*args, **kwargs):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            t2 = VersionedTable(t.path)
+            t2.stream_sink(app_id="A")(_df(spark, [(0, "a0")]), 0)
+        return real_write(*args, **kwargs)
+
+    t.write = racy_write
+    t.stream_sink(app_id="B")(_df(spark, [(1, "b0")]), 0)
+    t.write = real_write
+    assert t._committed_batch_ledger() == {"A": 0, "B": 0}
+    assert t.latest_version() == 2
+
+
+def test_precarry_ledger_unions_across_legacy_manifests(spark):
+    # r6 advice (low): a pre-upgrade log whose manifests each carry a
+    # single batch_id must union per-app maxes across ALL of them, not
+    # return at the first hit (which lost every other app's max).
+    t = _tbl()
+    t.write(_df(spark, [(1, "x")]), meta={"batch_id": 3, "app_id": "A"})
+    t.write(_df(spark, [(2, "y")]), meta={"max_batch_id": 7})  # r6 pre-scoping form
+    t.write(_df(spark, [(3, "z")]), meta={"batch_id": 5, "app_id": "B"})
+    t.write(_df(spark, [(4, "w")]))  # non-sink commit: no meta
+    assert t._committed_batch_ledger() == {"A": 3, "default": 7, "B": 5}
+    # as_of pins the scan: version 1 sees only app A's commit
+    assert t._committed_batch_ledger(as_of=1) == {"A": 3}
+    # a modern full-carry commit restores the O(1) tail read and wins
+    t.write(_df(spark, [(5, "v")]), meta={"app_id": "B", "batch_id": 6,
+                                          "max_batch_ids": {"A": 3, "default": 7, "B": 6}})
+    assert t._committed_batch_ledger() == {"A": 3, "default": 7, "B": 6}
+
+
+def test_compact_zorder_rescales_wide_and_negative_domains(spark):
+    # r6 advice: morton_code masks raw values to cluster_bits, so a
+    # domain wider than 2^bits (or negative) aliased and the "z-order"
+    # layout was near-random. compact() now rescales observed [min,max]
+    # into the bucket domain first — two-way pruning must work on a
+    # 2^20-wide x and a negative-centered y.
+    import itertools
+
+    t = _tbl()
+    rows = [
+        (x * 40_000, y * 5 - 80, x * 32 + y)  # x in [0, 1.24M], y in [-80, 75]
+        for x, y in itertools.product(range(32), range(32))
+    ]
+    df = spark.createDataFrame(rows, "x long, y int, v int").repartition(8)
+    t.write(df, stats_cols=["x", "y"])
+    t.compact(spark, target_files=8, cluster_by=["x", "y"])
+    m = t._load(t.latest_version())
+    assert len(m.files) > 1
+    kept_x = t._prune_files(m, ("x", 0, 150_000))
+    kept_y = t._prune_files(m, ("y", -80, -65))
+    assert len(kept_x) < len(m.files), (len(kept_x), len(m.files))
+    assert len(kept_y) < len(m.files), (len(kept_y), len(m.files))
+    got = sorted((r.x, r.y, r.v) for r in t.read(spark, prune=("y", -80, -65)).collect())
+    assert got == sorted((x, y, v) for x, y, v in rows if -80 <= y <= -65)
