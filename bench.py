@@ -19,6 +19,15 @@ day); the median is robust to one slow neighbor-noise outlier AND one
 fast still-warming outlier, and the emitted ``dispersion`` block
 (per-query min/max/relative spread) lets a reader judge whether a
 round-over-round delta exceeds the run's own noise floor.
+
+Protocol v3 (round 7 — r6 verdict item 7): each query also reports
+``cpu`` — the PROCESS-TREE CPU seconds consumed during the timed run
+(python driver + JVM + Arrow/pandas workers, live descendants via
+their /proc stat and reaped ones via their parents' cutime/cstime).
+Wall time on a shared host confounds the engine's work with neighbor
+load; CPU time is what the engine itself burned and is the
+noise-robust half of the dual metric (a wall regression with flat CPU
+is the box, not the code). See BASELINE.md §protocol.
 """
 
 from __future__ import annotations
@@ -28,6 +37,41 @@ import os
 import statistics
 import sys
 import time
+
+_TICKS = os.sysconf("SC_CLK_TCK")
+
+
+def _tree_cpu_seconds() -> float:
+    """CPU seconds (user+sys) of this process and every descendant:
+    live descendants from their own /proc/<pid>/stat utime+stime,
+    already-reaped ones via their parents' cutime+cstime (consistent
+    across snapshots: a worker's time moves from its own stat into the
+    parent's cumulative fields when it exits, so deltas never lose or
+    double-count a short-lived Arrow worker)."""
+    procs: dict[int, tuple[int, tuple[int, ...]]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue  # raced a process exit
+        # comm field is parenthesized and may contain spaces
+        rest = raw[raw.rindex(")") + 2 :].split()
+        # rest[0]=state, rest[1]=ppid, rest[11..14]=utime stime cutime cstime
+        procs[int(entry)] = (int(rest[1]), tuple(int(x) for x in rest[11:15]))
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    ticks, stack = 0, [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        if pid not in procs:
+            continue
+        ticks += sum(procs[pid][1])
+        stack.extend(children.get(pid, ()))
+    return ticks / _TICKS
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,13 +101,17 @@ def main() -> None:
             q.fn(spark, SF_DIR).count()
 
     samples: dict[str, list[float]] = {n: [] for n in headline}
+    cpu_samples: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(PASSES):
         for name, q in headline.items():
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).count()
             samples[name].append(time.perf_counter() - t0)
+            cpu_samples[name].append(_tree_cpu_seconds() - c0)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    cpu = {n: round(statistics.median(s), 3) for n, s in cpu_samples.items()}
     dispersion = {
         n: {
             "min": round(min(s), 3),
@@ -82,8 +130,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cpu_s": cpu,
+                "total_cpu_s": round(sum(cpu.values()), 3),
                 "dispersion": dispersion,
-                "protocol": {"warmups": WARMUPS, "passes": PASSES, "stat": "median"},
+                "protocol": {
+                    "version": 3,
+                    "warmups": WARMUPS,
+                    "passes": PASSES,
+                    "stat": "median",
+                    "cpu": "process-tree user+sys seconds per timed run",
+                },
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
