@@ -34,3 +34,54 @@ def test_no_catalog_plan_contains_scale_antipatterns(spark, sf_dir):
         if hits:
             bad[name] = ",".join(hits)
     assert not bad, f"scale antipatterns in catalog plans: {bad}"
+
+
+#: Shuffle-exchange budget per headline query (r6 verdict item 10): the
+#: Exchange count (EXCLUDING BroadcastExchange — broadcasts are the
+#: desirable replacement for a shuffle, so swapping one for a shuffle
+#: must FAIL this ratchet) measured on the plan each query shipped
+#: with. A refactor may lower a number; raising one requires editing
+#: this table consciously. Iterative/memoized queries (CC, Pregel,
+#: MinHash) read localCheckpoints in their FINAL plan, so their stitch
+#: plan budgets are 0 — their per-round shuffles are pinned in
+#: PLANS.md/SCALE.md instead.
+EXCHANGE_BUDGET = {
+    "shared_attr_match": 2,
+    "motif_fanin_structuring": 4,
+    "ann_lsh_topk": 1,
+    "dedup_minhash_near_dups": 0,
+    "corpus_clean_pipeline": 3,
+    "connected_components": 0,
+    "pregel_risk_propagation": 0,
+    "pricing_summary": 2,
+    "sessionize_events": 1,
+    "ann_cosine_topk": 1,
+    "tfidf_similar_pairs": 2,
+    "motif_roundtrip_cycle": 3,
+    "asof_join_last_purchase": 1,
+    "self_join_pair_amounts": 0,
+    "multiway_join_revenue": 1,
+    "window_topk_per_group": 1,
+    "stream_user_totals": 1,
+}
+
+#: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
+#: ratchet must be deterministic under SPARK_GRAFT_TEST_SF_DIR
+#: overrides; explicit broadcasts keep the plan shape SF-stable, but
+#: pinning one scale removes all doubt).
+_BUDGET_SF = "/root/testdata/sf0.001"
+
+
+def test_headline_shuffle_counts_within_budget(spark):
+    import re
+
+    cat = get_catalog()
+    missing = [n for n, q in cat.items() if q.headline and n not in EXCHANGE_BUDGET]
+    assert not missing, f"headline queries without a shuffle budget: {missing}"
+    over: dict[str, tuple[int, int]] = {}
+    for name, budget in EXCHANGE_BUDGET.items():
+        plan = cat[name].fn(spark, _BUDGET_SF)._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"(?<!Broadcast)Exchange ", plan))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle count exceeds pinned budget (actual, budget): {over}"
