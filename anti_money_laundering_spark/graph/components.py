@@ -35,6 +35,7 @@ def connected_components(
     max_iter: int = 100,
     stats: dict | None = None,
     join_rounds: bool = False,
+    edge_storage: str = "bi",
 ) -> DataFrame:
     """Return ``(id, component)`` with component = min id reachable.
 
@@ -55,12 +56,41 @@ def connected_components(
     themselves checkpointed LogicalRDDs carrying join-derived
     constraints, which is exactly what :func:`bipartite_components`
     feeds it. Default stays the faster union form.
+
+    ``edge_storage`` picks how the per-round bidirectional edge input
+    is held (r6 verdict item 6; A/B numbers in SCALE.md §CC):
+
+    - ``"bi"`` (default): checkpoint the materialized bidirectional
+      table (2|E| rows) once; every round scans the cached blocks.
+      The edge-side distinct shuffle is paid exactly once.
+    - ``"recompute"``: no checkpoint; re-derive
+      filter+distinct+union from the source every round, paying the
+      distinct's full edge shuffle PER ROUND. Kept for the A/B
+      harness (tools/ab_cc_edges.py) and for memory-starved callers
+      that prefer recompute over caching 2|E| rows.
+
+    A third variant — checkpoint only the DIRECTED |E| rows and union
+    the reversal lazily per round, halving the cached footprint — is
+    NOT offered: a Union over a checkpointed LogicalRDD plus its own
+    projection trips Catalyst's union-constraint rewrite
+    (``key not found`` at the loop's next localCheckpoint) in every
+    join mode on this Spark version, the same defect class the
+    ``join_rounds`` docstring pins. Revisit if that rewrite is fixed.
+
+    Note ``localCheckpoint`` does NOT preserve hash partitioning
+    through the DataFrame API (the checkpointed side re-Exchanges in
+    every round's join regardless of a pre-``repartition``), so
+    storage choice changes bytes HELD, not bytes SHUFFLED; the
+    per-round shuffle model is in SCALE.md §CC.
     """
     import time as _time
     edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     # Undirected: propagate labels both ways.
     bi = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    bi = bi.localCheckpoint(eager=False)
+    if edge_storage == "bi":
+        bi = bi.localCheckpoint(eager=False)
+    elif edge_storage != "recompute":
+        raise ValueError(f"unknown edge_storage: {edge_storage!r} (bi|recompute)")
 
     labels = graph.vertices.select("id").distinct().withColumn("component", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
