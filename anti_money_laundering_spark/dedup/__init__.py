@@ -59,6 +59,7 @@ __all__ = [
     "jaccard_pairs",
     "near_duplicates_minhash",
     "near_duplicate_clusters",
+    "winnow_fingerprints",
 ]
 
 
@@ -612,4 +613,65 @@ def near_duplicates_minhash(
     return jaccard_pairs(
         docs, id_col, text_col, min_jaccard=min_jaccard, pairs=cands, shingle_k=shingle_k,
         sets=sets_,
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, then
+    from each sliding window of ``window`` consecutive gram hashes
+    select the minimum (ties to the LEFTMOST position), and emit the
+    distinct selections per document as ``(id, pos, gram_hash)``.
+
+    The guarantee that makes this THE local fingerprinting scheme: any
+    shared token run of length >= ``window + k - 1`` between two
+    documents is caught by at least one shared fingerprint, while the
+    fingerprint density stays ~2/(window+1) regardless of document
+    length — per-document output is bounded, and candidate retrieval
+    is an equi-join on ``gram_hash`` (a posting-list join, never
+    all-pairs).
+
+    All codegen'd: per-gram hash = first 8 md5 hex chars as a 32-bit
+    int (cross-engine reproducible, same scheme as the portable
+    SimHash token hash), window-min over a per-document ROWS frame
+    (documents are the partition key, so the window never sees a
+    data-sized partition), selection decoded from ``hash * 2^21 +
+    pos`` (exact in a 53-bit product; positions are capped by the
+    frame definition, not the encoding — docs beyond 2^21 grams would
+    need a wider encoding). Documents shorter than one full window
+    select their global minimum, so every non-empty document carries
+    at least one fingerprint.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, k=k)).alias("__pos", "__g"),
+    ).filter(F.col("__g") != "")  # token-less docs fingerprint nothing
+    h = F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+    keyed = grams.select(
+        F.col(id_col),
+        F.col("__pos"),
+        (h * F.lit(1 << 21) + F.col("__pos")).alias("__key"),
+    )
+    w_sel = Window.partitionBy(id_col).orderBy("__pos")
+    sel = keyed.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.min("__key").over(w_sel.rowsBetween(0, window - 1)).alias("__sel"),
+        F.count(F.lit(1)).over(w_sel.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__n"),
+    )
+    return (
+        sel.filter(F.col("__pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .select(F.col(id_col), F.col("__sel"))
+        .distinct()
+        .select(
+            F.col(id_col),
+            (F.col("__sel") % (1 << 21)).cast("int").alias("pos"),
+            (F.col("__sel") / (1 << 21)).cast("long").alias("gram_hash"),
+        )
     )

@@ -196,7 +196,11 @@ _R7_PLAN: tuple[str, ...] = (
 #: froze) that therefore cannot receive a driver row until r8. The
 #: window test refuses any new catalog query outside this plan, so the
 #: attestation debt stays enumerated instead of silently accruing.
-_R8_PLAN: tuple[str, ...] = ()
+_R8_PLAN: tuple[str, ...] = (
+    # winnowing fingerprints (r7-new; Schleimer et al. 2003)
+    "winnow_fingerprints_docs",
+    "winnow_candidate_pairs",
+)
 
 #: Queries that can NEVER be hash-attested: their outputs are
 #: engine-specific by nature (PCA eigenbasis sign/rotation;

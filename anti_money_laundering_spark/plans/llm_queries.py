@@ -1435,3 +1435,103 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.slice("t", F.col("chunk_pos") * 4 + 1, 8)).alias("chunk_tokens"),
         )
     )
+
+
+#: Winnowing fingerprint selection replayed in DuckDB: k=5 word grams
+#: via list_transform over the token array, the same md5-derived 32-bit
+#: gram hash as the engine, window-min of hash*2^21+pos over each
+#: 4-gram sliding window (ties to leftmost pos by construction of the
+#: encoded key), full windows only except the short-doc global min.
+_DUCK_WINNOW_FPS = f"""
+    doc_toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    wgrams AS (
+        SELECT doc_id, unnest(gs) AS gram,
+               generate_subscripts(gs, 1) - 1 AS pos
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(0, len(toks) - 4),
+                                            i -> array_to_string(toks[i+1:i+5], ' '))
+                   END AS gs
+            FROM doc_toks WHERE len(toks) > 0
+        )
+    ),
+    keyed AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * 2097152 + pos AS key
+        FROM wgrams
+    ),
+    counted AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
+    winmin AS (
+        SELECT k.doc_id, k.pos, c.n,
+               min(key) OVER (PARTITION BY k.doc_id ORDER BY k.pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        FROM keyed k JOIN counted c USING (doc_id)
+    ),
+    winnow_fps AS (
+        SELECT DISTINCT doc_id,
+               CAST(sel % 2097152 AS INT) AS pos,
+               CAST(sel // 2097152 AS BIGINT) AS gram_hash
+        FROM winmin WHERE pos <= greatest(n - 4, 0)
+    )
+"""
+
+
+@register(
+    "winnow_fingerprints_docs",
+    tags=("LLM", "dedup", "text"),
+    oracle=f"""
+    WITH {_DUCK_WINNOW_FPS}
+    SELECT doc_id, pos, gram_hash FROM winnow_fps
+    """,
+)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm) per document: k=5 word grams, window w=4, min-hash
+    selection with the guarantee that any shared run of >= w+k-1 = 8
+    tokens is caught by a shared fingerprint while density stays
+    ~2/(w+1) — bounded per-doc output, candidate retrieval by
+    posting-list equi-join. Portable md5 gram hash, so the whole
+    selection is hash-attested against DuckDB."""
+    from anti_money_laundering_spark.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+
+
+@register(
+    "winnow_candidate_pairs",
+    tags=("LLM", "dedup"),
+    oracle=f"""
+    WITH {_DUCK_WINNOW_FPS}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(DISTINCT a.gram_hash) AS BIGINT) AS shared_fps
+    FROM winnow_fps a JOIN winnow_fps b
+      ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.gram_hash) >= 2
+    """,
+)
+def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism/near-dup candidate pairs à la MOSS: documents sharing
+    >= 2 winnowing fingerprint hashes, ranked by how many they share.
+    The join key is the fingerprint hash — a posting-list equi-join
+    over the ~2/(w+1)-density fingerprint table, never all-pairs, and
+    ~8x fewer rows than the repeated-spans gram join at the same k."""
+    from anti_money_laundering_spark.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4).localCheckpoint(
+        eager=False
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "gram_hash")
+    b = fps.select(F.col("doc_id").alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("gram_hash").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

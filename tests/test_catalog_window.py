@@ -140,7 +140,11 @@ def test_window_executes_completion_plan():
         f"window first-time block != completion plan; "
         f"missing={sorted(plan - first_time)} extra={sorted(first_time - plan)}"
     )
-    never_rowed = {n for n in cat if n not in rowed and n not in set(_WINDOW)}
+    never_rowed = {
+        n
+        for n in cat
+        if n not in rowed and n not in set(_WINDOW) and n not in set(_R8_PLAN)
+    }
     assert not never_rowed, f"queries with no attestation this round: {sorted(never_rowed)}"
 
 

@@ -370,3 +370,60 @@ def test_cut_spans_keeps_tokenless_docs(spark):
     )
     out = {r.doc_id: (r.text_clean, r.n_cut_tokens) for r in cut_spans(df, spans, "doc_id", "text").collect()}
     assert out == {1: ("a b c", 0), 2: ("", 0), 3: ("", 0)}
+
+
+def test_winnowing_matches_bruteforce_and_guarantee(spark):
+    """Winnowing (r7): the distributed selection must equal the
+    reference algorithm (per-window min of hash*2^21+pos, full windows
+    only, short docs take the global min, empty docs nothing), and the
+    scheme's guarantee must hold: two documents sharing a token run of
+    >= window+k-1 tokens share at least one fingerprint hash."""
+    import hashlib
+    import random
+    import re
+
+    from anti_money_laundering_spark.dedup import winnow_fingerprints
+
+    K, W = 5, 4
+
+    def brute(text):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        if not toks:
+            return set()
+        grams = (
+            [" ".join(toks)]
+            if len(toks) < K
+            else [" ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)]
+        )
+        keys = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * (1 << 21) + i
+            for i, g in enumerate(grams)
+        ]
+        if len(keys) <= W:
+            sel = {min(keys)}
+        else:
+            sel = {min(keys[i : i + W]) for i in range(len(keys) - W + 1)}
+        return {(k % (1 << 21), k // (1 << 21)) for k in sel}
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=K, window=W).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    for d, text in rows:
+        assert got.get(d, set()) == brute(text), (d, text)
+
+    shared = " ".join(rng.choice(vocab) for _ in range(W + K - 1))
+    pair = spark.createDataFrame(
+        [(0, "alpha beta " + shared + " zeta"), (1, "theta " + shared + " gamma delta")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(pair, "doc_id", "text", k=K, window=W).collect()
+    h0 = {r.gram_hash for r in fps if r.doc_id == 0}
+    h1 = {r.gram_hash for r in fps if r.doc_id == 1}
+    assert h0 & h1, "winnowing guarantee violated"
