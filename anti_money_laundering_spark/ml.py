@@ -83,14 +83,20 @@ def embedding_classifier_predictions(
     """Train multinomial logistic regression on a deterministic train
     split and return held-out predictions ``(id, label, prediction)``.
 
-    Split: rows with ``pmod(hash(id), test_mod) == 0`` are held out —
-    stable under repartitioning, unlike ``randomSplit``.
+    Split: rows whose portable md5 hash bucket (sampling.hash_bucket,
+    salt ``clf-split-v1``) is 0 mod ``test_mod`` are held out — stable
+    under repartitioning (unlike ``randomSplit``) AND replayable by
+    any engine with md5, so an oracle can verify the exact held-out
+    membership even though the fitted model itself is engine-specific
+    (r7: previously ``F.hash``, Spark-only Murmur3).
     """
+    from anti_money_laundering_spark.sampling import hash_bucket
+
     feat = vectors.select(
         F.col(id_col),
         F.col(label_col).cast("double").alias("__label"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
-    ).withColumn("__is_test", F.pmod(F.hash(F.col(id_col)), F.lit(test_mod)) == 0)
+    ).withColumn("__is_test", hash_bucket(id_col, test_mod, salt="clf-split-v1") == 0)
 
     lr = LogisticRegression(
         featuresCol="__feat",

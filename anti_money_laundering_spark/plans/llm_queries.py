@@ -1092,20 +1092,43 @@ def multimodal_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_embedding_classifier",
     tags=("LLM", "ml", "M1"),
-    oracle=None,  # LBFGS-fitted model is engine-specific; contract tested in tests/test_ml_multimodal.py
+    # The LBFGS-fitted model is engine-specific, so the PREDICTION
+    # VALUES stay out of the compared columns — but the deterministic
+    # md5 split means the oracle verifies the exact held-out membership
+    # (rows, ids, labels) plus a hash-covered boolean pinning every
+    # prediction inside the label domain (r6 verdict: rows-only with no
+    # documented impossibility → bounded attestation, same pattern as
+    # approx_distinct_parts). Model-quality invariants stay in
+    # tests/test_ml_multimodal.py.
+    oracle=f"""
+    SELECT vec_id, label, TRUE AS pred_in_domain
+    FROM embeddings
+    WHERE {_duck_hash_bucket("vec_id", "clf-split-v1", 5)} = 0
+    """,
 )
 def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed MLlib classification pipeline over an embedding
-    column: deterministic hash train/test split, multinomial logistic
-    regression, held-out predictions. The fixture embeddings carry
-    near-zero label signal (measured: a numpy linear probe scores at
-    chance), so the capability under test is the distributed pipeline
-    contract, not model quality — the MLlib-native replacement for the
-    reference's driver-side per-image inference loop (02:107-132)."""
+    column: deterministic portable-hash train/test split, multinomial
+    logistic regression, held-out predictions. The fixture embeddings
+    carry near-zero label signal (measured: a numpy linear probe scores
+    at chance), so the capability under test is the distributed
+    pipeline contract, not model quality — the MLlib-native replacement
+    for the reference's driver-side per-image inference loop
+    (02:107-132). Attested columns: held-out membership + label +
+    prediction-in-domain; the engine-specific predicted class itself is
+    excluded."""
     from anti_money_laundering_spark.ml import embedding_classifier_predictions
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_classifier_predictions(emb)
+    preds = embedding_classifier_predictions(emb)
+    n_labels = emb.agg(F.countDistinct("label")).collect()[0][0]
+    return preds.select(
+        "vec_id",
+        "label",
+        ((F.col("prediction") >= 0) & (F.col("prediction") < n_labels)).alias(
+            "pred_in_domain"
+        ),
+    )
 
 
 @register(
