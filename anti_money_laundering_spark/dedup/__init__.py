@@ -648,10 +648,36 @@ def winnow_fingerprints(
     select their global minimum, so every non-empty document carries
     at least one fingerprint.
     """
-    grams = docs.select(
-        F.col(id_col),
-        F.posexplode(word_shingles(text_col, k=k)).alias("__pos", "__g"),
-    ).filter(F.col("__g") != "")  # token-less docs fingerprint nothing
+    # Grams via lead+concat over exploded tokens — fully codegen'd, the
+    # same trick as repeated_spans. The word_shingles(transform(...))
+    # formulation is semantically identical but evaluates the lambda
+    # INTERPRETED (measured 70.5 s vs 4.8 s on the 100k-doc stress), and
+    # co-selecting size(shingles) beside a posexplode generator is far
+    # worse still: a plain projection next to a generator runs per
+    # OUTPUT row, so the lambda reruns per gram — quadratic per doc
+    # (measured >10 min on the same stress).
+    by_doc = Window.partitionBy(id_col).orderBy("__pos")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    parts: list = [F.col("__tok")]
+    for j in range(1, k):
+        parts += [F.lit(" "), F.lead("__tok", j).over(by_doc)]
+    whole_frame = by_doc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_toks = F.count(F.lit(1)).over(whole_frame)
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("__pos"),
+            # full k-gram (NULL inside the last k-1 positions), or for
+            # docs shorter than k tokens the whole-text single shingle
+            # at position 0 (word_shingles' short-doc contract)
+            F.when(n_toks >= k, F.concat(*parts))
+            .when(F.col("__pos") == 0, F.array_join(F.collect_list("__tok").over(whole_frame), " "))
+            .alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
+    )
     h = F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
     keyed = grams.select(
         F.col(id_col),
@@ -659,14 +685,20 @@ def winnow_fingerprints(
         (h * F.lit(1 << 21) + F.col("__pos")).alias("__key"),
     )
     w_sel = Window.partitionBy(id_col).orderBy("__pos")
+    frame = w_sel.rowsBetween(0, window - 1)
+    # min + count over the SAME frame: WindowExec computes both in one
+    # pass; a full window exists iff the frame holds `window` rows, and
+    # the short-doc global-min fallback is the pos-0 partial frame.
     sel = keyed.select(
         F.col(id_col),
         F.col("__pos"),
-        F.min("__key").over(w_sel.rowsBetween(0, window - 1)).alias("__sel"),
-        F.count(F.lit(1)).over(w_sel.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__n"),
+        F.min("__key").over(frame).alias("__sel"),
+        F.count(F.lit(1)).over(frame).alias("__wn"),
     )
     return (
-        sel.filter(F.col("__pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        sel.filter(
+            (F.col("__wn") == window) | ((F.col("__pos") == 0) & (F.col("__wn") < window))
+        )
         .select(F.col(id_col), F.col("__sel"))
         .distinct()
         .select(
