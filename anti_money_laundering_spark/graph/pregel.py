@@ -59,11 +59,16 @@ def _references_dst(expr: Column) -> bool:
         import re
 
         _DST_ATTR_RE = re.compile(r"(?<![\w.`])dst[.\[]")
+    import re
+
     body = str(expr)
     if body.startswith("Column<'") and body.endswith("'>"):
         body = body[len("Column<'") : -2]  # unwrap the repr's own quotes
-    # splitting on ' leaves code at even indexes, literal text at odd
-    return any(_DST_ATTR_RE.search(seg) for seg in body.split("'")[::2])
+    # splitting on UNESCAPED quotes leaves code at even indexes and
+    # literal text at odd — the repr escapes quotes inside literals as
+    # \' (review finding: a bare split flipped the parity after a
+    # literal like 'don\'t', hiding a genuine dst reference)
+    return any(_DST_ATTR_RE.search(seg) for seg in re.split(r"(?<!\\)'", body)[::2])
 
 
 def pregel(

@@ -1121,11 +1121,14 @@ def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     preds = embedding_classifier_predictions(emb)
-    n_labels = emb.agg(F.countDistinct("label")).collect()[0][0]
-    return preds.select(
+    # label-domain size joined in-plan (1-row agg, broadcast NLJ) — a
+    # driver-side collect here would run an extra eager job at every
+    # plan build (review finding)
+    n_labels = emb.agg(F.countDistinct("label").alias("__nl"))
+    return preds.crossJoin(n_labels).select(
         "vec_id",
         "label",
-        ((F.col("prediction") >= 0) & (F.col("prediction") < n_labels)).alias(
+        ((F.col("prediction") >= 0) & (F.col("prediction") < F.col("__nl"))).alias(
             "pred_in_domain"
         ),
     )

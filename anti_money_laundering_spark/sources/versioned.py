@@ -548,11 +548,23 @@ class VersionedTable:
                     *(F.max(c).alias(f"mx{i}") for i, c in enumerate(cluster_by)),
                 ).collect()[0]
 
+                from pyspark.sql.types import IntegralType
+
                 def _bucket(i: int) -> Column:
                     mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
                     if mn is None or mx is None or mx <= mn:
                         return F.lit(0).cast("long")
-                    span = float(mx) - float(mn) + 1.0
+                    # +1 widens the span only for integral domains (so
+                    # the max value maps inside the top bucket, not past
+                    # it); for continuous domains it would compress the
+                    # layout into a prefix of the bucket range (review
+                    # finding: a [0,1] double column used half the
+                    # buckets) — divide by the exact width and let the
+                    # clamp below absorb the mx edge instead.
+                    integral = isinstance(
+                        df.schema[cluster_by[i]].dataType, IntegralType
+                    )
+                    span = float(mx) - float(mn) + (1.0 if integral else 0.0)
                     scaled = F.floor(
                         (F.col(cluster_by[i]).cast("double") - float(mn))
                         / span

@@ -590,3 +590,17 @@ def test_references_dst_detects_all_access_styles(spark):
     assert not _references_dst(F.concat(F.lit("a dst. b"), F.col("x")))
     assert not _references_dst(F.col("src.score") + F.col("msg"))
     assert not _references_dst(F.col("xdst.score"))
+
+
+def test_references_dst_survives_escaped_quotes_in_literals(spark):
+    # Review finding: the repr escapes quotes inside literals as \' —
+    # a bare split on ' flipped code/literal parity after "don't" and
+    # hid a genuine dst reference (missing the dst join entirely).
+    from anti_money_laundering_spark.graph.pregel import _references_dst
+
+    assert _references_dst(
+        F.when(F.col("msg") == F.lit("don't"), F.col("dst.v")).otherwise(F.lit(0))
+    )
+    assert not _references_dst(
+        F.when(F.col("msg") == F.lit("don't dst."), F.col("src.v")).otherwise(F.lit(0))
+    )

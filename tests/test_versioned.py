@@ -626,3 +626,29 @@ def test_compact_zorder_rescales_wide_and_negative_domains(spark):
     assert len(kept_y) < len(m.files), (len(kept_y), len(m.files))
     got = sorted((r.x, r.y, r.v) for r in t.read(spark, prune=("y", -80, -65)).collect())
     assert got == sorted((x, y, v) for x, y, v in rows if -80 <= y <= -65)
+
+
+def test_compact_zorder_continuous_domain_uses_full_bucket_range(spark):
+    # Review finding: the integer-domain "+1" span compressed continuous
+    # domains into a prefix of the bucket range ([0,1] doubles used half
+    # the buckets). Both dimensions must prune on a unit-interval double
+    # column, including ranges near the TOP of the domain.
+    import itertools
+
+    t = _tbl()
+    rows = [
+        (x / 31.0, y * 5 - 80, x * 32 + y)
+        for x, y in itertools.product(range(32), range(32))
+    ]
+    df = spark.createDataFrame(rows, "x double, y int, v int").repartition(8)
+    t.write(df, stats_cols=["x", "y"])
+    t.compact(spark, target_files=8, cluster_by=["x", "y"])
+    m = t._load(t.latest_version())
+    kept_lo = t._prune_files(m, ("x", 0.0, 0.12))
+    kept_hi = t._prune_files(m, ("x", 0.9, 1.0))  # top edge must also cluster
+    kept_y = t._prune_files(m, ("y", -80, -65))
+    assert len(kept_lo) < len(m.files), (len(kept_lo), len(m.files))
+    assert len(kept_hi) < len(m.files), (len(kept_hi), len(m.files))
+    assert len(kept_y) < len(m.files), (len(kept_y), len(m.files))
+    got = sorted((r.x, r.y, r.v) for r in t.read(spark, prune=("x", 0.9, 1.0)).collect())
+    assert got == sorted((x, y, v) for x, y, v in rows if 0.9 <= x <= 1.0)
