@@ -563,3 +563,54 @@ def expectations(
     return row.select(
         F.stack(F.lit(len(names)), *pairs).alias("rule", "n_violations")
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grains: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass — the
+    continuous-aggregate / hypertable-rollup shape (TimescaleDB's
+    time_bucket hierarchy, Druid's granularity rollup): every requested
+    ``grains`` level (e.g. hour/day/month) is aggregated from a single
+    scan of the fact table via GROUPING SETS, instead of one
+    job per grain re-reading the source.
+
+    Returns ``(grain, bucket, *aggs)`` with ``bucket`` the truncated
+    timestamp formatted as an ISO string (engine-portable; see
+    FIXTURES.md §date columns). Catalyst expands the grouping sets
+    map-side and partial-aggregates before the single shuffle, so the
+    shuffled rows are bounded by (distinct buckets x grains), not the
+    fact row count — the property that makes one-pass rollup the right
+    shape at 100 TB. Incremental maintenance of a persisted rollup is
+    the composition with :func:`merge_aggregates` /
+    ``VersionedTable.merge`` (see incremental_revenue_merge).
+    """
+    if not grains:
+        raise ValueError("grains must be non-empty")
+    bucket_cols = [
+        F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains
+    ]
+    rolled = (
+        df.select(*bucket_cols, *df.columns)
+        .groupingSets([[f"__b_{g}"] for g in grains], *[F.col(f"__b_{g}") for g in grains])
+        .agg(
+            *aggs,
+            # grouping() == 0 identifies the active set even if the
+            # bucket VALUE is NULL (null timestamps) — a null-check on
+            # the bucket column could not tell those apart
+            *[F.grouping(f"__b_{g}").alias(f"__isg_{g}") for g in grains],
+        )
+    )
+    grain_expr = None
+    for g in grains:
+        cond = F.col(f"__isg_{g}") == 0
+        grain_expr = F.when(cond, F.lit(g)) if grain_expr is None else grain_expr.when(cond, F.lit(g))
+    bucket = F.coalesce(*[F.col(f"__b_{g}") for g in grains])
+    return rolled.select(
+        grain_expr.alias("grain"),
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        *[c for c in rolled.columns if not c.startswith("__b_") and not c.startswith("__isg_")],
+    )

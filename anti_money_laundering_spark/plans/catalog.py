@@ -200,6 +200,8 @@ _R8_PLAN: tuple[str, ...] = (
     # winnowing fingerprints (r7-new; Schleimer et al. 2003)
     "winnow_fingerprints_docs",
     "winnow_candidate_pairs",
+    # hypertable-style one-pass multi-grain rollup (r7-new)
+    "time_rollup_events",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

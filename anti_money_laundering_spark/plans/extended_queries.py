@@ -632,3 +632,41 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
     )
+
+
+@register(
+    "time_rollup_events",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    SELECT 'hour' AS grain, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           CAST(count(*) AS BIGINT), round(sum(value), 2)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
+           CAST(count(*) AS BIGINT), round(sum(value), 2)
+    FROM events GROUP BY 2
+    """,
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour/day/month
+    event buckets maintained from ONE scan of the fact table via
+    GROUPING SETS (operators.time_rollup) — the multi-granularity
+    time-series summary a per-grain job chain would read the 100 TB
+    fact table three times for. Shuffled rows are bounded by distinct
+    buckets x grains after map-side partial aggregation."""
+    from anti_money_laundering_spark.operators import time_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    return time_rollup(
+        e,
+        "ts",
+        ["hour", "day", "month"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
