@@ -292,15 +292,32 @@ def morton_code(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     domains). DuckDB replays the identical expression, so layouts are
     oracle-checkable.
     """
-    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
-    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    return morton_code_n([x, y], bits=bits)
+
+
+def morton_code_n(cols: list, bits: int | None = None) -> Column:
+    """N-dimensional Z-order interleave (Delta's OPTIMIZE ZORDER BY
+    accepts any column count): bit ``i`` of dimension ``j`` lands at
+    output position ``i*n + j`` — round-robin interleave, so range
+    predicates on ANY dimension map to contiguous code ranges at the
+    same ~1/n resolution. ``bits`` per dimension defaults to the
+    maximum fitting a signed long (``63 // n``); values are masked to
+    that width, so pre-bucket wider domains (compact() does this).
+    For n=2 this is bit-identical to :func:`morton_code`."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code_n interleaves >= 2 columns")
+    if bits is None:
+        bits = 63 // n
+    if n * bits > 63:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a signed long (63)")
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("long") for c in cols]
     out = F.lit(0).cast("long")
     for i in range(bits):
         bit = F.lit(1 << i).cast("long")
-        out = (
-            out.bitwiseOR(F.shiftleft(xc.bitwiseAND(bit), i))
-            .bitwiseOR(F.shiftleft(yc.bitwiseAND(bit), i + 1))
-        )
+        for j, c in enumerate(cs):
+            # source bit i -> target bit i*n + j: shift by i*(n-1) + j
+            out = out.bitwiseOR(F.shiftleft(c.bitwiseAND(bit), i * (n - 1) + j))
     return out
 
 

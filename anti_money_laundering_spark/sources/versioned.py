@@ -506,12 +506,13 @@ class VersionedTable:
         rewrite raises CommitConflict instead of being lost.
 
         ``cluster_by`` is OPTIMIZE ZORDER (Delta's clustering face):
-        one column range-clusters the rewrite on that column; TWO
-        columns range-cluster on their Morton interleave
-        (functions.morton_code — ``cluster_bits`` per dimension), so
-        each output file covers a narrow range in BOTH dimensions and
-        a ``read(prune=...)`` selective in EITHER column skips most
-        files from the manifest stats alone. Without clustering,
+        one column range-clusters the rewrite on that column; two to
+        four columns range-cluster on their Morton interleave
+        (functions.morton_code_n — ``cluster_bits`` per dimension,
+        auto-shrunk so n x bits fits a signed long), so each output
+        file covers a narrow range in EVERY dimension and a
+        ``read(prune=...)`` selective in ANY clustered column skips
+        most files from the manifest stats alone. Without clustering,
         min/max ranges of arrival-ordered files all overlap and
         pruning degenerates to scanning everything — at 100 TB the
         clustered rewrite is the difference between data skipping
@@ -533,15 +534,17 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed versions at {self.path}")
         df = self.read(spark, version=snapshot_v)
         if cluster_by:
-            if not 1 <= len(cluster_by) <= 2:
-                raise ValueError("cluster_by takes one or two columns")
+            if not 1 <= len(cluster_by) <= 4:
+                raise ValueError("cluster_by takes one to four columns")
             from pyspark.sql import functions as F
 
-            from anti_money_laundering_spark.functions import morton_code
+            from anti_money_laundering_spark.functions import morton_code_n
 
             if len(cluster_by) == 1:
                 key = F.col(cluster_by[0])
             else:
+                # per-dimension bit width shrinks so n dims fit a long
+                cluster_bits = min(cluster_bits, 63 // len(cluster_by))
                 n_buckets = 1 << cluster_bits
                 bounds = df.agg(
                     *(F.min(c).alias(f"mn{i}") for i, c in enumerate(cluster_by)),
@@ -576,7 +579,9 @@ class VersionedTable:
                         F.lit(0),
                     ).cast("long")
 
-                key = morton_code(_bucket(0), _bucket(1), bits=cluster_bits)
+                key = morton_code_n(
+                    [_bucket(i) for i in range(len(cluster_by))], bits=cluster_bits
+                )
             df = (
                 df.withColumn("__zkey", key)
                 .repartitionByRange(target_files, F.col("__zkey"))

@@ -652,3 +652,40 @@ def test_compact_zorder_continuous_domain_uses_full_bucket_range(spark):
     assert len(kept_y) < len(m.files), (len(kept_y), len(m.files))
     got = sorted((r.x, r.y, r.v) for r in t.read(spark, prune=("x", 0.9, 1.0)).collect())
     assert got == sorted((x, y, v) for x, y, v in rows if 0.9 <= x <= 1.0)
+
+
+def test_compact_zorder_three_columns_prunes_all_dimensions(spark):
+    # r7: OPTIMIZE ZORDER generalizes past two columns via the n-dim
+    # Morton interleave (per-dimension bits auto-shrunk to fit a
+    # signed long). A selective range on ANY of the three clustered
+    # columns must skip files, and content must survive the rewrite.
+    import itertools
+
+    t = _tbl()
+    rows = [
+        (x, y * 7, z * 1000, x + y + z)
+        for x, y, z in itertools.product(range(16), range(16), range(16))
+    ]
+    df = spark.createDataFrame(rows, "x int, y int, z long, v int").repartition(8)
+    t.write(df, stats_cols=["x", "y", "z"])
+    t.compact(spark, target_files=8, cluster_by=["x", "y", "z"])
+    m = t._load(t.latest_version())
+    assert len(m.files) > 1
+    for col, lo, hi in [("x", 0, 1), ("y", 0, 7), ("z", 0, 1000)]:
+        kept = t._prune_files(m, (col, lo, hi))
+        assert len(kept) < len(m.files), (col, len(kept), len(m.files))
+    got = sorted((r.x, r.y, r.z, r.v) for r in t.read(spark, prune=("z", 0, 1000)).collect())
+    assert got == sorted((x, y, z, v) for x, y, z, v in rows if z <= 1000)
+
+
+def test_morton_code_n_matches_two_dim_morton(spark):
+    from anti_money_laundering_spark.functions import morton_code, morton_code_n
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+    )
+    got = df.select(
+        morton_code("a", "b", bits=8).alias("m2"),
+        morton_code_n(["a", "b"], bits=8).alias("mn"),
+    ).filter(F.col("m2") != F.col("mn"))
+    assert got.count() == 0
