@@ -644,7 +644,7 @@ class VersionedTable:
             # base 0), and on CommitConflict re-read from the new
             # parent and retry — the carried map is always derived from
             # the version the commit sits on.
-            while True:
+            for _attempt in range(100):  # bounded: a livelock should raise, not spin
                 base = self.latest_version()
                 ledger = (
                     self._committed_batch_ledger(as_of=base) if base is not None else {}
@@ -680,6 +680,10 @@ class VersionedTable:
                     return
                 except CommitConflict:
                     continue  # head moved: re-derive the ledger from it
+            raise CommitConflict(
+                f"stream_sink app {app_id!r} batch {batch_id}: 100 consecutive "
+                f"commit conflicts at {self.path} — writer livelock"
+            )
 
         return _sink
 
