@@ -79,13 +79,23 @@ def ngram_overlap(
     shuffle of the corpus text itself, no pairwise doc×doc
     comparison. At 100 TB the corpus side streams
     through scan→project→explode→join entirely map-side; only the
-    (doc_id, count) agg shuffles."""
-    c = doc_ngrams(corpus, id_col, text_col, n=n).withColumnRenamed("id", id_col)
+    (doc_id, count) agg shuffles.
+
+    The corpus posting list is deliberately NOT pre-distinct'd: that
+    would shuffle every (doc, 8-gram string) in the corpus just to
+    dedupe rows the broadcast join is about to discard. Instead the
+    raw exploded stream filters through the broadcast set map-side and
+    the per-doc DISTINCT count runs partial-aggregated over the
+    survivors — only SHARED grams ever reach a shuffle (r7: 16.8 s →
+    ~4 s cold at sf0.1)."""
+    c = doc_ngrams(corpus, id_col, text_col, n=n, distinct=False).withColumnRenamed(
+        "id", id_col
+    )
     b = doc_ngrams(benchmark, id_col, text_col, n=n).select("ngram").distinct()
     return (
         c.join(F.broadcast(b), "ngram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .agg(F.countDistinct("ngram").alias("n_shared_ngrams"))
     )
 
 
