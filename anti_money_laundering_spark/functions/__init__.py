@@ -38,9 +38,12 @@ __all__ = [
     "simhash64",
     "hamming64",
     "lang_id",
+    "lang_id_trigram",
+    "lang_id_trigram_sql",
     "quality_features",
     "fingerprint_md5",
     "STOPWORDS",
+    "TRIGRAM_PROFILES",
 ]
 
 
@@ -349,3 +352,59 @@ def chunk_udtf():
                 yield i // size, " ".join(toks[i : i + size])
 
     return ChunkDoc
+
+
+#: Character-trigram profiles (top distinctive trigrams per language,
+#: ASCII-only so length/replace counting is identical across engines).
+#: The complement to the stopword heuristic: trigram evidence fires on
+#: morphology (ing/sch/que) even when function words are rare, the
+#: classic Cavnar-Trenkle n-gram angle at k=3.
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "and", " an", "ing", "ng ", " of", "ion"),
+    "de": ("der", " de", "ein", "ich", "sch", "che", "die", "und", "en "),
+    "fr": (" le", "le ", "ent", "les", " la", "que", "des", "ais", "ons"),
+    "es": ("de ", " la", "el ", " el", "que", " qu", "los", "cio", "ado"),
+}
+
+
+def _trigram_score_sql(col: str, grams: tuple[str, ...]) -> str:
+    """SQL (Spark AND DuckDB portable) for the summed occurrence count
+    of ``grams`` in lowercased space-padded ``col``: each occurrence of
+    a 3-char gram removes 3 chars under replace(), so the length delta
+    counts occurrences x3 — the /3 is dropped since a uniform scale
+    cannot change an argmax."""
+    padded = f"(' ' || lower({col}) || ' ')"
+    terms = [
+        f"(length({padded}) - length(replace({padded}, '{g}', '')))" for g in grams
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_id_trigram_sql(col: str) -> str:
+    """The full CASE expression as SQL text — valid VERBATIM under both
+    Spark SQL and DuckDB (lower/replace/length/|| only), which is what
+    lets the catalog oracle replay the identical classifier."""
+    langs = list(TRIGRAM_PROFILES)
+    scores = {lang: _trigram_score_sql(col, TRIGRAM_PROFILES[lang]) for lang in langs}
+    expr = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return expr
+
+
+def lang_id_trigram(col: str) -> Column:
+    """Character-trigram language ID (Cavnar-Trenkle style at k=3):
+    argmax of per-language profile-trigram occurrence counts, 'und'
+    when nothing fires, ties broken in TRIGRAM_PROFILES key order.
+    Pure length/replace arithmetic — codegen'd, no explode, and the
+    identical SQL runs under DuckDB for the oracle. Complements the
+    stopword heuristic: trigram evidence fires on morphology
+    (ing/sch/que) even when function words are rare."""
+    return F.expr(lang_id_trigram_sql(col))

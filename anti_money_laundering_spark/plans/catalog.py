@@ -202,6 +202,8 @@ _R8_PLAN: tuple[str, ...] = (
     "winnow_candidate_pairs",
     # hypertable-style one-pass multi-grain rollup (r7-new)
     "time_rollup_events",
+    # two-heuristic language-ID consensus (r7-new)
+    "lang_trigram_docs",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -278,3 +278,70 @@ def rebalance_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weights = {f"src{i}": (2.0 if i % 2 == 0 else 1.0) for i in range(20)}
     return rebalance_to_target_mix(docs, weights).select("doc_id", "source")
+
+
+@register(
+    "lang_trigram_docs",
+    tags=("LLM", "text"),
+    oracle=None,  # set below — built from the shared SQL generator
+)
+def lang_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID next to the stopword heuristic,
+    with an agreement flag — the two-heuristic consensus view a corpus
+    language audit starts from. Both classifiers are pure codegen'd
+    column arithmetic; the trigram CASE is one shared SQL text replayed
+    verbatim by the oracle."""
+    from anti_money_laundering_spark.functions import lang_id, lang_id_trigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id_trigram("text").alias("lang_tri"),
+        lang_id("text").alias("lang_sw"),
+        (lang_id_trigram("text") == lang_id("text")).alias("agree"),
+    )
+
+
+# The trigram side of the oracle is the IDENTICAL SQL text the Spark
+# expression compiles from; the stopword side is rebuilt in DuckDB list
+# syntax (len/list_filter/list_contains over the shared tokenizer).
+def _duck_lang_sw(col: str) -> str:
+    from anti_money_laundering_spark.functions import STOPWORDS
+
+    toks = f"list_filter(regexp_split_to_array(lower({col}), '[ \\t\\n\\r\\f\\x0B]+'), t -> t <> '')"
+    langs = list(STOPWORDS)
+    counts = {
+        lang: (
+            f"len(list_filter({toks}, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], t)))"
+        )
+        for lang in langs
+    }
+    expr = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"{counts[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[lang]} {op} {counts[other]}")
+        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return expr
+
+
+def _install_lang_trigram_oracle() -> None:
+    from anti_money_laundering_spark.functions import lang_id_trigram_sql
+    from anti_money_laundering_spark.plans.catalog import _CATALOG
+
+    tri = lang_id_trigram_sql("text")
+    sw = _duck_lang_sw("text")
+    _CATALOG["lang_trigram_docs"].oracle = f"""
+    SELECT doc_id, {tri} AS lang_tri, {sw} AS lang_sw,
+           ({tri}) = ({sw}) AS agree
+    FROM documents
+    """
+
+
+_install_lang_trigram_oracle()
