@@ -204,6 +204,8 @@ _R8_PLAN: tuple[str, ...] = (
     "time_rollup_events",
     # two-heuristic language-ID consensus (r7-new)
     "lang_trigram_docs",
+    # k-truss edge-density peel (r7-new; Cohen 2008)
+    "graph_k_truss",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

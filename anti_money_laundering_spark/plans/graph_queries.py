@@ -1267,3 +1267,77 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("da", "db"), 6).alias("assortativity"),
         F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
     )
+
+
+_K_TRUSS_K = 3
+#: measured fixpoint is 2 rounds at every SF (tests pin this); 4 gives
+#: regen margin — extra rounds past the fixpoint are no-ops.
+_K_TRUSS_ORACLE_ROUNDS = 4
+
+
+def _k_truss_oracle_sql(k: int, rounds: int) -> str:
+    # MATERIALIZED for the same reason as the k-core oracle: each round
+    # references the previous edge CTE four times (two wedge sides, the
+    # closing probe, the peel join); inlined the tree is 4^rounds scans.
+    ctes = [
+        """und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""tri{r} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e{r - 1} e1
+        JOIN e{r - 1} e2 ON e1.b = e2.a
+        JOIN e{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    supp{r} AS MATERIALIZED (
+        SELECT a, b, count(*) AS support FROM (
+            SELECT x AS a, y AS b FROM tri{r}
+            UNION ALL SELECT y, z FROM tri{r}
+            UNION ALL SELECT x, z FROM tri{r}
+        ) GROUP BY a, b
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN supp{r} s ON e.a = s.a AND e.b = s.b AND s.support >= {k - 2}
+    )"""
+        )
+    final = rounds + 1
+    return (
+        f"WITH edges AS ({FLOW_EDGES_SQL}),\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    trif AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e{rounds} e1
+        JOIN e{rounds} e2 ON e1.b = e2.a
+        JOIN e{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT x AS a, y AS b FROM trif
+        UNION ALL SELECT y, z FROM trif
+        UNION ALL SELECT x, z FROM trif
+    ) GROUP BY a, b"""
+    )
+
+
+@register(
+    "graph_k_truss",
+    tags=("G-ext", "G3"),
+    oracle=_k_truss_oracle_sql(_K_TRUSS_K, _K_TRUSS_ORACLE_ROUNDS),
+)
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the transaction flow graph: edges in at least one
+    triangle whose other edges also stay in the truss — the
+    edge-density mule-ring detector (a ring's edges sit in triangles
+    with other ring members; a hub-and-spoke star, which survives the
+    k-CORE peel once the hub degree is high, has no triangles and
+    erodes in one round). Cohen 2008; the peel loop mirrors k_core's
+    fixpoint discipline."""
+    from anti_money_laundering_spark.graph.algorithms import k_truss
+
+    return k_truss(flow_graph(spark, sf_dir), k=_K_TRUSS_K)

@@ -604,3 +604,62 @@ def test_references_dst_survives_escaped_quotes_in_literals(spark):
     assert not _references_dst(
         F.when(F.col("msg") == F.lit("don't dst."), F.col("src.v")).otherwise(F.lit(0))
     )
+
+
+def test_k_truss_matches_bruteforce_peel(spark):
+    """k-truss (r7) vs a reference set-based peel on a graph with a
+    known decomposition: a 5-clique (every edge in >= 3 triangles), a
+    triangle pendant sharing one vertex, a hub-and-spoke star (no
+    triangles — must erode entirely), and a chain."""
+    import itertools
+
+    clique = list(itertools.combinations(range(5), 2))
+    pendant = [(4, 10), (4, 11), (10, 11)]
+    star = [(20, s) for s in range(21, 31)]
+    chain = [(40, 41), (41, 42), (42, 43)]
+    all_edges = clique + pendant + star + chain
+
+    def brute(k):
+        es = {tuple(sorted(e)) for e in all_edges}
+        while True:
+            def supp(e):
+                a, b = e
+                return sum(
+                    1
+                    for c in {v for x, y in es for v in (x, y)}
+                    if c not in e and tuple(sorted((a, c))) in es and tuple(sorted((b, c))) in es
+                )
+            drop = {e for e in es if supp(e) < k - 2}
+            if not drop:
+                return es
+            es -= drop
+
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.algorithms import k_truss
+
+    edf = spark.createDataFrame(all_edges, "src long, dst long")
+    vdf = edf.select(F.col("src").alias("id")).union(edf.select("dst")).distinct()
+    for k in (3, 4, 5):
+        got = {(r.a, r.b) for r in k_truss(Graph(vdf, edf), k=k).collect()}
+        assert got == brute(k), k
+    # support values on the 3-truss: clique edges carry 3, triangle 1
+    sup = {(r.a, r.b): r.support for r in k_truss(Graph(vdf, edf), k=3).collect()}
+    assert sup[(0, 1)] == 3 and sup[(10, 11)] == 1
+
+
+def test_k_truss_converges_within_oracle_rounds(spark, sf_dir):
+    """The graph_k_truss oracle unrolls _K_TRUSS_ORACLE_ROUNDS peel
+    rounds; the engine must reach its fixpoint within that budget at
+    every SF (same pin discipline as k-core). Re-probe after any
+    events.parquet regen."""
+    from anti_money_laundering_spark.graph.algorithms import k_truss
+    from anti_money_laundering_spark.plans.fixture_graphs import flow_graph
+    from anti_money_laundering_spark.plans.graph_queries import (
+        _K_TRUSS_K,
+        _K_TRUSS_ORACLE_ROUNDS,
+    )
+
+    stats: dict = {}
+    out = k_truss(flow_graph(spark, sf_dir), k=_K_TRUSS_K, stats=stats)
+    assert out.count() > 0
+    assert stats["rounds"] <= _K_TRUSS_ORACLE_ROUNDS, stats
