@@ -1013,3 +1013,52 @@ def test_asof_nearest_matches_bruteforce(spark, rows):
         key = (k, (base + pd.Timedelta(seconds=t)).to_pydatetime())
         want[key] = min(cands)[2] if cands else None
     assert got == want
+
+
+# --- winnowing vs reference selection (r7) ---------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=24),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _winnow_ref(toks, k=5, w=4):
+    import hashlib
+
+    if not toks:
+        return set()
+    grams = (
+        [" ".join(toks)]
+        if len(toks) < k
+        else [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    )
+    keys = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * (1 << 21) + i
+        for i, g in enumerate(grams)
+    ]
+    sel = (
+        {min(keys)}
+        if len(keys) <= w
+        else {min(keys[i : i + w]) for i in range(len(keys) - w + 1)}
+    )
+    return {(x % (1 << 21), x // (1 << 21)) for x in sel}
+
+
+@given(docs_strategy)
+@settings(**SETTINGS)
+def test_winnowing_equals_reference_on_random_corpora(spark, docs):
+    """Random tiny-vocab corpora maximize gram collisions and tie
+    pressure on the window-min; the distributed selection must equal
+    the reference algorithm doc-by-doc, including empty and short
+    documents."""
+    from anti_money_laundering_spark.dedup import winnow_fingerprints
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=5, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    for i, toks in enumerate(docs):
+        assert got.get(i, set()) == _winnow_ref(toks), (i, toks)
