@@ -569,12 +569,17 @@ def k_truss(
     as :func:`k_core`). Raises after ``max_iter`` rounds without a
     fixpoint rather than returning a half-peeled truss.
 
-    Skew note for the 100 TB posture: the wedge join fans out
-    quadratically at high-degree vertices; AQE's skew split handles
-    the moderate hubs in the fixtures, and the standard refinement —
-    orient each edge toward its higher-degree endpoint so wedges form
-    only at the lower-degree vertex, bounding fan-out by arboricity —
-    composes with this loop without changing its output contract.
+    Triangle enumeration is DEGREE-ORDERED (the compact-forward /
+    Latapy orientation): each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher, wedges form only at a
+    triangle's minimum vertex under that order, and the closing edge
+    is probed in its own orientation. Naive id-ordered wedging fans
+    out d(v)^2 at every hub — a 10^7-degree mule hub yields 10^14
+    wedge rows from one vertex; the degree orientation bounds
+    out-degree by O(sqrt(|E|)) so total wedges are
+    O(|E|^1.5 / arboricity-adjusted), the textbook bound, with no
+    change to the output contract. The orientation degree is
+    recomputed per peel round from the surviving edges.
     """
     if k < 3:
         raise ValueError("k-truss requires k >= 3 (k-2 >= 1 triangle per edge)")
@@ -583,17 +588,44 @@ def k_truss(
     rounds = 0
 
     def _support(edges: DataFrame) -> DataFrame:
-        wedge = (
-            edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-            .join(edges.select(F.col("a").alias("y"), F.col("b").alias("z")), "y")
+        # undirected degree per vertex of the CURRENT edge set
+        bi = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+            F.col("a").alias("v"), "d"
         )
+        withd = edges.join(
+            deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+        ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        # orient low-(deg,id) -> high; carry the head's rank for wedge
+        # ordering at the shared tail
+        o = withd.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+        ).localCheckpoint(eager=False)
+        o1 = o.select("s", F.col("t").alias("x"), F.col("dt").alias("dx"))
+        o2 = o.select("s", F.col("t").alias("y"), F.col("dt").alias("dy"))
+        wedge = o1.join(o2, "s").filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        # the closing edge x-y is oriented x->y: x precedes y in the
+        # same (deg, id) order the wedge filter just applied
         tri = wedge.join(
-            edges.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"], "semi"
-        )
+            o.select(F.col("s").alias("x"), F.col("t").alias("y")), ["x", "y"], "semi"
+        ).select("s", "x", "y")
+        # back to canonical-by-id edge identities for the peel
+        def _canon(u: str, v: str):
+            return [F.least(F.col(u), F.col(v)).alias("a"),
+                    F.greatest(F.col(u), F.col(v)).alias("b")]
+
         sides = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            tri.select(*_canon("s", "x"))
+            .unionAll(tri.select(*_canon("s", "y")))
+            .unionAll(tri.select(*_canon("x", "y")))
         )
         return sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
 
