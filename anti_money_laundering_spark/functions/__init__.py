@@ -37,6 +37,7 @@ __all__ = [
     "MINHASH_P",
     "simhash64",
     "hamming64",
+    "argmax_case_sql",
     "lang_id",
     "lang_id_trigram",
     "lang_id_trigram_sql",
@@ -187,25 +188,36 @@ def _stop_count_sql(col: str, words: tuple[str, ...]) -> str:
     return f"size(filter({tokens_sql(col)}, t -> array_contains(array({arr}), t)))"
 
 
+def argmax_case_sql(counts: dict[str, str], default: str = "und") -> str:
+    """The argmax-with-first-wins-ties CASE expression over named count
+    expressions: a key wins if its count > 0, strictly exceeds every
+    EARLIER key's count and >= every LATER key's count; ``default``
+    when nothing fires. THE single definition of this tie-break (review
+    finding: four hand-maintained copies across the Spark classifiers
+    and their DuckDB oracle rebuilds could drift and silently break the
+    parity gate). Emits only portable SQL around the provided count
+    expressions, so the same text serves both engines when the counts
+    do."""
+    expr = "CASE "
+    keys = list(counts)
+    for i, key in enumerate(keys):
+        conds = [f"{counts[key]} > 0"]
+        for j, other in enumerate(keys):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[key]} {op} {counts[other]}")
+        expr += f"WHEN {' AND '.join(conds)} THEN '{key}' "
+    return expr + f"ELSE '{default}' END"
+
+
 def lang_id(col: str) -> Column:
     """Heuristic language ID: argmax of per-language stopword counts,
     'und' (undetermined) when no stopwords hit. Ties break in
     STOPWORDS key order (first language wins — deterministic)."""
-    expr = "CASE "
-    langs = list(STOPWORDS)
-    counts = {lang: _stop_count_sql(col, STOPWORDS[lang]) for lang in langs}
-    # lang wins if its count > 0 and strictly greater than every EARLIER
-    # lang's count and >= every LATER lang's count (first-wins ties).
-    for i, lang in enumerate(langs):
-        conds = [f"{counts[lang]} > 0"]
-        for j, other in enumerate(langs):
-            if j == i:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{counts[lang]} {op} {counts[other]}")
-        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
-    expr += "ELSE 'und' END"
-    return F.expr(expr)
+    return F.expr(
+        argmax_case_sql({lang: _stop_count_sql(col, ws) for lang, ws in STOPWORDS.items()})
+    )
 
 
 def quality_features(col: str) -> dict[str, Column]:
@@ -384,19 +396,9 @@ def lang_id_trigram_sql(col: str) -> str:
     """The full CASE expression as SQL text — valid VERBATIM under both
     Spark SQL and DuckDB (lower/replace/length/|| only), which is what
     lets the catalog oracle replay the identical classifier."""
-    langs = list(TRIGRAM_PROFILES)
-    scores = {lang: _trigram_score_sql(col, TRIGRAM_PROFILES[lang]) for lang in langs}
-    expr = "CASE "
-    for i, lang in enumerate(langs):
-        conds = [f"{scores[lang]} > 0"]
-        for j, other in enumerate(langs):
-            if j == i:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{scores[lang]} {op} {scores[other]}")
-        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
-    expr += "ELSE 'und' END"
-    return expr
+    return argmax_case_sql(
+        {lang: _trigram_score_sql(col, grams) for lang, grams in TRIGRAM_PROFILES.items()}
+    )
 
 
 def lang_id_trigram(col: str) -> Column:

@@ -630,7 +630,7 @@ def k_truss(
         return sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
 
     for _ in range(max_iter):
-        sup = _support(e)
+        sup = _support(e).localCheckpoint(eager=False)
         e = (
             e.join(sup.filter(F.col("support") >= k - 2), ["a", "b"], "semi")
             .localCheckpoint(eager=False)
@@ -644,4 +644,7 @@ def k_truss(
         raise RuntimeError(f"k_truss: no fixpoint after {max_iter} rounds")
     if stats is not None:
         stats.update(rounds=rounds)
-    return e.join(_support(e), ["a", "b"]).select("a", "b", "support")
+    # the confirming round removed nothing, so the last sup was computed
+    # on exactly this edge set — reuse it instead of re-running the
+    # triangle enumeration (the dominant stage) one more time
+    return e.join(sup, ["a", "b"]).select("a", "b", "support")

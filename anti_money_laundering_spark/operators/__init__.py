@@ -590,6 +590,16 @@ def time_rollup(
     """
     if not grains:
         raise ValueError("grains must be non-empty")
+    # Spark's date_trunc returns NULL for an unrecognized unit — a typo
+    # like "dayy" would silently rollup the whole table into one NULL
+    # bucket (review finding); validate eagerly instead.
+    valid = {
+        "year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week",
+        "day", "dd", "hour", "minute", "second", "millisecond", "microsecond",
+    }
+    bad = [g for g in grains if g.lower() not in valid]
+    if bad:
+        raise ValueError(f"unknown date_trunc grain(s): {bad} (valid: {sorted(valid)})")
     bucket_cols = [
         F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains
     ]

@@ -303,40 +303,16 @@ def lang_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The trigram side of the oracle is the IDENTICAL SQL text the Spark
-# expression compiles from; the stopword side is rebuilt in DuckDB list
-# syntax (len/list_filter/list_contains over the shared tokenizer).
-def _duck_lang_sw(col: str) -> str:
-    from anti_money_laundering_spark.functions import STOPWORDS
-
-    toks = f"list_filter(regexp_split_to_array(lower({col}), '[ \\t\\n\\r\\f\\x0B]+'), t -> t <> '')"
-    langs = list(STOPWORDS)
-    counts = {
-        lang: (
-            f"len(list_filter({toks}, t -> list_contains(["
-            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-            + "], t)))"
-        )
-        for lang in langs
-    }
-    expr = "CASE "
-    for i, lang in enumerate(langs):
-        conds = [f"{counts[lang]} > 0"]
-        for j, other in enumerate(langs):
-            if j == i:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{counts[lang]} {op} {counts[other]}")
-        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
-    expr += "ELSE 'und' END"
-    return expr
-
-
+# expression compiles from; the stopword side reuses text_lang_id's
+# existing DuckDB rebuild (review finding: a second hand-rolled copy of
+# that CASE could drift from it and break the parity gate).
 def _install_lang_trigram_oracle() -> None:
     from anti_money_laundering_spark.functions import lang_id_trigram_sql
     from anti_money_laundering_spark.plans.catalog import _CATALOG
+    from anti_money_laundering_spark.plans.llm_queries import _duck_lang_case
 
     tri = lang_id_trigram_sql("text")
-    sw = _duck_lang_sw("text")
+    sw = _duck_lang_case()
     _CATALOG["lang_trigram_docs"].oracle = f"""
     SELECT doc_id, {tri} AS lang_tri, {sw} AS lang_sw,
            ({tri}) = ({sw}) AS agree

@@ -150,18 +150,12 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_lang_case() -> str:
-    langs = list(STOPWORDS)
-    counts = {lang: _duck_stop_count(lang) for lang in langs}
-    expr = "CASE "
-    for i, lang in enumerate(langs):
-        conds = [f"{counts[lang]} > 0"]
-        for j, other in enumerate(langs):
-            if j == i:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{counts[lang]} {op} {counts[other]}")
-        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
-    return expr + "ELSE 'und' END"
+    # DuckDB rebuild of lang_id: only the per-language COUNT expressions
+    # differ (list_filter vs higher-order filter); the argmax/tie-break
+    # CASE is the shared single definition.
+    from anti_money_laundering_spark.functions import argmax_case_sql
+
+    return argmax_case_sql({lang: _duck_stop_count(lang) for lang in STOPWORDS})
 
 
 @register(
