@@ -206,6 +206,8 @@ _R8_PLAN: tuple[str, ...] = (
     "lang_trigram_docs",
     # k-truss edge-density peel (r7-new; Cohen 2008)
     "graph_k_truss",
+    # incremental winnowing containment (r7-new)
+    "winnow_incremental_newdocs",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

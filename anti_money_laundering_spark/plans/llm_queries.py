@@ -1555,3 +1555,46 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("gram_hash").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+@register(
+    "winnow_incremental_newdocs",
+    tags=("LLM", "dedup"),
+    # Non-empty at every SF: 4 / 6 / 46 cross-batch pairs (FIXTURES.md
+    # threshold rule) — the planted near-dup structure that drives the
+    # minhash incremental face surfaces through winnowing too.
+    oracle=f"""
+    WITH {_DUCK_WINNOW_FPS}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(DISTINCT a.gram_hash) AS BIGINT) AS shared_fps
+    FROM winnow_fps a JOIN winnow_fps b
+      ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    WHERE (a.doc_id % 10 = 7) <> (b.doc_id % 10 = 7)
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.gram_hash) >= 2
+    """,
+)
+def winnow_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing containment: candidate pairs between a NEW
+    crawl batch (doc_id % 10 == 7) and the EXISTING corpus only. At
+    scale the corpus side is a PERSISTED fingerprint table (winnowing
+    density ~2/(w+1) per token makes it ~8x smaller than a gram
+    posting table), and the batch's fingerprints equi-join it — work
+    proportional to the batch, not the corpus, same shape as
+    dedup_incremental_newdocs."""
+    from anti_money_laundering_spark.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4).localCheckpoint(
+        eager=False
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "gram_hash")
+    b = fps.select(F.col("doc_id").alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") % 10 == 7) != (F.col("id_b") % 10 == 7))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("gram_hash").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
