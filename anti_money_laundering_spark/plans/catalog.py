@@ -208,6 +208,9 @@ _R8_PLAN: tuple[str, ...] = (
     "graph_k_truss",
     # incremental winnowing containment (r7-new)
     "winnow_incremental_newdocs",
+    # bag-semantics set operations (r7-new)
+    "set_intersect_all_pairs",
+    "set_except_all_pairs",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

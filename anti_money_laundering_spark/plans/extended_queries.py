@@ -670,3 +670,49 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         ],
     )
+
+
+@register(
+    "set_intersect_all_pairs",
+    tags=("U-ext",),
+    oracle="""
+    SELECT user_id, CAST(floor(value) AS INT) AS v FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id, CAST(floor(value) AS INT) FROM events WHERE event_type = 'view'
+    """,
+)
+def set_intersect_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the two
+    sides, vs INTERSECT's dedup): (user, int-bucketed value) rows
+    occurring as both clicks and views, kept once per matched
+    occurrence. DataFrame face: intersectAll."""
+    ev = load_table(spark, sf_dir, "events")
+    pair = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            "user_id", F.floor("value").cast("int").alias("v")
+        )
+    )
+    return pair("click").intersectAll(pair("view"))
+
+
+@register(
+    "set_except_all_pairs",
+    tags=("U-ext",),
+    oracle="""
+    SELECT user_id, CAST(floor(value) AS INT) AS v FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id, CAST(floor(value) AS INT) FROM events WHERE event_type = 'view'
+    """,
+)
+def set_except_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — each left occurrence cancels at
+    most one right occurrence, vs EXCEPT's dedup): click (user,
+    int-bucketed value) rows surviving after removing one per matching
+    view row. DataFrame face: exceptAll."""
+    ev = load_table(spark, sf_dir, "events")
+    pair = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            "user_id", F.floor("value").cast("int").alias("v")
+        )
+    )
+    return pair("click").exceptAll(pair("view"))
