@@ -24,6 +24,8 @@ from pyspark.sql.window import Window
 __all__ = [
     "asof_join",
     "range_join",
+    "interval_overlap_join",
+    "edit_distance_join",
     "salted_join",
     "merge_into",
     "table_diff",
@@ -217,6 +219,57 @@ def salted_join(
     return out if keep_salt else out.drop("__salt")
 
 
+def _time_bucket(col: str, bucket_width_seconds: int) -> Column:
+    """Fixed-width time-bucket ordinal of a timestamp column.
+
+    cast: unix_micros needs TIMESTAMP; NTZ inputs are interpreted in
+    the session zone (UTC per session defaults)."""
+    return F.floor(
+        F.unix_micros(F.col(col).cast("timestamp"))
+        / F.lit(1_000_000 * bucket_width_seconds)
+    ).cast("long")
+
+
+def _span_buckets(
+    op: str, lo: str, hi: str, bucket_width_seconds: int, max_buckets_per_interval: int
+) -> Column:
+    """array<long> of the fixed-width buckets interval [lo, hi) covers.
+
+    A NULL ``lo`` or ``hi`` yields an empty array (the row joins
+    nothing — same outcome as exploding sequence(NULL,…), but explicit,
+    and the error message can no longer be nulled out by the very NULL
+    it reports); an inverted interval (``hi`` bucket < ``lo`` bucket)
+    raises — F.sequence would otherwise emit a DESCENDING bucket list
+    and silently join wrong buckets (ADVICE r3). Intervals spanning
+    >= ``max_buckets_per_interval`` buckets raise with a clear message
+    (one pathological interval would silently multiply shuffle volume);
+    the fix is a wider bucket width, a global choice because both join
+    sides must agree on the bucketing. The checks are codegen'd per-row
+    expressions (no extra pass over the data)."""
+    bw = bucket_width_seconds
+    b_lo, b_hi = _time_bucket(lo, bw), _time_bucket(hi, bw)
+    lo_s = F.coalesce(F.col(lo).cast("string"), F.lit("NULL"))
+    hi_s = F.coalesce(F.col(hi).cast("string"), F.lit("NULL"))
+
+    def _fail(prefix: str) -> Column:
+        return F.raise_error(
+            F.concat(F.lit(prefix), lo_s, F.lit(", hi="), hi_s, F.lit(")"))
+        ).cast("array<long>")
+
+    return (
+        F.when(b_lo.isNull() | b_hi.isNull(), F.array().cast("array<long>"))
+        .when(b_hi < b_lo, _fail(f"{op}: inverted interval [{lo}, {hi}) (lo="))
+        .when(b_hi - b_lo < F.lit(max_buckets_per_interval), F.sequence(b_lo, b_hi))
+        .otherwise(
+            _fail(
+                f"{op}: interval [{lo}, {hi}) spans >= "
+                f"{max_buckets_per_interval} buckets of {bw}s — widen "
+                "bucket_width_seconds (lo="
+            )
+        )
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -238,56 +291,164 @@ def range_join(
     interval length (wider = fewer duplicates, narrower = less
     residual filtering).
 
-    ``max_buckets_per_interval`` guards the explode fan-out: one
-    pathological interval (a year at hourly buckets = 8,760 rows)
-    would silently multiply shuffle volume, so any interval spanning
-    more buckets fails the job with a clear message instead — the fix
-    is a wider ``bucket_width_seconds``, a global choice because
-    points and intervals must agree on the bucketing. The check is a
-    codegen'd per-row expression (no extra pass over the data).
-
-    Degenerate intervals: a NULL ``lo`` or ``hi`` is a NO-MATCH (the
-    row joins nothing — same outcome as exploding sequence(NULL,…),
-    but explicit, and the error message can no longer be nulled out by
-    the very NULL it reports); an inverted interval (``hi`` bucket <
-    ``lo`` bucket) raises — F.sequence would otherwise emit a
-    DESCENDING bucket list and silently join wrong buckets (ADVICE r3).
+    Fan-out guards and degenerate-interval semantics (NULL bounds
+    no-match, inverted bounds raise, ``max_buckets_per_interval``
+    ceiling): see ``_span_buckets``.
     """
     bw = bucket_width_seconds
-    def _bucket(col: str) -> Column:
-        # cast: unix_micros needs TIMESTAMP; NTZ inputs are interpreted
-        # in the session zone (UTC per session defaults)
-        return F.floor(
-            F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1_000_000 * bw)
-        ).cast("long")
-
-    b_lo, b_hi = _bucket(lo), _bucket(hi)
-    lo_s = F.coalesce(F.col(lo).cast("string"), F.lit("NULL"))
-    hi_s = F.coalesce(F.col(hi).cast("string"), F.lit("NULL"))
-
-    def _fail(prefix: str) -> Column:
-        return F.raise_error(
-            F.concat(F.lit(prefix), lo_s, F.lit(", hi="), hi_s, F.lit(")"))
-        ).cast("array<long>")
-
-    buckets = (
-        F.when(b_lo.isNull() | b_hi.isNull(), F.array().cast("array<long>"))
-        .when(b_hi < b_lo, _fail(f"range_join: inverted interval [{lo}, {hi}) (lo="))
-        .when(b_hi - b_lo < F.lit(max_buckets_per_interval), F.sequence(b_lo, b_hi))
-        .otherwise(
-            _fail(
-                f"range_join: interval [{lo}, {hi}) spans >= "
-                f"{max_buckets_per_interval} buckets of {bw}s — widen "
-                "bucket_width_seconds (lo="
-            )
-        )
-    )
-    l_b = left.withColumn("__bucket", _bucket(point))
+    buckets = _span_buckets("range_join", lo, hi, bw, max_buckets_per_interval)
+    l_b = left.withColumn("__bucket", _time_bucket(point, bw))
     r_b = right.withColumn("__bucket", F.explode(buckets))
     return (
         l_b.join(r_b, [*by, "__bucket"])
         .filter((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
         .drop("__bucket")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bucket_width_seconds: int = 3600,
+    max_buckets_per_interval: int = 1000,
+) -> DataFrame:
+    """Join left intervals to right intervals that OVERLAP them (the
+    temporal overlap join: concurrent sessions, co-active windows),
+    sharing the ``by`` keys. Half-open semantics: [a, b) overlaps
+    [c, d) iff max(a, c) < min(b, d) (a nonempty intersection) —
+    touching endpoints do NOT overlap, and zero-length intervals
+    overlap nothing.
+
+    Both sides explode onto the fixed-width time buckets their
+    interval covers and the join is an EQUI-join on (by, bucket) with
+    the exact overlap predicate as residual — never the per-key
+    cartesian a theta join would shuffle. An overlapping pair shares
+    every bucket the overlap region covers; rather than de-duplicating
+    with a DISTINCT (a second full shuffle of the output), the pair is
+    emitted ONLY in the bucket containing the overlap's start instant
+    ``greatest(l_lo, r_lo)`` — a codegen'd residual filter, so each
+    qualifying pair survives exactly once.
+
+    The four span column names must be pairwise distinct (the output
+    carries both intervals); pre-rename one side if needed. Project
+    both inputs down to the columns you need before calling — every
+    column rides the (by, bucket) shuffle. Fan-out guards and
+    degenerate-interval semantics: see ``_span_buckets``.
+    """
+    l_lo, l_hi = left_span
+    r_lo, r_hi = right_span
+    names = [l_lo, l_hi, r_lo, r_hi]
+    if len(set(names)) != 4:
+        raise ValueError(f"interval_overlap_join: span column names collide: {names}")
+    bw = bucket_width_seconds
+    l_b = left.withColumn(
+        "__bucket",
+        F.explode(_span_buckets("interval_overlap_join", l_lo, l_hi, bw, max_buckets_per_interval)),
+    )
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(_span_buckets("interval_overlap_join", r_lo, r_hi, bw, max_buckets_per_interval)),
+    )
+    # greatest(lo) < least(hi) == nonempty intersection; the textbook
+    # a < d AND c < b form wrongly admits zero-length intervals
+    overlap = F.greatest(F.col(l_lo), F.col(r_lo)) < F.least(F.col(l_hi), F.col(r_hi))
+    start_bucket = F.floor(
+        F.unix_micros(F.greatest(F.col(l_lo), F.col(r_lo)).cast("timestamp"))
+        / F.lit(1_000_000 * bw)
+    ).cast("long")
+    return (
+        l_b.join(r_b, [*by, "__bucket"])
+        .filter(overlap & (F.col("__bucket") == start_bucket))
+        .drop("__bucket")
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    max_distance: int = 1,
+    by: list[str] | None = None,
+    max_length: int = 64,
+) -> DataFrame:
+    """Exact edit-distance similarity join: all (left, right) row pairs
+    whose ``on`` strings have levenshtein distance <= ``max_distance``
+    (and whose ``by`` keys match). The string column must carry the
+    same name on both sides; every other column must be disjoint
+    across the sides (pre-suffix _l/_r) — the output carries
+    ``{on}_l``, ``{on}_r``, ``dist`` and all pass-through columns.
+
+    The all-pairs formulation is a cartesian; this is the FastSS /
+    symmetric-deletion blocking (Bocek et al. 2007, the SymSpell
+    scheme): two strings within edit distance k share at least one
+    variant obtained by deleting <= k characters from each, so each
+    side explodes onto its deletion neighborhood (1 + L variants per
+    row at k=1, O(L^2) at k=2), candidates equi-join on (by, variant),
+    and the exact ``levenshtein`` predicate verifies — precision 1 by
+    construction, recall 1 by the deletion-neighborhood theorem.
+
+    Variants are built from codegen'd substr/concat over an exploded
+    position range — NOT a transform() lambda, which evaluates
+    interpreted (~15x slower, round-7 winnowing lesson). A candidate
+    pair can share several variants, so candidates are de-duplicated
+    (one aggregation keyed on the pair) before the levenshtein check.
+
+    ``max_length`` bounds the per-row fan-out with a per-row codegen'd
+    guard (a single pathological long string at k=2 would explode
+    quadratically); raise it deliberately. k is capped at 2 — beyond
+    that the neighborhood is O(L^k) and LSH-style blocking
+    (dedup.minhash) is the right tool.
+    """
+    if not 1 <= max_distance <= 2:
+        raise ValueError(f"edit_distance_join: max_distance must be 1 or 2, got {max_distance}")
+    by = list(by or [])
+    dup = (set(left.columns) & set(right.columns)) - {on} - set(by)
+    if dup:
+        raise ValueError(f"edit_distance_join: ambiguous columns on both sides: {sorted(dup)}")
+
+    def _variants(df: DataFrame, side: str) -> DataFrame:
+        s = F.col(on)
+        guarded = F.when(
+            F.length(s) > max_length,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"edit_distance_join: {on} longer than max_length={max_length}: "),
+                    F.substring(s, 1, max_length),
+                )
+            ),
+        ).otherwise(s)
+        # delete position 0 = the string itself; position i>0 = drop char i
+        del1 = df.withColumn("__s", guarded).select(
+            "*", F.explode(F.sequence(F.lit(0), F.length("__s"))).alias("__i")
+        )
+        v1 = F.when(F.col("__i") == 0, F.col("__s")).otherwise(
+            F.concat(F.expr("substr(__s, 1, __i - 1)"), F.expr("substr(__s, __i + 1)"))
+        )
+        out = del1.withColumn("__v", v1).drop("__i")
+        if max_distance == 2:
+            out = out.select(
+                "*", F.explode(F.sequence(F.lit(0), F.length("__v"))).alias("__j")
+            )
+            v2 = F.when(F.col("__j") == 0, F.col("__v")).otherwise(
+                F.concat(F.expr("substr(__v, 1, __j - 1)"), F.expr("substr(__v, __j + 1)"))
+            )
+            out = out.withColumn("__v", v2).drop("__j")
+        return out.drop("__s").withColumnRenamed(on, f"{on}_{side}").dropDuplicates()
+
+    l_v = _variants(left, "l")
+    r_v = _variants(right, "r")
+    pair_cols = [c for c in l_v.columns if c != "__v"] + [
+        c for c in r_v.columns if c != "__v" and c not in by
+    ]
+    return (
+        l_v.join(r_v, [*by, "__v"])
+        .drop("__v")
+        .dropDuplicates(pair_cols)
+        .withColumn("dist", F.levenshtein(F.col(f"{on}_l"), F.col(f"{on}_r")))
+        .filter(F.col("dist") <= max_distance)
     )
 
 

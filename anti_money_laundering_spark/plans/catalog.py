@@ -211,6 +211,11 @@ _R8_PLAN: tuple[str, ...] = (
     # bag-semantics set operations (r7-new)
     "set_intersect_all_pairs",
     "set_except_all_pairs",
+    # bounded-memory summaries + similarity/overlap joins (r7-new)
+    "heavy_hitter_tokens",
+    "hll_rollup_users",
+    "overlap_sessions_pairs",
+    "fuzzy_name_pairs",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are
@@ -238,6 +243,7 @@ def get_catalog() -> dict[str, CatalogQuery]:
         llm_queries,
         operator_queries,
         relational_queries,
+        sketch_queries,
         source_queries,
         streaming_queries,
     )
