@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.graph.algorithms import (
+    betweenness,
     bfs,
     label_propagation,
     shortest_paths,
@@ -167,6 +168,7 @@ class Graph:
 
 __all__ = [
     "Graph",
+    "betweenness",
     "bfs",
     "bipartite_components",
     "connected_components",

@@ -28,6 +28,7 @@ if TYPE_CHECKING:
 __all__ = [
     "triangle_count",
     "shortest_paths",
+    "betweenness",
     "label_propagation",
     "strongly_connected_components",
     "k_core",
@@ -155,6 +156,115 @@ def shortest_paths(
             break
         prev = cur
     return dist
+
+
+def betweenness(
+    graph: "Graph",
+    sources: Sequence,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Landmark betweenness centrality (Brandes 2001 restricted to a
+    FIXED source set): for each vertex v, the sum over the given
+    sources s (s != v) of the pair-dependency
+    delta_s(v) = sum_{t} sigma_st(v) / sigma_st — how much shortest-
+    path traffic out of the landmarks flows THROUGH v along directed
+    edges. With sources = all vertices this is exact betweenness; a
+    fixed landmark set is the standard sampled estimator made
+    DETERMINISTIC (no RNG — the source list is the sample), which is
+    what lets the whole computation be oracle-replayed.
+
+    Two bounded phases of per-round equi-join + groupBy, both keyed on
+    vertex id and ``localCheckpoint``-truncated like shortest_paths:
+
+    - forward: BFS from all sources at once over distinct simple
+      edges, accumulating sigma (shortest-path COUNTS) with a
+      sum-groupBy per level — a vertex's sigma is the sum of its
+      level-(d-1) predecessors' sigmas;
+    - backward: dependency accumulation from the deepest level up,
+      delta(v) = sum over shortest-path successors w of
+      sigma_v / sigma_w * (1 + delta(w)); levels are filters over the
+      checkpointed forward frame, so each round joins one level
+      against the next.
+
+    Returns (id, betweenness) for every vertex (0.0 when no shortest
+    path passes through). Sources sit at level 0 and interior vertices
+    at level >= 1, so endpoint exclusion falls out of the level
+    structure. ~2 * diameter rounds total.
+    """
+    src_list = [int(x) for x in sources]
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        graph.vertices.select("id")
+        .filter(F.col("id").isin(src_list))
+        .select(
+            F.col("id").alias("s"),
+            F.col("id").alias("v"),
+            F.lit(0).alias("d"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    visited = frontier.localCheckpoint(eager=False)
+    depth = 0
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("d", F.lit(depth + 1))
+            .select("s", "v", "d", "sigma")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        depth += 1
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+
+    # Backward pass: delta at the deepest level is 0 (no successors).
+    level_delta = visited.filter(F.col("d") == depth).select(
+        "s", "v", F.lit(0.0).alias("delta")
+    )
+    acc = None
+    for lvl in range(depth - 1, 0, -1):
+        cur = visited.filter(F.col("d") == lvl).select("s", "v", "sigma")
+        succ = (
+            visited.filter(F.col("d") == lvl + 1)
+            .select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
+            .join(level_delta.select("s", F.col("v").alias("w"), "delta"), ["s", "w"])
+        )
+        contrib = (
+            cur.join(edges, cur["v"] == edges["src"])
+            .select("s", "v", "sigma", F.col("dst").alias("w"))
+            .join(succ, ["s", "w"])
+            .groupBy("s", "v")
+            .agg(
+                F.sum(F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))).alias(
+                    "delta"
+                )
+            )
+        )
+        level_delta = (
+            cur.select("s", "v")
+            .join(contrib, ["s", "v"], "left")
+            .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=False)
+        )
+        acc = level_delta if acc is None else acc.union(level_delta)
+
+    verts = graph.vertices.select("id")
+    if acc is None:
+        return verts.select("id", F.lit(0.0).alias("betweenness"))
+    totals = acc.groupBy("v").agg(F.sum("delta").alias("betweenness"))
+    return verts.join(totals, verts["id"] == totals["v"], "left").select(
+        "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
 
 
 def _min_reach_labels(verts: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:

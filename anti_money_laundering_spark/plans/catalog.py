@@ -216,6 +216,8 @@ _R8_PLAN: tuple[str, ...] = (
     "hll_rollup_users",
     "overlap_sessions_pairs",
     "fuzzy_name_pairs",
+    # landmark Brandes betweenness (r7-new)
+    "graph_betweenness",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -1341,3 +1341,103 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.graph.algorithms import k_truss
 
     return k_truss(flow_graph(spark, sf_dir), k=_K_TRUSS_K)
+
+
+_BW_SOURCES = "0, 1, 2, 3"
+#: Unrolled BFS/accumulation depth for the betweenness oracle. Fixture
+#: probe: max forward distance from sources {0,1,2,3} is 3 / 7 / 6 at
+#: sf0.001 / 0.01 / 0.1 — 10 levels leaves headroom, and a regen that
+#: deepens the graph past 10 fails parity loudly (never silently:
+#: Spark iterates to the true fixpoint, the oracle would truncate).
+_BW_LEVELS = 10
+
+
+def _bw_sig_cte(i: int) -> str:
+    """sigma at BFS level i: sum of level-(i-1) predecessors' sigmas
+    (membership in sig{i-1} already implies dist = i-1)."""
+    return f"""
+    sig{i} AS (
+        SELECT d.s, d.v, CAST(sum(p.sigma) AS DOUBLE) AS sigma
+        FROM dist d
+        JOIN e ON e.dst = d.v
+        JOIN sig{i - 1} p ON p.s = d.s AND p.v = e.src
+        WHERE d.d = {i}
+        GROUP BY d.s, d.v
+    )"""
+
+
+def _bw_del_cte(i: int) -> str:
+    """Brandes dependency at level i from level i+1: edges to
+    non-shortest-path successors null out of the sum; vertices with no
+    successors keep delta 0 via the LEFT JOIN + coalesce."""
+    return f"""
+    del{i} AS (
+        SELECT c.s, c.v,
+               coalesce(sum(cs.sigma / ns.sigma * (1 + n.delta)), 0) AS delta
+        FROM (SELECT s, v FROM dist WHERE d = {i}) c
+        JOIN sigall cs ON cs.s = c.s AND cs.v = c.v
+        LEFT JOIN e ON e.src = c.v
+        LEFT JOIN del{i + 1} n ON n.s = c.s AND n.v = e.dst
+        LEFT JOIN sigall ns ON ns.s = n.s AND ns.v = n.v
+        GROUP BY c.s, c.v
+    )"""
+
+
+def _betweenness_oracle_sql(levels: int) -> str:
+    sig_ctes = "".join(_bw_sig_cte(i) + "," for i in range(1, levels + 1))
+    sig_union = " UNION ALL ".join(f"SELECT * FROM sig{i}" for i in range(0, levels + 1))
+    del_ctes = f"""
+    del{levels} AS (
+        SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM dist WHERE d = {levels}
+    ),""" + "".join(_bw_del_cte(i) + "," for i in range(levels - 1, 0, -1))
+    acc_union = " UNION ALL ".join(f"SELECT v, delta FROM del{i}" for i in range(1, levels))
+    return f"""
+    WITH RECURSIVE eraw AS ({FLOW_EDGES_SQL}),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+    -- NB: inside WITH RECURSIVE, DuckDB treats a bare UNION in a
+    -- non-self-referencing CTE as the recursive-union separator and
+    -- does NOT de-duplicate — the explicit DISTINCT is load-bearing
+    -- (verts feeds the final join; duplicates would multiply deltas).
+    verts AS (
+        SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    ),
+    walk(s, v, d) AS (
+        SELECT id, id, 0 FROM verts WHERE id IN ({_BW_SOURCES})
+        UNION
+        SELECT w.s, e.dst, w.d + 1 FROM e JOIN walk w ON w.v = e.src
+        WHERE w.d < {levels}
+    ),
+    dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+    sig0 AS (SELECT s, v, CAST(1 AS DOUBLE) AS sigma FROM dist WHERE d = 0),
+    {sig_ctes}
+    sigall AS MATERIALIZED ({sig_union}),
+    {del_ctes}
+    acc AS ({acc_union})
+    SELECT verts.id, round(coalesce(sum(acc.delta), 0), 6) AS betweenness
+    FROM verts LEFT JOIN acc ON acc.v = verts.id
+    GROUP BY verts.id
+    """
+
+
+@register(
+    "graph_betweenness",
+    tags=("G-ext", "G7"),
+    oracle=_betweenness_oracle_sql(_BW_LEVELS),
+)
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark betweenness centrality of the transaction flow graph
+    from flagged source accounts 0-3 (Brandes 2001 with a fixed,
+    deterministic source set): ranks the BRIDGE accounts shortest-path
+    money flow must transit — the AML chokepoint feature that degree
+    and closeness both miss. Forward BFS accumulates shortest-path
+    counts, the backward pass accumulates pair dependencies; both are
+    per-round equi-join + groupBy with checkpointed lineage (G7), ~2x
+    diameter rounds (graph/algorithms.py::betweenness). The oracle
+    replays the same two passes as unrolled level CTEs over the
+    recursive-CTE distance table."""
+    from anti_money_laundering_spark.graph import betweenness
+
+    g = flow_graph(spark, sf_dir)
+    return betweenness(g, [0, 1, 2, 3]).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )

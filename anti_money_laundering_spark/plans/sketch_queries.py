@@ -40,12 +40,13 @@ _HH_PHI = 0.003
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phi-heavy-hitter corpus terms (share > 0.3%) via the
-    two-pass Misra-Gries candidates + null-bucket recount
-    (sketch.heavy_hitters): the vocabulary-head query that at 100 TB
-    never shuffles the full distinct-term set — per-partition summaries
-    are capacity-bounded and the recount's map-side combine emits at
-    most capacity+1 groups per partition. Output is provably identical
-    to the GROUP BY/HAVING formulation the oracle runs."""
+    two-pass candidate filter + exact recount (sketch.heavy_hitters,
+    default two-hash count-min bucket method — all JVM codegen): the
+    vocabulary-head query that at 100 TB never shuffles the full
+    distinct-term set — the histogram pass shuffles at most
+    2*num_buckets rows per partition and the recount only candidate
+    keys. Output is provably identical to the GROUP BY/HAVING
+    formulation the oracle runs."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(F.explode(tokens("text")).alias("term"))
     return heavy_hitters(terms, ["term"], phi=_HH_PHI)

@@ -6,15 +6,16 @@ every distinct key; when the question is only about the FREQUENT keys
 formulation shuffles almost nothing:
 
 - **heavy_hitters** — exact phi-heavy-hitters in two passes: a
-  per-partition Misra-Gries candidate summary (no shuffle at all;
-  mergeable-summaries truncation per Agarwal et al., PODS 2012), then
-  one full-scan recount in which every non-candidate key collapses
-  into a single NULL bucket, so the map-side combine leaves at most
-  ``capacity + 1`` groups per partition and the shuffle is tiny
-  regardless of key cardinality. Output is EXACT (identical to
-  GROUP BY ... HAVING count > phi * total) because the recount counts
-  candidates exactly and the Misra-Gries guarantee makes the candidate
-  set a superset of the true heavy hitters.
+  candidate-generation pass whose shuffle is bounded by a fixed
+  summary size (two-hash count-min bucket histogram by default, all
+  JVM codegen; per-partition Misra-Gries summaries as the mergeable /
+  streaming-friendly alternative), then an exact recount restricted
+  to the candidates. Output is EXACT (identical to GROUP BY ...
+  HAVING count > phi * total) because the recount counts candidates
+  exactly and both candidate filters guarantee a superset of the true
+  heavy hitters. A plain GROUP BY stays faster while the distinct-key
+  set shuffles comfortably — the sketch paths exist for when it
+  doesn't (billions of keys, executor-memory-bound hash maps).
 
 The per-day/per-month HLL sketch rollup (the other reaggregatable
 summary) composes directly from Spark's built-in ``hll_sketch_agg`` /
@@ -44,6 +45,8 @@ def heavy_hitters(
     cols: list[str],
     phi: float,
     capacity: int | None = None,
+    method: str = "bucket",
+    num_buckets: int = 1 << 16,
 ) -> DataFrame:
     """All key tuples occurring in MORE than ``phi`` of ``df``'s rows,
     with their exact counts — identical to::
@@ -58,14 +61,34 @@ def heavy_hitters(
     Output columns: ``cols`` + ``cnt`` (exact count) + ``total``
     (total rows scanned, the HAVING denominator).
 
-    ``capacity`` is the Misra-Gries summary size m; any key with true
-    frequency > n/(m+1) survives every truncation, so the default
-    m = ceil(1/phi) makes the candidate set a guaranteed superset of
-    the phi-heavy hitters. Larger m = fewer false candidates to
-    recount, more executor memory (m entries per partition).
+    Two candidate-generation strategies, both yielding a guaranteed
+    SUPERSET of the true hitters (the exact recount then makes the
+    final answer identical either way):
+
+    - ``method="bucket"`` (default): a two-hash count-min filter, all
+      JVM codegen. One scan histograms ``xxhash64 % num_buckets``
+      under two independent hashes (map-side combine caps the shuffle
+      at 2*num_buckets rows per partition); a key whose true count
+      exceeds phi*n forces BOTH its buckets over the threshold, so the
+      recount runs only on keys both of whose buckets are heavy —
+      false candidates fall off quadratically in the collision rate.
+      Measured at 20M rows / 1M distinct keys on local[32] this is the
+      faster path (the Misra-Gries variant pays a full Arrow transfer
+      of the key column into Python).
+    - ``method="mg"``: per-partition Misra-Gries summaries of size
+      ``capacity`` (default ceil(1/phi)) via mapInPandas, merged with
+      the mergeable-summaries truncation (Agarwal et al., PODS 2012):
+      any key with frequency > n/(capacity+1) survives. This is the
+      bounded-memory summary form — the one you'd persist or maintain
+      incrementally — but its candidate pass crosses the Arrow
+      boundary, so prefer "bucket" for one-shot batch queries.
     """
     if not 0.0 < phi < 1.0:
         raise ValueError(f"heavy_hitters: phi must be in (0, 1), got {phi}")
+    if method == "bucket":
+        return _heavy_hitters_bucket(df, cols, phi, num_buckets)
+    if method != "mg":
+        raise ValueError(f"heavy_hitters: unknown method {method!r} (bucket|mg)")
     m = capacity if capacity is not None else math.ceil(1.0 / phi)
     if m < math.ceil(1.0 / phi):
         raise ValueError(
@@ -114,6 +137,60 @@ def heavy_hitters(
     keys_present = F.lit(True)
     for c in cols:
         keys_present = keys_present & F.col(c).isNotNull()
+    return (
+        counts.filter(keys_present)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.lit(phi) * F.col("total"))
+    )
+
+
+def _heavy_hitters_bucket(
+    df: DataFrame, cols: list[str], phi: float, num_buckets: int
+) -> DataFrame:
+    """Two-hash count-min candidate filter + exact recount (see
+    heavy_hitters). Scans the data exactly twice, shuffles at most
+    2*num_buckets histogram rows per partition then only candidate
+    keys; every expression is JVM codegen."""
+    if num_buckets < 2:
+        raise ValueError(f"heavy_hitters: num_buckets must be >= 2, got {num_buckets}")
+
+    def _bucket(seed: int):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(num_buckets))
+
+    # One scan for both histograms: each row contributes one count to
+    # its bucket under each hash (explode of a 2-element array).
+    hist = (
+        df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("h"), _bucket(1).alias("b")),
+                    F.struct(F.lit(2).alias("h"), _bucket(2).alias("b")),
+                )
+            ).alias("tb")
+        )
+        .groupBy(F.col("tb.h").alias("h"), F.col("tb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    total = hist.filter(F.col("h") == 1).agg(F.sum("bcnt").alias("total"))
+    heavy = (
+        hist.crossJoin(F.broadcast(total))
+        .filter(F.col("bcnt") > F.lit(phi) * F.col("total"))
+        .select("h", "b")
+    )
+    heavy1 = heavy.filter(F.col("h") == 1).select(F.col("b").alias("__b1"))
+    heavy2 = heavy.filter(F.col("h") == 2).select(F.col("b").alias("__b2"))
+    keys_present = F.lit(True)
+    for c in cols:
+        keys_present = keys_present & F.col(c).isNotNull()
+    counts = (
+        df.select(*cols)
+        .withColumn("__b1", _bucket(1))
+        .withColumn("__b2", _bucket(2))
+        .join(F.broadcast(heavy1), "__b1", "left_semi")
+        .join(F.broadcast(heavy2), "__b2", "left_semi")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     return (
         counts.filter(keys_present)
         .crossJoin(F.broadcast(total))

@@ -663,3 +663,94 @@ def test_k_truss_converges_within_oracle_rounds(spark, sf_dir):
     out = k_truss(flow_graph(spark, sf_dir), k=_K_TRUSS_K, stats=stats)
     assert out.count() > 0
     assert stats["rounds"] <= _K_TRUSS_ORACLE_ROUNDS, stats
+
+
+# ---------------------------------------------------------------------------
+# Landmark betweenness (Brandes)
+# ---------------------------------------------------------------------------
+
+
+def _brandes_python(edges, sources):
+    """Textbook Brandes (BFS + dependency accumulation) restricted to
+    the given sources — the oracle for the distributed formulation."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    verts = set()
+    for s, d in edges:
+        adj[s].append(d)
+        verts.update((s, d))
+    bc = dict.fromkeys(verts, 0.0)
+    for s in sources:
+        if s not in verts:
+            continue
+        order, preds = [], defaultdict(list)
+        sigma, dist = defaultdict(float), {s: 0}
+        sigma[s] = 1.0
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        while order:
+            w = order.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_equals_brandes_on_random_graphs(spark):
+    import random
+
+    from anti_money_laundering_spark.graph import betweenness
+
+    for seed in (3, 9):
+        rng = random.Random(seed)
+        n = 40
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(150)}
+        edges = [(a, b) for a, b in edges if a != b]
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        v_df = e_df.select(F.col("src").alias("id")).union(e_df.select("dst")).distinct()
+        sources = [0, 1, 2]
+        got = {r.id: r.betweenness for r in betweenness(Graph(v_df, e_df), sources).collect()}
+        exp = _brandes_python(edges, sources)
+        assert set(got) == set(exp)
+        assert all(abs(got[v] - exp[v]) < 1e-9 for v in exp), seed
+
+
+def test_betweenness_on_fixture_flow_graph(spark, sf_dir):
+    from anti_money_laundering_spark.graph import betweenness
+    from anti_money_laundering_spark.plans.fixture_graphs import flow_graph
+
+    g = flow_graph(spark, sf_dir)
+    edges = [
+        (r.src, r.dst)
+        for r in g.edges.select("src", "dst").filter("src <> dst").distinct().collect()
+    ]
+    got = {r.id: r.betweenness for r in betweenness(g, [0, 1, 2, 3]).collect()}
+    exp = _brandes_python(edges, [0, 1, 2, 3])
+    assert all(abs(got.get(v, 0.0) - exp[v]) < 1e-9 for v in exp)
+
+
+def test_betweenness_chain_and_diamond(spark):
+    from anti_money_laundering_spark.graph import betweenness
+
+    # chain 0->1->2->3: from source 0, vertex 1 carries 2 pairs, 2 carries 1
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    v = chain.select(F.col("src").alias("id")).union(chain.select("dst")).distinct()
+    got = {r.id: r.betweenness for r in betweenness(Graph(v, chain), [0]).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 1.0, 3: 0.0}
+    # diamond 0->{1,2}->3: two equal shortest paths split the dependency
+    dia = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long")
+    v = dia.select(F.col("src").alias("id")).union(dia.select("dst")).distinct()
+    got = {r.id: r.betweenness for r in betweenness(Graph(v, dia), [0]).collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}

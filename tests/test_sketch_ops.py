@@ -35,7 +35,8 @@ def _lev(a: str, b: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def test_heavy_hitters_equals_group_by_having_on_zipf(spark):
+@pytest.mark.parametrize("method", ["bucket", "mg"])
+def test_heavy_hitters_equals_group_by_having_on_zipf(spark, method):
     rng = random.Random(7)
     rows = [(f"k{min(int(1 / rng.random()), 400)}",) for _ in range(30000)]
     rows += [(None,)] * 50  # null keys count toward total, never hit
@@ -43,21 +44,42 @@ def test_heavy_hitters_equals_group_by_having_on_zipf(spark):
     n = len(rows)
     exact = Counter(k for (k,) in rows if k is not None)
     for phi in (0.005, 0.02):
-        got = {r.key: (r.cnt, r.total) for r in heavy_hitters(df, ["key"], phi).collect()}
+        got = {
+            r.key: (r.cnt, r.total)
+            for r in heavy_hitters(df, ["key"], phi, method=method).collect()
+        }
         want = {k: v for k, v in exact.items() if v > phi * n}
         assert set(got) == set(want)
         assert all(got[k] == (want[k], n) for k in want)
 
 
-def test_heavy_hitters_multi_column_and_uniform_edge(spark):
+@pytest.mark.parametrize("method", ["bucket", "mg"])
+def test_heavy_hitters_multi_column_and_uniform_edge(spark, method):
     rows = [(f"k{i % 50}", i % 3) for i in range(6000)]
     df = spark.createDataFrame(rows, "key string, g int").repartition(5)
     exact = Counter(rows)
-    got = {(r.key, r.g): r.cnt for r in heavy_hitters(df, ["key", "g"], 0.005).collect()}
+    got = {
+        (r.key, r.g): r.cnt
+        for r in heavy_hitters(df, ["key", "g"], 0.005, method=method).collect()
+    }
     want = {k: v for k, v in exact.items() if v > 0.005 * len(rows)}
     assert got == want
     # uniform distribution under a high phi: no hitters, empty result
-    assert heavy_hitters(df, ["key", "g"], 0.2).count() == 0
+    assert heavy_hitters(df, ["key", "g"], 0.2, method=method).count() == 0
+
+
+def test_heavy_hitters_bucket_collision_pressure(spark):
+    """num_buckets far below the key cardinality floods every bucket
+    over threshold — the filter passes everything through and the
+    recount must still produce the exact answer."""
+    rng = random.Random(13)
+    rows = [("hot",)] * 1500 + [(f"t{rng.randrange(500)}",) for _ in range(6000)]
+    df = spark.createDataFrame(rows, "key string").repartition(6)
+    got = {
+        r.key: r.cnt
+        for r in heavy_hitters(df, ["key"], 0.1, method="bucket", num_buckets=4).collect()
+    }
+    assert got == {"hot": 1500}
 
 
 def test_heavy_hitters_minimal_capacity_still_exact(spark):
@@ -68,7 +90,7 @@ def test_heavy_hitters_minimal_capacity_still_exact(spark):
     rng.shuffle(rows)
     df = spark.createDataFrame(rows, "key string").repartition(7)
     phi = 0.1  # capacity m = 10 << 900 tail keys
-    got = {r.key: r.cnt for r in heavy_hitters(df, ["key"], phi).collect()}
+    got = {r.key: r.cnt for r in heavy_hitters(df, ["key"], phi, method="mg").collect()}
     assert got == {"hot": 2000}
 
 
@@ -77,9 +99,13 @@ def test_heavy_hitters_guards(spark):
     with pytest.raises(ValueError, match="phi"):
         heavy_hitters(df, ["k"], 0.0)
     with pytest.raises(ValueError, match="superset"):
-        heavy_hitters(df, ["k"], 0.01, capacity=10)
+        heavy_hitters(df, ["k"], 0.01, capacity=10, method="mg")
     with pytest.raises(ValueError, match="plain groupBy"):
-        heavy_hitters(df, ["k"], 1e-8)
+        heavy_hitters(df, ["k"], 1e-8, method="mg")
+    with pytest.raises(ValueError, match="unknown method"):
+        heavy_hitters(df, ["k"], 0.1, method="topk")
+    with pytest.raises(ValueError, match="num_buckets"):
+        heavy_hitters(df, ["k"], 0.1, num_buckets=1)
 
 
 # ---------------------------------------------------------------------------
