@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from anti_money_laundering_spark.graph.algorithms import (
     betweenness,
     bfs,
+    edge_betweenness,
     label_propagation,
     shortest_paths,
     strongly_connected_components,
@@ -170,6 +171,7 @@ __all__ = [
     "Graph",
     "betweenness",
     "bfs",
+    "edge_betweenness",
     "bipartite_components",
     "connected_components",
     "find_motif",

@@ -29,6 +29,7 @@ __all__ = [
     "triangle_count",
     "shortest_paths",
     "betweenness",
+    "edge_betweenness",
     "label_propagation",
     "strongly_connected_components",
     "k_core",
@@ -191,6 +192,56 @@ def betweenness(
     at level >= 1, so endpoint exclusion falls out of the level
     structure. ~2 * diameter rounds total.
     """
+    verts = graph.vertices.select("id")
+    acc, _ = _brandes(graph, sources, max_iter, want_edges=False)
+    if acc is None:
+        return verts.select("id", F.lit(0.0).alias("betweenness"))
+    totals = acc.groupBy("v").agg(F.sum("delta").alias("betweenness"))
+    return verts.join(totals, verts["id"] == totals["v"], "left").select(
+        "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+
+
+def edge_betweenness(
+    graph: "Graph",
+    sources: Sequence,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Landmark EDGE betweenness (the Girvan-Newman 2002 primitive):
+    for each distinct simple edge (v, w), the summed pair-dependency
+    sigma_sv / sigma_sw * (1 + delta_s(w)) over the given sources —
+    how much landmark shortest-path flow crosses the edge. Removing
+    the top-scoring edges and re-running connected components is one
+    Girvan-Newman community-splitting step. Same two Brandes passes as
+    ``betweenness`` (the per-edge terms are the backward pass's inner
+    sum, captured before the per-vertex aggregation, including the
+    level-0 source out-edges that vertex betweenness never needs).
+    Returns (src, dst, betweenness) for every distinct simple edge."""
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    _, e_acc = _brandes(graph, sources, max_iter, want_edges=True)
+    if e_acc is None:
+        return edges.select("src", "dst", F.lit(0.0).alias("betweenness"))
+    totals = (
+        e_acc.groupBy("v", "w").agg(F.sum("dep").alias("betweenness"))
+        .select(F.col("v").alias("src"), F.col("w").alias("dst"), "betweenness")
+    )
+    return edges.join(totals, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+
+
+def _brandes(
+    graph: "Graph", sources: Sequence, max_iter: int, want_edges: bool
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Shared Brandes passes. Returns (vertex_deltas, edge_terms):
+    vertex_deltas = (s, v, delta) for interior levels >= 1;
+    edge_terms = (s, v, w, dep) per shortest-path edge, only when
+    ``want_edges`` (the vertex-only loop stops at level 1, keeping its
+    round count — and pinned plan shape — unchanged)."""
     src_list = [int(x) for x in sources]
     edges = (
         graph.edges.select("src", "dst")
@@ -231,40 +282,38 @@ def betweenness(
     level_delta = visited.filter(F.col("d") == depth).select(
         "s", "v", F.lit(0.0).alias("delta")
     )
-    acc = None
-    for lvl in range(depth - 1, 0, -1):
+    v_acc = None
+    e_acc = None
+    for lvl in range(depth - 1, -1 if want_edges else 0, -1):
         cur = visited.filter(F.col("d") == lvl).select("s", "v", "sigma")
         succ = (
             visited.filter(F.col("d") == lvl + 1)
             .select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
             .join(level_delta.select("s", F.col("v").alias("w"), "delta"), ["s", "w"])
         )
-        contrib = (
+        terms = (
             cur.join(edges, cur["v"] == edges["src"])
             .select("s", "v", "sigma", F.col("dst").alias("w"))
             .join(succ, ["s", "w"])
-            .groupBy("s", "v")
-            .agg(
-                F.sum(F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))).alias(
-                    "delta"
-                )
+            .select(
+                "s",
+                "v",
+                "w",
+                (F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))).alias("dep"),
             )
         )
+        if want_edges:
+            e_acc = terms if e_acc is None else e_acc.union(terms)
+        contrib = terms.groupBy("s", "v").agg(F.sum("dep").alias("delta"))
         level_delta = (
             cur.select("s", "v")
             .join(contrib, ["s", "v"], "left")
             .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
             .localCheckpoint(eager=False)
         )
-        acc = level_delta if acc is None else acc.union(level_delta)
-
-    verts = graph.vertices.select("id")
-    if acc is None:
-        return verts.select("id", F.lit(0.0).alias("betweenness"))
-    totals = acc.groupBy("v").agg(F.sum("delta").alias("betweenness"))
-    return verts.join(totals, verts["id"] == totals["v"], "left").select(
-        "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
-    )
+        if lvl >= 1:
+            v_acc = level_delta if v_acc is None else v_acc.union(level_delta)
+    return v_acc, e_acc
 
 
 def _min_reach_labels(verts: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:

@@ -216,8 +216,9 @@ _R8_PLAN: tuple[str, ...] = (
     "hll_rollup_users",
     "overlap_sessions_pairs",
     "fuzzy_name_pairs",
-    # landmark Brandes betweenness (r7-new)
+    # landmark Brandes betweenness + Girvan-Newman edge variant (r7-new)
     "graph_betweenness",
+    "graph_edge_betweenness",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -1383,14 +1383,48 @@ def _bw_del_cte(i: int) -> str:
     )"""
 
 
-def _betweenness_oracle_sql(levels: int) -> str:
+def _bw_edel_cte(i: int) -> str:
+    """Per-EDGE dependency terms crossing level i -> i+1 (the inner sum
+    of _bw_del_cte before per-vertex aggregation) — includes level 0,
+    whose source out-edges vertex betweenness never needs."""
+    return f"""
+    edel{i} AS (
+        SELECT c.s, c.v AS esrc, n.v AS edst,
+               cs.sigma / ns.sigma * (1 + n.delta) AS dep
+        FROM (SELECT s, v FROM dist WHERE d = {i}) c
+        JOIN sigall cs ON cs.s = c.s AND cs.v = c.v
+        JOIN e ON e.src = c.v
+        JOIN del{i + 1} n ON n.s = c.s AND n.v = e.dst
+        JOIN sigall ns ON ns.s = n.s AND ns.v = n.v
+    )"""
+
+
+def _betweenness_oracle_sql(levels: int, edge: bool = False) -> str:
     sig_ctes = "".join(_bw_sig_cte(i) + "," for i in range(1, levels + 1))
     sig_union = " UNION ALL ".join(f"SELECT * FROM sig{i}" for i in range(0, levels + 1))
     del_ctes = f"""
     del{levels} AS (
         SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM dist WHERE d = {levels}
     ),""" + "".join(_bw_del_cte(i) + "," for i in range(levels - 1, 0, -1))
-    acc_union = " UNION ALL ".join(f"SELECT v, delta FROM del{i}" for i in range(1, levels))
+    if edge:
+        del_ctes += "".join(_bw_edel_cte(i) + "," for i in range(0, levels))
+        acc_union = " UNION ALL ".join(
+            f"SELECT esrc, edst, dep FROM edel{i}" for i in range(0, levels)
+        )
+        final = """
+    acc AS ({acc_union})
+    SELECT e.src, e.dst, round(coalesce(sum(acc.dep), 0), 6) AS betweenness
+    FROM e LEFT JOIN acc ON acc.esrc = e.src AND acc.edst = e.dst
+    GROUP BY e.src, e.dst
+    """.replace("{acc_union}", acc_union)
+    else:
+        acc_union = " UNION ALL ".join(f"SELECT v, delta FROM del{i}" for i in range(1, levels))
+        final = """
+    acc AS ({acc_union})
+    SELECT verts.id, round(coalesce(sum(acc.delta), 0), 6) AS betweenness
+    FROM verts LEFT JOIN acc ON acc.v = verts.id
+    GROUP BY verts.id
+    """.replace("{acc_union}", acc_union)
     return f"""
     WITH RECURSIVE eraw AS ({FLOW_EDGES_SQL}),
     e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
@@ -1411,12 +1445,7 @@ def _betweenness_oracle_sql(levels: int) -> str:
     sig0 AS (SELECT s, v, CAST(1 AS DOUBLE) AS sigma FROM dist WHERE d = 0),
     {sig_ctes}
     sigall AS MATERIALIZED ({sig_union}),
-    {del_ctes}
-    acc AS ({acc_union})
-    SELECT verts.id, round(coalesce(sum(acc.delta), 0), 6) AS betweenness
-    FROM verts LEFT JOIN acc ON acc.v = verts.id
-    GROUP BY verts.id
-    """
+    {del_ctes}{final}"""
 
 
 @register(
@@ -1440,4 +1469,26 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = flow_graph(spark, sf_dir)
     return betweenness(g, [0, 1, 2, 3]).select(
         "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+@register(
+    "graph_edge_betweenness",
+    tags=("G-ext", "G7"),
+    oracle=_betweenness_oracle_sql(_BW_LEVELS, edge=True),
+)
+def graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark EDGE betweenness of the transaction flow graph from
+    flagged sources 0-3 — the Girvan-Newman community-splitting
+    primitive: the top-scoring edges are the inter-community transfer
+    corridors whose removal (then re-running connected_components)
+    splits the laundering cell apart. Same two Brandes passes as
+    graph_betweenness with the per-edge dependency terms captured
+    before the per-vertex aggregation, including level-0 source
+    out-edges (graph/algorithms.py::edge_betweenness)."""
+    from anti_money_laundering_spark.graph import edge_betweenness
+
+    g = flow_graph(spark, sf_dir)
+    return edge_betweenness(g, [0, 1, 2, 3]).select(
+        "src", "dst", F.round("betweenness", 6).alias("betweenness")
     )

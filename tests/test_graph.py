@@ -754,3 +754,59 @@ def test_betweenness_chain_and_diamond(spark):
     v = dia.select(F.col("src").alias("id")).union(dia.select("dst")).distinct()
     got = {r.id: r.betweenness for r in betweenness(Graph(v, dia), [0]).collect()}
     assert got == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_edge_betweenness_equals_brandes(spark):
+    import random
+    from collections import defaultdict, deque
+
+    from anti_money_laundering_spark.graph import edge_betweenness
+
+    def brandes_edges(edges, sources):
+        adj = defaultdict(list)
+        verts = set()
+        for s, d in edges:
+            adj[s].append(d)
+            verts.update((s, d))
+        eb = defaultdict(float)
+        for s in sources:
+            if s not in verts:
+                continue
+            order, preds = [], defaultdict(list)
+            sigma, dist = defaultdict(float), {s: 0}
+            sigma[s] = 1.0
+            queue = deque([s])
+            while queue:
+                v = queue.popleft()
+                order.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        queue.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = defaultdict(float)
+            while order:
+                w = order.pop()
+                for v in preds[w]:
+                    c = sigma[v] / sigma[w] * (1 + delta[w])
+                    delta[v] += c
+                    eb[(v, w)] += c
+        return eb
+
+    rng = random.Random(17)
+    n = 35
+    edges = [(a, b) for a, b in {(rng.randrange(n), rng.randrange(n)) for _ in range(120)} if a != b]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    v_df = e_df.select(F.col("src").alias("id")).union(e_df.select("dst")).distinct()
+    got = {(r.src, r.dst): r.betweenness for r in edge_betweenness(Graph(v_df, e_df), [0, 1]).collect()}
+    exp = brandes_edges(edges, [0, 1])
+    assert set(got) == set(edges)
+    assert all(abs(got[e] - exp.get(e, 0.0)) < 1e-9 for e in got)
+    # consistency: vertex betweenness of v == sum of deps on v's in-edges
+    # minus... (not an identity across sources); instead check the chain:
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    v = chain.select(F.col("src").alias("id")).union(chain.select("dst")).distinct()
+    got_c = {(r.src, r.dst): r.betweenness for r in edge_betweenness(Graph(v, chain), [0]).collect()}
+    assert got_c == {(0, 1): 3.0, (1, 2): 2.0, (2, 3): 1.0}
