@@ -19,6 +19,7 @@ __all__ = [
     "ewma",
     "winsorized_mean",
     "trend_slope",
+    "cusum",
     "cap_per_group",
     "resample_gapfill_daily",
 ]
@@ -173,6 +174,62 @@ def trend_slope(
         )
         .filter((F.col("n") >= min_points) & (F.col("__vx") > 0))
         .drop("__vx")
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint statistic per entity (Page 1954):
+    standardize ``value`` against the entity's own mean/std, then track
+    how far the standardized series has drifted above/below ``slack``
+    since the last implicit reset. Rows where either side exceeds
+    ``threshold`` flag a sustained level shift (structuring ramps,
+    account takeover) that single-point z-score outliers miss.
+
+    The textbook recurrence S_i = max(0, S_{i-1} + (z_i - k)) is not a
+    SQL window aggregate, but its closed form IS:
+    ``S_i = P_i - min(0, running_min(P_i))`` with P the ROWS-framed
+    prefix sum of (z - k) — two stacked window selects over ONE
+    (key)-partitioned sort, no recursion, no Python, one shuffle.
+    Entities with zero variance (constant series, single row) have no
+    defined z and are dropped."""
+    wp = Window.partitionBy(key)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    std = F.stddev_pop(value).over(wp)
+    # divide-by-zero guard, portable: Spark and DuckDB disagree on
+    # float x/0 (Infinity vs NULL) — route zero variance to NULL here
+    z = (F.col(value) - F.avg(value).over(wp)) / F.when(std > 0, std)
+    prefixed = (
+        df.select(key, ts, tiebreak, z.alias("__z"))
+        .filter(F.col("__z").isNotNull())
+        .select(
+            key,
+            ts,
+            tiebreak,
+            F.sum(F.col("__z") - slack).over(run).alias("__p_pos"),
+            F.sum(-F.col("__z") - slack).over(run).alias("__p_neg"),
+        )
+    )
+    s_pos = F.col("__p_pos") - F.least(F.lit(0.0), F.min("__p_pos").over(run))
+    s_neg = F.col("__p_neg") - F.least(F.lit(0.0), F.min("__p_neg").over(run))
+    return prefixed.select(
+        key,
+        ts,
+        tiebreak,
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
+        (F.greatest(s_pos, s_neg) > threshold).alias("alarm"),
     )
 
 

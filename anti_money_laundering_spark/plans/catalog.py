@@ -219,6 +219,8 @@ _R8_PLAN: tuple[str, ...] = (
     # landmark Brandes betweenness + Girvan-Newman edge variant (r7-new)
     "graph_betweenness",
     "graph_edge_betweenness",
+    # CUSUM level-shift detector, closed-form window formulation (r7-new)
+    "cusum_changepoints",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

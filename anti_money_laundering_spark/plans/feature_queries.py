@@ -577,6 +577,78 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_SLACK = 0.5  # allowance k: drift below k sigma never accumulates
+_CUSUM_H = 4.0  # decision interval h: alarm when either side exceeds
+
+_DUCK_CUSUM_RUN = """PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"""
+
+
+@register(
+    "cusum_changepoints",
+    tags=("W-ext", "F-ext", "OP"),
+    oracle=f"""
+    WITH z AS (
+      SELECT user_id, ts, event_id,
+             (value - avg(value) OVER (PARTITION BY user_id))
+               / nullif(stddev_pop(value) OVER (PARTITION BY user_id), 0) AS z
+      FROM events
+    ), p AS (
+      SELECT user_id, ts, event_id,
+             sum(z - {_CUSUM_SLACK}) OVER w AS p_pos,
+             sum(-z - {_CUSUM_SLACK}) OVER w AS p_neg
+      FROM z WHERE z IS NOT NULL
+      WINDOW w AS ({_DUCK_CUSUM_RUN})
+    ), s AS (
+      SELECT user_id, event_id,
+             round(p_pos - least(0, min(p_pos) OVER w), 6) AS cusum_pos,
+             round(p_neg - least(0, min(p_neg) OVER w), 6) AS cusum_neg
+      FROM p
+      WINDOW w AS ({_DUCK_CUSUM_RUN})
+    )
+    SELECT user_id, event_id, cusum_pos, cusum_neg,
+           greatest(cusum_pos, cusum_neg) > {_CUSUM_H} AS alarm
+    FROM s
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detector per user (Page 1954, the
+    control-chart classic): cumulative drift of the user's standardized
+    event values above/below a 0.5-sigma allowance, alarming at 4 sigma
+    of accumulated evidence — the sustained-shift complement to
+    ``zscore_outlier_orders``'s single-point screen. The recurrence
+    max(0, S+z-k) is closed-formed as prefix-sum minus running-min
+    (features.cusum), so the whole detector is two stacked window
+    selects over ONE user-partitioned sort: one shuffle, zero Python,
+    zero iteration. Alarm compares the ROUNDED statistic on both
+    engines so the boolean can't flip on summation-order ulps."""
+    from anti_money_laundering_spark.features import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum(
+        ev,
+        key="user_id",
+        ts="ts",
+        value="value",
+        tiebreak="event_id",
+        slack=_CUSUM_SLACK,
+        threshold=_CUSUM_H,
+    )
+    pos = F.round("cusum_pos", 6)
+    neg = F.round("cusum_neg", 6)
+    return out.select(
+        "user_id",
+        "event_id",
+        pos.alias("cusum_pos"),
+        neg.alias("cusum_neg"),
+        (F.greatest(pos, neg) > _CUSUM_H).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram PMI collocations
 # ---------------------------------------------------------------------------
 

@@ -516,3 +516,35 @@ def test_asof_nearest_matches_pandas(spark, trades, quotes):
     tol = asof_join(t1, q1, by=["sym"], direction="nearest", how="left",
                     tolerance_seconds=60).collect()[0]
     assert tol.px_matched is None
+
+
+def test_cusum_matches_textbook_recurrence(spark):
+    """The window closed form P_i - min(0, running_min(P)) must equal
+    Page's recurrence S_i = max(0, S_{i-1} + (z_i - k)) exactly, on a
+    series engineered with a level shift; constant-variance-zero users
+    must be dropped, not divided by zero."""
+    import datetime as dt
+
+    from anti_money_laundering_spark.features import cusum
+
+    vals = [0.1, -0.2, 0.3, -0.1, 0.0, 5.0, 5.2, 4.9, 5.1, 5.3]
+    rows = [("u", dt.datetime(2024, 1, 1, 0, i), float(v), i) for i, v in enumerate(vals)]
+    rows += [("flat", dt.datetime(2024, 1, 1, 0, i), 2.0, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+
+    out = cusum(df, key="k", ts="ts", value="v", tiebreak="i", slack=0.5, threshold=2.0)
+    got = {r["i"]: r for r in out.filter(F.col("k") == "u").collect()}
+    assert out.filter(F.col("k") == "flat").count() == 0  # zero variance dropped
+
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / len(vals)
+    z = [(v - mean) / var**0.5 for v in vals]
+    s_pos = s_neg = 0.0
+    for i, zi in enumerate(z):
+        s_pos = max(0.0, s_pos + zi - 0.5)
+        s_neg = max(0.0, s_neg - zi - 0.5)
+        assert abs(got[i]["cusum_pos"] - s_pos) < 1e-9, i
+        assert abs(got[i]["cusum_neg"] - s_neg) < 1e-9, i
+        assert got[i]["alarm"] == (max(s_pos, s_neg) > 2.0)
+    # the engineered shift must actually alarm on the positive side
+    assert got[len(vals) - 1]["alarm"]
