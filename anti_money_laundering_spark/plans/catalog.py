@@ -221,6 +221,8 @@ _R8_PLAN: tuple[str, ...] = (
     "graph_edge_betweenness",
     # CUSUM level-shift detector, closed-form window formulation (r7-new)
     "cusum_changepoints",
+    # corpus-self-trained bigram-LM quality score, CCNet shape (r7-new)
+    "ngram_lm_quality",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -302,6 +302,54 @@ def lang_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_ADD_K = 1.0
+
+
+@register(
+    "ngram_lm_quality",
+    tags=("LLM", "text"),
+    oracle=f"""
+    WITH clean AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term,
+             generate_subscripts({_DUCK_TOKS}, 1) AS pos
+      FROM documents
+    ), seq AS (
+      SELECT doc_id, term AS prev,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+      FROM clean
+    ), pairs AS (SELECT doc_id, prev, cur FROM seq WHERE cur IS NOT NULL),
+    cab AS (SELECT prev, cur, count(*) AS n_ab FROM pairs GROUP BY prev, cur),
+    cprev AS (SELECT prev, sum(n_ab) AS n_prev FROM cab GROUP BY prev),
+    voc AS (SELECT count(DISTINCT term) AS v FROM clean)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c.n_ab + {_LM_ADD_K}) / (cp.n_prev + {_LM_ADD_K} * voc.v))), 6)
+             AS avg_logprob
+    FROM pairs p
+    JOIN cab c ON c.prev = p.prev AND c.cur = p.cur
+    JOIN cprev cp ON cp.prev = p.prev
+    CROSS JOIN voc
+    GROUP BY p.doc_id
+    """,
+)
+def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM quality score per document (the
+    CCNet/KenLM perplexity-filter shape without shipping a model):
+    mean ln P(cur|prev) under add-1 smoothing, vocabulary-normalized.
+    Low tail = boilerplate/gibberish; the score feeds the same
+    keep/drop decision as quality_rule_screen but from sequence
+    statistics instead of surface ratios. All counting is two
+    aggregations of one lead()-window bigram stream; see
+    text_ml.ngram_lm_scores for the plan discipline."""
+    from anti_money_laundering_spark.text_ml import ngram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_lm_scores(docs, add_k=_LM_ADD_K)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
 # The trigram side of the oracle is the IDENTICAL SQL text the Spark
 # expression compiles from; the stopword side reuses text_lang_id's
 # existing DuckDB rebuild (review finding: a second hand-rolled copy of

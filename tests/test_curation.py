@@ -220,3 +220,38 @@ def test_decontaminate_partial_id_collision_raises(spark):
     disjoint = _docs(spark, [(900, "the quick brown fox ran")])
     kept_disjoint = decontaminate(corpus, disjoint, n=3)
     assert sorted(r.doc_id for r in kept_disjoint.collect()) == [2, 100]
+
+
+def test_ngram_lm_scores_match_pure_python(spark):
+    """The bigram LM must reproduce hand-computed add-k probabilities:
+    same tokenizer, V over the WHOLE corpus (including one-token docs),
+    one-token docs dropped from the output (no bigram evidence)."""
+    import math
+    from collections import Counter
+
+    from anti_money_laundering_spark.text_ml import ngram_lm_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "mat",  # single token: counts toward V, no score row
+        4: "a dog sat on a mat",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_lm_scores(df, add_k=1.0).collect()}
+    assert 3 not in got
+
+    toks = {d: t.split() for d, t in texts.items()}
+    vocab = {w for ws in toks.values() for w in ws}
+    pairs = [(ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1)]
+    cab = Counter(pairs)
+    cprev = Counter(p for p, _ in pairs)
+    for d, ws in toks.items():
+        ps = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if not ps:
+            continue
+        want = sum(
+            math.log((cab[p] + 1.0) / (cprev[p[0]] + len(vocab))) for p in ps
+        ) / len(ps)
+        assert got[d]["n_bigrams"] == len(ps)
+        assert abs(got[d]["avg_logprob"] - want) < 1e-9, d
