@@ -223,6 +223,8 @@ _R8_PLAN: tuple[str, ...] = (
     "cusum_changepoints",
     # corpus-self-trained bigram-LM quality score, CCNet shape (r7-new)
     "ngram_lm_quality",
+    # BPE merge-step pair statistic over the word dictionary (r7-new)
+    "bpe_pair_counts",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

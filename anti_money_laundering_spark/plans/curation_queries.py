@@ -302,6 +302,36 @@ def lang_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_pair_counts",
+    tags=("LLM", "text"),
+    oracle=f"""
+    WITH words AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents)
+      GROUP BY w
+    )
+    SELECT substr(w, u.i, 1) AS sym_a, substr(w, u.i + 1, 1) AS sym_b,
+           CAST(sum(freq) AS BIGINT) AS n
+    FROM words, UNNEST(range(1, length(w))) AS u(i)
+    WHERE length(w) >= 2
+    GROUP BY 1, 2
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-step statistic (Sennrich 2016): adjacent character
+    pair counts weighted by word frequency — argmax of this table is
+    the tokenizer's first learned merge. Counting runs on the word
+    DICTIONARY (one corpus tokenize+count shuffle, then vocab-local
+    explode), so iterating it to a full merge list (tokenizer.learn_bpe,
+    property-tested against a pure-Python reference) costs one tiny
+    argmax collect per merge however large the corpus."""
+    from anti_money_laundering_spark.tokenizer import bpe_pair_counts as pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pair_counts(docs)
+
+
 _LM_ADD_K = 1.0
 
 

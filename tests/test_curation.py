@@ -255,3 +255,77 @@ def test_ngram_lm_scores_match_pure_python(spark):
         ) / len(ps)
         assert got[d]["n_bigrams"] == len(ps)
         assert abs(got[d]["avg_logprob"] - want) < 1e-9, d
+
+
+def _py_bpe(texts, n_merges, min_count=2):
+    """Pure-Python BPE reference: freq-weighted pair counts over the
+    word dict, argmax with (count desc, pair lexicographic) ties,
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += words[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        n = counts[pair]
+        if n < min_count:
+            break
+        merges.append((pair[0], pair[1], n))
+        a, b = pair
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_learn_bpe_matches_pure_python(spark):
+    """Merge list AND final vocab segmentation must equal the textbook
+    reference exactly — including the 'aaaa' overlap case (left-to-right
+    non-overlapping: aa+aa, never a+aaa) and deterministic tiebreaks."""
+    from anti_money_laundering_spark.tokenizer import bpe_segment, learn_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest aaaa aaaa",
+        "low new wide banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab_df = learn_bpe(df, n_merges=12, min_count=2)
+    want_merges, want_vocab = _py_bpe(texts, 12, min_count=2)
+    assert merges == want_merges
+    got_vocab = {r["w"]: list(r["syms"]) for r in vocab_df.collect()}
+    assert got_vocab == want_vocab
+
+    # segmentation with the learned table reproduces the trained vocab
+    seg = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(df, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.lower().split() for s in want_vocab[w]]
+        assert seg[i] == want, i
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from anti_money_laundering_spark.tokenizer import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "ab ab AB cd")], "doc_id long, text string")
+    got = {(r["sym_a"], r["sym_b"]): r["n"] for r in bpe_pair_counts(df).collect()}
+    assert got == {("a", "b"): 3, ("c", "d"): 1}
