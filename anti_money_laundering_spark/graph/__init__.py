@@ -22,6 +22,7 @@ from anti_money_laundering_spark.graph.algorithms import (
     bfs,
     edge_betweenness,
     label_propagation,
+    modularity,
     shortest_paths,
     strongly_connected_components,
     triangle_count,
@@ -176,6 +177,7 @@ __all__ = [
     "connected_components",
     "find_motif",
     "label_propagation",
+    "modularity",
     "pagerank",
     "pregel",
     "risk_propagation",

@@ -807,3 +807,57 @@ def k_truss(
     # on exactly this edge set — reuse it instead of re-running the
     # triangle enumeration (the dominant stage) one more time
     return e.join(sup, ["a", "b"]).select("a", "b", "support")
+
+
+def modularity(graph: "Graph", labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """Newman modularity of a vertex partition over the canonical
+    undirected simple graph: per community c,
+    ``q_contrib = e_c/m - (d_c/(2m))^2`` (internal-edge share minus
+    the share a degree-preserving random rewiring would expect);
+    summing q_contrib gives Q in [-1/2, 1). The standard quality gauge
+    for ANY community assignment (LPA, components, external labels) —
+    GraphFrames never exposed it, so users eyeball communities instead
+    of scoring them.
+
+    Plan: two vocabulary-of-vertices joins label the edge endpoints,
+    then everything is per-community aggregation; the corpus-scale
+    totals (m) ride as a broadcast 1-row cross join — no collect, no
+    iteration. Communities with zero internal edges keep a row
+    (left join, coalesce 0)."""
+    und = _canonical_undirected(graph.edges)
+    la = labels.select(F.col("id").alias("a"), F.col(label_col).alias("__ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col(label_col).alias("__cb"))
+    labeled = und.join(la, "a").join(lb, "b")
+    e_in = (
+        labeled.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_internal"))
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    per_comm = (
+        labels.join(deg, "id", "left")
+        .groupBy(F.col(label_col).alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("__deg", F.lit(0))).cast("long").alias("d_total"),
+        )
+    )
+    m_tot = und.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    return (
+        per_comm.join(e_in, "community", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_internal", F.lit(0)).alias("e_internal"),
+            "d_total",
+            (
+                F.coalesce("e_internal", F.lit(0)) / F.col("__m")
+                - (F.col("d_total") / (2.0 * F.col("__m"))) ** 2
+            ).alias("q_contrib"),
+        )
+    )

@@ -225,6 +225,8 @@ _R8_PLAN: tuple[str, ...] = (
     "ngram_lm_quality",
     # BPE merge-step pair statistic over the word dictionary (r7-new)
     "bpe_pair_counts",
+    # Newman modularity of the LPA partition (r7-new)
+    "graph_modularity",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

@@ -557,6 +557,77 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_modularity",
+    tags=("G-ext",),
+    # Newman modularity of the SAME deterministic 3-round LPA partition
+    # the graph_label_propagation oracle unrolls — the CTE chain is
+    # reused verbatim, then per-community internal-edge and degree
+    # aggregation on top. q_contrib sums to Q.
+    oracle=f"""
+    WITH e AS ({{FLOW_EDGES_SQL}}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    nbrs AS (SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    l0 AS (SELECT id, id AS label FROM verts),
+    {{ROUND1}},
+    {{ROUND2}},
+    {{ROUND3}},
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+    lab AS (SELECT id, label FROM l3),
+    ein AS (
+        SELECT la.label AS community, count(*) AS e_internal
+        FROM und u
+        JOIN lab la ON la.id = u.a
+        JOIN lab lb ON lb.id = u.b
+        WHERE la.label = lb.label
+        GROUP BY 1
+    ),
+    deg AS (
+        SELECT id, count(*) AS deg
+        FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        GROUP BY id
+    ),
+    pc AS (
+        SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS d_total
+        FROM lab l LEFT JOIN deg d USING (id)
+        GROUP BY 1
+    )
+    SELECT pc.community, pc.n_nodes,
+           CAST(coalesce(ein.e_internal, 0) AS BIGINT) AS e_internal,
+           pc.d_total,
+           round(coalesce(ein.e_internal, 0) / m.m
+                 - power(pc.d_total / (2 * m.m), 2), 6) AS q_contrib
+    FROM pc LEFT JOIN ein USING (community) CROSS JOIN m
+    """.format(FLOW_EDGES_SQL=FLOW_EDGES_SQL, ROUND1=_lpa_round_cte(1),
+               ROUND2=_lpa_round_cte(2), ROUND3=_lpa_round_cte(3)),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the LPA communities with Newman modularity: per community,
+    internal-edge share minus the degree-null-model expectation
+    (q_contrib; the sum over rows is Q). Answers "are these communities
+    real structure or noise?" — the quality gauge GraphFrames'
+    labelPropagation never shipped. Per-community aggregation over the
+    canonical undirected edge set; the edge total broadcasts as a
+    1-row cross join (graph/algorithms.py::modularity)."""
+    from anti_money_laundering_spark.graph import label_propagation, modularity
+
+    g = flow_graph(spark, sf_dir)
+    labels = label_propagation(g, max_iter=3)
+    out = modularity(g, labels)
+    return out.select(
+        "community",
+        "n_nodes",
+        "e_internal",
+        "d_total",
+        F.round("q_contrib", 6).alias("q_contrib"),
+    )
+
+
+@register(
     "graph_scc",
     tags=("G-ext", "G4", "G7"),
     # mutual-reachability closure: scc_id = min over {self} ∪ {other :

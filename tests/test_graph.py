@@ -810,3 +810,32 @@ def test_edge_betweenness_equals_brandes(spark):
     v = chain.select(F.col("src").alias("id")).union(chain.select("dst")).distinct()
     got_c = {(r.src, r.dst): r.betweenness for r in edge_betweenness(Graph(v, chain), [0]).collect()}
     assert got_c == {(0, 1): 3.0, (1, 2): 2.0, (2, 3): 1.0}
+
+
+def test_modularity_matches_hand_computation(spark):
+    """Two triangles joined by one bridge, communities = the triangles:
+    m=7, e_c=3, d_c=7 each -> q = 3/7 - (7/14)^2 = 0.17857...; Q sums
+    to 0.357. Direction/multiplicity/self-loops must collapse first,
+    and a community with no internal edges must still get a row."""
+    from anti_money_laundering_spark.graph import Graph, modularity
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4),
+         (2, 1),   # reverse duplicate: same undirected edge
+         (5, 5),   # self-loop: dropped
+         (7, 7)],  # isolated-but-for-self-loop vertex
+        "src long, dst long",
+    )
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    labels = spark.createDataFrame(
+        [(1, "t1"), (2, "t1"), (3, "t1"), (4, "t2"), (5, "t2"), (6, "t2"), (7, "lone")],
+        "id long, label string",
+    )
+    rows = {r["community"]: r for r in modularity(Graph(v, e), labels).collect()}
+    assert rows["t1"]["e_internal"] == 3 and rows["t2"]["e_internal"] == 3
+    assert rows["t1"]["d_total"] == 7 and rows["t2"]["d_total"] == 7
+    assert abs(rows["t1"]["q_contrib"] - (3 / 7 - (7 / 14) ** 2)) < 1e-12
+    assert rows["lone"]["n_nodes"] == 1 and rows["lone"]["e_internal"] == 0
+    assert rows["lone"]["d_total"] == 0 and rows["lone"]["q_contrib"] == 0.0
+    q_total = sum(r["q_contrib"] for r in rows.values())
+    assert abs(q_total - 2 * (3 / 7 - 0.25)) < 1e-12
