@@ -32,6 +32,7 @@ __all__ = [
     "merge_aggregates",
     "profile_table",
     "expectations",
+    "rrf_fuse",
 ]
 
 
@@ -784,4 +785,40 @@ def time_rollup(
         grain_expr.alias("grain"),
         F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         *[c for c in rolled.columns if not c.startswith("__b_") and not c.startswith("__isg_")],
+    )
+
+
+def rrf_fuse(
+    lists: "dict[str, DataFrame]",
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named ranked
+    candidate lists: ``rrf = sum over lists of 1/(k + rank)``, the
+    standard score-free way to combine lexical (BM25) and dense (ANN)
+    retrieval — robust to incomparable score scales because only RANKS
+    enter. An item missing from a list contributes 0 for that list
+    (full outer join semantics), never NULL.
+
+    Each input holds (id_col, rank_col) with rank 1-based. Candidate
+    lists are per-query top-k by construction, so the chained full
+    outer joins are small however large the corpus that produced
+    them; returns (id_col, <name>_rank ... nullable, rrf_score)."""
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused: DataFrame | None = None
+    for name, df in lists.items():
+        cur = df.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias(f"{name}_rank")
+        )
+        fused = cur if fused is None else fused.join(cur, id_col, "full_outer")
+    score = None
+    for name in lists:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return fused.select(
+        id_col, *[f"{name}_rank" for name in lists], score.alias("rrf_score")
     )

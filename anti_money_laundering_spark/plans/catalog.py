@@ -227,6 +227,8 @@ _R8_PLAN: tuple[str, ...] = (
     "bpe_pair_counts",
     # Newman modularity of the LPA partition (r7-new)
     "graph_modularity",
+    # reciprocal-rank fusion of BM25 + dense ANN legs (r7-new)
+    "retrieval_rrf_fusion",
 )
 
 #: Queries that can NEVER be hash-attested: their outputs are

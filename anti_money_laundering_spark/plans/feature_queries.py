@@ -178,11 +178,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "bm25_doc_scores",
-    tags=("LLM", "text"),
-    oracle=f"""
-    WITH clean AS (
+#: BM25 as a reusable CTE chain ending in ``lex(doc_id, bm25)`` —
+#: shared verbatim by the bm25_doc_scores oracle and the RRF fusion
+#: oracle so the lexical leg can never drift between the two.
+_DUCK_BM25_CTES = f"""clean AS (
       SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
     ), dl AS (
       SELECT doc_id, count(*) AS dl FROM clean GROUP BY 1
@@ -194,19 +193,25 @@ _BM25_B = 0.75
       GROUP BY 1, 2
     ), df AS (
       SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
-    )
-    SELECT tf.doc_id,
-           round(sum(
-             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-             * tf * ({_BM25_K1} + 1.0)
-             / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
-           ), 6) AS bm25
-    FROM tf
-    JOIN df USING (term)
-    JOIN dl USING (doc_id)
-    CROSS JOIN stats
-    GROUP BY tf.doc_id
-    """,
+    ), lex AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )"""
+
+
+@register(
+    "bm25_doc_scores",
+    tags=("LLM", "text"),
+    oracle=f"WITH {_DUCK_BM25_CTES} SELECT doc_id, bm25 FROM lex",
 )
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every matching document to a fixed query
@@ -249,6 +254,91 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(weight), 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense ANN
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+
+
+def _install_rrf_oracle() -> None:
+    # deferred: _DUCK_COS lives in llm_queries, which imports nothing
+    # from this module, so the late bind cannot cycle
+    from anti_money_laundering_spark.plans.catalog import _CATALOG
+    from anti_money_laundering_spark.plans.llm_queries import _DUCK_COS
+
+    _CATALOG["retrieval_rrf_fusion"].oracle = f"""
+    WITH {_DUCK_BM25_CTES},
+    lr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex
+    ),
+    q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE label = 0 ORDER BY vec_id LIMIT 1
+    ),
+    scored AS (
+      SELECT v.vec_id AS doc_id, {_DUCK_COS} AS cosine
+      FROM q, embeddings v WHERE v.vec_id <> q.vec_id
+    ),
+    dr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank
+      FROM scored
+    ),
+    l AS (SELECT * FROM lr WHERE lex_rank <= {_RRF_TOP}),
+    d AS (SELECT * FROM dr WHERE dense_rank <= {_RRF_TOP})
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(d.dense_rank AS BIGINT) AS dense_rank,
+           round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                 + coalesce(1.0 / ({_RRF_K} + d.dense_rank), 0), 6) AS rrf_score
+    FROM l FULL JOIN d ON l.doc_id = d.doc_id
+    """
+
+
+@register(
+    "retrieval_rrf_fusion",
+    tags=("LLM", "text", "ann"),
+    oracle=None,  # installed below — composes BM25 + cosine oracle legs
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval the way RAG stacks actually serve it: fuse the
+    BM25 top-20 (query "spark join stream") with the dense cosine
+    top-20 (query = the first label-0 embedding) by reciprocal-rank
+    fusion, rrf = Σ 1/(60 + rank) — score-free, so the incomparable
+    BM25/cosine scales never need calibration (operators.rrf_fuse).
+
+    Each leg reuses the exact machinery its standalone query attests
+    (bm25_doc_scores; cosine_topk_blas with the ann_cosine_topk
+    tie-break). The global rank windows run on candidate lists that
+    are per-query small by construction — the corpus-scale work
+    happened inside each retriever."""
+    from anti_money_laundering_spark.operators import rrf_fuse
+    from anti_money_laundering_spark.vector import cosine_topk_blas
+
+    lex = bm25_doc_scores(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_ranked = (
+        lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+        .filter(F.col("rank") <= _RRF_TOP)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("label") == 0).orderBy("vec_id").limit(1)
+    dense_ranked = cosine_topk_blas(qvec, emb, k=_RRF_TOP).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(
+        {"lex": lex_ranked, "dense": dense_ranked}, id_col="doc_id", k=_RRF_K
+    )
+    return fused.select(
+        "doc_id", "lex_rank", "dense_rank", F.round("rrf_score", 6).alias("rrf_score")
+    )
+
+
+_install_rrf_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -548,3 +548,23 @@ def test_cusum_matches_textbook_recurrence(spark):
         assert got[i]["alarm"] == (max(s_pos, s_neg) > 2.0)
     # the engineered shift must actually alarm on the positive side
     assert got[len(vals) - 1]["alarm"]
+
+
+def test_rrf_fuse_missing_items_contribute_zero(spark):
+    """An id present in only one list gets 0 (not NULL) for the other
+    leg; scores follow 1/(k+rank) exactly; one-list fusion works."""
+    from anti_money_laundering_spark.operators import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "id long, rank long")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "id long, rank long")
+    rows = {r["id"]: r for r in rrf_fuse({"x": a, "y": b}, "id", k=60).collect()}
+    assert abs(rows[10]["rrf_score"] - 1 / 61) < 1e-12
+    assert rows[10]["y_rank"] is None
+    assert abs(rows[20]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(rows[30]["rrf_score"] - 1 / 62) < 1e-12
+    solo = {r["id"]: r["rrf_score"] for r in rrf_fuse({"x": a}, "id").collect()}
+    assert abs(solo[10] - 1 / 61) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse({}, "id")
