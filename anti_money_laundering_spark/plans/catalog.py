@@ -231,12 +231,16 @@ _R8_PLAN: tuple[str, ...] = (
     "retrieval_rrf_fusion",
 )
 
-#: Queries that can NEVER be hash-attested: their outputs are
-#: engine-specific by nature (PCA eigenbasis sign/rotation;
+#: Queries scheduled into the r7 window as rows-only exceptions when it
+#: froze (engine-specific outputs: PCA eigenbasis sign/rotation;
 #: approx_percentile sketch internals). Each carries pinned pytest
-#: invariants instead (tests/test_ml_multimodal.py, tests/test_features.py).
-#: They enter the r7 window under a documented exception to the
-#: all-oracled rule so the driver records at least a rows-only check.
+#: invariants (tests/test_ml_multimodal.py, tests/test_operators.py).
+#: The set stays FROZEN verbatim for the window-plan equality check,
+#: but mid-r7 ``approx_quantiles_prices`` was promoted to a bound-pin
+#: oracle (exact-quantile bracket containment as hash-covered booleans,
+#: the approx_distinct_parts pattern) — the driver now hash-attests it;
+#: only ``ml_embedding_pca`` remains genuinely rows-only (no SQL engine
+#: computes an eigenbasis to compare against).
 _ROWS_ONLY_UNATTESTABLE: frozenset[str] = frozenset(
     {"ml_embedding_pca", "approx_quantiles_prices"}
 )

