@@ -229,6 +229,8 @@ _R8_PLAN: tuple[str, ...] = (
     "graph_modularity",
     # reciprocal-rank fusion of BM25 + dense ANN legs (r7-new)
     "retrieval_rrf_fusion",
+    # hand-rolled Bloom semi-join reduction (r7-new)
+    "bloom_prefilter_revenue",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

@@ -194,3 +194,43 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name_r").alias("c_name_r"),
         "dist",
     )
+
+
+@register(
+    "bloom_prefilter_revenue",
+    tags=("OP", "J4", "A-ext"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of line items belonging to urgent orders via a
+    hand-rolled Bloom semi-join reduction (sketch.bloom_semi_join):
+    build the filter over the selective dim keys distributedly
+    (bit_or over 64-bit words, <= num_bits/64 shuffled rows per
+    partition), probe the fact table with a codegen'd literal-bitmap
+    predicate BEFORE the exact semi join, so at 100 TB the join input
+    is already pruned to ~the matching fraction plus the bloom's
+    false-positive rate. Output is provably identical to the plain
+    IN-subquery the oracle runs (false positives are re-checked by the
+    exact semi join; the bloom has no false negatives by
+    construction — pinned in tests/test_sketch_ops.py)."""
+    from anti_money_laundering_spark.sketch import bloom_semi_join
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = bloom_semi_join(li, ["l_orderkey"], urgent, ["o_orderkey"], num_bits=1 << 18)
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

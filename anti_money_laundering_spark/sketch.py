@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["bloom_filter", "bloom_might_contain", "bloom_semi_join", "heavy_hitters"]
 
 #: Candidate sets above this size stop being "tiny broadcast side" —
 #: at that point the plain GROUP BY is the right plan, so refuse
@@ -196,3 +196,130 @@ def _heavy_hitters_bucket(
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") > F.lit(phi) * F.col("total"))
     )
+
+
+#: Largest bloom bitmap the builder will collect to the driver: 1<<27
+#: bits = 16 MiB of longs — the same order as a broadcast-join side.
+#: Past that, skip the bloom and let the semi join run plain.
+_MAX_BLOOM_BITS = 1 << 27
+
+
+def _bloom_positions(cols: list[str], num_bits: int, num_hashes: int, seed: int):
+    """One bit position per hash: xxhash64(key..., seed+i) mod m —
+    the classic k-independent-seeds construction, all JVM codegen."""
+    return [
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed + i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def _check_bloom_params(num_bits: int, num_hashes: int) -> None:
+    if num_bits < 64 or num_bits % 64:
+        raise ValueError(f"bloom: num_bits must be a multiple of 64 >= 64, got {num_bits}")
+    if num_bits > _MAX_BLOOM_BITS:
+        raise ValueError(
+            f"bloom: num_bits {num_bits} > {_MAX_BLOOM_BITS}; a bitmap that "
+            "size no longer broadcasts — run the plain semi join instead"
+        )
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"bloom: num_hashes must be in [1, 16], got {num_hashes}")
+
+
+def bloom_filter(
+    df: DataFrame,
+    cols: list[str],
+    num_bits: int = 1 << 18,
+    num_hashes: int = 4,
+    seed: int = 7,
+) -> list[int]:
+    """Build a Bloom filter over ``df``'s key tuples DISTRIBUTEDLY and
+    return it as a dense ``num_bits // 64``-long word list.
+
+    The build is one scan + one bounded shuffle: explode the k bit
+    positions per row, map-side-combine ``bit_or`` of the per-word
+    masks (at most ``num_bits/64`` rows per partition reach the
+    shuffle), then collect the <= 16 MiB word table — the same driver
+    round-trip shape as Spark's own injected runtime bloom filter
+    (InjectRuntimeFilter broadcasts its sketch the same way; ours is
+    explicit so the probe side can be a pure codegen'd literal lookup,
+    since ``bloom_filter_agg`` is not SQL-registered in this build).
+
+    NULL-containing key tuples hash like any value but can never match
+    a SQL equi join — pair the probe with :func:`bloom_semi_join`'s
+    exact post-join (its default) when NULLs are possible.
+    """
+    _check_bloom_params(num_bits, num_hashes)
+    rows = (
+        df.select(
+            F.explode(F.array(*_bloom_positions(cols, num_bits, num_hashes, seed))).alias("p")
+        )
+        .select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * (num_bits >> 6)
+    for r in rows:
+        words[r.w] = r.bits
+    return words
+
+
+def bloom_might_contain(
+    words: list[int],
+    cols: list[str],
+    num_bits: int = 1 << 18,
+    num_hashes: int = 4,
+    seed: int = 7,
+):
+    """Probe predicate for a :func:`bloom_filter` word list: TRUE iff
+    every one of the key tuple's k bits is set. The bitmap rides the
+    plan as ONE array Literal per probe (constant reference in
+    codegen, verified — not a per-element CreateArray), so the filter
+    runs JVM-side with zero joins and zero Python."""
+    _check_bloom_params(num_bits, num_hashes)
+    if len(words) != num_bits >> 6:
+        raise ValueError(f"bloom: word list has {len(words)} words, expected {num_bits >> 6}")
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for p in _bloom_positions(cols, num_bits, num_hashes, seed):
+        word = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_keys: list[str],
+    dim: DataFrame,
+    dim_keys: list[str],
+    num_bits: int = 1 << 18,
+    num_hashes: int = 4,
+    seed: int = 7,
+    exact: bool = True,
+) -> DataFrame:
+    """``fact LEFT SEMI JOIN dim`` with a hand-rolled Bloom prefilter:
+    build the filter over ``dim``'s keys (distributed, bounded
+    collect), drop non-matching fact rows with a codegen'd literal
+    probe BEFORE the join, then (default) run the exact semi join over
+    the survivors so the result is identical to the plain semi join —
+    false positives only cost pruning efficiency, never correctness.
+
+    This is the manual form of the semi-join-reduction Catalyst's
+    InjectRuntimeFilter applies to selective joins: at 100 TB the win
+    is that the fact side's shuffle (or its probe of the broadcast
+    dim) happens AFTER the bloom has dropped the ~(1-selectivity) of
+    rows that cannot match. ``exact=False`` returns the prefiltered
+    superset for pipelines that tolerate the bloom's false-positive
+    rate (~(1 - e^(-kn/m))^k) in exchange for skipping the join."""
+    words = bloom_filter(dim, dim_keys, num_bits, num_hashes, seed)
+    pref = fact.filter(bloom_might_contain(words, fact_keys, num_bits, num_hashes, seed))
+    if not exact:
+        return pref
+    rdim = dim.select(
+        *[F.col(d).alias(f) for f, d in zip(fact_keys, dim_keys, strict=True)]
+    )
+    return pref.join(rdim, on=fact_keys, how="left_semi")

@@ -239,3 +239,64 @@ def test_edit_distance_join_guards(spark):
     other = spark.createDataFrame([(2, "y")], "idr int, name string")
     with pytest.raises(Exception, match="max_length"):
         edit_distance_join(long_df, other, on="name", max_distance=1).collect()
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_fpr_bound(spark):
+    """Every built key must probe TRUE (deterministic contract); the
+    measured false-positive rate on disjoint keys must sit under ~2x
+    the analytic (1 - e^(-kn/m))^k."""
+    import math
+
+    from anti_money_laundering_spark.sketch import bloom_filter, bloom_might_contain
+
+    n, m, k = 2000, 1 << 14, 4
+    dim = spark.range(n).select((F.col("id") * 7 + 3).alias("key"))
+    words = bloom_filter(dim, ["key"], num_bits=m, num_hashes=k)
+    probe = bloom_might_contain(words, ["key"], num_bits=m, num_hashes=k)
+    assert dim.filter(~probe).count() == 0
+    # disjoint domain: keys the builder never saw
+    outside = spark.range(20000).select((F.col("id") + 10_000_000).alias("key"))
+    fp = outside.filter(probe).count() / 20000
+    analytic = (1 - math.exp(-k * n / m)) ** k
+    assert fp <= 2 * analytic + 0.01, (fp, analytic)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from anti_money_laundering_spark.sketch import bloom_semi_join
+
+    fact = spark.range(5000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(997))).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(200).select((F.col("id") * 5).alias("dk"))
+    got = bloom_semi_join(fact, ["k"], dim, ["dk"], num_bits=1 << 10, num_hashes=3)
+    want = fact.join(dim.select(F.col("dk").alias("k")), "k", "left_semi")
+    assert sorted((r.k, r.v) for r in got.collect()) == sorted(
+        (r.k, r.v) for r in want.collect()
+    )
+    # inexact mode returns a superset containing every true match
+    loose = bloom_semi_join(
+        fact, ["k"], dim, ["dk"], num_bits=1 << 10, num_hashes=3, exact=False
+    )
+    got_loose = {(r.k, r.v) for r in loose.collect()}
+    assert {(r.k, r.v) for r in want.collect()} <= got_loose
+
+
+def test_bloom_param_guards(spark):
+    from anti_money_laundering_spark.sketch import (
+        _MAX_BLOOM_BITS,
+        bloom_filter,
+        bloom_might_contain,
+    )
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter(df, ["k"], num_bits=100)
+    with pytest.raises(ValueError, match="no longer broadcasts"):
+        bloom_filter(df, ["k"], num_bits=_MAX_BLOOM_BITS * 2)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_filter(df, ["k"], num_hashes=0)
+    with pytest.raises(ValueError, match="word list"):
+        bloom_might_contain([0] * 3, ["k"], num_bits=1 << 10)
