@@ -33,6 +33,7 @@ __all__ = [
     "profile_table",
     "expectations",
     "rrf_fuse",
+    "skyline_2d",
 ]
 
 
@@ -821,4 +822,83 @@ def rrf_fuse(
         score = term if score is None else score + term
     return fused.select(
         id_col, *[f"{name}_rank" for name in lists], score.alias("rrf_score")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pareto frontier maximizing ``(x, y)``: rows no other row
+    strictly dominates (another row with x' >= x AND y' >= y and at
+    least one strict). Exact duplicates of a frontier point are all
+    kept (standard skyline semantics); both columns must be integral
+    (rescale a money column to cents first) so the strict-inequality
+    window frames stay well-defined.
+
+    The single-machine formulation is one global sort — a single-task
+    window at scale. This runs DISTRIBUTED in two bounded passes
+    (the dense_index pattern, sampling.py):
+
+    1. per-x prune: only the max-``y`` row(s) of each ``x`` can be on
+       the frontier — one ordinary shuffled window, unbounded
+       cardinality handled by Spark as usual;
+    2. range-repartition survivors by ``x``, compute the per-partition
+       suffix-max of ``y`` on the driver (ONE bounded collect: a row
+       per partition), then a within-partition range window (strictly
+       greater ``x``) plus the broadcast carry decides dominance
+       locally — no global sort, no single task.
+
+    A row survives iff every row with strictly greater ``x`` has
+    strictly smaller ``y``."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    peers = Window.partitionBy(x)
+    pruned = (
+        df.withColumn("__my", F.max(y).over(peers))
+        .filter(F.col(y) == F.col("__my"))
+        .drop("__my")
+    )
+
+    parted = (
+        pruned.repartitionByRange(n_parts, F.col(x))
+        .sortWithinPartitions(x)
+        .withColumn("__pid", F.spark_partition_id())
+        # two actions follow (per-pid maxes, then the result):
+        # checkpoint so both see the SAME range split (the
+        # two-action derived-partitioning trap, SKILL r6)
+        .localCheckpoint(eager=True)
+    )
+    # Bounded driver action: one row per partition. Ascending pid ==
+    # ascending x range, so the carry for pid p is the suffix max of
+    # the per-partition y maxes over pids > p.
+    pid_max = {
+        r["__pid"]: r["m"]
+        for r in parted.groupBy("__pid").agg(F.max(y).alias("m")).collect()
+    }
+    carry, acc = [], None
+    for pid in range(n_parts - 1, -1, -1):
+        carry.append(acc)
+        m = pid_max.get(pid)
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    carry.reverse()  # carry[pid] = max y over all strictly-later pids
+    carry_expr = F.array(
+        *[F.lit(c).cast("long") for c in carry]
+    )[F.col("__pid")]
+
+    hi = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(x).cast("long"))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    # greatest() ignores NULL sides (empty frame / last partition) and
+    # is NULL only when both are — coalesce makes that "not dominated".
+    return (
+        parted.withColumn("__hi", F.greatest(F.max(y).over(hi), carry_expr))
+        .filter(~F.coalesce(F.col("__hi") >= F.col(y), F.lit(False)))
+        .drop("__pid", "__hi")
     )

@@ -231,6 +231,10 @@ _R8_PLAN: tuple[str, ...] = (
     "retrieval_rrf_fusion",
     # hand-rolled Bloom semi-join reduction (r7-new)
     "bloom_prefilter_revenue",
+    # distributed Pareto-frontier skyline (r7-new)
+    "skyline_orders",
+    # autocorrelation seasonality probe (r7-new)
+    "acf_daily_values",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

@@ -1604,3 +1604,64 @@ def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "acf_daily_values",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, sum(value) AS v
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT v,
+               lag(v, 1) OVER (ORDER BY d) AS v1,
+               lag(v, 2) OVER (ORDER BY d) AS v2,
+               lag(v, 3) OVER (ORDER BY d) AS v3
+        FROM daily
+    )
+    SELECT 1 AS lag, round(corr(v, v1), 6) AS acf FROM lagged WHERE v1 IS NOT NULL
+    UNION ALL
+    SELECT 2, round(corr(v, v2), 6) FROM lagged WHERE v2 IS NOT NULL
+    UNION ALL
+    SELECT 3, round(corr(v, v3), 6) FROM lagged WHERE v3 IS NOT NULL
+    """,
+)
+def acf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the corpus-wide daily event-value series at
+    lags 1-3 — the seasonality probe run before fitting any
+    forecasting/monitoring model (a weekly-cycle series shows the
+    lag-7 echo; near-zero ACF says the daily totals are noise).
+    Pearson corr of (x_t, x_{t-k}) over non-null pairs, identical
+    arithmetic on both engines (correlation is normalization-invariant
+    so sample-vs-population never matters).
+
+    Scale shape: the heavy part is the groupBy-day aggregation
+    (map-side partial, one bounded shuffle: rows = distinct days). The
+    lag window then runs over the ALREADY-AGGREGATED series — one row
+    per day, bounded by the calendar, so its single-task sort is a
+    few-KB frame, not a fact-table sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v", *[F.lag("v", k).over(w).alias(f"v{k}") for k in (1, 2, 3)]
+    )
+    pairs = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col("v"), F.col(f"v{k}").alias("vk"))
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag", "p.v", "p.vk")
+    return (
+        pairs.filter(F.col("vk").isNotNull())
+        .groupBy("lag")
+        .agg(F.round(F.corr("v", "vk"), 6).alias("acf"))
+    )

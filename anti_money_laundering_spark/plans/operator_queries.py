@@ -314,3 +314,51 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value_matched", 2).alias("purchase_value"),
         "ts_matched",
     )
+
+
+@register(
+    "skyline_orders",
+    tags=("OP", "W-ext"),
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM orders
+    ),
+    w AS (
+        SELECT *,
+               max(d) OVER (ORDER BY cents
+                            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS md_hi,
+               max(d) OVER (PARTITION BY cents) AS md_peer
+        FROM pts
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, order_date
+    FROM w
+    WHERE d = md_peer AND (md_hi IS NULL OR md_hi < d)
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) orders: no other order is both
+    pricier and more recent — the dominance query behind
+    "best-in-class" dashboards and multi-objective candidate pruning.
+    operators.skyline_2d runs it DISTRIBUTED: per-x max-y prune, one
+    range repartition, a bounded one-row-per-partition driver carry,
+    and a within-partition strict-greater window — never the global
+    single-task sort the naive window formulation (the oracle) pays."""
+    from anti_money_laundering_spark.operators import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+    )
+    front = skyline_2d(o, x="cents", y="d")
+    return front.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )

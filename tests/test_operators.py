@@ -578,3 +578,35 @@ def test_rrf_fuse_missing_items_contribute_zero(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse({}, "id")
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Random integer point sets (with duplicate x, duplicate points,
+    negative y) against the O(n^2) dominance definition, across
+    partition counts (1 partition == the classic single-sort path;
+    many partitions exercise the carry)."""
+    import random
+
+    from anti_money_laundering_spark.operators import skyline_2d
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        pts = [
+            (i, rng.randrange(0, 20), rng.randrange(-5, 15))
+            for i in range(rng.randrange(1, 120))
+        ]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        want = {
+            (i, x, y)
+            for (i, x, y) in pts
+            if not any(
+                (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                for (_, x2, y2) in pts
+            )
+        }
+        for n_parts in (1, 3, 16):
+            got = {
+                (r.id, r.x, r.y)
+                for r in skyline_2d(df, "x", "y", num_partitions=n_parts).collect()
+            }
+            assert got == want, (trial, n_parts)
