@@ -235,6 +235,8 @@ _R8_PLAN: tuple[str, ...] = (
     "skyline_orders",
     # autocorrelation seasonality probe (r7-new)
     "acf_daily_values",
+    # Kaplan-Meier product-limit churn curve (r7-new)
+    "survival_km_users",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

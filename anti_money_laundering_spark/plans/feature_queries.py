@@ -1665,3 +1665,107 @@ def acf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(F.round(F.corr("v", "vk"), 6).alias("acf"))
     )
+
+
+@register(
+    "survival_km_users",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    users AS (
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    lif AS (
+        SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS t,
+               CASE WHEN last_ts < h - INTERVAL 1 DAY THEN 1 ELSE 0 END AS churned
+        FROM users, horizon
+    ),
+    per_t AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+               CAST(sum(churned) AS BIGINT) AS d_events
+        FROM lif GROUP BY t
+    ),
+    risk AS (
+        SELECT *,
+               CAST(sum(n_t) OVER () AS BIGINT)
+                 - CAST(coalesce(sum(n_t) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS n_at_risk
+        FROM per_t
+    ),
+    km AS (
+        SELECT *,
+               1.0 - d_events * 1.0 / n_at_risk AS factor,
+               sum(CASE WHEN d_events < n_at_risk
+                        THEN ln(1.0 - d_events * 1.0 / n_at_risk) ELSE 0.0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logsum,
+               max(CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anyzero
+        FROM risk
+    )
+    SELECT t, n_at_risk, d_events,
+           round(CASE WHEN anyzero = 1 THEN 0.0 ELSE exp(logsum) END, 6) AS survival
+    FROM km WHERE d_events > 0
+    """,
+)
+def survival_km_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes: duration = days
+    between a user's first and last event, "churned" (the KM event) if
+    the last event predates the observation horizon (global max ts) by
+    more than 1 day, else right-censored (the fixture spans 29 days
+    with near-uniform activity; the 1-day cut keeps 1/17/156 churned
+    users at the three SFs — threshold probed per the fixture rule) — the product-limit
+    estimator S(t) = prod_{t_i <= t} (1 - d_i/n_i) behind retention /
+    time-to-churn analytics. Censored users leave the risk set without
+    stepping the curve, which is exactly what a naive retention ratio
+    gets wrong.
+
+    Scale shape: one groupBy(user) for lifetimes, one groupBy(t) —
+    both map-side-combined shuffles — then the ordered product runs
+    over the per-DURATION aggregate (rows bounded by the calendar, a
+    few-KB single-task frame). The product is exp(cumulative sum of
+    logs) with an any-zero flag so a total-extinction step yields an
+    exact 0 instead of ln(0); the cumulative order is deterministic,
+    so both engines sum identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    lif = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).cast("long").alias("t"),
+        (F.col("last_ts") < F.col("h") - F.expr("INTERVAL 1 DAYS")).cast("int").alias("churned"),
+    )
+    per_t = lif.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("churned").cast("long").alias("d_events")
+    )
+    full = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.withColumn(
+        "n_at_risk",
+        F.sum("n_t").over(full) - F.coalesce(F.sum("n_t").over(before), F.lit(0)),
+    )
+    km = risk.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.sum(
+            F.when(
+                F.col("d_events") < F.col("n_at_risk"),
+                F.log(F.lit(1.0) - F.col("d_events") / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0))
+        ).over(cum).alias("logsum"),
+        F.max(
+            F.when(F.col("d_events") >= F.col("n_at_risk"), 1).otherwise(0)
+        ).over(cum).alias("anyzero"),
+    )
+    return km.filter(F.col("d_events") > 0).select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.round(
+            F.when(F.col("anyzero") == 1, F.lit(0.0)).otherwise(F.exp("logsum")), 6
+        ).alias("survival"),
+    )

@@ -610,3 +610,40 @@ def test_skyline_2d_matches_bruteforce(spark):
                 for r in skyline_2d(df, "x", "y", num_partitions=n_parts).collect()
             }
             assert got == want, (trial, n_parts)
+
+
+def test_survival_km_matches_hand_computed(spark):
+    """The product-limit estimator on the textbook example:
+    durations (event) 1, 3, 3, censored 2, 4. Steps at t=1
+    (n=5, d=1 -> 0.8) and t=3 (n=3, d=2 -> 0.8 * 1/3)."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    horizon = dt.datetime(2024, 1, 31)
+    # user -> (duration_days, churned): churned iff last < horizon - 1 day
+    spec = [(1, 1, True), (2, 3, True), (3, 3, True), (4, 2, False), (5, 4, False)]
+    for uid, d, churned in spec:
+        first = base
+        last = base + dt.timedelta(days=d) if churned else horizon
+        if not churned:
+            first = horizon - dt.timedelta(days=d)
+        rows += [(uid, first, 0.0, "e%d" % uid, "click"), (uid, last, 0.0, "l%d" % uid, "click")]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id string, event_type string"
+    )
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    # run the query body against this frame by monkeypatching load_table
+    # (register() returns the function unchanged)
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        out = {
+            r.t: (r.n_at_risk, r.d_events, r.survival)
+            for r in fq.survival_km_users(spark, "ignored").collect()
+        }
+    finally:
+        fq.load_table = orig
+    assert out[1] == (5, 1, round(0.8, 6))
+    assert out[3] == (3, 2, round(0.8 * (1 - 2 / 3), 6))
