@@ -21,6 +21,7 @@ from anti_money_laundering_spark.graph.algorithms import (
     betweenness,
     bfs,
     edge_betweenness,
+    hits,
     label_propagation,
     modularity,
     shortest_paths,

@@ -35,6 +35,7 @@ __all__ = [
     "k_core",
     "bfs",
     "random_walks",
+    "hits",
 ]
 
 
@@ -861,3 +862,50 @@ def modularity(graph: "Graph", labels: DataFrame, label_col: str = "label") -> D
             ).alias("q_contrib"),
         )
     )
+
+
+def hits(graph: "Graph", max_iter: int = 2) -> DataFrame:
+    """Kleinberg's HITS (hubs and authorities): ``(id, hub,
+    authority)`` after exactly ``max_iter`` full iterations. Each
+    iteration is the pair of mutually-recursive half-steps, each
+    followed by an L2 normalization::
+
+        authority := A^T hub;  authority /= ||authority||_2
+        hub       := A authority;  hub /= ||hub||_2
+
+    starting from hub = 1. Authorities are where the hubs point
+    (fan-in mule accounts); hubs are what points at good authorities
+    (fan-out originators) — the directional refinement of plain
+    degree the AML structuring motifs approximate.
+
+    Scale shape per half-step: one edge⋈state equi-join + one keyed
+    sum (both map-side combined), then a scalar L2 norm broadcast
+    back via crossJoin — the Pregel send/receive cadence with a
+    global-agg barrier, all JVM codegen. Fixed iteration count and
+    left-join-to-all-vertices (missing side = 0) keep the output a
+    pure function of the edge set, replayable as unrolled SQL rounds.
+    An empty side normalizes to 0 via try_divide (norm 0 => NULL =>
+    coalesce 0), never a divide error."""
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=False)
+    ids = graph.vertices.select("id")
+    state = ids.withColumn("hub", F.lit(1.0))
+
+    def _half(frm: DataFrame, col: str, join_on: str, out_key: str, out_col: str) -> DataFrame:
+        summed = (
+            edges.join(frm.select(F.col("id").alias(join_on), col), join_on)
+            .groupBy(F.col(out_key).alias("id"))
+            .agg(F.sum(col).alias(out_col))
+        )
+        full = ids.join(summed, "id", "left").select(
+            "id", F.coalesce(out_col, F.lit(0.0)).alias(out_col)
+        )
+        norm = full.agg(F.sqrt(F.sum(F.col(out_col) ** 2)).alias("__n"))
+        return full.crossJoin(F.broadcast(norm)).select(
+            "id",
+            F.coalesce(F.try_divide(F.col(out_col), F.col("__n")), F.lit(0.0)).alias(out_col),
+        )
+
+    for _ in range(max_iter):
+        auth = _half(state, "hub", "src", "dst", "authority")
+        state = _half(auth, "authority", "dst", "src", "hub").localCheckpoint(eager=False)
+    return state.join(auth, "id").select("id", "hub", "authority")

@@ -237,6 +237,8 @@ _R8_PLAN: tuple[str, ...] = (
     "acf_daily_values",
     # Kaplan-Meier product-limit churn curve (r7-new)
     "survival_km_users",
+    # Kleinberg HITS hubs/authorities (r7-new)
+    "graph_hits",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

@@ -1563,3 +1563,53 @@ def graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_betweenness(g, [0, 1, 2, 3]).select(
         "src", "dst", F.round("betweenness", 6).alias("betweenness")
     )
+
+
+def _hits_half(n: str, prev: str, join_key: str, out_key: str) -> str:
+    """One HITS half-step as CTE SQL: keyed sum over edges joined on
+    ``join_key``, zero-filled to all vertices, L2-normalized."""
+    return f"""
+    s{n} AS (
+        SELECT e.{out_key} AS id, sum(p.v) AS v
+        FROM edges e JOIN x{prev} p ON p.id = e.{join_key} GROUP BY e.{out_key}
+    ),
+    f{n} AS (
+        SELECT v.id, coalesce(s{n}.v, 0.0) AS v
+        FROM verts v LEFT JOIN s{n} ON s{n}.id = v.id
+    ),
+    n{n} AS (SELECT sqrt(sum(v * v)) AS nrm FROM f{n}),
+    x{n} AS (SELECT id, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS v FROM f{n}, n{n})"""
+
+
+@register(
+    "graph_hits",
+    tags=("G-ext", "A5"),
+    oracle=f"""
+    WITH
+    edges AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    x0 AS (SELECT id, 1.0 AS v FROM verts),
+    {_hits_half("a1", "0", "src", "dst")},
+    {_hits_half("h1", "a1", "dst", "src")},
+    {_hits_half("a2", "h1", "src", "dst")},
+    {_hits_half("h2", "a2", "dst", "src")}
+    SELECT h.id, round(h.v + 1e-9, 6) AS hub, round(a.v + 1e-9, 6) AS authority
+    FROM xh2 h JOIN xa2 a ON a.id = h.id
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs & authorities (Kleinberg HITS, 2 full iterations) over the
+    transaction-flow graph: authorities are the fan-in collection
+    points the structuring motifs triangulate; hubs the fan-out
+    originators (graph.algorithms.hits — edge⋈state sum + broadcast
+    L2 norm per half-step, the Pregel cadence with a global-agg
+    barrier). Oracle unrolls the four half-steps as SQL CTEs."""
+    from anti_money_laundering_spark.graph import hits
+
+    g = flow_graph(spark, sf_dir)
+    out = hits(g, max_iter=2)
+    return out.select(
+        "id",
+        F.round(F.col("hub") + 1e-9, 6).alias("hub"),
+        F.round(F.col("authority") + 1e-9, 6).alias("authority"),
+    )

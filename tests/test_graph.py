@@ -839,3 +839,36 @@ def test_modularity_matches_hand_computation(spark):
     assert rows["lone"]["d_total"] == 0 and rows["lone"]["q_contrib"] == 0.0
     q_total = sum(r["q_contrib"] for r in rows.values())
     assert abs(q_total - 2 * (3 / 7 - 0.25)) < 1e-12
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS on random directed graphs vs the same fixed-iteration
+    normalized power method in numpy (round-6 agreement)."""
+    import random
+
+    import numpy as np
+
+    from anti_money_laundering_spark.graph import Graph, hits
+
+    rng = random.Random(99)
+    for _ in range(3):
+        n = rng.randrange(4, 12)
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(3, 25))}
+        edges = [(a, b) for a, b in edges]
+        A = np.zeros((n, n))
+        for a, b in edges:
+            A[a, b] = 1.0
+        h = np.ones(n)
+        for _ in range(2):
+            a = A.T @ h
+            na = np.linalg.norm(a)
+            a = a / na if na > 0 else a * 0.0
+            h = A @ a
+            nh = np.linalg.norm(h)
+            h = h / nh if nh > 0 else h * 0.0
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: (round(r.hub, 6), round(r.authority, 6))
+               for r in hits(Graph(verts, edf), max_iter=2).collect()}
+        for i in range(n):
+            assert got[i] == (round(float(h[i]), 6), round(float(a[i]), 6)), i
