@@ -278,6 +278,16 @@ def _brandes(
         depth += 1
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
+    else:
+        # Truncating the BFS would not just omit far vertices — the
+        # backward pass would seed delta=0 at the truncation frontier
+        # and every returned delta would be numerically wrong. Refuse
+        # loudly (the k_truss non-fixpoint policy) instead.
+        if not frontier.isEmpty():
+            raise RuntimeError(
+                f"betweenness BFS still expanding after max_iter={max_iter} "
+                "levels; raise max_iter above the landmark eccentricity"
+            )
 
     # Backward pass: delta at the deepest level is 0 (no successors).
     level_delta = visited.filter(F.col("d") == depth).select(
@@ -886,6 +896,8 @@ def hits(graph: "Graph", max_iter: int = 2) -> DataFrame:
     pure function of the edge set, replayable as unrolled SQL rounds.
     An empty side normalizes to 0 via try_divide (norm 0 => NULL =>
     coalesce 0), never a divide error."""
+    if max_iter < 1:
+        raise ValueError(f"hits: max_iter must be >= 1, got {max_iter}")
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=False)
     ids = graph.vertices.select("id")
     state = ids.withColumn("hub", F.lit(1.0))

@@ -763,6 +763,12 @@ def time_rollup(
     bad = [g for g in grains if g.lower() not in valid]
     if bad:
         raise ValueError(f"unknown date_trunc grain(s): {bad} (valid: {sorted(valid)})")
+    sub_second = {g for g in grains if g.lower() in ("millisecond", "microsecond")}
+    bucket_fmt = (
+        # whole-second format collapses distinct sub-second buckets
+        # into one label (review finding) — widen when any grain needs it
+        "yyyy-MM-dd HH:mm:ss.SSSSSS" if sub_second else "yyyy-MM-dd HH:mm:ss"
+    )
     bucket_cols = [
         F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains
     ]
@@ -784,7 +790,7 @@ def time_rollup(
     bucket = F.coalesce(*[F.col(f"__b_{g}") for g in grains])
     return rolled.select(
         grain_expr.alias("grain"),
-        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.date_format(bucket, bucket_fmt).alias("bucket"),
         *[c for c in rolled.columns if not c.startswith("__b_") and not c.startswith("__isg_")],
     )
 
@@ -842,30 +848,31 @@ def skyline_2d(
     window at scale. This runs DISTRIBUTED in two bounded passes
     (the dense_index pattern, sampling.py):
 
-    1. per-x prune: only the max-``y`` row(s) of each ``x`` can be on
-       the frontier — one ordinary shuffled window, unbounded
-       cardinality handled by Spark as usual;
-    2. range-repartition survivors by ``x``, compute the per-partition
-       suffix-max of ``y`` on the driver (ONE bounded collect: a row
-       per partition), then a within-partition range window (strictly
-       greater ``x``) plus the broadcast carry decides dominance
-       locally — no global sort, no single task.
+    1. per-x aggregate: only the max-``y`` of each ``x`` can be on the
+       frontier — one map-side-combined shuffle yielding distinct
+       ``(x, ymax)`` candidates;
+    2. range-repartition candidates by ``x``, compute the
+       per-partition suffix-max of ``ymax`` on the driver (ONE bounded
+       collect: a row per partition), then a within-partition RUNNING
+       max over the descending-``x`` sort plus the broadcast carry
+       decides dominance locally — no global sort, no single task.
+       (The running ROWS frame is incremental / O(n); the tempting
+       ``RANGE 1 FOLLOWING..UNBOUNDED`` strict frame re-aggregates the
+       remainder per row — O(n^2), measured pathological at 1M
+       candidate rows. Ties never reach the frame because step 1 left
+       one row per ``x``.)
 
+    Frontier rows are fetched by joining the surviving ``(x, ymax)``
+    pairs back to ``df`` (tiny in practice — AQE broadcasts it).
     A row survives iff every row with strictly greater ``x`` has
     strictly smaller ``y``."""
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
 
-    peers = Window.partitionBy(x)
-    pruned = (
-        df.withColumn("__my", F.max(y).over(peers))
-        .filter(F.col(y) == F.col("__my"))
-        .drop("__my")
-    )
-
+    per_x = df.groupBy(x).agg(F.max(y).alias("__ymax"))
     parted = (
-        pruned.repartitionByRange(n_parts, F.col(x))
-        .sortWithinPartitions(x)
+        per_x.repartitionByRange(n_parts, F.col(x))
+        .sortWithinPartitions(F.col(x).desc())
         .withColumn("__pid", F.spark_partition_id())
         # two actions follow (per-pid maxes, then the result):
         # checkpoint so both see the SAME range split (the
@@ -874,10 +881,10 @@ def skyline_2d(
     )
     # Bounded driver action: one row per partition. Ascending pid ==
     # ascending x range, so the carry for pid p is the suffix max of
-    # the per-partition y maxes over pids > p.
+    # the per-partition ymax maxes over pids > p.
     pid_max = {
         r["__pid"]: r["m"]
-        for r in parted.groupBy("__pid").agg(F.max(y).alias("m")).collect()
+        for r in parted.groupBy("__pid").agg(F.max("__ymax").alias("m")).collect()
     }
     carry, acc = [], None
     for pid in range(n_parts - 1, -1, -1):
@@ -885,20 +892,29 @@ def skyline_2d(
         m = pid_max.get(pid)
         if m is not None and (acc is None or m > acc):
             acc = m
-    carry.reverse()  # carry[pid] = max y over all strictly-later pids
+    carry.reverse()  # carry[pid] = max ymax over all strictly-later pids
     carry_expr = F.array(
         *[F.lit(c).cast("long") for c in carry]
     )[F.col("__pid")]
 
-    hi = (
+    # incremental growing frame: all STRICTLY-greater-x rows precede
+    # this one in the desc sort, and step 1 left exactly one row per x
+    prev = (
         Window.partitionBy("__pid")
-        .orderBy(F.col(x).cast("long"))
-        .rangeBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     # greatest() ignores NULL sides (empty frame / last partition) and
     # is NULL only when both are — coalesce makes that "not dominated".
+    frontier_x = (
+        parted.withColumn(
+            "__hi", F.greatest(F.max("__ymax").over(prev), carry_expr)
+        )
+        .filter(~F.coalesce(F.col("__hi") >= F.col("__ymax"), F.lit(False)))
+        .select(x, "__ymax")
+    )
     return (
-        parted.withColumn("__hi", F.greatest(F.max(y).over(hi), carry_expr))
-        .filter(~F.coalesce(F.col("__hi") >= F.col(y), F.lit(False)))
-        .drop("__pid", "__hi")
+        df.join(frontier_x, x)
+        .filter(F.col(y) == F.col("__ymax"))
+        .drop("__ymax")
     )

@@ -313,17 +313,19 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each leg reuses the exact machinery its standalone query attests
     (bm25_doc_scores; cosine_topk_blas with the ann_cosine_topk
-    tie-break). The global rank windows run on candidate lists that
-    are per-query small by construction — the corpus-scale work
-    happened inside each retriever."""
+    tie-break). The lexical top-k is taken with a parallel
+    orderBy().limit() (TakeOrderedAndProject — per-partition heaps,
+    never a single-task global rank window over the full scored set;
+    review finding) and only the <= k survivors get the rank window."""
     from anti_money_laundering_spark.operators import rrf_fuse
     from anti_money_laundering_spark.vector import cosine_topk_blas
 
     lex = bm25_doc_scores(spark, sf_dir)
     wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
     lex_ranked = (
-        lex.select("doc_id", F.row_number().over(wl).alias("rank"))
-        .filter(F.col("rank") <= _RRF_TOP)
+        lex.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_TOP)
+        .select("doc_id", F.row_number().over(wl).alias("rank"))
     )
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("label") == 0).orderBy("vec_id").limit(1)

@@ -1115,14 +1115,17 @@ def ml_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     preds = embedding_classifier_predictions(emb)
-    # label-domain size joined in-plan (1-row agg, broadcast NLJ) — a
+    # label-domain bound joined in-plan (1-row agg, broadcast NLJ) — a
     # driver-side collect here would run an extra eager job at every
-    # plan build (review finding)
-    n_labels = emb.agg(F.countDistinct("label").alias("__nl"))
+    # plan build (review finding). Bound is max(label), not
+    # countDistinct: multinomial LR infers numClasses = max + 1, so
+    # with non-contiguous labels a legitimate prediction up to the max
+    # index must still pass (second review finding).
+    n_labels = emb.agg(F.max("label").alias("__maxl"))
     return preds.crossJoin(n_labels).select(
         "vec_id",
         "label",
-        ((F.col("prediction") >= 0) & (F.col("prediction") < F.col("__nl"))).alias(
+        ((F.col("prediction") >= 0) & (F.col("prediction") <= F.col("__maxl"))).alias(
             "pred_in_domain"
         ),
     )

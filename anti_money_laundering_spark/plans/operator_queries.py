@@ -345,8 +345,10 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "best-in-class" dashboards and multi-objective candidate pruning.
     operators.skyline_2d runs it DISTRIBUTED: per-x max-y prune, one
     range repartition, a bounded one-row-per-partition driver carry,
-    and a within-partition strict-greater window — never the global
-    single-task sort the naive window formulation (the oracle) pays."""
+    and a within-partition INCREMENTAL running max over the
+    descending-x sort — never the global single-task sort (nor the
+    O(n^2) strict-RANGE frame) the naive window formulation (the
+    oracle) pays."""
     from anti_money_laundering_spark.operators import skyline_2d
 
     o = load_table(spark, sf_dir, "orders").select(

@@ -203,6 +203,14 @@ def _heavy_hitters_bucket(
 #: Past that, skip the bloom and let the semi join run plain.
 _MAX_BLOOM_BITS = 1 << 27
 
+#: Largest bitmap the probe ships as an in-plan array Literal. PySpark
+#: builds list literals ELEMENT-WISE over py4j (measured 126 s for
+#: 2^18 longs — vs ~2 s at this cap) and the resulting wide literal
+#: also evaluates ~14x slower per row than a small one; past this the
+#: probe switches to per-hash broadcast hash joins on the word index,
+#: which stay JVM-side at any bitmap size.
+_LITERAL_BLOOM_BITS = 1 << 18
+
 
 def _bloom_positions(cols: list[str], num_bits: int, num_hashes: int, seed: int):
     """One bit position per hash: xxhash64(key..., seed+i) mod m —
@@ -243,24 +251,16 @@ def bloom_filter(
     (InjectRuntimeFilter broadcasts its sketch the same way; ours is
     explicit so the probe side can be a pure codegen'd literal lookup,
     since ``bloom_filter_agg`` is not SQL-registered in this build).
+    Only worth materializing driver-side for literal-probe-sized
+    bitmaps (``_LITERAL_BLOOM_BITS``) — :func:`bloom_semi_join` keeps
+    larger bitmaps distributed and probes them by broadcast join.
 
     NULL-containing key tuples hash like any value but can never match
     a SQL equi join — pair the probe with :func:`bloom_semi_join`'s
     exact post-join (its default) when NULLs are possible.
     """
     _check_bloom_params(num_bits, num_hashes)
-    rows = (
-        df.select(
-            F.explode(F.array(*_bloom_positions(cols, num_bits, num_hashes, seed))).alias("p")
-        )
-        .select(
-            F.shiftright(F.col("p"), 6).alias("w"),
-            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("m").alias("bits"))
-        .collect()
-    )
+    rows = _bloom_bitmap_df(df, cols, num_bits, num_hashes, seed).collect()
     words = [0] * (num_bits >> 6)
     for r in rows:
         words[r.w] = r.bits
@@ -276,10 +276,20 @@ def bloom_might_contain(
 ):
     """Probe predicate for a :func:`bloom_filter` word list: TRUE iff
     every one of the key tuple's k bits is set. The bitmap rides the
-    plan as ONE array Literal per probe (constant reference in
-    codegen, verified — not a per-element CreateArray), so the filter
-    runs JVM-side with zero joins and zero Python."""
+    plan as an array Literal, so the filter runs JVM-side with zero
+    joins and zero Python — but ONLY for small bitmaps: PySpark
+    converts the word list element-wise over py4j at literal-creation
+    time and a wide literal evaluates measurably slower per row, so
+    this path is capped at ``_LITERAL_BLOOM_BITS``
+    (:func:`bloom_semi_join` switches to broadcast-join probes past
+    it)."""
     _check_bloom_params(num_bits, num_hashes)
+    if num_bits > _LITERAL_BLOOM_BITS:
+        raise ValueError(
+            f"bloom: num_bits {num_bits} > {_LITERAL_BLOOM_BITS} is too wide "
+            "for the literal probe (py4j literal creation is element-wise); "
+            "use bloom_semi_join's broadcast-join probe"
+        )
     if len(words) != num_bits >> 6:
         raise ValueError(f"bloom: word list has {len(words)} words, expected {num_bits >> 6}")
     arr = F.lit(words)
@@ -302,11 +312,23 @@ def bloom_semi_join(
     exact: bool = True,
 ) -> DataFrame:
     """``fact LEFT SEMI JOIN dim`` with a hand-rolled Bloom prefilter:
-    build the filter over ``dim``'s keys (distributed, bounded
-    collect), drop non-matching fact rows with a codegen'd literal
-    probe BEFORE the join, then (default) run the exact semi join over
-    the survivors so the result is identical to the plain semi join —
-    false positives only cost pruning efficiency, never correctness.
+    build the filter over ``dim``'s keys distributedly, drop
+    non-matching fact rows BEFORE the join, then (default) run the
+    exact semi join over the survivors so the result is identical to
+    the plain semi join — false positives only cost pruning
+    efficiency, never correctness.
+
+    Probe strategy is size-adaptive:
+
+    - bitmaps up to ``_LITERAL_BLOOM_BITS``: bounded driver collect +
+      a codegen'd in-plan literal lookup (zero joins);
+    - larger bitmaps (up to ``_MAX_BLOOM_BITS``): the bitmap STAYS a
+      DataFrame (one row per 64-bit word) and each of the k probes is
+      a broadcast hash join on the word index with a bit test — each
+      join drops its misses immediately, so later probes see an
+      already-pruned fact. Measured at 20M fact rows the literal path
+      at 2^24 bits cost 126 s of py4j literal construction alone;
+      the broadcast-join path avoids driver materialization entirely.
 
     This is the manual form of the semi-join-reduction Catalyst's
     InjectRuntimeFilter applies to selective joins: at 100 TB the win
@@ -315,11 +337,55 @@ def bloom_semi_join(
     rows that cannot match. ``exact=False`` returns the prefiltered
     superset for pipelines that tolerate the bloom's false-positive
     rate (~(1 - e^(-kn/m))^k) in exchange for skipping the join."""
-    words = bloom_filter(dim, dim_keys, num_bits, num_hashes, seed)
-    pref = fact.filter(bloom_might_contain(words, fact_keys, num_bits, num_hashes, seed))
+    _check_bloom_params(num_bits, num_hashes)
+    if num_bits <= _LITERAL_BLOOM_BITS:
+        words = bloom_filter(dim, dim_keys, num_bits, num_hashes, seed)
+        pref = fact.filter(
+            bloom_might_contain(words, fact_keys, num_bits, num_hashes, seed)
+        )
+    else:
+        bitmap = _bloom_bitmap_df(dim, dim_keys, num_bits, num_hashes, seed)
+        bitmap = bitmap.localCheckpoint(eager=False)  # build once, probe k times
+        pref = fact
+        for i, p in enumerate(
+            _bloom_positions(fact_keys, num_bits, num_hashes, seed)
+        ):
+            w, m, b = f"__blw{i}", f"__blm{i}", f"__blb{i}"
+            probe_map = bitmap.select(F.col("w").alias(w), F.col("bits").alias(b))
+            pref = (
+                pref.withColumn(w, F.shiftright(p, 6))
+                .withColumn(
+                    m,
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+                    ),
+                )
+                .join(F.broadcast(probe_map), w, "left")
+                .filter(F.col(b).isNotNull() & (F.col(b).bitwiseAND(F.col(m)) != 0))
+                .drop(w, m, b)
+            )
     if not exact:
         return pref
     rdim = dim.select(
         *[F.col(d).alias(f) for f, d in zip(fact_keys, dim_keys, strict=True)]
     )
     return pref.join(rdim, on=fact_keys, how="left_semi")
+
+
+def _bloom_bitmap_df(
+    df: DataFrame, cols: list[str], num_bits: int, num_hashes: int, seed: int
+) -> DataFrame:
+    """The distributed bitmap as ``(w, bits)`` rows — only words with
+    at least one set bit appear (a missing word means "no member
+    hashes here", which the probe join reads as a definite miss)."""
+    return (
+        df.select(
+            F.explode(F.array(*_bloom_positions(cols, num_bits, num_hashes, seed))).alias("p")
+        )
+        .select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )

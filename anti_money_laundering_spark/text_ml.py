@@ -189,7 +189,11 @@ def ngram_lm_scores(
     )
     return (
         pairs.join(cab, ["prev", "cur"])
-        .join(F.broadcast(cprev), "prev")
+        # no broadcast hint on cprev: it has one row per distinct
+        # first-token — vocabulary-sized, unbounded at corpus scale
+        # (review finding). The key'd join shuffles boundedly; AQE
+        # still picks a broadcast when the dictionary is actually small.
+        .join(cprev, "prev")
         .crossJoin(F.broadcast(voc))
         .groupBy(id_col)
         .agg(

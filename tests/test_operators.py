@@ -647,3 +647,23 @@ def test_survival_km_matches_hand_computed(spark):
         fq.load_table = orig
     assert out[1] == (5, 1, round(0.8, 6))
     assert out[3] == (3, 2, round(0.8 * (1 - 2 / 3), 6))
+
+
+def test_time_rollup_subsecond_buckets_stay_distinct(spark):
+    """Review fix: sub-second grains must not collapse distinct
+    millisecond buckets into one whole-second label."""
+    import datetime as dt
+
+    from anti_money_laundering_spark.operators import time_rollup
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 12, 0, 0, 100_000), 1.0),
+        (dt.datetime(2024, 1, 1, 12, 0, 0, 200_000), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = time_rollup(df, "ts", ["millisecond", "second"], [F.sum("v").alias("s")])
+    got = {(r.grain, r.bucket): r.s for r in out.collect()}
+    ms = {k: v for k, v in got.items() if k[0] == "millisecond"}
+    assert len(ms) == 2 and sorted(ms.values()) == [1.0, 2.0], got
+    sec = {k: v for k, v in got.items() if k[0] == "second"}
+    assert list(sec.values()) == [3.0]

@@ -282,6 +282,22 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     )
     got_loose = {(r.k, r.v) for r in loose.collect()}
     assert {(r.k, r.v) for r in want.collect()} <= got_loose
+    # broadcast-join probe path (bitmap too wide for the literal probe)
+    from anti_money_laundering_spark.sketch import _LITERAL_BLOOM_BITS
+
+    wide = bloom_semi_join(
+        fact, ["k"], dim, ["dk"], num_bits=_LITERAL_BLOOM_BITS * 2, num_hashes=3
+    )
+    assert sorted((r.k, r.v) for r in wide.collect()) == sorted(
+        (r.k, r.v) for r in want.collect()
+    )
+    wide_loose = bloom_semi_join(
+        fact, ["k"], dim, ["dk"],
+        num_bits=_LITERAL_BLOOM_BITS * 2, num_hashes=3, exact=False,
+    )
+    assert {(r.k, r.v) for r in want.collect()} <= {
+        (r.k, r.v) for r in wide_loose.collect()
+    }
 
 
 def test_bloom_param_guards(spark):
@@ -300,3 +316,9 @@ def test_bloom_param_guards(spark):
         bloom_filter(df, ["k"], num_hashes=0)
     with pytest.raises(ValueError, match="word list"):
         bloom_might_contain([0] * 3, ["k"], num_bits=1 << 10)
+    from anti_money_laundering_spark.sketch import _LITERAL_BLOOM_BITS
+
+    with pytest.raises(ValueError, match="broadcast-join probe"):
+        bloom_might_contain(
+            [0] * ((_LITERAL_BLOOM_BITS * 2) >> 6), ["k"], num_bits=_LITERAL_BLOOM_BITS * 2
+        )

@@ -7,8 +7,12 @@
   ~selectivity-sized; prints plain-semi-join vs bloom-prefilter times
   and the measured prune rate.
 - skyline_2d over 20M random integer points — the two-pass
-  distributed frontier vs the naive global-window formulation (which
-  movesall rows to one task). Verifies outputs match exactly.
+  distributed frontier, cross-checked exactly against a numpy
+  sort + reverse-cummax on the per-x candidates. (The naive
+  strict-RANGE window formulation is O(n^2) per partition —
+  UnboundedFollowingWindowFunctionFrame re-aggregates per row — and
+  unusable at this scale; that pathology is why the operator uses the
+  incremental growing frame.)
 
 Inputs are synthesized with codegen expressions (spark.range + hash
 arithmetic) — no driver-side data. Results go to SCALE.md §frontier.
@@ -25,8 +29,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
-
 from anti_money_laundering_spark.operators import skyline_2d  # noqa: E402
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 from anti_money_laundering_spark.sketch import bloom_semi_join  # noqa: E402
@@ -70,22 +72,22 @@ def main() -> int:
     ours = skyline_2d(pts, "x", "y")
     got = {(r.x, r.y) for r in ours.collect()}
     t_ours = time.time() - t
-    # naive single-window formulation (the oracle shape)
-    t = time.time()
-    peers = Window.partitionBy("x")
-    hi = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
-    naive = (
-        pts.withColumn("__my", F.max("y").over(peers))
-        .filter(F.col("y") == F.col("__my"))
-        .withColumn("__hi", F.max("y").over(hi))
-        .filter(F.coalesce(F.col("__hi") < F.col("y"), F.lit(True)))
-    )
-    want = {(r.x, r.y) for r in naive.collect()}
-    t_naive = time.time() - t
+    # exact reference: per-x candidates -> numpy descending-x sort +
+    # strict running max (same O(n log n) shape, zero Spark windows)
+    import numpy as np
+
+    cand = pts.groupBy("x").agg(F.max("y").alias("ymax")).toPandas()
+    xs = cand["x"].to_numpy()
+    ys = cand["ymax"].to_numpy()
+    order = np.argsort(-xs)
+    xs, ys = xs[order], ys[order]
+    run = np.maximum.accumulate(ys)
+    prev = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+    want = {(int(a), int(b)) for a, b in zip(xs[ys > prev], ys[ys > prev])}
     assert got == want, (len(got), len(want))
     print(
         f"skyline_2d {mrows}M points: distributed={t_ours:.1f}s "
-        f"single-window={t_naive:.1f}s frontier={len(got)} rows (outputs identical)"
+        f"frontier={len(got)} rows (matches numpy reference exactly)"
     )
     return 0
 
