@@ -239,6 +239,10 @@ _R8_PLAN: tuple[str, ...] = (
     "survival_km_users",
     # Kleinberg HITS hubs/authorities (r7-new)
     "graph_hits",
+    # drift & robust-stat family (r7-new)
+    "psi_value_drift",
+    "mutual_info_type_dow",
+    "theilsen_slope_users",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

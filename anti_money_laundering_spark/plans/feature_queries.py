@@ -1771,3 +1771,173 @@ def survival_km_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("anyzero") == 1, F.lit(0.0)).otherwise(F.exp("logsum")), 6
         ).alias("survival"),
     )
+
+
+#: Fixed period split for the drift queries: the events fixture spans
+#: 2024-01-01..01-30 at every SF, so the literal midpoint gives two
+#: ~equal halves (4829/5171 at sf0.01) without a data-dependent
+#: quantile whose interpolation could differ across engines.
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+#: PSI bins: fixed width 50 over value in [0, ~560] (probed at all 3
+#: SFs), overflow clamped into the top bin — fixed bins keep the bin
+#: edges engine-exact where reference-period decile edges (interpolated
+#: floats) could flip a boundary value's bin by one ulp.
+_PSI_BINS = 10
+_PSI_WIDTH = 50.0
+
+
+@register(
+    "psi_value_drift",
+    tags=("A-ext", "F-ext"),
+    oracle=f"""
+    WITH binned AS (
+        SELECT least(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT), {_PSI_BINS - 1}) AS bin,
+               CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS n_b
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM per_bin)
+    SELECT bin, n_a, n_b,
+           round(((n_b + 0.5) / (tb + {_PSI_BINS} * 0.5)
+                  - (n_a + 0.5) / (ta + {_PSI_BINS} * 0.5))
+                 * ln(((n_b + 0.5) / (tb + {_PSI_BINS} * 0.5))
+                      / ((n_a + 0.5) / (ta + {_PSI_BINS} * 0.5))), 6) AS psi_term
+    FROM per_bin, tot
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the event-value distribution
+    between the fixture's two calendar halves — the drift metric model
+    monitors alarm on (PSI > 0.2 = retrain). Per-bin contribution
+    (share_b - share_a) * ln(share_b / share_a) with 0.5 Laplace
+    smoothing so a bin observed in only ONE period contributes a
+    finite term instead of ln(0) (bins empty in both periods emit no
+    row — identically on both engines). One scan, one bounded groupBy (rows = bins), totals joined
+    back by broadcast — the 100 TB shape is the aggregation's."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / _PSI_WIDTH).cast("long"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    tot = per_bin.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    smooth = F.lit(_PSI_BINS * 0.5)
+    sa = (F.col("n_a") + 0.5) / (F.col("ta") + smooth)
+    sb = (F.col("n_b") + 0.5) / (F.col("tb") + smooth)
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_a", "n_b", F.round((sb - sa) * F.log(sb / sa), 6).alias("psi_term")
+    )
+
+
+@register(
+    "mutual_info_type_dow",
+    tags=("A-ext",),
+    oracle="""
+    WITH obs AS (
+        SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) + 1 AS y,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT x, y, n_xy,
+               sum(n_xy) OVER (PARTITION BY x) AS n_x,
+               sum(n_xy) OVER (PARTITION BY y) AS n_y,
+               sum(n_xy) OVER () AS n
+        FROM obs
+    )
+    SELECT round(sum((n_xy * 1.0 / n) * ln(n_xy * 1.0 * n / (n_x * n_y))), 6) AS mi_nats,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM m
+    """,
+)
+def mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week —
+    the dependence screen that catches what chi2 quantifies but on the
+    information scale feature selectors rank by. All terms derive from
+    exact integer counts (one bounded groupBy + marginal windows over
+    the ~|types|x7 contingency cells), so both engines compute
+    identical doubles up to the final rounded sum. DuckDB dayofweek is
+    Sun=0 vs Spark's Sun=1 — oracle shifts by +1 (FIXTURES.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek(F.to_date("ts")).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wg = Window.partitionBy()
+    m = obs.select(
+        "n_xy",
+        F.sum("n_xy").over(wx).alias("n_x"),
+        F.sum("n_xy").over(wy).alias("n_y"),
+        F.sum("n_xy").over(wg).alias("n"),
+    )
+    term = (F.col("n_xy") / F.col("n")) * F.log(
+        F.col("n_xy") * F.col("n") / (F.col("n_x") * F.col("n_y"))
+    )
+    return m.agg(
+        F.round(F.sum(term), 6).alias("mi_nats"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "theilsen_slope_users",
+    tags=("A-ext", "J3"),
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    slopes AS (
+        SELECT a.user_id,
+               (b.value - a.value) * 86400000000.0 / (b.us - a.us) AS slope
+        FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.us > a.us
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS ts_slope
+    FROM slopes GROUP BY user_id
+    """,
+)
+def theilsen_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    value slopes (per day) — the outlier-resistant twin of the OLS
+    trend_slope_per_user (one wild value can flip an OLS sign; the
+    median slope shrugs it off). The pairwise self-join is blocked by
+    user (equi-join key, never a cartesian) and is O(k^2) in a user's
+    event count — fine for bounded per-entity activity (max 86 events
+    per user at every fixture SF); cap or sample per-user history
+    upstream before pointing it at unbounded-activity entities.
+    Timestamps compare as exact integer microseconds on both engines
+    (Spark unix_micros / DuckDB epoch_us); the fixture has no
+    duplicate per-user timestamps (probed), and equal-timestamp pairs
+    are excluded by the strict inequality anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("user_id", F.unix_micros("ts").alias("us"), "value")
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("b.us") > F.col("a.us")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.value") - F.col("a.value"))
+            * F.lit(86400000000.0)
+            / (F.col("b.us") - F.col("a.us"))
+        ).alias("slope"),
+    )
+    return slopes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile("slope", 0.5), 6).alias("ts_slope"),
+    )
