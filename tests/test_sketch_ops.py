@@ -322,3 +322,35 @@ def test_bloom_param_guards(spark):
         bloom_might_contain(
             [0] * ((_LITERAL_BLOOM_BITS * 2) >> 6), ["k"], num_bits=_LITERAL_BLOOM_BITS * 2
         )
+
+
+def test_bloom_semi_join_multicol_string_and_null_keys(spark):
+    """Composite string keys and NULL-bearing rows: NULLs hash like any
+    value but can never match a SQL equi join — the exact post-join
+    must drop them, matching plain semi-join semantics on both paths."""
+    from anti_money_laundering_spark.sketch import _LITERAL_BLOOM_BITS, bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [("a", "x", 1), ("a", None, 2), ("b", "y", 3), (None, "y", 4), ("c", "z", 5)],
+        "k1 string, k2 string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), (None, "y"), ("d", "w")], "d1 string, d2 string"
+    )
+    want = sorted(
+        (r.k1, r.k2, r.v)
+        for r in fact.join(
+            dim.select(F.col("d1").alias("k1"), F.col("d2").alias("k2")),
+            ["k1", "k2"],
+            "left_semi",
+        ).collect()
+    )
+    assert want == [("a", "x", 1), ("b", "y", 3)]
+    for bits in (1 << 10, _LITERAL_BLOOM_BITS * 2):
+        got = sorted(
+            (r.k1, r.k2, r.v)
+            for r in bloom_semi_join(
+                fact, ["k1", "k2"], dim, ["d1", "d2"], num_bits=bits, num_hashes=3
+            ).collect()
+        )
+        assert got == want, bits
