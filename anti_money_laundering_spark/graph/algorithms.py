@@ -282,8 +282,16 @@ def _brandes(
         # Truncating the BFS would not just omit far vertices — the
         # backward pass would seed delta=0 at the truncation frontier
         # and every returned delta would be numerically wrong. Refuse
-        # loudly (the k_truss non-fixpoint policy) instead.
-        if not frontier.isEmpty():
+        # loudly (the k_truss non-fixpoint policy) — but only if the
+        # last frontier actually has unvisited successors: eccentricity
+        # EXACTLY max_iter is a completed BFS, not a truncation (the
+        # review found the bare frontier-non-empty test raised there).
+        probe = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select("s", F.col("dst").alias("v"))
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+        )
+        if not probe.isEmpty():
             raise RuntimeError(
                 f"betweenness BFS still expanding after max_iter={max_iter} "
                 "levels; raise max_iter above the landmark eccentricity"

@@ -763,12 +763,12 @@ def time_rollup(
     bad = [g for g in grains if g.lower() not in valid]
     if bad:
         raise ValueError(f"unknown date_trunc grain(s): {bad} (valid: {sorted(valid)})")
+    # whole-second format collapses distinct sub-second buckets into one
+    # label (review finding); the wide format applies PER-GRAIN (second
+    # review pass) so a coarse grain's label never changes just because
+    # a sub-second grain shares the call — rollups from different grain
+    # lists stay joinable on (grain, bucket).
     sub_second = {g for g in grains if g.lower() in ("millisecond", "microsecond")}
-    bucket_fmt = (
-        # whole-second format collapses distinct sub-second buckets
-        # into one label (review finding) — widen when any grain needs it
-        "yyyy-MM-dd HH:mm:ss.SSSSSS" if sub_second else "yyyy-MM-dd HH:mm:ss"
-    )
     bucket_cols = [
         F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains
     ]
@@ -784,13 +784,16 @@ def time_rollup(
         )
     )
     grain_expr = None
+    bucket_expr = None
     for g in grains:
         cond = F.col(f"__isg_{g}") == 0
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" if g in sub_second else "yyyy-MM-dd HH:mm:ss"
+        labeled = F.date_format(F.col(f"__b_{g}"), fmt)
         grain_expr = F.when(cond, F.lit(g)) if grain_expr is None else grain_expr.when(cond, F.lit(g))
-    bucket = F.coalesce(*[F.col(f"__b_{g}") for g in grains])
+        bucket_expr = F.when(cond, labeled) if bucket_expr is None else bucket_expr.when(cond, labeled)
     return rolled.select(
         grain_expr.alias("grain"),
-        F.date_format(bucket, bucket_fmt).alias("bucket"),
+        bucket_expr.alias("bucket"),
         *[c for c in rolled.columns if not c.startswith("__b_") and not c.startswith("__isg_")],
     )
 

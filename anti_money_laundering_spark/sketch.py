@@ -251,15 +251,24 @@ def bloom_filter(
     (InjectRuntimeFilter broadcasts its sketch the same way; ours is
     explicit so the probe side can be a pure codegen'd literal lookup,
     since ``bloom_filter_agg`` is not SQL-registered in this build).
-    Only worth materializing driver-side for literal-probe-sized
-    bitmaps (``_LITERAL_BLOOM_BITS``) — :func:`bloom_semi_join` keeps
-    larger bitmaps distributed and probes them by broadcast join.
+    Only literal-probe-sized bitmaps (``_LITERAL_BLOOM_BITS``) may be
+    materialized driver-side — this function REJECTS wider ones at
+    build time (its only probe partner, :func:`bloom_might_contain`,
+    would reject them anyway, after the build cost had been paid);
+    :func:`bloom_semi_join` keeps larger bitmaps distributed and
+    probes them by broadcast join.
 
     NULL-containing key tuples hash like any value but can never match
     a SQL equi join — pair the probe with :func:`bloom_semi_join`'s
     exact post-join (its default) when NULLs are possible.
     """
     _check_bloom_params(num_bits, num_hashes)
+    if num_bits > _LITERAL_BLOOM_BITS:
+        raise ValueError(
+            f"bloom: num_bits {num_bits} > {_LITERAL_BLOOM_BITS} is too wide "
+            "for the literal probe this word list feeds; use bloom_semi_join's "
+            "broadcast-join probe instead of materializing it"
+        )
     rows = _bloom_bitmap_df(df, cols, num_bits, num_hashes, seed).collect()
     words = [0] * (num_bits >> 6)
     for r in rows:

@@ -872,3 +872,20 @@ def test_hits_matches_numpy_power_iteration(spark):
                for r in hits(Graph(verts, edf), max_iter=2).collect()}
         for i in range(n):
             assert got[i] == (round(float(h[i]), 6), round(float(a[i]), 6)), i
+
+
+def test_betweenness_exact_eccentricity_boundary_and_truncation_guard(spark):
+    """max_iter equal to the landmark eccentricity is a COMPLETED BFS
+    (must return results, not raise — second review pass); max_iter
+    below it is a truncation (must raise, never emit corrupted
+    deltas)."""
+    from anti_money_laundering_spark.graph import Graph, betweenness
+
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    g = Graph(verts, edges)
+    want = {r.id: r.betweenness for r in betweenness(g, [0], max_iter=10).collect()}
+    got = {r.id: r.betweenness for r in betweenness(g, [0], max_iter=3).collect()}
+    assert got == want
+    with pytest.raises(RuntimeError, match="still expanding"):
+        betweenness(g, [0], max_iter=2)

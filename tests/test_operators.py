@@ -667,3 +667,8 @@ def test_time_rollup_subsecond_buckets_stay_distinct(spark):
     assert len(ms) == 2 and sorted(ms.values()) == [1.0, 2.0], got
     sec = {k: v for k, v in got.items() if k[0] == "second"}
     assert list(sec.values()) == [3.0]
+    # format is per-grain: the second-grain label must be identical to
+    # the one a second-only rollup emits (joinable across grain lists)
+    assert list(sec) == [("second", "2024-01-01 12:00:00")]
+    only_sec = time_rollup(df, "ts", ["second"], [F.sum("v").alias("s")])
+    assert {(r.grain, r.bucket) for r in only_sec.collect()} == set(sec)

@@ -354,3 +354,14 @@ def test_bloom_semi_join_multicol_string_and_null_keys(spark):
             ).collect()
         )
         assert got == want, bits
+
+
+def test_bloom_filter_rejects_wide_bitmap_at_build_time(spark):
+    """The driver-side word list only feeds the literal probe — a
+    bitmap too wide for it must be rejected BEFORE the distributed
+    build spends anything (second review pass)."""
+    from anti_money_laundering_spark.sketch import _LITERAL_BLOOM_BITS, bloom_filter
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="broadcast-join probe"):
+        bloom_filter(df, ["k"], num_bits=_LITERAL_BLOOM_BITS * 2)
