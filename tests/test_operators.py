@@ -672,3 +672,99 @@ def test_time_rollup_subsecond_buckets_stay_distinct(spark):
     assert list(sec) == [("second", "2024-01-01 12:00:00")]
     only_sec = time_rollup(df, "ts", ["second"], [F.sum("v").alias("s")])
     assert {(r.grain, r.bucket) for r in only_sec.collect()} == set(sec)
+
+
+def test_theilsen_matches_numpy_median_of_slopes(spark):
+    """Random per-user series vs the literal median-of-pairwise-slopes
+    definition in numpy (round-6 agreement)."""
+    import datetime as dt
+    import random
+
+    import numpy as np
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    rng = random.Random(42)
+    rows, want = [], {}
+    base = dt.datetime(2024, 1, 5)
+    for uid in range(6):
+        k = rng.randrange(2, 12)
+        ts = sorted(rng.sample(range(0, 10_000_000), k))
+        vals = [round(rng.uniform(0, 300), 2) for _ in range(k)]
+        us = [int((base + dt.timedelta(seconds=t)).timestamp() * 1e6) for t in ts]
+        slopes = [
+            (vals[j] - vals[i]) * 86400e6 / (us[j] - us[i])
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+        want[uid] = (len(slopes), round(float(np.median(slopes)), 6))
+        rows += [
+            (uid, base + dt.timedelta(seconds=t), v, f"e{uid}-{t}", "click")
+            for t, v in zip(ts, vals)
+        ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id string, event_type string"
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {
+            r.user_id: (r.n_pairs, r.ts_slope)
+            for r in fq.theilsen_slope_users(spark, "ignored").collect()
+        }
+    finally:
+        fq.load_table = orig
+    assert got == want
+
+
+def test_psi_and_mi_match_numpy_definitions(spark):
+    """PSI per-bin terms and MI in nats vs direct numpy computation on
+    a small synthetic event frame."""
+    import datetime as dt
+    import math
+    import random
+
+    from collections import Counter
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        day = rng.randrange(0, 30)
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=day, seconds=rng.randrange(86400))
+        # value distribution shifts between halves so PSI is nonzero
+        v = rng.uniform(0, 200) if day < 15 else rng.uniform(50, 450)
+        rows.append((i % 20, ts, round(v, 2), f"e{i}", rng.choice(["click", "view", "purchase"])))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id string, event_type string"
+    )
+    split = dt.datetime(2024, 1, 16)
+    na, nb = Counter(), Counter()
+    for _, ts, v, _, _ in rows:
+        b = min(int(v // 50), 9)
+        (na if ts < split else nb)[b] += 1
+    ta, tb = sum(na.values()), sum(nb.values())
+    want_psi = {}
+    for b in set(na) | set(nb):
+        sa = (na[b] + 0.5) / (ta + 5.0)
+        sb = (nb[b] + 0.5) / (tb + 5.0)
+        want_psi[b] = round((sb - sa) * math.log(sb / sa), 6)
+    xy = Counter((r[4], (r[1].isoweekday() % 7) + 1) for r in rows)
+    nx, ny = Counter(), Counter()
+    for (x, y), c in xy.items():
+        nx[x] += c
+        ny[y] += c
+    n = sum(xy.values())
+    want_mi = round(
+        sum((c / n) * math.log(c * n / (nx[x] * ny[y])) for (x, y), c in xy.items()), 6
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got_psi = {r.bin: r.psi_term for r in fq.psi_value_drift(spark, "ignored").collect()}
+        mi_row = fq.mutual_info_type_dow(spark, "ignored").collect()[0]
+    finally:
+        fq.load_table = orig
+    assert got_psi == want_psi
+    assert (mi_row.mi_nats, mi_row.n_events) == (want_mi, n)
