@@ -27,6 +27,7 @@ from anti_money_laundering_spark.graph.algorithms import (
     shortest_paths,
     strongly_connected_components,
     triangle_count,
+    weighted_sssp,
 )
 from anti_money_laundering_spark.graph.components import (
     bipartite_components,
@@ -177,6 +178,7 @@ __all__ = [
     "bipartite_components",
     "connected_components",
     "find_motif",
+    "hits",
     "label_propagation",
     "modularity",
     "pagerank",
@@ -185,4 +187,5 @@ __all__ = [
     "shortest_paths",
     "strongly_connected_components",
     "triangle_count",
+    "weighted_sssp",
 ]

@@ -36,6 +36,7 @@ __all__ = [
     "bfs",
     "random_walks",
     "hits",
+    "weighted_sssp",
 ]
 
 
@@ -929,3 +930,51 @@ def hits(graph: "Graph", max_iter: int = 2) -> DataFrame:
         auth = _half(state, "hub", "src", "dst", "authority")
         state = _half(auth, "authority", "dst", "src", "hub").localCheckpoint(eager=False)
     return state.join(auth, "id").select("id", "hub", "authority")
+
+
+def weighted_sssp(
+    graph: "Graph",
+    sources: Sequence,
+    weight_col: str = "amount",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Min-cost distance from each ``sources`` vertex along directed
+    weighted edges, restricted to paths of at most ``max_iter`` hops
+    (Bellman-Ford relaxation, exactly ``max_iter`` rounds): ``(id,
+    source, dist)``; pairs unreachable within the hop budget are
+    absent. The weighted twin of :func:`shortest_paths` — "cheapest
+    transfer path from a flagged account" instead of hop count.
+
+    Each round is one distances⋈edges equi-join + a min-groupBy (both
+    map-side combined) + localCheckpoint — the Pregel cadence. The
+    FIXED round count (rather than a convergence test) keeps the
+    output replayable as unrolled SQL rounds, and bounds the work on
+    negative-weight-free graphs the same way the BFS variant's
+    max_iter does; distances are exact double sums folded in round
+    order, identical on any engine."""
+    if max_iter < 1:
+        raise ValueError(f"weighted_sssp: max_iter must be >= 1, got {max_iter}")
+    src_list = [int(x) for x in sources]
+    edges = (
+        graph.edges.select("src", "dst", F.col(weight_col).alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = graph.vertices.select("id").filter(F.col("id").isin(src_list)).select(
+        "id", F.col("id").alias("source"), F.lit(0.0).alias("dist")
+    )
+    for _ in range(max_iter):
+        relax = (
+            dist.join(edges, dist["id"] == edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                "source",
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id", "source")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

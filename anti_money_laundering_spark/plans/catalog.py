@@ -243,6 +243,8 @@ _R8_PLAN: tuple[str, ...] = (
     "psi_value_drift",
     "mutual_info_type_dow",
     "theilsen_slope_users",
+    # Bellman-Ford weighted shortest paths (r7-new)
+    "graph_weighted_sssp",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

@@ -1613,3 +1613,49 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hub") + 1e-9, 6).alias("hub"),
         F.round(F.col("authority") + 1e-9, 6).alias("authority"),
     )
+
+
+def _sssp_round_cte(i: int) -> str:
+    """One Bellman-Ford relaxation round as CTE SQL: previous
+    distances union'd with every one-hop extension, min per (id,
+    source). MATERIALIZED — each round references its predecessor
+    twice (the k-core inlining-explosion lesson)."""
+    return f"""
+    r{i} AS MATERIALIZED (
+        SELECT id, source, min(dist) AS dist FROM (
+            SELECT id, source, dist FROM r{i - 1}
+            UNION ALL
+            SELECT e.dst AS id, d.source, d.dist + e.amount AS dist
+            FROM edges e JOIN r{i - 1} d ON d.id = e.src
+        ) GROUP BY id, source
+    )"""
+
+
+@register(
+    "graph_weighted_sssp",
+    tags=("G-ext", "G7"),
+    oracle=f"""
+    WITH
+    edges AS ({FLOW_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT id, id AS source, 0.0 AS dist FROM verts WHERE id IN (0, 1)),
+    {_sssp_round_cte(1)},
+    {_sssp_round_cte(2)},
+    {_sssp_round_cte(3)},
+    {_sssp_round_cte(4)}
+    SELECT id, source, round(dist, 2) AS dist FROM r4
+    """,
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-COST path (sum of transfer amounts) from flagged accounts
+    0 and 1 within 4 hops — Bellman-Ford relaxation, the weighted twin
+    of graph_shortest_paths' hop BFS (graph.weighted_sssp: one
+    distances⋈edges join + min-groupBy per round, checkpointed, G7).
+    Fixed 4 rounds keep the distances an exact round-ordered double
+    fold both engines replay identically; the oracle unrolls them as
+    materialized CTEs."""
+    from anti_money_laundering_spark.graph import weighted_sssp
+
+    g = flow_graph(spark, sf_dir)
+    out = weighted_sssp(g, [0, 1], weight_col="amount", max_iter=4)
+    return out.select("id", "source", F.round("dist", 2).alias("dist"))

