@@ -1,17 +1,18 @@
 """Graph algorithms beyond the reference's four (degrees/CC/motif/
-Pregel): triangle counting, landmark shortest paths, and label
-propagation — the rest of the GraphFrames algorithm surface
-(graphframes.GraphFrame.triangleCount / shortestPaths /
-labelPropagation), so a user of the reference's graph stack
-(01_aml_network_analysis.py:78-459 uses GraphFrames) can run their
-whole toolkit here.
+Pregel): the rest of the GraphFrames algorithm surface (triangle
+count, landmark shortest paths, label propagation, SCC, BFS — the
+toolkit 01_aml_network_analysis.py:78-459 delegates to GraphFrames
+for) plus the standard centrality/cohesion extensions a graph
+analytics user expects: landmark Brandes betweenness (vertex + edge),
+Kleinberg HITS, k-core and k-truss peels, weighted Bellman-Ford
+shortest paths, deterministic random walks.
 
-All three follow this package's iterative-driver discipline
-(SURVEY §4: algorithmic drivers around Catalyst, no custom rules):
-joins keyed on vertex ids, ``localCheckpoint`` to truncate loop
-lineage, deterministic outputs (min-id tie-breaks) so every algorithm
-is DuckDB-oracle-replayable — unlike GraphFrames' hash-based LPA
-tie-breaks or packed component ids.
+All follow this package's iterative-driver discipline (SURVEY §4:
+algorithmic drivers around Catalyst, no custom rules): joins keyed on
+vertex ids, ``localCheckpoint`` to truncate loop lineage,
+deterministic outputs (min-id tie-breaks, fixed round counts) so
+every algorithm is DuckDB-oracle-replayable — unlike GraphFrames'
+hash-based LPA tie-breaks or packed component ids.
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ __all__ = [
     "label_propagation",
     "strongly_connected_components",
     "k_core",
+    "k_truss",
+    "modularity",
     "bfs",
     "random_walks",
     "hits",
