@@ -245,6 +245,8 @@ _R8_PLAN: tuple[str, ...] = (
     "theilsen_slope_users",
     # Bellman-Ford weighted shortest paths (r7-new)
     "graph_weighted_sssp",
+    # first/last-touch conversion attribution (r7-new)
+    "attribution_touchpoints",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

@@ -1941,3 +1941,84 @@ def theilsen_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.percentile("slope", 0.5), 6).alias("ts_slope"),
     )
+
+
+@register(
+    "attribution_touchpoints",
+    tags=("W-ext", "J-ext"),
+    oracle="""
+    WITH touches AS (
+        SELECT p.event_id AS purchase_id, p.value AS purchase_value,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL 7 DAY
+        WHERE p.event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY click_ts, click_id) AS rk_first,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY click_ts DESC, click_id DESC) AS rk_last,
+               count(*) OVER (PARTITION BY purchase_id) AS n_touches
+        FROM touches
+    )
+    SELECT purchase_id,
+           round(purchase_value, 2) AS purchase_value,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           max(CASE WHEN rk_first = 1 THEN click_id END) AS first_touch,
+           max(CASE WHEN rk_last = 1 THEN click_id END) AS last_touch
+    FROM ranked
+    GROUP BY purchase_id, purchase_value, n_touches
+    """,
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    purchase, the user's earliest and latest click inside a 7-day
+    lookback, plus the touch count — the marketing-attribution join
+    every funnel warehouse ships. Per-user equi-join with a time-range
+    residual (never a cartesian; the per-purchase candidate list is
+    bounded by a user's 7-day click activity), deterministic
+    tie-breaks on (ts, event_id) so both engines pick identical
+    endpoint touches."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    touches = p.join(c, "user_id").filter(
+        (F.col("click_ts") <= F.col("p_ts"))
+        & (F.col("click_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    wl = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    wn = Window.partitionBy("purchase_id")
+    ranked = touches.select(
+        "purchase_id",
+        "purchase_value",
+        "click_id",
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+    )
+    return ranked.groupBy("purchase_id", "purchase_value", "n_touches").agg(
+        F.max(F.when(F.col("rk_first") == 1, F.col("click_id"))).alias("first_touch"),
+        F.max(F.when(F.col("rk_last") == 1, F.col("click_id"))).alias("last_touch"),
+    ).select(
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        "first_touch",
+        "last_touch",
+    )
