@@ -1961,17 +1961,15 @@ def theilsen_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT *,
                row_number() OVER (PARTITION BY purchase_id
-                                  ORDER BY click_ts, click_id) AS rk_first,
-               row_number() OVER (PARTITION BY purchase_id
-                                  ORDER BY click_ts DESC, click_id DESC) AS rk_last,
+                                  ORDER BY click_ts, click_id) AS rk,
                count(*) OVER (PARTITION BY purchase_id) AS n_touches
         FROM touches
     )
     SELECT purchase_id,
            round(purchase_value, 2) AS purchase_value,
            CAST(n_touches AS BIGINT) AS n_touches,
-           max(CASE WHEN rk_first = 1 THEN click_id END) AS first_touch,
-           max(CASE WHEN rk_last = 1 THEN click_id END) AS last_touch
+           max(CASE WHEN rk = 1 THEN click_id END) AS first_touch,
+           max(CASE WHEN rk = n_touches THEN click_id END) AS last_touch
     FROM ranked
     GROUP BY purchase_id, purchase_value, n_touches
     """,
@@ -1984,7 +1982,9 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual (never a cartesian; the per-purchase candidate list is
     bounded by a user's 7-day click activity), deterministic
     tie-breaks on (ts, event_id) so both engines pick identical
-    endpoint touches."""
+    endpoint touches. ONE window sort per partition: (click_ts,
+    click_id) is a total order, so the last touch is simply the row
+    at rank n_touches — no second descending sort (review finding)."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -2000,21 +2000,19 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
     )
     wf = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
-    wl = Window.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc(), F.col("click_id").desc()
-    )
     wn = Window.partitionBy("purchase_id")
     ranked = touches.select(
         "purchase_id",
         "purchase_value",
         "click_id",
-        F.row_number().over(wf).alias("rk_first"),
-        F.row_number().over(wl).alias("rk_last"),
+        F.row_number().over(wf).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n_touches"),
     )
     return ranked.groupBy("purchase_id", "purchase_value", "n_touches").agg(
-        F.max(F.when(F.col("rk_first") == 1, F.col("click_id"))).alias("first_touch"),
-        F.max(F.when(F.col("rk_last") == 1, F.col("click_id"))).alias("last_touch"),
+        F.max(F.when(F.col("rk") == 1, F.col("click_id"))).alias("first_touch"),
+        F.max(F.when(F.col("rk") == F.col("n_touches"), F.col("click_id"))).alias(
+            "last_touch"
+        ),
     ).select(
         "purchase_id",
         F.round("purchase_value", 2).alias("purchase_value"),

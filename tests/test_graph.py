@@ -891,10 +891,10 @@ def test_betweenness_exact_eccentricity_boundary_and_truncation_guard(spark):
         betweenness(g, [0], max_iter=2)
 
 
-def test_weighted_sssp_matches_networkx_free_dijkstra(spark):
+def test_weighted_sssp_matches_python_bellman_ford(spark):
     """Random weighted digraphs vs a plain-python Bellman-Ford limited
-    to the same hop budget; also checks the guard and that a larger
-    budget converges to true min-cost on small graphs."""
+    to the same hop budget; a diameter-sized budget must equal full
+    (unlimited-hop) min-cost distances; max_iter guard raises."""
     import random
 
     from anti_money_laundering_spark.graph import Graph, weighted_sssp
@@ -920,14 +920,31 @@ def test_weighted_sssp_matches_networkx_free_dijkstra(spark):
                 dist = new
             for v, d in dist.items():
                 want[(v, s)] = round(d, 6)
+        # true min-cost reference: relax n-1 times (no hop limit binds)
+        want_full = {}
+        for s_ in (0, 1):
+            dist = {s_: 0.0}
+            for _ in range(n - 1):
+                for a, b, w in edges:
+                    if a in dist and dist[a] + w < dist.get(b, float("inf")):
+                        dist[b] = dist[a] + w
+            for v, d in dist.items():
+                want_full[(v, s_)] = round(d, 6)
         verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
         edf = spark.createDataFrame(edges, "src long, dst long, amount double")
+        g = Graph(verts, edf)
         got = {
             (r.id, r.source): round(r.dist, 6)
-            for r in weighted_sssp(Graph(verts, edf), [0, 1], max_iter=hops).collect()
+            for r in weighted_sssp(g, [0, 1], max_iter=hops).collect()
         }
         assert got == want
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="max_iter"):
-        weighted_sssp(Graph(verts, edf), [0], max_iter=0)
+        # with the hop budget at n-1 (>= diameter) the fixed-round
+        # relaxation must have converged to the true min costs — extra
+        # rounds past convergence must never corrupt settled distances
+        got_full = {
+            (r.id, r.source): round(r.dist, 6)
+            for r in weighted_sssp(g, [0, 1], max_iter=n - 1).collect()
+        }
+        assert got_full == want_full
+    with pytest.raises(ValueError, match="max_iter"):
+        weighted_sssp(g, [0], max_iter=0)

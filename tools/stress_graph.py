@@ -36,6 +36,9 @@ def synth_graph(spark, n_edges: int, n_vertices: int):
         .otherwise(F.pmod(F.xxhash64("id", F.lit("src")), n_vertices))
         .alias("src"),
         F.pmod(F.xxhash64("id", F.lit("dst")), n_vertices).alias("dst"),
+        # positive hash-derived weight so the weighted-SSSP phase runs
+        # on the same graph (amounts in (0, 10])
+        (F.pmod(F.xxhash64("id", F.lit("w")), 1000) / 100.0 + 0.01).alias("amount"),
     )
     v = spark.range(n_vertices).select(F.col("id"))
     return Graph(v, e)
@@ -65,6 +68,18 @@ def main() -> int:
         f"connected_components: rounds={stats['rounds']} components={n_comp} "
         f"wall={t_cc:.1f}s round_seconds={stats['round_seconds']}"
     )
+
+    from anti_money_laundering_spark.graph import hits, weighted_sssp  # noqa: E402
+
+    t0 = time.perf_counter()
+    n_sssp = weighted_sssp(g, [0, 1], max_iter=4).count()
+    t_sssp = time.perf_counter() - t0
+    print(f"weighted_sssp: 4 rounds, {n_sssp} (id,source) rows  wall={t_sssp:.1f}s")
+
+    t0 = time.perf_counter()
+    n_hits = hits(g, max_iter=2).count()
+    t_hits = time.perf_counter() - t0
+    print(f"hits: 2 iterations, {n_hits} vertex rows  wall={t_hits:.1f}s")
     return 0
 
 
