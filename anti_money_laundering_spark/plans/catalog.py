@@ -247,6 +247,8 @@ _R8_PLAN: tuple[str, ...] = (
     "graph_weighted_sssp",
     # first/last-touch conversion attribution (r7-new)
     "attribution_touchpoints",
+    # tie-aware Spearman rank correlation (r7-new)
+    "spearman_qty_discount",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

@@ -2020,3 +2020,68 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_touch",
         "last_touch",
     )
+
+
+def _duck_avg_rank_cte(name: str, col: str) -> str:
+    """Average-rank dictionary for a BOUNDED-cardinality column:
+    rank_avg(v) = (# rows < v) + (# rows = v + 1)/2 — the tie-aware
+    (fractional) rank Spearman needs, computed from the value
+    histogram, never by ranking the fact table row-wise."""
+    return f"""
+    {name} AS (
+        SELECT {col} AS v,
+               coalesce(sum(n) OVER (ORDER BY {col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (n + 1) / 2.0 AS r
+        FROM (SELECT {col}, count(*) AS n FROM lineitem GROUP BY {col})
+    )"""
+
+
+@register(
+    "spearman_qty_discount",
+    tags=("A-ext", "W-ext"),
+    oracle=f"""
+    WITH
+    {_duck_avg_rank_cte("rq", "l_quantity")},
+    {_duck_avg_rank_cte("rd", "l_discount")}
+    SELECT round(corr(rq.r, rd.r), 6) AS spearman_rho,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l
+    JOIN rq ON rq.v = l.l_quantity
+    JOIN rd ON rd.v = l.l_discount
+    """,
+)
+def spearman_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and
+    discount — the monotone-dependence screen Pearson misses, with
+    textbook tie handling (average fractional ranks; both columns are
+    heavily tied integers/cents). Scale shape: ranks come from each
+    column's VALUE DICTIONARY (50 quantities, 11 discounts — one
+    bounded groupBy + a few-row cumulative each), broadcast-joined
+    back to the fact rows; the fact table is never row-ranked, so no
+    global sort ever exists in the plan. Ranks are exact
+    integer-derived doubles, so both engines feed corr identical
+    values."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+
+    def avg_ranks(col: str) -> DataFrame:
+        hist = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return hist.select(
+            "v",
+            (
+                F.coalesce(F.sum("n").over(w), F.lit(0)) + (F.col("n") + 1) / 2.0
+            ).alias("r"),
+        )
+
+    rq = avg_ranks("l_quantity").select(
+        F.col("v").alias("l_quantity"), F.col("r").alias("rq")
+    )
+    rd = avg_ranks("l_discount").select(
+        F.col("v").alias("l_discount"), F.col("r").alias("rd")
+    )
+    joined = li.join(F.broadcast(rq), "l_quantity").join(F.broadcast(rd), "l_discount")
+    return joined.agg(
+        F.round(F.corr("rq", "rd"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

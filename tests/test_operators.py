@@ -768,3 +768,39 @@ def test_psi_and_mi_match_numpy_definitions(spark):
         fq.load_table = orig
     assert got_psi == want_psi
     assert (mi_row.mi_nats, mi_row.n_events) == (want_mi, n)
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """Tie-aware Spearman on a small frame vs the direct definition
+    (average ranks + Pearson corr) computed with numpy."""
+    import numpy as np
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(1, 6, 200).astype(float)
+    d = (rng.integers(0, 4, 200) / 100.0) + (q > 3) * 0.02  # correlated w/ ties
+    def avg_rank(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a))
+        i = 0
+        sa = a[order]
+        while i < len(a):
+            j = i
+            while j < len(a) and sa[j] == sa[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+    rq, rd = avg_rank(q), avg_rank(d)
+    want = round(float(np.corrcoef(rq, rd)[0, 1]), 6)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(q, d)], "l_quantity double, l_discount double"
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: df
+    try:
+        row = fq.spearman_qty_discount(spark, "ignored").collect()[0]
+    finally:
+        fq.load_table = orig
+    assert (row.spearman_rho, row.n_rows) == (want, 200)
