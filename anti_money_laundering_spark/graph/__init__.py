@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from anti_money_laundering_spark.graph.algorithms import (
     betweenness,
     bfs,
+    densest_subgraph_peel,
     edge_betweenness,
     hits,
     label_propagation,
@@ -177,6 +178,7 @@ __all__ = [
     "edge_betweenness",
     "bipartite_components",
     "connected_components",
+    "densest_subgraph_peel",
     "find_motif",
     "hits",
     "label_propagation",

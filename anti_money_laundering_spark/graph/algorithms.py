@@ -40,6 +40,7 @@ __all__ = [
     "random_walks",
     "hits",
     "weighted_sssp",
+    "densest_subgraph_peel",
 ]
 
 
@@ -981,3 +982,54 @@ def weighted_sssp(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def densest_subgraph_peel(
+    graph: "Graph", eps: float = 0.5, max_rounds: int = 6
+) -> list[tuple]:
+    """Parallel densest-subgraph peel (Bahmani-Kumar-Vassilvitskii,
+    VLDB 2012): repeatedly delete every vertex whose degree is at most
+    ``2(1+eps)`` times the current subgraph's average density rho =
+    |E|/|V|; some intermediate subgraph is a ``2(1+eps)``-approximation
+    of the densest, and the peel needs only O(log n / eps) rounds —
+    the distributed replacement for Charikar's inherently sequential
+    one-vertex-per-step greedy.
+
+    Returns the peel TRAJECTORY as driver-side rows ``(round,
+    n_vertices, n_edges, rho)`` for every non-empty round (at most
+    ``max_rounds``) — per-round |V|/|E| are the only driver actions
+    (two scalars per round, the CC-fixpoint collect discipline); all
+    per-vertex work (degree computation, threshold filter) is
+    distributed joins/aggregations over the undirected simple graph.
+    The best round (max rho, earliest on ties) is the approximation's
+    witness; callers re-derive its vertex set by re-running the peel
+    or capturing ``subgraphs`` via the optional out-param."""
+    if not 0.0 < eps:
+        raise ValueError(f"densest_subgraph_peel: eps must be > 0, got {eps}")
+    und = _canonical_undirected(graph.edges).localCheckpoint(eager=False)
+    s = graph.vertices.select("id").localCheckpoint(eager=False)
+    rows: list[tuple] = []
+    for i in range(max_rounds):
+        e = (
+            und.join(s.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(s.select(F.col("id").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_v = s.count()
+        if n_v == 0:
+            break
+        n_e = e.count()
+        rho = n_e / n_v
+        rows.append((i, n_v, n_e, rho))
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        s = (
+            s.join(deg, "id", "left")
+            .filter(F.coalesce(F.col("__d"), F.lit(0)) > 2.0 * (1.0 + eps) * rho)
+            .drop("__d")
+            .localCheckpoint(eager=False)
+        )
+    return rows

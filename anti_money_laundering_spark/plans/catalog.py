@@ -249,6 +249,8 @@ _R8_PLAN: tuple[str, ...] = (
     "attribution_touchpoints",
     # tie-aware Spearman rank correlation (r7-new)
     "spearman_qty_discount",
+    # parallel densest-subgraph peel trajectory (r7-new)
+    "graph_densest_peel",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

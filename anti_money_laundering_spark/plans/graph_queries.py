@@ -1659,3 +1659,82 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = flow_graph(spark, sf_dir)
     out = weighted_sssp(g, [0, 1], weight_col="amount", max_iter=4)
     return out.select("id", "source", F.round("dist", 2).alias("dist"))
+
+
+def _dsg_round_cte(i: int) -> str:
+    """One parallel-peel round: induced edges, per-round totals, and
+    the surviving vertex set (degree > 2(1+eps)*rho with eps=0.5).
+    MATERIALIZED — every set is referenced several times (the k-core
+    inlining-explosion lesson)."""
+    return f"""
+    e{i} AS MATERIALIZED (
+        SELECT a, b FROM und
+        WHERE a IN (SELECT id FROM s{i}) AND b IN (SELECT id FROM s{i})
+    ),
+    t{i} AS MATERIALIZED (
+        SELECT {i} AS round,
+               (SELECT count(*) FROM s{i}) AS n_vertices,
+               (SELECT count(*) FROM e{i}) AS n_edges
+    ),
+    d{i} AS (
+        SELECT id, count(*) AS dg
+        FROM (SELECT a AS id FROM e{i} UNION ALL SELECT b FROM e{i})
+        GROUP BY id
+    ),
+    s{i + 1} AS MATERIALIZED (
+        SELECT s.id
+        FROM s{i} s JOIN d{i} d ON d.id = s.id, t{i} t
+        WHERE d.dg > 3.0 * (t.n_edges * 1.0 / t.n_vertices)
+    )"""
+
+
+@register(
+    "graph_densest_peel",
+    tags=("G-ext", "G3"),
+    oracle=f"""
+    WITH
+    e AS ({FLOW_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    s0 AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    {",".join(_dsg_round_cte(i) for i in range(6))},
+    traj AS (
+        SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4 UNION ALL SELECT * FROM t5
+    ),
+    ranked AS (
+        SELECT round, n_vertices, n_edges,
+               row_number() OVER (ORDER BY n_edges * 1.0 / n_vertices DESC, round) AS rk
+        FROM traj WHERE n_vertices > 0
+    )
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_vertices AS BIGINT) AS n_vertices,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           round(n_edges * 1.0 / n_vertices, 6) AS rho,
+           rk = 1 AS is_best
+    FROM ranked
+    """,
+)
+def graph_densest_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel densest-subgraph peel trajectory (Bahmani et al. VLDB
+    2012, eps=0.5): per round, the induced subgraph's |V|, |E| and
+    density rho after deleting every vertex with degree <= 3*rho; the
+    max-rho round (earliest on ties) witnesses the 3-approximation of
+    the densest subgraph — the dense-mule-cluster screen a sequential
+    Charikar greedy cannot run distributed. O(log n) rounds of
+    degree-agg + semi-join peels (graph.densest_subgraph_peel); the
+    oracle unrolls six rounds as materialized CTEs (empty rounds emit
+    no row on either side)."""
+    from anti_money_laundering_spark.graph import densest_subgraph_peel
+
+    g = flow_graph(spark, sf_dir)
+    rows = densest_subgraph_peel(g, eps=0.5, max_rounds=6)
+    best = max(rows, key=lambda r: (r[3], -r[0]))[0] if rows else None
+    out = [
+        (int(r[0]), int(r[1]), int(r[2]), round(r[3], 6), r[0] == best) for r in rows
+    ]
+    return spark.createDataFrame(
+        out, "round int, n_vertices long, n_edges long, rho double, is_best boolean"
+    )

@@ -948,3 +948,44 @@ def test_weighted_sssp_matches_python_bellman_ford(spark):
         assert got_full == want_full
     with pytest.raises(ValueError, match="max_iter"):
         weighted_sssp(g, [0], max_iter=0)
+
+
+def test_densest_peel_matches_python_simulation(spark):
+    """Random graphs vs a direct python simulation of the parallel
+    peel; a planted clique must dominate the best round's density."""
+    import random
+
+    from anti_money_laundering_spark.graph import Graph, densest_subgraph_peel
+
+    rng = random.Random(21)
+    for trial in range(2):
+        n = rng.randrange(10, 25)
+        und = {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(rng.randrange(8, 40))}
+        und = {(a, b) for a, b in und if a != b}
+        # plant a 6-clique so the peel has something denser to find
+        clique = list(range(n, n + 6))
+        und |= {(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]}
+        eps = 0.5
+        S = {v for e in und for v in e}
+        want = []
+        for i in range(6):
+            E = [e for e in und if e[0] in S and e[1] in S]
+            if not S:
+                break
+            rho = len(E) / len(S)
+            want.append((i, len(S), len(E), rho))
+            deg = {}
+            for a, b in E:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            S = {v for v in S if deg.get(v, 0) > 2 * (1 + eps) * rho}
+        verts = spark.createDataFrame([(v,) for v in {x for e in und for x in e}], "id long")
+        edges = spark.createDataFrame(list(und), "src long, dst long")
+        got = densest_subgraph_peel(Graph(verts, edges), eps=eps, max_rounds=6)
+        assert [(r[0], r[1], r[2], round(r[3], 9)) for r in got] == [
+            (i, v, e, round(r, 9)) for i, v, e, r in want
+        ], trial
+        best_rho = max(r[3] for r in got)
+        assert best_rho >= (15 / 6) / (1 + 1)  # clique density within approx factor
+    with pytest.raises(ValueError, match="eps"):
+        densest_subgraph_peel(Graph(verts, edges), eps=0.0)
