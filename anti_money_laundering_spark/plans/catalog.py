@@ -251,6 +251,8 @@ _R8_PLAN: tuple[str, ...] = (
     "spearman_qty_discount",
     # parallel densest-subgraph peel trajectory (r7-new)
     "graph_densest_peel",
+    # Welch two-sample inference screen (r7-new)
+    "welch_ttest_periods",
 )
 
 #: Queries scheduled into the r7 window as rows-only exceptions when it

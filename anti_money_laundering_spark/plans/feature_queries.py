@@ -2085,3 +2085,70 @@ def spearman_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rq", "rd"), 6).alias("spearman_rho"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "welch_ttest_periods",
+    tags=("A-ext",),
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 'a' ELSE 'b' END AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+               (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t,
+               pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)) AS dof
+        FROM (SELECT * FROM g WHERE grp = 'a') a, (SELECT * FROM g WHERE grp = 'b') b
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           round(t, 6) AS t_stat, round(dof, 2) AS dof,
+           abs(t) > 1.96 AS sig_05
+    FROM w
+    """,
+)
+def welch_ttest_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic for the event-value mean between
+    the fixture's calendar halves (unequal variances, Satterthwaite
+    dof) — the inference screen behind every A/B readout, paired with
+    the PSI drift view of the same split. One grouped aggregation
+    (count/avg/var_samp are all one-pass partial-aggregable), a 2-row
+    self-product, pure arithmetic after; |t| > 1.96 flags ~p<0.05.
+    var_samp/avg divide identical sums on both engines, and t has
+    O(1) magnitude — round(6) absorbs the summation-order ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("grp") == "a").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = g.filter(F.col("grp") == "b").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se2a = F.col("v_a") / F.col("n_a")
+    se2b = F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2a + se2b)
+    dof = F.pow(se2a + se2b, 2) / (
+        F.pow(se2a, 2) / (F.col("n_a") - 1) + F.pow(se2b, 2) / (F.col("n_b") - 1)
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+        (F.abs(t) > 1.96).alias("sig_05"),
+    )

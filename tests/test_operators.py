@@ -804,3 +804,42 @@ def test_spearman_matches_scipy_free_reference(spark):
     finally:
         fq.load_table = orig
     assert (row.spearman_rho, row.n_rows) == (want, 200)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """Welch t and Satterthwaite dof vs the direct numpy formulas on a
+    small two-period frame with a planted mean shift."""
+    import datetime as dt
+
+    import numpy as np
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    rng = np.random.default_rng(9)
+    a_vals = rng.normal(100, 15, 300)
+    b_vals = rng.normal(104, 25, 450)
+    rows = [
+        (1, dt.datetime(2024, 1, 5), float(v), f"a{i}", "click")
+        for i, v in enumerate(a_vals)
+    ] + [
+        (1, dt.datetime(2024, 1, 20), float(v), f"b{i}", "click")
+        for i, v in enumerate(b_vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id string, event_type string"
+    )
+    ma, mb = a_vals.mean(), b_vals.mean()
+    va, vb = a_vals.var(ddof=1), b_vals.var(ddof=1)
+    se2a, se2b = va / 300, vb / 450
+    t = (ma - mb) / np.sqrt(se2a + se2b)
+    dof = (se2a + se2b) ** 2 / (se2a**2 / 299 + se2b**2 / 449)
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        row = fq.welch_ttest_periods(spark, "ignored").collect()[0]
+    finally:
+        fq.load_table = orig
+    assert (row.n_a, row.n_b) == (300, 450)
+    assert row.t_stat == round(float(t), 6)
+    assert row.dof == round(float(dof), 2)
+    assert row.sig_05 == (abs(t) > 1.96)
