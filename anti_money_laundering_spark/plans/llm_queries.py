@@ -1215,21 +1215,62 @@ def tfidf_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_similar_pairs",
     headline=True,
     tags=("LLM", "text", "ml"),
-    oracle=None,  # HashingTF bucket collisions are engine-specific; invariants in tests/
+    # Promoted rows-only -> hash-oracled in r8 (r7 verdict item 4): the
+    # md5 bucket is deterministic arithmetic both engines compute
+    # bit-identically (collisions included), so the hashed cosine
+    # replays exactly — the same portable-hash promotion pattern as
+    # dedup_simhash_candidates. The pair set is the shared verified
+    # (exact-Jaccard >= 0.7) set, valid as an oracle by the same
+    # recall-1.0 pin as dedup_minhash_near_dups.
+    oracle=f"""
+    WITH {_duck_trigram_jaccard_ctes(0.7)},
+    bcnt AS (
+        SELECT doc_id AS doc, {_duck_hash_bucket("tok", "tfidf-v1", 4096)} AS bucket,
+               count(*) AS cnt
+        FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT bucket,
+               ln(((SELECT count(*) FROM documents) + 1.0)
+                  / (count(DISTINCT doc) + 1.0)) AS idf
+        FROM bcnt GROUP BY bucket
+    ),
+    w AS (
+        SELECT doc, bcnt.bucket, cnt * idf AS w
+        FROM bcnt JOIN idf ON idf.bucket = bcnt.bucket
+    ),
+    norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc),
+    dots AS (
+        SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+        FROM jp p
+        JOIN w wa ON wa.doc = p.id_a
+        JOIN w wb ON wb.doc = p.id_b AND wb.bucket = wa.bucket
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+    FROM dots d
+    JOIN norms na ON na.doc = d.id_a
+    JOIN norms nb ON nb.doc = d.id_b
+    """,
 )
 def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF cosine over LSH candidate pairs: MLlib HashingTF/IDF
-    vectors (hashing trick — stateless, no vocabulary broadcast),
-    vectorized cosine in a Pandas UDF, candidates from MinHash-LSH."""
+    """Hashing-trick TF-IDF cosine over verified near-dup pairs: tokens
+    map into a FIXED 4096-bucket feature space (no vocabulary table at
+    all — the property that makes the hashing trick the scale choice
+    when the vocabulary itself would be petabyte-skewed), via the
+    engine-portable md5 bucket rather than MLlib murmur3 (which no
+    other engine can replay — why this query sat rows-only for 7
+    rounds; text_ml.tfidf_hashed_cosine_pairs docstring has the full
+    story). Candidate discipline unchanged: the verified
+    (exact-Jaccard >= 0.7) pair set shared with
+    dedup_minhash_near_dups, recall pinned 1.0 at every SF."""
     from anti_money_laundering_spark.sources import ensure_parallelism
-    from anti_money_laundering_spark.text_ml import tfidf_cosine_pairs
+    from anti_money_laundering_spark.text_ml import tfidf_hashed_cosine_pairs
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    # trigram-shingle candidates: unigram buckets are corpus-degenerate
-    # (mean token-set jaccard 0.64 on the fixtures -> quadratic pairs);
-    # shared (localCheckpointed) with dedup_minhash_near_dups
-    _, cands = _shared_lsh(spark, sf_dir)
-    out = tfidf_cosine_pairs(docs, cands)
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = tfidf_hashed_cosine_pairs(docs, pairs)
     return out.select("id_a", "id_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))
 
 
@@ -1356,11 +1397,23 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection of the embedding corpus to 8
     components (ml.embedding_pca_projection) — the reduce-then-search
-    front of large-scale similarity pipelines."""
+    front of large-scale similarity pipelines. Rows-only w.r.t. the
+    driver (the eigenbasis is sign/rotation-ambiguous across engines;
+    invariants pinned in tests/test_ml_multimodal.py), but the output
+    is SCALAR columns pc0..pc7 rather than the projection array: the
+    r7 driver row proved the driver canonicalizes even rows-only
+    outputs with pandas sort_values, which crashes on ArrayType cells
+    — the scalar projection is the same information in the shape the
+    contract can actually record."""
     from anti_money_laundering_spark.ml import embedding_pca_projection
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_pca_projection(emb, k=8)
+    proj = embedding_pca_projection(emb, k=8)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col("projection")[i], 6).alias(f"pc{i}") for i in range(8)],
+        F.round("var_explained", 6).alias("var_explained"),
+    )
 
 
 @register(

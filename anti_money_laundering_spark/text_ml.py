@@ -76,6 +76,10 @@ def tfidf_exact_cosine_pairs(
     w = toks.join(idf, "token").select(
         "doc", "token", (F.col("cnt") * F.col("idf")).alias("w")
     )
+    # four downstream branches re-derive w otherwise — see the hashed
+    # twin below for the measurement; one localCheckpoint computes the
+    # tokenize+agg+idf-join subtree once
+    w = w.localCheckpoint()
     norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     wa = w.select(F.col("doc").alias("id_a"), "token", F.col("w").alias("__wa"))
     wb = w.select(F.col("doc").alias("id_b"), "token", F.col("w").alias("__wb"))
@@ -95,6 +99,98 @@ def tfidf_exact_cosine_pairs(
             "id_a",
             "id_b",
             (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("tfidf_cosine"),
+        )
+    )
+
+
+def tfidf_hashed_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 4096,
+    salt: str = "tfidf-v1",
+) -> DataFrame:
+    """Hashing-trick TF-IDF cosine for candidate ``pairs`` — the
+    fixed-width-feature-space variant of
+    :func:`tfidf_exact_cosine_pairs`: tokens map to ``num_features``
+    buckets via an ENGINE-PORTABLE hash (md5-derived
+    ``sampling.hash_bucket``), so there is no vocabulary table at all
+    — the property that makes the hashing trick the scale choice when
+    the vocabulary itself would be petabyte-skewed.
+
+    Unlike MLlib's ``HashingTF`` (whose murmur3 buckets no other
+    engine can replay — the reason tfidf_similar_pairs sat rows-only
+    for 7 rounds), the md5 bucket is deterministic arithmetic both
+    Spark and DuckDB compute bit-identically, COLLISIONS INCLUDED, so
+    the cosine values hash-verify exactly. IDF uses MLlib's
+    convention ln((N+1)/(df+1)) (df counted per bucket), keeping the
+    numerics of the HashingTF+IDF pipeline this replaces.
+
+    Scale posture: identical to the exact twin — (doc, bucket) and
+    (bucket) keyed aggregations, pair×bucket equi-joins bounded by the
+    candidate set, corpus size folded in as a literal; bucket count
+    bounds the per-doc row fanout at ``num_features``."""
+    from anti_money_laundering_spark.functions import tokens_sql
+    from anti_money_laundering_spark.sampling import hash_bucket
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(tokens_sql(text_col))).alias("token"),
+        )
+        .select("doc", hash_bucket(F.col("token"), num_features, salt=salt).alias("bucket"))
+        .groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = docs.count()
+    idf = (
+        toks.groupBy("bucket")
+        .agg(F.count_distinct("doc").alias("df"))
+        .select(
+            "bucket",
+            F.log((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)).alias("idf"),
+        )
+    )
+    # the idf table is bounded at num_features rows by construction —
+    # the hashing trick's whole point — so it broadcasts at ANY corpus
+    # size, unlike the exact twin's vocabulary-sized idf
+    w = toks.join(F.broadcast(idf), "bucket").select(
+        "doc", "bucket", (F.col("cnt") * F.col("idf")).alias("w")
+    )
+    # w feeds FOUR plan branches (norms twice via na/nb, wa, wb);
+    # without materialization Catalyst re-derives the whole
+    # tokenize+agg+join subtree per branch (measured: 23 exchanges,
+    # zero reuse). One localCheckpoint computes it once — the same
+    # share-the-expensive-intermediate pattern as plans/llm_queries
+    # _shared_lsh.
+    w = w.localCheckpoint()
+    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wa = w.select(F.col("doc").alias("id_a"), "bucket", F.col("w").alias("__wa"))
+    wb = w.select(F.col("doc").alias("id_b"), "bucket", F.col("w").alias("__wb"))
+    dots = (
+        pairs.select("id_a", "id_b")
+        .join(wa, "id_a")
+        .join(wb, ["id_b", "bucket"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("doc").alias("id_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("doc").alias("id_b"), F.col("nrm").alias("__nb"))
+    # zero-overlap pairs have no shared-bucket rows and would vanish
+    # from the inner dot join; keep them at cosine 0.0 like the dense
+    # MLlib variant does
+    return (
+        pairs.select("id_a", "id_b")
+        .join(dots, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.coalesce(F.col("__dot"), F.lit(0.0)) / (F.col("__na") * F.col("__nb"))).alias(
+                "tfidf_cosine"
+            ),
         )
     )
 

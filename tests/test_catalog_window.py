@@ -24,13 +24,19 @@ from pathlib import Path
 
 from anti_money_laundering_spark.plans.catalog import (
     DRIVER_WINDOW,
-    _R7_PLAN,
-    _R8_PLAN,
+    _COMPLETION_PLANS,
     _ROWS_ONLY_UNATTESTABLE,
     _WINDOW,
     _WINDOW_ROUND,
     get_catalog,
 )
+
+#: The current round's completion plan and the accumulating plan for
+#: the NEXT round (new queries registered after the current window
+#: froze). Generalized over _COMPLETION_PLANS (r7 verdict item 2) so a
+#: rotation only edits catalog.py, never this module.
+_CURRENT_PLAN = _COMPLETION_PLANS[_WINDOW_ROUND]
+_NEXT_PLAN = _COMPLETION_PLANS[_WINDOW_ROUND + 1]
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
@@ -127,15 +133,16 @@ def test_window_is_mostly_first_time_attestations():
 
 
 def test_window_executes_completion_plan():
-    """The r7 window must execute the r6-committed completion schedule
-    exactly: its first-time block (queries never rowed before
-    _WINDOW_ROUND) == _R7_PLAN ∪ _ROWS_ONLY_UNATTESTABLE, i.e. every
-    query that lacked a driver row when the window froze gets its first
-    row this round — full-catalog attestation closes."""
+    """The current window must execute the prior round's committed
+    completion schedule exactly: its first-time block (queries never
+    rowed before _WINDOW_ROUND) == the round's _COMPLETION_PLANS entry
+    (minus any plan entry whose first row landed early in an
+    intervening artifact), i.e. every query that lacked a driver row
+    when the window froze gets its first row this round."""
     cat = get_catalog()
     rowed = driver_rowed(before_round=_WINDOW_ROUND)
     first_time = {n for n in _WINDOW if n not in rowed}
-    plan = set(_R7_PLAN) | _ROWS_ONLY_UNATTESTABLE
+    plan = set(_CURRENT_PLAN) - rowed
     assert first_time == plan, (
         f"window first-time block != completion plan; "
         f"missing={sorted(plan - first_time)} extra={sorted(first_time - plan)}"
@@ -143,26 +150,27 @@ def test_window_executes_completion_plan():
     never_rowed = {
         n
         for n in cat
-        if n not in rowed and n not in set(_WINDOW) and n not in set(_R8_PLAN)
+        if n not in rowed and n not in set(_WINDOW) and n not in set(_NEXT_PLAN)
     }
     assert not never_rowed, f"queries with no attestation this round: {sorted(never_rowed)}"
 
 
-def test_r8_plan_accounts_new_queries():
-    """Any query registered AFTER the r7 window froze cannot receive a
-    driver row until round 8 — it must be enumerated in _R8_PLAN (and
-    oracled) so the attestation debt never silently accrues again."""
+def test_next_plan_accounts_new_queries():
+    """Any query registered AFTER the current window froze cannot
+    receive a driver row until the next round — it must be enumerated
+    in the next round's completion plan (and oracled) so the
+    attestation debt never silently accrues again."""
     cat = get_catalog()
     accounted = (
         driver_rowed(before_round=_WINDOW_ROUND)
         | set(_WINDOW)
-        | set(_R8_PLAN)
+        | set(_NEXT_PLAN)
         | _ROWS_ONLY_UNATTESTABLE
     )
     unaccounted = [n for n in cat if n not in accounted]
     assert not unaccounted, f"queries with no attestation path: {unaccounted}"
     rowed_or_windowed = driver_rowed(before_round=_WINDOW_ROUND) | set(_WINDOW)
-    for n in _R8_PLAN:
-        assert n in cat, f"_R8_PLAN name not registered: {n}"
-        assert cat[n].oracle is not None, f"_R8_PLAN entry not oracled: {n}"
-        assert n not in rowed_or_windowed, f"_R8_PLAN entry already attested or windowed: {n}"
+    for n in _NEXT_PLAN:
+        assert n in cat, f"next-plan name not registered: {n}"
+        assert cat[n].oracle is not None, f"next-plan entry not oracled: {n}"
+        assert n not in rowed_or_windowed, f"next-plan entry already attested or windowed: {n}"

@@ -175,6 +175,26 @@ def test_tfidf_identical_docs_cosine_one(spark):
     assert got[(1, 3)] == pytest.approx(0.0)  # disjoint vocab (modulo hash collisions)
 
 
+def test_tfidf_hashed_identical_docs_cosine_one(spark):
+    from anti_money_laundering_spark.text_ml import tfidf_hashed_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.tfidf_cosine
+        for r in tfidf_hashed_cosine_pairs(docs, pairs).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] == pytest.approx(0.0)  # disjoint vocab (modulo md5 bucket collisions)
+
+
 def test_tfidf_vectors_shape(spark):
     docs = spark.createDataFrame([(1, "a b c"), (2, "c d")], "doc_id long, text string")
     vecs = tfidf_vectors(docs, num_features=64).collect()

@@ -20,6 +20,8 @@ catalog entries past the driver window.
 
 from __future__ import annotations
 
+from pyspark.sql.types import ArrayType, MapType
+
 from anti_money_laundering_spark.plans.catalog import get_catalog
 from tests.test_plans import explain_str
 
@@ -27,13 +29,32 @@ ANTIPATTERNS = ("BatchEvalPython", "CartesianProduct")
 
 
 def test_no_catalog_plan_contains_scale_antipatterns(spark, sf_dir):
+    """One sweep, two repo-wide gates: (a) no scale antipatterns in any
+    catalog plan; (b) no ArrayType/MapType column in any catalog
+    query's OUTPUT schema — the r7 driver proved its canonicalizer
+    (pandas sort_values over raw columns) crashes on collection cells,
+    for hash-compared AND rows-only queries alike, so any query is one
+    window rotation away from an ERR row if it emits one. Collection
+    columns are fine mid-plan; outputs must be scalar (array_join /
+    per-component projection at the boundary)."""
     bad: dict[str, str] = {}
+    unhashable: dict[str, list[str]] = {}
     for name, q in get_catalog().items():
-        plan = explain_str(q.fn(spark, sf_dir), "simple")
+        df = q.fn(spark, sf_dir)
+        plan = explain_str(df, "simple")
         hits = [p for p in ANTIPATTERNS if p in plan]
         if hits:
             bad[name] = ",".join(hits)
+        cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if cols:
+            unhashable[name] = cols
     assert not bad, f"scale antipatterns in catalog plans: {bad}"
+    assert not unhashable, (
+        f"array/map columns in catalog query outputs (crash the driver canonicalizer): "
+        f"{unhashable}"
+    )
 
 
 #: Shuffle-exchange budget per headline query (r6 verdict item 10): the
@@ -56,7 +77,11 @@ EXCHANGE_BUDGET = {
     "pricing_summary": 2,
     "sessionize_events": 1,
     "ann_cosine_topk": 1,
-    "tfidf_similar_pairs": 2,
+    # r8: reformulated from MLlib HashingTF+pandas-UDF (2 exchanges) to
+    # the portable-hash keyed-aggregation formulation (oracle-able);
+    # final plan reads the localCheckpointed weight table: norms agg +
+    # dot agg + pair-keep + norm joins = 4
+    "tfidf_similar_pairs": 4,
     "motif_roundtrip_cycle": 3,
     "asof_join_last_purchase": 1,
     "self_join_pair_amounts": 0,

@@ -80,8 +80,52 @@ def main() -> int:
     n_hits = hits(g, max_iter=2).count()
     t_hits = time.perf_counter() - t0
     print(f"hits: 2 iterations, {n_hits} vertex rows  wall={t_hits:.1f}s")
+
+    from anti_money_laundering_spark.graph.algorithms import betweenness  # noqa: E402
+
+    t0 = time.perf_counter()
+    bc = betweenness(g, sources=list(range(4)), max_iter=12)
+    top = bc.orderBy(F.desc("betweenness"), "id").limit(5).collect()
+    t_bc = time.perf_counter() - t0
+    print(
+        f"betweenness: 4 landmarks, top5={[(r.id, round(r.betweenness, 1)) for r in top]} "
+        f"wall={t_bc:.1f}s"
+    )
+    return 0
+
+
+def landmark_error_sweep(n_edges: int = 200_000, n_vertices: int = 20_000) -> int:
+    """Landmark-count vs estimator-error sweep (r7 verdict item 8): on
+    a fixed synthetic graph, compare k-landmark betweenness against a
+    dense 256-landmark reference — top-50 vertex overlap and relative
+    L1 distance of the (normalized) score vectors. Records how fast
+    the deterministic landmark estimator converges so the SCALE.md
+    claim cites a measurement, not an assertion. Landmarks are the
+    first k vertex ids — deterministic, like the catalog query."""
+    spark = get_spark(app_name="graph_stress_bc", shuffle_partitions=32)
+    from anti_money_laundering_spark.graph.algorithms import betweenness  # noqa: E402
+
+    g = synth_graph(spark, n_edges, n_vertices)
+    t0 = time.perf_counter()
+    ref = betweenness(g, sources=list(range(256)), max_iter=12).toPandas()
+    t_ref = time.perf_counter() - t0
+    ref = ref.set_index("id")["betweenness"]
+    ref_norm = ref / max(ref.sum(), 1e-12)
+    ref_top = set(ref.nlargest(50).index)
+    print(f"reference k=256: wall={t_ref:.1f}s")
+    for k in (4, 16, 64):
+        t0 = time.perf_counter()
+        est = betweenness(g, sources=list(range(k)), max_iter=12).toPandas()
+        wall = time.perf_counter() - t0
+        est = est.set_index("id")["betweenness"].reindex(ref.index).fillna(0.0)
+        est_norm = est / max(est.sum(), 1e-12)
+        overlap = len(ref_top & set(est.nlargest(50).index)) / 50.0
+        rel_l1 = float((est_norm - ref_norm).abs().sum()) / 2.0
+        print(f"k={k}: top50_overlap={overlap:.2f} rel_l1={rel_l1:.3f} wall={wall:.1f}s")
     return 0
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "landmark-sweep":
+        raise SystemExit(landmark_error_sweep())
     raise SystemExit(main())
