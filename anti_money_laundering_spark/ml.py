@@ -28,8 +28,106 @@ __all__ = [
     "embedding_classifier_predictions",
     "feature_pipeline_features",
     "embedding_pca_projection",
+    "exact_kmeans_assignments",
     "init_experiment_tracking",
 ]
+
+
+def exact_kmeans_assignments(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "kmeans-v1",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column with
+    ENGINE-EXACT arithmetic — the deterministic, oracle-replayable twin
+    of MLlib ``KMeans`` (vector.ivf_build's trainer), for the pipeline
+    stages where assignments must be rerun-stable bit-for-bit (semantic
+    dedup buckets, shard routing, IVF list assignment): MLlib's
+    k-means|| init is RNG-seeded and its float reductions are
+    partition-order-dependent, so two runs can disagree on boundary
+    points; this formulation cannot.
+
+    Determinism discipline (the loo/theilsen integer-scaling pattern):
+    coordinates become exact BIGINTs (round(x * scale); float32 inputs
+    are exact in double, and their 1e6 multiples never land on .5
+    ties), seeds are the k vectors with the smallest (md5-bucket, id)
+    key, first-pass distances are exact integer sums, and the updated
+    centroid mean s/n is never materialized as a float — the second
+    pass compares sum_d (n*x_d - s_d)^2 (exact DECIMAL(38,0)/HUGEINT)
+    divided by n^2, so both engines rank identical numbers and the
+    (dist, cluster) tiebreak closes the rest.
+
+    Plan: the scaled-dims table is localCheckpointed once (three
+    consumers), the k*dim seed/centroid tables broadcast (bounded at
+    k * dims rows at ANY corpus size), every aggregation is keyed on
+    (id) or (cluster, d) — no all-pairs anywhere; one Lloyd round is
+    two broadcast joins + three keyed shuffles.
+
+    Returns (id, cluster int in [0,k), dist double — the L2 distance
+    to the post-update centroid in ORIGINAL units, rounded to 6).
+    """
+    from pyspark.sql.window import Window
+
+    from anti_money_laundering_spark.sampling import hash_bucket
+
+    dims = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "__x"),
+    ).select(
+        "__id", "d", F.round(F.col("__x") * scale).cast("long").alias("x")
+    ).localCheckpoint()
+
+    seed_ids = (
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            hash_bucket(F.col(id_col), 1_000_000_000, salt=salt).alias("__hb"),
+        )
+        .orderBy("__hb", "__id")
+        .limit(k)
+    )
+    seed_w = Window.orderBy("__hb", "__id")
+    seeds = seed_ids.select(
+        "__id", (F.row_number().over(seed_w) - 1).cast("int").alias("cluster")
+    )
+    cdims = dims.join(seeds, "__id").select("cluster", "d", F.col("x").alias("cx"))
+
+    diff = F.col("x") - F.col("cx")
+    a1 = (
+        dims.join(F.broadcast(cdims), "d")
+        .groupBy("__id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    rk = F.row_number().over(Window.partitionBy("__id").orderBy("dist", "cluster"))
+    b1 = a1.withColumn("rk", rk).filter(F.col("rk") == 1).select("__id", "cluster")
+
+    cent = (
+        b1.join(dims, "__id")
+        .groupBy("cluster", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    term = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(19,0)")
+    a2 = (
+        dims.join(F.broadcast(cent), "d")
+        .groupBy("__id", "cluster", "n")
+        .agg(F.sum(term * term).alias("dd"))
+        .select(
+            "__id",
+            "cluster",
+            (
+                F.col("dd").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("dist"),
+        )
+    )
+    b2 = a2.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return b2.select(
+        F.col("__id").alias(id_col),
+        "cluster",
+        F.round(F.sqrt(F.col("dist")) / scale, 6).alias("dist"),
+    )
 
 
 def feature_pipeline_features(

@@ -263,7 +263,14 @@ _R8_PLAN: tuple[str, ...] = (
 #: attestation debt stays enumerated instead of silently accruing.
 #: r7 verdict item 5: keep |_R9_PLAN| <= ~10 at round close so the r9
 #: window isn't oversubscribed.
-_R9_PLAN: tuple[str, ...] = ()
+_R9_PLAN: tuple[str, ...] = (
+    # tie-corrected rank-sum inference screen (r8-new)
+    "mannwhitney_value_periods",
+    # bipartite customer×part projection with hub-cap guard (r8-new)
+    "copurchase_graph_edges",
+    # exact-arithmetic deterministic Lloyd round (r8-new)
+    "kmeans_lloyd_assignments",
+)
 
 #: round -> the plan of queries that must receive their FIRST driver
 #: rows in that round's window. Window tests generalize over this map

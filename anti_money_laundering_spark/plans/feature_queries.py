@@ -2169,3 +2169,91 @@ def welch_ttest_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dof, 2).alias("dof"),
         (F.abs(t) > 1.96).alias("sig_05"),
     )
+
+
+@register(
+    "mannwhitney_value_periods",
+    tags=("A-ext", "W-ext"),
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS c1
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT v, c, c1,
+               coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(sum(c1 * (2 * cum_excl + c + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tie
+        FROM ranked
+    ),
+    stat AS (
+        SELECT n1, n - n1 AS n2, r1x2 - n1 * (n1 + 1) AS u1x2, n, tie FROM agg
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           round(u1x2 / 2.0, 1) AS u_a,
+           round((u1x2 - n1 * n2)
+                 / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0)),
+                 6) AS z_stat,
+           round(1.0 - u1x2 / (1.0 * n1 * n2), 6) AS rank_biserial,
+           abs((u1x2 - n1 * n2)
+               / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0))) > 1.96
+             AS sig_05
+    FROM stat
+    """,
+)
+def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the fixture's
+    calendar halves — the NONPARAMETRIC partner of
+    ``welch_ttest_periods``: rank-based, so heavy-tailed transaction
+    values can't dominate the statistic the way they pull a mean.
+    Tie-corrected normal approximation z plus the rank-biserial effect
+    size.
+
+    Exactness discipline: ranks are computed from per-VALUE counts
+    (values integer-scaled by 1e4 — fixture values carry <= 4
+    decimals), so the doubled rank sum 2*R1 = sum c1*(2*cum_excl+c+1)
+    is an exact BIGINT on both engines; every float enters only in the
+    final z/effect division of identical integers. Plan: one
+    value-keyed count shuffle (~49k distinct values — the window and
+    final aggregate run on the compressed value table, never the raw
+    events), one ordered prefix-sum window, one 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy(F.round(F.col("value") * 10000).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.count(F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1))
+        .cast("long")
+        .alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v", "c", "c1", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_excl")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("c1") * (2 * F.col("cum_excl") + F.col("c") + 1)).alias("r1x2"),
+        F.sum("c1").alias("n1"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    n2 = n - n1
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    sigma_x2 = 2.0 * F.sqrt(
+        n1 * n2 * ((n + 1) - F.col("tie") / (1.0 * n * (n - 1))) / 12.0
+    )
+    z = (u1x2 - n1 * n2) / sigma_x2
+    return agg.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        F.round(u1x2 / 2.0, 1).alias("u_a"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(1.0 - u1x2 / (1.0 * n1 * n2), 6).alias("rank_biserial"),
+        (F.abs(z) > 1.96).alias("sig_05"),
+    )

@@ -1738,3 +1738,74 @@ def graph_densest_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, n_vertices long, n_edges long, rho double, is_best boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection (graph construction from a two-mode relation)
+# ---------------------------------------------------------------------------
+
+#: hub cap / min-shared thresholds probed against the fixture
+#: distribution at every SF (FIXTURES.md threshold rule, probed
+#: 2026-08-15): parts are bought by at most 39/49/53 distinct customers
+#: at sf0.001/0.01/0.1, so the <=40 hub cap is inert on the tiny
+#: fixture and trims the popular tail at scale; shared>=4 keeps
+#: 8554/14356/338 pairs — non-empty everywhere, selective at sf0.1.
+_COPURCHASE_HUB_CAP = 40
+_COPURCHASE_MIN_SHARED = 4
+
+
+@register(
+    "copurchase_graph_edges",
+    tags=("G1", "J5", "A-ext"),
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pc AS (SELECT p, count(*) AS np FROM b GROUP BY p),
+    keep AS (
+        SELECT b.c, b.p FROM b JOIN pc ON pc.p = b.p
+        WHERE pc.np <= {_COPURCHASE_HUB_CAP}
+    )
+    SELECT a.c AS cust_a, bb.c AS cust_b, CAST(count(*) AS BIGINT) AS shared_parts
+    FROM keep a JOIN keep bb ON a.p = bb.p AND a.c < bb.c
+    GROUP BY 1, 2
+    HAVING count(*) >= {_COPURCHASE_MIN_SHARED}
+    """,
+)
+def copurchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: collapse the two-mode customer×part
+    purchase relation into a weighted one-mode customer graph (edge =
+    bought >= 4 common parts) — the standard construction for
+    co-counterparty AML graphs and co-view/co-purchase recommendation
+    graphs, feeding every one-mode algorithm in this package (CC, LPA,
+    densest-peel ...).
+
+    Scale posture: the projection is a POSTING-LIST equi-join on the
+    shared item (the token-posting pattern), never all-pairs — and its
+    classic failure mode, quadratic fanout on hub items (one item with
+    1M buyers emits 5*10^11 pairs), is removed BEFORE the join by the
+    degree cap (<= 40 buyers), the same stop-token discipline as
+    vocab-keyed joins. One distinct shuffle on (customer, part), one
+    count shuffle on part, the pair join keyed on part, one pair-count
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("c")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+    )
+    baskets = orders.join(li, "okey").select("c", "p").distinct()
+    part_freq = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    keep = baskets.join(
+        part_freq.filter(F.col("np") <= _COPURCHASE_HUB_CAP).select("p"), "p"
+    )
+    a = keep.select(F.col("c").alias("cust_a"), "p")
+    b = keep.select(F.col("c").alias("cust_b"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= _COPURCHASE_MIN_SHARED)
+    )

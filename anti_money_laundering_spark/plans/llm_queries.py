@@ -1417,6 +1417,78 @@ def ml_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_lloyd_assignments",
+    tags=("LLM", "ml", "ann"),
+    # full replay of the exact-arithmetic Lloyd round: integer-scaled
+    # coordinates, md5-seeded init, integer first-pass distances,
+    # (n*x - s)^2 HUGEINT second pass — every compared number is the
+    # same exact rational on both engines (ml.exact_kmeans_assignments
+    # docstring has the determinism argument)
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, CAST(t.i AS INT) AS d,
+               CAST(round(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS x
+        FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    hb AS (
+        SELECT vec_id, {_duck_hash_bucket("vec_id", "kmeans-v1", 1000000000)} AS hb
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY hb, vec_id) - 1 AS INT) AS cluster
+        FROM hb ORDER BY hb, vec_id LIMIT 8
+    ),
+    cdims AS (
+        SELECT s.cluster, dm.d, dm.x AS cx FROM seeds s JOIN dims dm ON dm.vec_id = s.vec_id
+    ),
+    a1 AS (
+        SELECT dm.vec_id, c.cluster, sum((dm.x - c.cx) * (dm.x - c.cx)) AS dist
+        FROM dims dm JOIN cdims c ON c.d = dm.d GROUP BY 1, 2
+    ),
+    b1 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+            FROM a1
+        ) WHERE rk = 1
+    ),
+    cent AS (
+        SELECT b1.cluster, dm.d, CAST(sum(dm.x) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b1 JOIN dims dm ON dm.vec_id = b1.vec_id GROUP BY 1, 2
+    ),
+    a2 AS (
+        SELECT dm.vec_id, cent.cluster, cent.n,
+               CAST(sum(CAST(cent.n * dm.x - cent.s AS HUGEINT)
+                        * CAST(cent.n * dm.x - cent.s AS HUGEINT)) AS DOUBLE)
+                 / CAST(cent.n * cent.n AS DOUBLE) AS dist
+        FROM dims dm JOIN cent ON cent.d = dm.d GROUP BY 1, 2, 3
+    ),
+    b2 AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+            FROM a2
+        ) WHERE rk = 1
+    )
+    SELECT vec_id, cluster, round(sqrt(dist) / 1000000.0, 6) AS dist FROM b2
+    """,
+)
+def kmeans_lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (one exact-arithmetic Lloyd
+    round, k=8) over the embedding corpus — the rerun-stable cluster
+    assignment used for semantic-dedup bucketing, shard routing and
+    IVF list assignment, where MLlib KMeans' RNG init and float
+    reduction order would move boundary points between runs
+    (ml.exact_kmeans_assignments)."""
+    from anti_money_laundering_spark.ml import exact_kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_kmeans_assignments(emb, k=8)
+
+
+@register(
     "hard_negatives_ann",
     tags=("LLM", "ann", "sample"),
     # exact over the label!=0 corpus: the GEMM path is exact, so the
