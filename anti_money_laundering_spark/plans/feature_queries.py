@@ -1491,12 +1491,17 @@ def longest_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "loo_value_encoding",
     tags=("W-ext", "A-ext"),
     oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 10000) AS BIGINT)) OVER (PARTITION BY user_id)
+                 - CAST(round(value * 10000) AS BIGINT) AS num,
+               (count(*) OVER (PARTITION BY user_id) - 1) * 10000 AS den
+        FROM events
+        QUALIFY count(*) OVER (PARTITION BY user_id) >= 2
+    )
     SELECT event_id, user_id,
-           round((sum(CAST(round(value * 10000) AS BIGINT)) OVER (PARTITION BY user_id)
-                  - CAST(round(value * 10000) AS BIGINT))
-                 / ((count(*) OVER (PARTITION BY user_id) - 1) * 10000.0), 6) AS loo_mean
-    FROM events
-    QUALIFY count(*) OVER (PARTITION BY user_id) >= 2
+           ((2 * num * 1000000 + den) // (2 * den)) / 1000000.0 AS loo_mean
+    FROM s
     """,
 )
 def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1507,22 +1512,34 @@ def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum - x)/(n - 1) over one unbounded window: no per-row regroup,
     one shuffle, entities with a single row dropped (undefined).
 
-    The sum runs over INTEGER-SCALED values (fixture values carry at
-    most 4 decimals — probed round(value,4)==value for every row at
-    every SF — so x*10000 is an exact integer): the r7 driver row
-    proved float summation ORDER breaks round-half ties differently
-    between engines (3/10000 rows off by 1e-6), while the bigint sum
-    is associative-exact, making the single final divide+round
-    bit-identical on both sides — the same ulp-proofing as
-    theilsen_slope_users (integer microseconds)."""
+    Exactness discipline, hardened twice by driver/driver-sim reds:
+    (r7) the sum runs over INTEGER-SCALED values (fixture values carry
+    at most 4 decimals at every SF), so float summation ORDER can't
+    break ties; (r8) the final round-to-6 ITSELF runs in integer
+    arithmetic — round_half_up(a/b, 6) = (2a*10^6 + b) div (2b) —
+    because the quotient's 7th decimal lands EXACTLY on 5 whenever
+    (n-1) divides a power of 10, where Spark's BigDecimal HALF_UP and
+    DuckDB's float-multiply rounding disagree (observed 1e-6 flips at
+    sf0.1). The emitted double is micro-units / 1e6: identical exact
+    integers divided by the same constant on both engines."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     scaled = F.round(F.col("value") * 10000).cast("long")
-    loo = (F.sum(scaled).over(w) - scaled) / ((F.count(F.lit(1)).over(w) - 1) * 10000.0)
+    num = F.sum(scaled).over(w) - scaled
+    den = (F.count(F.lit(1)).over(w) - 1) * 10000
     return (
         ev.withColumn("__n", F.count(F.lit(1)).over(w))
         .filter(F.col("__n") >= 2)
-        .select("event_id", "user_id", F.round(loo, 6).alias("loo_mean"))
+        .withColumn("__num", num.cast("long"))
+        .withColumn("__den", den.cast("long"))
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.expr("(2 * __num * 1000000 + __den) div (2 * __den)")
+                / F.lit(1000000.0)
+            ).alias("loo_mean"),
+        )
     )
 
 
@@ -2202,7 +2219,8 @@ def welch_ttest_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((u1x2 - n1 * n2)
                  / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0)),
                  6) AS z_stat,
-           round(1.0 - u1x2 / (1.0 * n1 * n2), 6) AS rank_biserial,
+           ((2 * (2 * n1 * n2 - u1x2) * 1000000 + 2 * n1 * n2) // (4 * n1 * n2))
+             / 1000000.0 AS rank_biserial,
            abs((u1x2 - n1 * n2)
                / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0))) > 1.96
              AS sig_05
@@ -2220,11 +2238,15 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline: ranks are computed from per-VALUE counts
     (values integer-scaled by 1e4 — fixture values carry <= 4
     decimals), so the doubled rank sum 2*R1 = sum c1*(2*cum_excl+c+1)
-    is an exact BIGINT on both engines; every float enters only in the
-    final z/effect division of identical integers. Plan: one
-    value-keyed count shuffle (~49k distinct values — the window and
-    final aggregate run on the compressed value table, never the raw
-    events), one ordered prefix-sum window, one 1-row aggregate."""
+    is an exact BIGINT on both engines. z divides identical integers
+    through a sqrt (irrational — round(6) is boundary-safe), while the
+    RATIONAL effect size rank_biserial = (2*n1*n2 - u1x2)/(2*n1*n2)
+    rounds in integer arithmetic ((2a*10^6+b) div 2b — the
+    loo_value_encoding lesson: rational quotients land exactly on the
+    round-half boundary, where the engines' round() disagree). Plan:
+    one value-keyed count shuffle (~49k distinct values — the window
+    and final aggregate run on the compressed value table, never the
+    raw events), one ordered prefix-sum window, one 1-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
     vals = ev.groupBy(F.round(F.col("value") * 10000).cast("long").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c"),
@@ -2249,11 +2271,17 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1 * n2 * ((n + 1) - F.col("tie") / (1.0 * n * (n - 1))) / 12.0
     )
     z = (u1x2 - n1 * n2) / sigma_x2
-    return agg.select(
-        n1.alias("n_a"),
-        n2.alias("n_b"),
-        F.round(u1x2 / 2.0, 1).alias("u_a"),
-        F.round(z, 6).alias("z_stat"),
-        F.round(1.0 - u1x2 / (1.0 * n1 * n2), 6).alias("rank_biserial"),
-        (F.abs(z) > 1.96).alias("sig_05"),
+    return (
+        agg.withColumn("__a", (2 * n1 * n2 - u1x2).cast("long"))
+        .withColumn("__b", (2 * n1 * n2).cast("long"))
+        .select(
+            n1.alias("n_a"),
+            n2.alias("n_b"),
+            F.round(u1x2 / 2.0, 1).alias("u_a"),
+            F.round(z, 6).alias("z_stat"),
+            (F.expr("(2 * __a * 1000000 + __b) div (2 * __b)") / F.lit(1000000.0)).alias(
+                "rank_biserial"
+            ),
+            (F.abs(z) > 1.96).alias("sig_05"),
+        )
     )
