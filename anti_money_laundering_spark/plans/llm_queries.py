@@ -324,6 +324,7 @@ _LSH_SHARED: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 #: consume exactly this table, so verification too runs once per
 #: session.
 _PAIRS_SHARED: dict[tuple[str, str], DataFrame] = {}
+_TFIDF_W_SHARED: dict[tuple[str, str], DataFrame] = {}
 
 
 def _app_id(spark: SparkSession) -> str:
@@ -337,7 +338,7 @@ def _evict_dead_sessions(spark: SparkSession) -> None:
     a long-lived process that restarts Spark doesn't pin dead sessions
     and their checkpoint blocks forever. Called on EVERY memo lookup."""
     app = _app_id(spark)
-    for memo in (_LSH_SHARED, _PAIRS_SHARED):
+    for memo in (_LSH_SHARED, _PAIRS_SHARED, _TFIDF_W_SHARED):
         for k in [k for k in memo if k[0] != app]:
             del memo[k]
 
@@ -357,6 +358,23 @@ def _shared_lsh(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         ).localCheckpoint(eager=False)
         _LSH_SHARED[key] = (sets_, cands)
     return _LSH_SHARED[key]
+
+
+def _shared_tfidf_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, bucket, w) hashing-trick TF-IDF weight table, memoized per
+    (session, sf_dir) like the LSH state: the weight build (tokenize +
+    per-distinct-token md5 + two aggs) is a pure function of the corpus
+    and feeds four plan branches per cosine call, so repeated calls
+    (bench passes, the driver's one-shot) pay it once."""
+    from anti_money_laundering_spark.sources import ensure_parallelism
+    from anti_money_laundering_spark.text_ml import tfidf_hashed_weights
+
+    _evict_dead_sessions(spark)
+    key = (_app_id(spark), sf_dir)
+    if key not in _TFIDF_W_SHARED:
+        docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
+        _TFIDF_W_SHARED[key] = tfidf_hashed_weights(docs).localCheckpoint(eager=False)
+    return _TFIDF_W_SHARED[key]
 
 
 def _shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,7 +1288,7 @@ def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), spark)
     pairs = _shared_verified_pairs(spark, sf_dir).select("id_a", "id_b")
-    out = tfidf_hashed_cosine_pairs(docs, pairs)
+    out = tfidf_hashed_cosine_pairs(docs, pairs, weights=_shared_tfidf_w(spark, sf_dir))
     return out.select("id_a", "id_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))
 
 

@@ -103,34 +103,37 @@ def tfidf_exact_cosine_pairs(
     )
 
 
-def tfidf_hashed_cosine_pairs(
+def tfidf_hashed_weights(
     docs: DataFrame,
-    pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_features: int = 4096,
     salt: str = "tfidf-v1",
 ) -> DataFrame:
-    """Hashing-trick TF-IDF cosine for candidate ``pairs`` — the
-    fixed-width-feature-space variant of
-    :func:`tfidf_exact_cosine_pairs`: tokens map to ``num_features``
-    buckets via an ENGINE-PORTABLE hash (md5-derived
-    ``sampling.hash_bucket``), so there is no vocabulary table at all
-    — the property that makes the hashing trick the scale choice when
-    the vocabulary itself would be petabyte-skewed.
+    """(doc, bucket, w) hashing-trick TF-IDF weight table: tokens map
+    to ``num_features`` buckets via an ENGINE-PORTABLE hash
+    (md5-derived ``sampling.hash_bucket``), so there is no vocabulary
+    table at all — the property that makes the hashing trick the scale
+    choice when the vocabulary itself would be petabyte-skewed.
 
     Unlike MLlib's ``HashingTF`` (whose murmur3 buckets no other
     engine can replay — the reason tfidf_similar_pairs sat rows-only
     for 7 rounds), the md5 bucket is deterministic arithmetic both
     Spark and DuckDB compute bit-identically, COLLISIONS INCLUDED, so
-    the cosine values hash-verify exactly. IDF uses MLlib's
+    downstream cosines hash-verify exactly. IDF uses MLlib's
     convention ln((N+1)/(df+1)) (df counted per bucket), keeping the
     numerics of the HashingTF+IDF pipeline this replaces.
 
-    Scale posture: identical to the exact twin — (doc, bucket) and
-    (bucket) keyed aggregations, pair×bucket equi-joins bounded by the
-    candidate set, corpus size folded in as a literal; bucket count
-    bounds the per-doc row fanout at ``num_features``."""
+    Cost discipline: the md5 evaluates once per (doc, DISTINCT token)
+    — counts aggregate on the raw token first, then re-aggregate onto
+    buckets (a cheap map-side combine) — not once per occurrence
+    (measured ~3x cpu on the fixture corpus). The idf table is bounded
+    at num_features rows by construction, so it broadcasts at ANY
+    corpus size, unlike the exact twin's vocabulary-sized idf.
+
+    The returned frame is LAZY; callers that fan it into several plan
+    branches should localCheckpoint/memoize it
+    (plans/llm_queries._shared_tfidf_w)."""
     from anti_money_laundering_spark.functions import tokens_sql
     from anti_money_laundering_spark.sampling import hash_bucket
 
@@ -139,9 +142,11 @@ def tfidf_hashed_cosine_pairs(
             F.col(id_col).alias("doc"),
             F.explode(F.expr(tokens_sql(text_col))).alias("token"),
         )
-        .select("doc", hash_bucket(F.col("token"), num_features, salt=salt).alias("bucket"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc", hash_bucket(F.col("token"), num_features, salt=salt).alias("bucket"), "tf")
         .groupBy("doc", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
     )
     n = docs.count()
     idf = (
@@ -152,19 +157,39 @@ def tfidf_hashed_cosine_pairs(
             F.log((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)).alias("idf"),
         )
     )
-    # the idf table is bounded at num_features rows by construction —
-    # the hashing trick's whole point — so it broadcasts at ANY corpus
-    # size, unlike the exact twin's vocabulary-sized idf
-    w = toks.join(F.broadcast(idf), "bucket").select(
+    return toks.join(F.broadcast(idf), "bucket").select(
         "doc", "bucket", (F.col("cnt") * F.col("idf")).alias("w")
     )
-    # w feeds FOUR plan branches (norms twice via na/nb, wa, wb);
-    # without materialization Catalyst re-derives the whole
-    # tokenize+agg+join subtree per branch (measured: 23 exchanges,
-    # zero reuse). One localCheckpoint computes it once — the same
-    # share-the-expensive-intermediate pattern as plans/llm_queries
-    # _shared_lsh.
-    w = w.localCheckpoint()
+
+
+def tfidf_hashed_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 4096,
+    salt: str = "tfidf-v1",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Hashing-trick TF-IDF cosine for candidate ``pairs`` — the
+    fixed-width-feature-space variant of
+    :func:`tfidf_exact_cosine_pairs`; see :func:`tfidf_hashed_weights`
+    for the portable-hash and IDF conventions. Pass a precomputed
+    (memoized/checkpointed) ``weights`` table to amortize the weight
+    build across calls.
+
+    Scale posture: identical to the exact twin — (doc, bucket) and
+    (bucket) keyed aggregations, pair×bucket equi-joins bounded by the
+    candidate set, corpus size folded in as a literal; bucket count
+    bounds the per-doc row fanout at ``num_features``."""
+    if weights is not None:
+        w = weights
+    else:
+        # w feeds FOUR plan branches (norms twice via na/nb, wa, wb);
+        # without materialization Catalyst re-derives the whole
+        # tokenize+agg+join subtree per branch (measured: 23 exchanges,
+        # zero reuse). One localCheckpoint computes it once.
+        w = tfidf_hashed_weights(docs, id_col, text_col, num_features, salt).localCheckpoint()
     norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     wa = w.select(F.col("doc").alias("id_a"), "bucket", F.col("w").alias("__wa"))
     wb = w.select(F.col("doc").alias("id_b"), "bucket", F.col("w").alias("__wb"))
