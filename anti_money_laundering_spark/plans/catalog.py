@@ -270,6 +270,10 @@ _R9_PLAN: tuple[str, ...] = (
     "copurchase_graph_edges",
     # exact-arithmetic deterministic Lloyd round (r8-new)
     "kmeans_lloyd_assignments",
+    # ntile / percent_rank / cume_dist completion of the window family (r8-new)
+    "rank_distribution_orders",
+    # regex scalar surface: extract / global replace / count / match (r8-new)
+    "regex_scalar_suite",
 )
 
 #: round -> the plan of queries that must receive their FIRST driver

@@ -1150,3 +1150,69 @@ def xml_roundtrip_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "xml", F.col("__s.et").alias("et"), F.col("__s.v").alias("v"))
     )
+
+
+@register(
+    "rank_distribution_orders",
+    tags=("W-ext",),
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rank_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three SQL-standard rank-DISTRIBUTION window functions —
+    ntile / percent_rank / cume_dist — over each priority class's
+    price order: the decile bucketing and percentile features behind
+    score calibration and per-segment price positioning (rank/
+    row_number/lag cover the rest of the window family elsewhere in
+    the catalog). Determinism: the (price, orderkey) sort key is
+    unique, so ntile's ceil/floor bucket split, percent_rank's
+    (rank-1)/(n-1) and cume_dist's rank/n divide IDENTICAL integers on
+    both engines — the raw doubles hash-verify with no rounding at
+    all. One shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "regex_scalar_suite",
+    tags=("F-ext",),
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+           CAST(length(regexp_replace(text, '[ae]+', '#', 'g')) AS BIGINT) AS squashed_len,
+           regexp_extract(text, '([a-z]{5,})', 1) AS first_long_word,
+           regexp_matches(text, '^key') AS starts_key
+    FROM documents
+    """,
+)
+def regex_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar surface (extract / global replace /
+    match count / boolean match) over the document corpus — the
+    pattern toolkit behind PII scrubbing, template stripping and
+    boilerplate screens (curation.pii_redact uses the same builtins;
+    this suite attests their parity in isolation). Dialect care: the
+    patterns stay in the character-class subset Java regex and RE2
+    share, Spark's regexp_replace is global by default where DuckDB
+    needs the 'g' flag, and regexp_count pairs with DuckDB's
+    len(regexp_extract_all). All codegen'd scans — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[aeiou]+")).cast("long").alias("vowel_runs"),
+        F.length(F.regexp_replace("text", "[ae]+", "#")).cast("long").alias("squashed_len"),
+        F.regexp_extract("text", "([a-z]{5,})", 1).alias("first_long_word"),
+        F.col("text").rlike("^key").alias("starts_key"),
+    )
