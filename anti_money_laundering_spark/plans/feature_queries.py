@@ -1183,8 +1183,9 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is EMITTED comma-joined: the r7 driver row proved the driver's
     canonicalizer (pandas sort_values over raw columns) crashes on any
     ArrayType output ("unhashable type: list"), so windowed queries
-    must emit scalar columns only (enforced repo-wide by
-    tests/test_catalog_window.py::test_window_outputs_are_scalar)."""
+    must emit scalar columns only (enforced repo-wide by the output-
+    schema sweep in tests/test_plan_lint.py::
+    test_no_catalog_plan_contains_scale_antipatterns)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
@@ -2219,7 +2220,7 @@ def welch_ttest_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((u1x2 - n1 * n2)
                  / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0)),
                  6) AS z_stat,
-           ((2 * (2 * n1 * n2 - u1x2) * 1000000 + 2 * n1 * n2) // (4 * n1 * n2))
+           (((2 * u1x2 * 1000000 + n1 * n2) // (2 * n1 * n2)) - 1000000)
              / 1000000.0 AS rank_biserial,
            abs((u1x2 - n1 * n2)
                / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0))) > 1.96
@@ -2240,10 +2241,15 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals), so the doubled rank sum 2*R1 = sum c1*(2*cum_excl+c+1)
     is an exact BIGINT on both engines. z divides identical integers
     through a sqrt (irrational — round(6) is boundary-safe), while the
-    RATIONAL effect size rank_biserial = (2*n1*n2 - u1x2)/(2*n1*n2)
-    rounds in integer arithmetic ((2a*10^6+b) div 2b — the
-    loo_value_encoding lesson: rational quotients land exactly on the
-    round-half boundary, where the engines' round() disagree). Plan:
+    RATIONAL effect size rank_biserial = 2*U1/(n1*n2) - 1 =
+    u1x2/(n1*n2) - 1 (r8 review fix: the first cut dropped the factor
+    2 on U1, emitting the sign-inverted (1-r)/2) rounds in integer
+    arithmetic on the SHIFTED nonnegative form r+1 = u1x2/(n1*n2),
+    subtracting the 10^6 offset while still integral — the
+    loo_value_encoding lesson (rational quotients land exactly on the
+    round-half boundary, where the engines' round() disagree), plus
+    keeping integer division away from negatives (Spark div truncates
+    toward zero, DuckDB // floors). Plan:
     one value-keyed count shuffle (~49k distinct values — the window
     and final aggregate run on the compressed value table, never the
     raw events), one ordered prefix-sum window, one 1-row aggregate."""
@@ -2272,16 +2278,17 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (u1x2 - n1 * n2) / sigma_x2
     return (
-        agg.withColumn("__a", (2 * n1 * n2 - u1x2).cast("long"))
-        .withColumn("__b", (2 * n1 * n2).cast("long"))
+        agg.withColumn("__a", u1x2.cast("long"))
+        .withColumn("__b", (n1 * n2).cast("long"))
         .select(
             n1.alias("n_a"),
             n2.alias("n_b"),
             F.round(u1x2 / 2.0, 1).alias("u_a"),
             F.round(z, 6).alias("z_stat"),
-            (F.expr("(2 * __a * 1000000 + __b) div (2 * __b)") / F.lit(1000000.0)).alias(
-                "rank_biserial"
-            ),
+            (
+                (F.expr("(2 * __a * 1000000 + __b) div (2 * __b)") - 1000000)
+                / F.lit(1000000.0)
+            ).alias("rank_biserial"),
             (F.abs(z) > 1.96).alias("sig_05"),
         )
     )

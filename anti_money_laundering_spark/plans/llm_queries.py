@@ -1266,10 +1266,15 @@ def tfidf_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN w wb ON wb.doc = p.id_b AND wb.bucket = wa.bucket
         GROUP BY p.id_a, p.id_b
     )
-    SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
-    FROM dots d
-    JOIN norms na ON na.doc = d.id_a
-    JOIN norms nb ON nb.doc = d.id_b
+    -- LEFT join mirrors the Spark side's keep-zero-overlap-pairs
+    -- contract (text_ml.tfidf_hashed_cosine_pairs): a candidate pair
+    -- with no shared bucket scores 0.0 instead of vanishing
+    SELECT p.id_a, p.id_b,
+           round(coalesce(d.dot, 0.0) / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+    FROM jp p
+    LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+    JOIN norms na ON na.doc = p.id_a
+    JOIN norms nb ON nb.doc = p.id_b
     """,
 )
 def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,7 +36,9 @@ from anti_money_laundering_spark.plans.catalog import (
 #: froze). Generalized over _COMPLETION_PLANS (r7 verdict item 2) so a
 #: rotation only edits catalog.py, never this module.
 _CURRENT_PLAN = _COMPLETION_PLANS[_WINDOW_ROUND]
-_NEXT_PLAN = _COMPLETION_PLANS[_WINDOW_ROUND + 1]
+# default (): a just-rotated round has no post-freeze registrations yet,
+# so a missing next-round entry must not kill collection with a KeyError
+_NEXT_PLAN = _COMPLETION_PLANS.get(_WINDOW_ROUND + 1, ())
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 

@@ -843,3 +843,39 @@ def test_welch_ttest_matches_numpy(spark):
     assert row.t_stat == round(float(t), 6)
     assert row.dof == round(float(dof), 2)
     assert row.sig_05 == (abs(t) > 1.96)
+
+
+def test_mannwhitney_matches_hand_reference(spark):
+    """Pin the U/z/effect formulas against a tiny hand-checkable case
+    (the r8 review caught the first cut emitting the sign-inverted
+    (1-r)/2 instead of the rank-biserial r = 2*U1/(n1*n2) - 1; both
+    sides shared the bug so oracle parity could not). Period A values
+    {3.0, 5.0} vs period B {1.0, 2.0, 3.0}: joint avg ranks give
+    R1 = 3.5 + 5 = 8.5, U1 = R1 - n1(n1+1)/2 = 5.5 of n1*n2 = 6, so
+    rank_biserial = 2*5.5/6 - 1 = 0.833333 (A dominates => positive)."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    a_day = dt.datetime(2024, 1, 10)  # < _DRIFT_SPLIT 2024-01-16
+    b_day = dt.datetime(2024, 1, 20)
+    rows = [(1, a_day, 3.0), (2, a_day, 5.0), (3, b_day, 1.0), (4, b_day, 2.0), (5, b_day, 3.0)]
+    ev = spark.createDataFrame(
+        [(i, ts, v, f"e{i}", "click") for i, ts, v in rows],
+        "user_id long, ts timestamp, value double, event_id string, event_type string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        row = fq.mannwhitney_value_periods(spark, "ignored").collect()[0]
+    finally:
+        fq.load_table = orig
+    assert (row.n_a, row.n_b) == (2, 3)
+    assert row.u_a == 5.5
+    assert row.rank_biserial == 0.833333
+    # tie-corrected z: mu = 3, sigma^2 = (6/12) * (6 - (2^3-2)/(5*4)) = 2.85
+    import math
+
+    want_z = round((5.5 - 3.0) / math.sqrt(2.85), 6)
+    assert row.z_stat == want_z
+    assert not row.sig_05

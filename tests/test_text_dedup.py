@@ -427,3 +427,71 @@ def test_winnowing_matches_bruteforce_and_guarantee(spark):
     h0 = {r.gram_hash for r in fps if r.doc_id == 0}
     h1 = {r.gram_hash for r in fps if r.doc_id == 1}
     assert h0 & h1, "winnowing guarantee violated"
+
+
+def test_tfidf_hashed_cosines_stay_off_rounding_boundaries(spark, sf_dir):
+    """Pre-driver pin for the tfidf_similar_pairs oracle's ONE
+    non-rational ingredient (r8 review finding): idf = ln((N+1)/(df+1))
+    relies on JVM Math.log and DuckDB libm ln() agreeing — MEASURED to
+    differ in the last ulp on this fixture (e.g. 0.2556007614615914 vs
+    ...44), so bit-identity is unachievable and round(6) tolerance is
+    what actually protects the hash compare, exactly as it has for the
+    ledger-green exact twin since r1. This pin verifies the two
+    conditions under which that protection is airtight at the fixture
+    SFs: (a) the engines' weight tables agree to <= 1e-12 relative
+    (so cosine wiggle is ~1e-12 too), and (b) NO compared cosine sits
+    within 1e-9 of a round-half-to-6-decimals boundary — a 1000x
+    safety margin. If a fixture regen ever fails (b), drop the oracle
+    to rows-only BEFORE the driver runs (the minhash-recall-pin
+    protocol)."""
+    import duckdb
+
+    from anti_money_laundering_spark.plans.llm_queries import (
+        _DUCK_TOKS,
+        _duck_hash_bucket,
+        _shared_verified_pairs,
+    )
+    from anti_money_laundering_spark.sources import load_table
+    from anti_money_laundering_spark.text_ml import (
+        tfidf_hashed_cosine_pairs,
+        tfidf_hashed_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc"], r["bucket"]): r["w"] for r in tfidf_hashed_weights(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict()
+    for doc, bucket, w in con.execute(f"""
+        WITH bcnt AS (
+            SELECT doc_id AS doc, {_duck_hash_bucket("tok", "tfidf-v1", 4096)} AS bucket,
+                   count(*) AS cnt
+            FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT bucket,
+                   ln(((SELECT count(*) FROM documents) + 1.0)
+                      / (count(DISTINCT doc) + 1.0)) AS idf
+            FROM bcnt GROUP BY bucket
+        )
+        SELECT doc, bcnt.bucket, cnt * idf AS w
+        FROM bcnt JOIN idf ON idf.bucket = bcnt.bucket
+    """).fetchall():
+        want[(doc, bucket)] = w
+    assert set(got) == set(want)  # bucket assignment (md5) must be exact
+    worst = max(abs(got[k] - want[k]) / max(abs(want[k]), 1e-300) for k in want)
+    assert worst <= 1e-12, f"weight tables diverged beyond ulp noise: {worst}"
+
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    cosines = [
+        r["tfidf_cosine"]
+        for r in tfidf_hashed_cosine_pairs(docs, pairs).collect()
+    ]
+    assert cosines
+    margin = min(abs((abs(c) * 1e6) % 1.0 - 0.5) for c in cosines)
+    assert margin > 1e-9, f"a cosine sits {margin} from a round(6) boundary"
