@@ -86,6 +86,28 @@ def main() -> int:
     n_contam = ngram_overlap(rest, bench, n=4).count()
     t_dc = time.perf_counter() - t0
     print(f"decontam: corpus={n_docs * replicas} contaminated_docs={n_contam} ({t_dc:.1f}s)")
+
+    # --- exact-arithmetic Lloyd round (r8): same synthetic corpus at
+    # dim 64 (the fixture embedding width); the a1/a2 joins fan out to
+    # n_vectors * k * dim rows — the claim under test is that one
+    # deterministic k-means round stays keyed-join/agg shaped (no
+    # collect, no all-pairs) at 100x the fixture corpus.
+    from anti_money_laundering_spark.ml import exact_kmeans_assignments
+
+    dim64 = F.array(
+        *[
+            (F.pmod(F.xxhash64("id", F.lit(f"e{i}")), 2000) / 1000.0 - 1.0).cast("float")
+            for i in range(64)
+        ]
+    )
+    emb64 = spark.range(n_vectors).select(F.col("id").alias("vec_id"), dim64.alias("embedding"))
+    t0 = time.perf_counter()
+    km = exact_kmeans_assignments(emb64, k=8)
+    sizes = sorted(
+        (r["cluster"], r["n"]) for r in km.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    )
+    t_km = time.perf_counter() - t0
+    print(f"kmeans: corpus={n_vectors} dim=64 k=8 cluster_sizes={sizes} ({t_km:.1f}s)")
     return 0
 
 
