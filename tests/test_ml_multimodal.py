@@ -247,3 +247,120 @@ def test_experiment_tracking_gate():
 
     exp = mlflow.get_experiment_by_name("aml-engine-test")
     assert exp is not None
+
+
+def test_exact_kmeans_matches_numpy_lloyd_reference(spark):
+    """Independent reference for the exact-arithmetic Lloyd round (the
+    r8 rank_biserial lesson: the DuckDB oracle mirrors the same
+    formulas, so a shared semantic bug passes parity — only an
+    out-of-family reference catches it). Replay the ENTIRE definition
+    in numpy: md5 seed selection, integer-scaled coordinates, argmin
+    with (dist, cluster) tiebreak, mean update, exact second
+    assignment — assignments and distances must agree."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from anti_money_laundering_spark.ml import exact_kmeans_assignments
+
+    rng = random.Random(7)
+    n, dim, k = 60, 5, 4
+    vecs = {i: [round(rng.uniform(-0.6, 0.6), 6) for _ in range(dim)] for i in range(n)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in exact_kmeans_assignments(emb, k=k).collect()
+    }
+
+    # numpy replay — NB float32 storage: scale the float32-rounded value
+    x = {
+        i: np.array([round(float(np.float32(v)) * 1e6) for v in vecs[i]], dtype=np.int64)
+        for i in range(n)
+    }
+
+    def hb(key: int) -> int:
+        h = hashlib.md5(f"kmeans-v1{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000_000
+
+    seeds = sorted(range(n), key=lambda i: (hb(i), i))[:k]
+    cent = {c: x[i] for c, i in enumerate(seeds)}
+    assign1 = {
+        i: min(range(k), key=lambda c: (int(((x[i] - cent[c]) ** 2).sum()), c))
+        for i in range(n)
+    }
+    members = {c: [i for i in range(n) if assign1[i] == c] for c in range(k)}
+    sums = {c: sum(x[i] for i in members[c]) for c in range(k) if members[c]}
+    counts = {c: len(members[c]) for c in range(k) if members[c]}
+    want = {}
+    for i in range(n):
+        dists = {
+            c: float(((counts[c] * x[i] - sums[c]).astype(object) ** 2).sum())
+            / float(counts[c] * counts[c])
+            for c in sums
+        }
+        best = min(sums, key=lambda c: (dists[c], c))
+        want[i] = (best, round(float(np.sqrt(dists[best])) / 1e6, 6))
+    assert got == want
+
+
+def test_copurchase_matches_bruteforce_reference(spark):
+    """Brute-force python reference for the bipartite projection: on a
+    small synthetic basket set the hub cap and min-shared threshold
+    must match a dict-based reimplementation exactly."""
+    import itertools
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    baskets = [
+        # part 1 is a hub bought by everyone (cap must drop it)
+        *[(c, 1) for c in range(50)],
+        # customers 0..5 share parts 10..14 (>=4 shared after cap)
+        *[(c, p) for c in range(6) for p in range(10, 15)],
+        # customers 6,7 share only parts 20..22 (3 shared -> excluded)
+        *[(c, p) for c in (6, 7) for p in (20, 21, 22)],
+    ]
+    orders = spark.createDataFrame(
+        [(i, c, "O", 1.0, "1995-01-01", "1-URGENT") for i, (c, _) in enumerate(baskets)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, p, 1.0, 1.0, 0.0) for i, (_, p) in enumerate(baskets)],
+        "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: tables[name]
+    try:
+        got = {
+            (r.cust_a, r.cust_b): r.shared_parts
+            for r in gq.copurchase_graph_edges(spark, "ignored").collect()
+        }
+    finally:
+        gq.load_table = orig
+
+    # reference: distinct (c, p), drop parts with > 40 buyers, pair-count
+    cp = set(baskets)
+    freq = {}
+    for _, p in cp:
+        freq[p] = freq.get(p, 0) + 1
+    kept = [(c, p) for c, p in cp if freq[p] <= 40]
+    want = {}
+    by_part = {}
+    for c, p in kept:
+        by_part.setdefault(p, []).append(c)
+    for p, cs in by_part.items():
+        for a, b in itertools.combinations(sorted(cs), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    want = {k: v for k, v in want.items() if v >= 4}
+    assert got == want
+    assert got  # the 0..5 clique must survive
+    assert (6, 7) not in got  # 3 shared parts -> below threshold
+    # hub-only pairs (e.g. customers 20, 21 who share ONLY part 1) must
+    # not appear: the cap removed the part before the pair join
+    assert all(a < 8 and b < 8 for a, b in got)
