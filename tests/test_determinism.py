@@ -32,6 +32,8 @@ QUERIES = [
     "linkage_em_scored",
     "user_event_type_profile",  # array cell order (array_sort'd collect_set)
     "mad_outlier_values",  # double-window robust z + threshold
+    "kmeans_lloyd_assignments",  # iterative argmin over exact integer distances
+    "copurchase_graph_edges",  # posting-list pair join + hub cap
 ]
 
 
