@@ -599,8 +599,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pc.community, pc.n_nodes,
            CAST(coalesce(ein.e_internal, 0) AS BIGINT) AS e_internal,
            pc.d_total,
+           -- + 0.0 canonicalizes IEEE negative zero: a community whose
+           -- true q_contrib is within an ulp of zero can round to -0.0
+           -- on one engine and +0.0 on the other (observed at sf0.1),
+           -- and the hash compare distinguishes the two
            round(coalesce(ein.e_internal, 0) / m.m
-                 - power(pc.d_total / (2 * m.m), 2), 6) AS q_contrib
+                 - power(pc.d_total / (2 * m.m), 2), 6) + 0.0 AS q_contrib
     FROM pc LEFT JOIN ein USING (community) CROSS JOIN m
     """.format(FLOW_EDGES_SQL=FLOW_EDGES_SQL, ROUND1=_lpa_round_cte(1),
                ROUND2=_lpa_round_cte(2), ROUND3=_lpa_round_cte(3)),
@@ -623,7 +627,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         "e_internal",
         "d_total",
-        F.round("q_contrib", 6).alias("q_contrib"),
+        # + 0.0 canonicalizes -0.0 (see the oracle comment)
+        (F.round("q_contrib", 6) + F.lit(0.0)).alias("q_contrib"),
     )
 
 

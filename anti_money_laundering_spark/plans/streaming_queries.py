@@ -59,8 +59,13 @@ def stream_sliding_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, value,
+               -- exact microsecond gap: date_diff('second', ...) counts
+               -- crossed second BOUNDARIES, so a 1799.2s gap spanning a
+               -- boundary reads as 1800 and splits a session Spark's
+               -- sub-second session_window keeps (observed off-by-one
+               -- at sf0.1)
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
