@@ -276,9 +276,20 @@ def test_exact_kmeans_matches_numpy_lloyd_reference(spark):
         for r in exact_kmeans_assignments(emb, k=k).collect()
     }
 
-    # numpy replay — NB float32 storage: scale the float32-rounded value
+    # numpy replay — NB float32 storage: scale the float32-rounded
+    # value. Rounding must be HALF-AWAY-FROM-ZERO like Spark's F.round
+    # (python round() is banker's): odd/128 float32 values land EXACTLY
+    # on .5 after *1e6 (e.g. 0.0078125 -> 7812.5), where the two rules
+    # diverge (r8 review finding).
+    import math
+
+    def half_away(v: float) -> int:
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
     x = {
-        i: np.array([round(float(np.float32(v)) * 1e6) for v in vecs[i]], dtype=np.int64)
+        i: np.array(
+            [half_away(float(np.float32(v)) * 1e6) for v in vecs[i]], dtype=np.int64
+        )
         for i in range(n)
     }
 
@@ -303,6 +314,9 @@ def test_exact_kmeans_matches_numpy_lloyd_reference(spark):
             for c in sums
         }
         best = min(sums, key=lambda c: (dists[c], c))
+        # python round (banker's) vs Spark HALF_UP is safe HERE only
+        # because sqrt outputs are irrational (tie measure zero) —
+        # unlike the coordinate scaling above
         want[i] = (best, round(float(np.sqrt(dists[best])) / 1e6, 6))
     assert got == want
 

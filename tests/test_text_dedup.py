@@ -493,5 +493,9 @@ def test_tfidf_hashed_cosines_stay_off_rounding_boundaries(spark, sf_dir):
         for r in tfidf_hashed_cosine_pairs(docs, pairs).collect()
     ]
     assert cosines
+    # margin is in SCALED units (1.0 here = 1e-6 of cosine), so the
+    # 1e-9-of-cosine guard is 1e-3 scaled (r8 review: a 1e-9 scaled
+    # threshold would only enforce 1e-15 of cosine — BELOW the 1e-12
+    # wiggle condition (a) permits)
     margin = min(abs((abs(c) * 1e6) % 1.0 - 0.5) for c in cosines)
-    assert margin > 1e-9, f"a cosine sits {margin} from a round(6) boundary"
+    assert margin > 1e-3, f"a cosine sits {margin * 1e-6} from a round(6) boundary"
