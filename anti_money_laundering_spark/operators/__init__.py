@@ -34,6 +34,7 @@ __all__ = [
     "expectations",
     "rrf_fuse",
     "skyline_2d",
+    "bipartite_project",
 ]
 
 
@@ -920,4 +921,44 @@ def skyline_2d(
         df.join(frontier_x, x)
         .filter(F.col(y) == F.col("__ymax"))
         .drop("__ymax")
+    )
+
+
+def bipartite_project(
+    baskets: DataFrame,
+    entity_col: str,
+    item_col: str,
+    hub_cap: int,
+    min_shared: int,
+) -> DataFrame:
+    """Project a two-mode (entity, item) relation onto a weighted
+    one-mode entity graph: an edge (a, b, shared) for every entity pair
+    sharing >= ``min_shared`` items — the standard construction for
+    co-counterparty AML graphs and co-purchase/co-view recommendation
+    graphs.
+
+    Scale posture: the pair generator is a POSTING-LIST equi-join on
+    the shared item (the token-posting pattern), never all-pairs — and
+    its classic failure mode, quadratic fanout on hub items (one item
+    with 1M buyers emits 5*10^11 pairs), is removed BEFORE the join by
+    the ``hub_cap`` degree filter (<= cap entities per item), the same
+    stop-token discipline as vocabulary-keyed joins. Plan: one distinct
+    shuffle on (entity, item), one count shuffle on item, the pair join
+    keyed on item, one pair-count shuffle. Stress-measured with a
+    planted hub in tools/stress_graph.py (SCALE.md §bipartite
+    projection).
+
+    ``baskets`` rows need not be distinct; duplicates are collapsed so
+    multiplicity never inflates shared counts."""
+    b = baskets.select(F.col(entity_col).alias("__ent"), F.col(item_col).alias("__item")).distinct()
+    freq = b.groupBy("__item").agg(F.count(F.lit(1)).alias("__nf"))
+    keep = b.join(freq.filter(F.col("__nf") <= hub_cap).select("__item"), "__item")
+    a_side = keep.select(F.col("__ent").alias(f"{entity_col}_a"), "__item")
+    b_side = keep.select(F.col("__ent").alias(f"{entity_col}_b"), "__item")
+    return (
+        a_side.join(b_side, "__item")
+        .filter(F.col(f"{entity_col}_a") < F.col(f"{entity_col}_b"))
+        .groupBy(f"{entity_col}_a", f"{entity_col}_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_items"))
+        .filter(F.col("shared_items") >= min_shared)
     )

@@ -1794,23 +1794,24 @@ def copurchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-keyed joins. One distinct shuffle on (customer, part), one
     count shuffle on part, the pair join keyed on part, one pair-count
     shuffle."""
+    from anti_money_laundering_spark.operators import bipartite_project
+
     orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("c")
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("cust")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     )
-    baskets = orders.join(li, "okey").select("c", "p").distinct()
-    part_freq = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
-    keep = baskets.join(
-        part_freq.filter(F.col("np") <= _COPURCHASE_HUB_CAP).select("p"), "p"
+    baskets = orders.join(li, "okey")
+    out = bipartite_project(
+        baskets,
+        entity_col="cust",
+        item_col="part",
+        hub_cap=_COPURCHASE_HUB_CAP,
+        min_shared=_COPURCHASE_MIN_SHARED,
     )
-    a = keep.select(F.col("c").alias("cust_a"), "p")
-    b = keep.select(F.col("c").alias("cust_b"), "p")
-    return (
-        a.join(b, "p")
-        .filter(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_parts"))
-        .filter(F.col("shared_parts") >= _COPURCHASE_MIN_SHARED)
+    return out.select(
+        F.col("cust_a").alias("cust_a"),
+        F.col("cust_b").alias("cust_b"),
+        F.col("shared_items").alias("shared_parts"),
     )

@@ -1174,7 +1174,16 @@ def rank_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique, so ntile's ceil/floor bucket split, percent_rank's
     (rank-1)/(n-1) and cume_dist's rank/n divide IDENTICAL integers on
     both engines — the raw doubles hash-verify with no rounding at
-    all. One shuffle on the partition key."""
+    all. One shuffle on the partition key.
+
+    Scale caveat (honest): o_orderpriority has 5 values, so at 100 TB
+    each window partition is ~1/5 of the table sorted in ONE task —
+    the low-cardinality-partition hazard every distribution window
+    carries. The engine's scale path for that regime is
+    sampling.dense_index (range-repartitioned distributed rank; rank
+    plus a broadcast per-group count reconstructs all three functions
+    without a single-task sort); this query keeps the builtin
+    formulation because it is the SQL-surface parity exhibit."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(

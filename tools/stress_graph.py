@@ -91,6 +91,29 @@ def main() -> int:
         f"betweenness: 4 landmarks, top5={[(r.id, round(r.betweenness, 1)) for r in top]} "
         f"wall={t_bc:.1f}s"
     )
+
+    # --- bipartite projection with a PLANTED HUB (r8): 20M (entity,
+    # item) baskets over 1M entities x 200k items, plus one item bought
+    # by 100k entities — uncapped it alone emits ~5e9 pairs; the
+    # hub_cap filter must remove it BEFORE the pair join, keeping the
+    # projection linear in the posting-list sizes.
+    from anti_money_laundering_spark.operators import bipartite_project
+
+    n_baskets = max(n_edges * 2, 1_000_000)
+    baskets = spark.range(n_baskets).select(
+        F.pmod(F.xxhash64("id", F.lit("ent")), 1_000_000).alias("ent"),
+        F.pmod(F.xxhash64("id", F.lit("itm")), 200_000).alias("itm"),
+    )
+    hub = spark.range(100_000).select(
+        F.col("id").alias("ent"), F.lit(777_777_777).alias("itm")
+    )
+    t0 = time.perf_counter()
+    proj = bipartite_project(
+        baskets.unionByName(hub), "ent", "itm", hub_cap=1000, min_shared=3
+    )
+    n_edges_out = proj.count()
+    t_bp = time.perf_counter() - t0
+    print(f"bipartite_project: baskets={n_baskets}+hub100k edges_out={n_edges_out} wall={t_bp:.1f}s")
     return 0
 
 
