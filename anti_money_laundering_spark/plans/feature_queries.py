@@ -1293,15 +1293,20 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-ext", "W-ext"),
     oracle="""
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, sum(c) AS s, sum(c * c) AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY user_id
+      HAVING count(*) >= 5
     )
     SELECT user_id,
-           round(var_samp(c) / avg(c), 6) AS fano,
-           CAST(count(*) AS BIGINT) AS n_days
-    FROM daily
-    GROUP BY user_id
-    HAVING count(*) >= 5 AND avg(c) > 0
+           ((2 * (n * ss - s * s) * 1000000 + (n - 1) * s)
+              // (2 * (n - 1) * s)) / 1000000.0 AS fano,
+           n AS n_days
+    FROM stats
     """,
 )
 def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,18 +1315,42 @@ def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     organic activity, >>1 for burst-and-silence patterns (campaign
     scripts, dump days). Two keyed aggregations, both map-side
     partial; the active-day spine comes from the same daily counts the
-    gap-fill query builds."""
+    gap-fill query builds.
+
+    Exactness (r8 sf0.1 audit find — an INTERMITTENT flip):
+    var_samp/avg over integer counts is fully rational, fano =
+    (n*Σc² - (Σc)²) / ((n-1)*Σc), and a user's quotient can sit on the
+    round-half-to-6 boundary, where Spark's own float summation order
+    wobbles the computed double BETWEEN RUNS (one audit pass green,
+    the next red on the same code). Both sides now aggregate exact
+    integer Σc/Σc² and apply the repo's integer round_half_up
+    ((2a*10^6+b) div 2b) — no float enters before the final division
+    of identical integers."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("c")
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    return (
+    stats = (
         daily.groupBy("user_id")
         .agg(
-            F.round(F.var_samp("c") / F.avg("c"), 6).alias("fano"),
-            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.count(F.lit(1)).cast("long").alias("n"),
         )
-        .filter(F.col("n_days") >= 5)
+        .filter(F.col("n") >= 5)
+    )
+    return (
+        stats.withColumn(
+            "__a", (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("long")
+        )
+        .withColumn("__b", ((F.col("n") - 1) * F.col("s")).cast("long"))
+        .select(
+            "user_id",
+            (
+                F.expr("(2 * __a * 1000000 + __b) div (2 * __b)") / F.lit(1000000.0)
+            ).alias("fano"),
+            F.col("n").alias("n_days"),
+        )
     )
 
 
