@@ -78,19 +78,20 @@ DRIVER_WINDOW = 50
 #: count as prior evidence. This makes the suite time-stable (r6
 #: verdict item 2): it passes identically before and after the
 #: current round's driver artifact lands on disk.
-_WINDOW_ROUND = 8
+_WINDOW_ROUND = 9
 
-#: ROUND-8 ROTATION — the DEBT-CLEARING round (r7 verdict items 1-3):
-#: the 8-query flagship keep core re-attests as always; all 32
-#: ``_R8_PLAN`` queries (registered during r7, after its window froze)
-#: get their first driver rows; the 4 queries that went RED in r7 on
-#: driver-contract defects (array outputs crash the driver's
-#: canonicalizer; Decimal objects normalize to 6 significant digits;
-#: float-sum tie-breaking) re-attest their fixes; and the remaining 6
-#: slots re-row the r1-format ``no_oracle`` ghosts (now oracled or
-#: scalar-shaped) plus rotated-out bench headliners for cross-round
-#: regression evidence. Every rotated-out query stayed green in prior
-#: driver rounds AND passes the identical DuckDB compare in pytest
+#: ROUND-9 ROTATION — the FULL-ATTESTATION round (r8 verdict item 1):
+#: the 8-query flagship keep core re-attests as always; the 5
+#: ``_R9_PLAN`` queries (registered during r8, after its window froze)
+#: get their first driver rows — after which EVERY catalog query has at
+#: least one driver row; ``ml_embedding_pca`` re-attests for its first
+#: HASH row (r8 verdict item 3: eigenbasis sign-canonicalized + §E
+#: skeleton oracle, leaving ``_ROWS_ONLY_UNATTESTABLE`` empty); and the
+#: remaining 36 slots re-row the OLDEST ledger entries (every r1-r3
+#: attestation plus the 12 oldest r4 ones) for cross-round regression
+#: evidence — their only driver rows predate four rounds of engine
+#: refactors. Every rotated-out query stayed green in prior driver
+#: rounds AND passes the identical DuckDB compare in pytest
 #: (tests/test_catalog_oracle.py).
 _WINDOW: tuple[str, ...] = (
     # --- keep core: 8 flagship canaries ------------------------------
@@ -102,55 +103,55 @@ _WINDOW: tuple[str, ...] = (
     "linkage_entity_clusters",  # E4,G4
     "ann_lsh_topk",             # LLM,ann (recall-1.0 pin, exact oracle)
     "aml_alert_feed",           # G5,G4,G6,U2 (composite flagship)
-    # --- 32 first-time attestations: the committed _R8_PLAN ----------
-    "winnow_fingerprints_docs",
-    "winnow_candidate_pairs",
-    "time_rollup_events",
-    "lang_trigram_docs",
-    "graph_k_truss",
-    "winnow_incremental_newdocs",
-    "set_intersect_all_pairs",
-    "set_except_all_pairs",
-    "heavy_hitter_tokens",
-    "hll_rollup_users",
-    "overlap_sessions_pairs",
-    "fuzzy_name_pairs",
-    "graph_betweenness",
-    "graph_edge_betweenness",
-    "cusum_changepoints",
-    "ngram_lm_quality",
-    "bpe_pair_counts",
-    "graph_modularity",
-    "retrieval_rrf_fusion",
-    "bloom_prefilter_revenue",
-    "skyline_orders",
-    "acf_daily_values",
-    "survival_km_users",
-    "graph_hits",
-    "psi_value_drift",
-    "mutual_info_type_dow",
-    "theilsen_slope_users",
-    "graph_weighted_sssp",
-    "attribution_touchpoints",
-    "spearman_qty_discount",
-    "graph_densest_peel",
-    "welch_ttest_periods",
-    # --- 4 re-attested r7 reds (driver-contract fixes: comma-joined
-    # set profile, scalar pc columns, VARCHAR-cast decimal total,
-    # integer-scaled LOO sum) ------------------------------------------
-    "user_event_type_profile",
-    "ml_embedding_pca",
-    "decimal_money_totals",
-    "loo_value_encoding",
-    # --- 6 fillers: the 3 queries whose only driver row was r1-format
-    # no_oracle (r7 verdict item 3; tfidf_similar_pairs newly oracled
-    # per item 4) + 3 rotated-out bench headliners ---------------------
-    "ml_embedding_classifier",  # md5 split + pred-in-domain, oracled since r6
-    "multimodal_features",      # byte-accurate hex replay oracle
-    "tfidf_similar_pairs",      # promoted rows-only -> oracled this round
-    "connected_components",     # G4,G7 (headline iterative)
-    "pregel_risk_propagation",  # G6,G7 (headline iterative)
-    "pricing_summary",          # A1,A-ext,W1 (headline TPC-H q1 analogue)
+    # --- 5 first-time attestations: the committed _R9_PLAN -----------
+    "mannwhitney_value_periods",
+    "copurchase_graph_edges",
+    "kmeans_lloyd_assignments",
+    "rank_distribution_orders",
+    "regex_scalar_suite",
+    # --- first HASH row for the r8 verdict-item-3 promotion ----------
+    "ml_embedding_pca",         # sign-canonicalized + §E skeleton oracle
+    # --- 36 oldest-ledger re-attests (latest green row in parens) ----
+    # r1 (12): their only driver rows predate the r2+ engine refactors
+    "anti_join_no_orders",
+    "conditional_agg_having",
+    "cube_lineitem_flags",
+    "linkage_term_frequencies",
+    "motif_roundtrip_cycle",
+    "near_dup_embeddings",
+    "pagerank_flow",
+    "semi_join_subquery",
+    "set_except_users",
+    "structuring_alerts_named",
+    "text_fingerprints",
+    "text_quality_scores",
+    # r2 (3)
+    "outer_join_nation_counts",
+    "stream_user_totals",
+    "window_topk_per_group",
+    # r3 (9)
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "linkage_gamma_vectors",
+    "multiway_join_revenue",
+    "near_dup_embedding_clusters",
+    "rollup_order_totals",
+    "stream_session_stats",     # gap oracle rewritten to exact-µs in r8
+    "text_token_stats",
+    "window_running_sum",
+    # r4 (12 oldest of that round)
+    "ann_cosine_topk",
+    "corpus_train_split",
+    "dedup_near_clusters",
+    "dq_expectations_orders",
+    "graph_bfs_paths",
+    "graph_k_core",
+    "graph_triangle_count",
+    "linkage_em_scored",
+    "merge_upsert_orders",
+    "motif_peeling_chain",
+    "salted_join_user_events",
+    "stratified_sample_events",
 )
 
 #: ROUND-7 COMPLETION SCHEDULE — retained verbatim from the r6 freeze
@@ -279,10 +280,17 @@ _R9_PLAN: tuple[str, ...] = (
 #: round -> the plan of queries that must receive their FIRST driver
 #: rows in that round's window. Window tests generalize over this map
 #: (r7 verdict item 2) instead of pinning one round's plan by name.
+#: ROUND-10 SCHEDULE: queries registered during r9 (after the r9
+#: window froze). Append every r9-new registration here or
+#: tests/test_catalog_window.py fails; keep <= ~10 at round close
+#: (r8 verdict item 7) so the r10 window isn't oversubscribed.
+_R10_PLAN: tuple[str, ...] = ()
+
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,
     8: _R8_PLAN,
     9: _R9_PLAN,
+    10: _R10_PLAN,
 }
 
 #: The sole remaining rows-only catalog query: a PCA eigenbasis is

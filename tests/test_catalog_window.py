@@ -122,15 +122,23 @@ def test_window_queries_all_oracled():
 
 def test_window_is_mostly_first_time_attestations():
     """r5 verdict item 1 (made time-stable per r6 verdict item 2):
-    >=27 window slots must be queries with NO driver row in any round
-    before the frozen ``_WINDOW_ROUND`` — the driver then gives them
-    their first row in that round. Pinning the ledger cutoff to the
-    freeze round keeps this green after the round's own artifact (and
-    any later round's) lands on disk."""
+    window slots must clear the catalog's attestation debt — at least
+    min(27, total never-rowed queries) slots go to queries with NO
+    driver row in any round before the frozen ``_WINDOW_ROUND``. The
+    27 floor drove the r6-r8 debt-clearing rotations; from r9 the
+    whole catalog's remaining debt is below 27 (5 r8-new queries), so
+    the binding requirement becomes "ALL remaining debt is in-window"
+    — the min() keeps both regimes honest. Pinning the ledger cutoff
+    to the freeze round keeps this green after the round's own
+    artifact (and any later round's) lands on disk."""
+    cat = get_catalog()
     rowed = driver_rowed(before_round=_WINDOW_ROUND)
+    debt = [n for n in cat if n not in rowed]
     first_time = [n for n in _WINDOW if n not in rowed]
-    assert len(first_time) >= 27, (
-        f"only {len(first_time)} first-time attestations in window: {first_time}"
+    need = min(27, len(debt))
+    assert len(first_time) >= need, (
+        f"only {len(first_time)} first-time attestations in window "
+        f"(need {need}): {first_time}"
     )
 
 
