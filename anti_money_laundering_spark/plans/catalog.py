@@ -293,14 +293,16 @@ _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     10: _R10_PLAN,
 }
 
-#: The sole remaining rows-only catalog query: a PCA eigenbasis is
-#: sign/rotation-ambiguous across engines, so no SQL oracle can replay
-#: the projection values; pinned pytest invariants
-#: (tests/test_ml_multimodal.py) carry its correctness instead. (The
-#: r7 freeze also carried ``approx_quantiles_prices``, promoted mid-r7
-#: to a bracket-pin oracle; ``tfidf_similar_pairs`` was promoted to a
+#: EMPTY since r9: every catalog query now carries a DuckDB oracle.
+#: (``ml_embedding_pca`` — the last holdout, its eigenbasis being
+#: engine-specific — was promoted in r9 to a FIXTURES.md §E skeleton
+#: oracle: exact integer input norms hash-compared + contraction /
+#: variance-consistency booleans, with the sign-canonicalized
+#: projection values pinned by a numpy replay in pytest. The r7 freeze
+#: also carried ``approx_quantiles_prices``, promoted mid-r7 to a
+#: bracket-pin oracle; ``tfidf_similar_pairs`` was promoted to a
 #: skeleton oracle in r8.)
-_ROWS_ONLY_UNATTESTABLE: frozenset[str] = frozenset({"ml_embedding_pca"})
+_ROWS_ONLY_UNATTESTABLE: frozenset[str] = frozenset()
 
 
 def get_catalog() -> dict[str, CatalogQuery]:

@@ -230,6 +230,43 @@ def test_pca_projection_invariants(spark, sf_dir):
     assert again == {k: tuple(v) for k, v in proj.items()}
 
 
+def test_pca_canonical_projection_matches_numpy(spark, sf_dir):
+    """Out-of-family replay (FIXTURES.md §E requirement): with the
+    sign canonicalization (largest-|loading| coordinate positive per
+    component — unique because the fixture eigenvalues are distinct),
+    the MLlib projection must equal an independent numpy
+    eigendecomposition of the sample covariance to numerical
+    precision (observed 3e-14 at sf0.1), and var_explained must equal
+    the top-k eigenvalue share of the trace. This is the value-level
+    pin behind the ml_embedding_pca skeleton oracle — a shared
+    semantic bug in the catalog query's invariant booleans cannot
+    hide from it."""
+    import numpy as np
+
+    from anti_money_laundering_spark.ml import embedding_pca_projection
+    from anti_money_laundering_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    evals, evecs = np.linalg.eigh(np.cov(X, rowvar=False))
+    order = np.argsort(evals)[::-1][:8]
+    V = evecs[:, order]
+    assert np.diff(evals[order]).max() < 0, "fixture eigenvalues not distinct"
+    for j in range(8):
+        i_star = max(range(V.shape[0]), key=lambda i: (abs(V[i, j]), -i))
+        if V[i_star, j] < 0:
+            V[:, j] = -V[:, j]
+    P_np = X @ V  # MLlib PCA projects the UNCENTERED rows
+    out = embedding_pca_projection(emb, k=8)
+    proj = {r.vec_id: np.array(r.projection) for r in out.collect()}
+    P_sp = np.array([proj[i] for i in ids])
+    assert np.abs(P_sp - P_np).max() < 1e-8
+    var = out.select("var_explained").first()[0]
+    assert abs(var - evals[order].sum() / evals.sum()) < 1e-9
+
+
 def test_experiment_tracking_gate():
     """M4 import gate: without mlflow installed the bootstrap is a
     clean no-op returning False; with mlflow present it must activate
