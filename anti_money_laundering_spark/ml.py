@@ -51,14 +51,33 @@ def exact_kmeans_assignments(
     points; this formulation cannot.
 
     Determinism discipline (the loo/theilsen integer-scaling pattern):
-    coordinates become exact BIGINTs (round(x * scale); float32 inputs
-    are exact in double, and their 1e6 multiples never land on .5
-    ties), seeds are the k vectors with the smallest (md5-bucket, id)
-    key, first-pass distances are exact integer sums, and the updated
-    centroid mean s/n is never materialized as a float — the second
-    pass compares sum_d (n*x_d - s_d)^2 (exact DECIMAL(38,0)/HUGEINT)
-    divided by n^2, so both engines rank identical numbers and the
+    coordinates become exact BIGINTs via round(x * scale) — float32
+    inputs are exact in double, and although their 1e6 multiples DO
+    land on exact .5 ties (any odd multiple of 2^-7 does: 0.0078125 *
+    1e6 = 7812.5 — see the numpy-replay comment in
+    tests/test_ml_multimodal.py), Spark's BigDecimal HALF_UP and
+    DuckDB's half-away-from-zero round() resolve ties IDENTICALLY, so
+    the scaled integers still agree bit-for-bit. Seeds are the k
+    vectors with the smallest (md5-bucket, id) key, first-pass
+    distances are exact integer sums, and the updated centroid mean
+    s/n is never materialized as a float — the second pass compares
+    sum_d (n*x_d - s_d)^2 (exact DECIMAL(38,0)/HUGEINT) divided by
+    n^2, so both engines rank identical numbers and the
     (dist, cluster) tiebreak closes the rest.
+
+    Overflow bounds (non-ANSI Spark NULLs silently on DECIMAL overflow
+    while DuckDB widens to HUGEINT, so the limits must hold by
+    construction): with scale=1e6 and |coord| <= B, (a) the centroid
+    sum s = Σ x fits LONG while n <= 2^63/(B*1e6) (~4.6e12 rows per
+    cluster at B=2); (b) the binding constraint is the second-pass
+    per-row sum Σ_d (n*x_d - s_d)^2 <= 10^38 - 1, i.e. n <=
+    10^19/(2*B*1e6*sqrt(dims)) (~3e11 rows per cluster at B=2,
+    dims=64 — the sum is per (row, cluster), never across rows, so
+    corpus size beyond that bound only matters through the largest
+    single cluster). A 100 TB corpus at 64 dims is ~2e11 rows TOTAL,
+    inside the bound even if one cluster swallowed everything; for
+    wider regimes, raise the cast to decimal(38,0) on the term before
+    squaring and accept DECIMAL(38) saturation semantics.
 
     Plan: the scaled-dims table is localCheckpointed once (three
     consumers), the k*dim seed/centroid tables broadcast (bounded at

@@ -1551,7 +1551,15 @@ def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n-1) divides a power of 10, where Spark's BigDecimal HALF_UP and
     DuckDB's float-multiply rounding disagree (observed 1e-6 flips at
     sf0.1). The emitted double is micro-units / 1e6: identical exact
-    integers divided by the same constant on both engines."""
+    integers divided by the same constant on both engines.
+
+    The div identity is round-half-up only for NONNEGATIVE numerators
+    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors) — it
+    holds here because fixture events.value is nonnegative, pinned by
+    tests/test_catalog_oracle.py::
+    test_events_value_is_nonnegative_at_all_sfs; if that tripwire ever
+    fires, apply the nonnegative-shift pattern
+    mannwhitney_value_periods uses for rank_biserial."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     scaled = F.round(F.col("value") * 10000).cast("long")

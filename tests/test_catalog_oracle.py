@@ -64,3 +64,24 @@ def test_no_oracle_is_empty_at_driver_sf():
         if con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0] == 0:
             empty.append(name)
     assert not empty, f"zero-row oracles at driver SF: {empty}"
+
+
+def test_events_value_is_nonnegative_at_all_sfs():
+    """Fixture assumption pin (r8 advice): the integer round-half-up
+    identity (2a*1e6 + b) div (2b) used by loo_value_encoding and
+    burstiness_daily_users is only round-half-up for NONNEGATIVE
+    numerators — Spark ``div`` truncates toward zero while DuckDB
+    ``//`` floors, so a negative events.value sum would silently
+    diverge between the engines. This DuckDB-only check turns the
+    assumption into a tripwire: if a fixture regen ever introduces
+    negative values, reformulate those queries with the
+    nonnegative-shift pattern mannwhitney_value_periods uses for
+    rank_biserial BEFORE the driver runs."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        lo = con.execute(
+            f"SELECT min(value) FROM read_parquet('/root/testdata/{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert lo is not None and lo >= 0, f"events.value went negative at {sf}: {lo}"
