@@ -206,6 +206,7 @@ def em_fit(
     max_iter: int = 25,
     tol: float = 1e-5,
     init: dict | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """Fit λ and per-level m/u by EM over the gamma table.
 
@@ -264,6 +265,13 @@ def em_fit(
         params = new_params
         if it > 0 and delta < tol:
             break
+    if stats is not None:
+        # observability out-param (the connected_components convention):
+        # how many EM sweeps ran, over how many distinct gamma patterns
+        # (the driver-side work unit) collapsing how many pairs.
+        stats["iterations"] = it + 1
+        stats["n_patterns"] = len(patterns)
+        stats["n_pairs"] = int(sum(cnt for _, cnt in patterns))
     return params
 
 

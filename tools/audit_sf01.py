@@ -10,11 +10,22 @@ quotients (loo_value_encoding, r8), IEEE negative-zero sign wobble
 (stream_session_stats, r8). Failures print and the sweep continues;
 treat any FAIL as a latent oracle-discipline bug, not noise.
 
-Usage: python tools/audit_sf01.py [sf_dir]
+The per-query result is committed as a round artifact (r8 verdict
+item 2) so the evidence is inspectable without a 75-minute rerun:
+
+    python tools/audit_sf01.py --out AUDIT_r9.json
+
+``--names a,b,c`` restricts the sweep and MERGES into an existing
+--out file — the incremental path when a round edits individual
+queries after the full sweep already ran.
+
+Usage: python tools/audit_sf01.py [--sf-dir DIR] [--out FILE] [--names a,b]
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -31,23 +42,54 @@ from tests.oracle_utils import compare  # noqa: E402
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None, help="write per-query JSON artifact here")
+    ap.add_argument("--names", default=None, help="comma-separated subset; merges into --out")
+    # positional sf_dir kept for backward compatibility with r8 usage
+    ap.add_argument("sf_dir_pos", nargs="?", default=None)
+    args = ap.parse_args()
+    sf = args.sf_dir_pos or args.sf_dir
+
     spark = get_spark(app_name="audit_sf01", shuffle_partitions=32)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    only = set(args.names.split(",")) if args.names else None
+    results: dict[str, dict] = {}
     fails = []
     for name, q in get_catalog().items():
-        if q.oracle is None:
+        if q.oracle is None or (only is not None and name not in only):
             continue
         t0 = time.time()
         try:
             n = compare(q.fn(spark, sf), con, q.oracle)
-            print(f"PASS {name} rows={n} {time.time() - t0:.1f}s", flush=True)
+            wall = round(time.time() - t0, 1)
+            results[name] = {"pass": True, "rows": n, "wall_s": wall}
+            print(f"PASS {name} rows={n} {wall}s", flush=True)
         except Exception as ex:  # noqa: BLE001 — the audit must continue past failures
+            wall = round(time.time() - t0, 1)
             fails.append(name)
-            print(f"FAIL {name} {time.time() - t0:.1f}s :: {str(ex)[:300]}", flush=True)
+            results[name] = {"pass": False, "rows": None, "wall_s": wall,
+                             "err": str(ex)[:300]}
+            print(f"FAIL {name} {wall}s :: {str(ex)[:300]}", flush=True)
             traceback.print_exc(limit=1)
+    if args.out:
+        merged: dict[str, dict] = {}
+        if only is not None and os.path.exists(args.out):
+            merged = json.load(open(args.out)).get("queries", {})
+        merged.update(results)
+        n_fail = sum(1 for r in merged.values() if not r["pass"])
+        artifact = {
+            "sf_dir": sf,
+            "n_queries": len(merged),
+            "n_fail": n_fail,
+            "fails": sorted(k for k, r in merged.items() if not r["pass"]),
+            "queries": merged,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {args.out}: {len(merged)} queries, {n_fail} fails", flush=True)
     print("AUDIT-DONE fails:", fails, flush=True)
     return 1 if fails else 0
 

@@ -117,6 +117,110 @@ def main() -> int:
     return 0
 
 
+def motif_stress(n_edges: int = 10_000_000, n_vertices: int = 2_500_000) -> int:
+    """Fan-in motif compiler at 10M+ edges with PLANTED motifs and a
+    PLANTED HUB (r8 verdict item 4): the flagship structuring pattern
+    "(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)" compiles to two
+    equi-joins on c; its intermediate size is Σ_c indeg(c)²·outdeg(c),
+    so the stress shape controls both terms — a sparse Poisson
+    background (mean in-degree 4 → ~15M intermediate pairs at 10M
+    edges) plus one hub with in-degree 1,000 and a single out-edge
+    (1M pairs through ONE join key — the skew case AQE must split).
+
+    Recall check: 100 planted motifs on reserved vertex ids with
+    amount 300 per in-edge; background amounts are <= 10.01, so the
+    in_amount > 400 filter admits EXACTLY the planted rows (two
+    background edges sum <= 20.02; planted+background <= 310.01) —
+    output == the 100 planted (a,b,c,g) tuples or the compiler broke.
+
+    Records wall, the physical join algorithms in chain order, and the
+    shuffle Exchange count of the executed (AQE-final) plan."""
+    spark = get_spark(app_name="graph_stress_motif", shuffle_partitions=64)
+    from anti_money_laundering_spark.graph.motif import find_motif  # noqa: E402
+
+    half = n_edges // 2
+    background = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id", F.lit("msrc")), n_vertices).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit("mdst")), n_vertices).alias("dst"),
+        (F.pmod(F.xxhash64("id", F.lit("mw")), 1000) / 100.0 + 0.01).alias("amount"),
+    )
+    hub_id = n_vertices + 1_000_000
+    hub_in = spark.range(1000).select(
+        F.col("id").alias("src"), F.lit(hub_id).alias("dst"), F.lit(1.0).alias("amount")
+    )
+    hub_out = spark.range(1).select(
+        F.lit(hub_id).alias("src"), F.lit(hub_id + 1).alias("dst"), F.lit(1.0).alias("amount")
+    )
+    base = n_vertices  # reserved id block for planted motifs
+    plant = spark.range(100)
+    planted = (
+        plant.select(
+            (base + F.col("id") * 4).alias("src"),
+            (base + F.col("id") * 4 + 2).alias("dst"),
+            F.lit(300.0).alias("amount"),
+        )
+        .unionByName(
+            plant.select(
+                (base + F.col("id") * 4 + 1).alias("src"),
+                (base + F.col("id") * 4 + 2).alias("dst"),
+                F.lit(300.0).alias("amount"),
+            )
+        )
+        .unionByName(
+            plant.select(
+                (base + F.col("id") * 4 + 2).alias("src"),
+                (base + F.col("id") * 4 + 3).alias("dst"),
+                F.lit(1.0).alias("amount"),
+            )
+        )
+    )
+    edges = background.unionByName(hub_in).unionByName(hub_out).unionByName(planted)
+    v = spark.range(base + 2_000_000).select(F.col("id"))
+    g = Graph(v, edges)
+    _ = half  # documented shape; no split needed
+
+    t0 = time.perf_counter()
+    m = find_motif(g, "(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)")
+    out = m.filter(
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("e1.amount") + F.col("e2.amount") > 400.0)
+    ).select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("c.id").alias("c_id"),
+        F.col("g.id").alias("g_id"),
+    )
+    rows = out.collect()
+    wall = time.perf_counter() - t0
+    expect = {
+        (base + i * 4, base + i * 4 + 1, base + i * 4 + 2, base + i * 4 + 3)
+        for i in range(100)
+    }
+    got = {(r.a_id, r.b_id, r.c_id, r.g_id) for r in rows}
+    recall = len(expect & got) / len(expect)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    joins = _re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    )
+    n_exch = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln and "Reused" not in ln
+    )
+    print(
+        f"motif_fanin: edges={n_edges}+hub1000+planted300 rows_out={len(rows)} "
+        f"recall={recall:.2f} wall={wall:.1f}s shuffle_exchanges={n_exch}"
+    )
+    print(f"  join chain: {joins}")
+    assert recall == 1.0, f"planted-motif recall {recall} != 1.0"
+    assert got == expect, f"unexpected non-planted rows: {sorted(got - expect)[:5]}"
+    return 0
+
+
 def landmark_error_sweep(n_edges: int = 200_000, n_vertices: int = 20_000) -> int:
     """Landmark-count vs estimator-error sweep (r7 verdict item 8): on
     a fixed synthetic graph, compare k-landmark betweenness against a
@@ -151,4 +255,11 @@ def landmark_error_sweep(n_edges: int = 200_000, n_vertices: int = 20_000) -> in
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "landmark-sweep":
         raise SystemExit(landmark_error_sweep())
+    if len(sys.argv) > 1 and sys.argv[1] == "motif":
+        raise SystemExit(
+            motif_stress(
+                int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000,
+                int(sys.argv[3]) if len(sys.argv) > 3 else 2_500_000,
+            )
+        )
     raise SystemExit(main())
