@@ -284,7 +284,11 @@ _R9_PLAN: tuple[str, ...] = (
 #: window froze). Append every r9-new registration here or
 #: tests/test_catalog_window.py fails; keep <= ~10 at round close
 #: (r8 verdict item 7) so the r10 window isn't oversubscribed.
-_R10_PLAN: tuple[str, ...] = ()
+_R10_PLAN: tuple[str, ...] = (
+    # amount-shape structuring screens (r9-new)
+    "threshold_avoidance_scores",
+    "round_amount_bias_orders",
+)
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,

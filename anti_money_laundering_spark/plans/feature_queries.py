@@ -1355,6 +1355,119 @@ def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structuring screens on amounts (r9): just-below-threshold clustering and
+# round-number bias — the two classic amount-shape indicators the reference's
+# network analysis pairs with the motif alerts (01_aml_network_analysis.py's
+# structuring narrative; Benford covers leading digits, these cover the
+# threshold band and the trailing digits).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "threshold_avoidance_scores",
+    tags=("A2", "A3", "W-ext"),
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(count(*) FILTER (
+                 CAST(round(value * 100) AS BIGINT) BETWEEN 9000 AND 9999
+             ) AS BIGINT) AS n_band
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, n_purchases, n_band,
+           ((2 * n_band * 1000000 + n_purchases) // (2 * n_purchases))
+             / 1000000.0 AS band_share,
+           (n_band >= 2 AND
+            ((2 * n_band * 1000000 + n_purchases) // (2 * n_purchases))
+              / 1000000.0 > 0.25) AS flagged
+    FROM pu WHERE n_purchases >= 3
+    """,
+)
+def threshold_avoidance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-threshold structuring screen: per user, the share of
+    purchase amounts parked just below the 100-unit reporting
+    threshold (value in [90, 100) — the fixture's p97+ band; 4/51/615
+    purchases at the three SFs, every user clears the n>=3 floor).
+    Deposits shaved to sit under a reporting line are THE textbook
+    structuring signature; this is the amount-shape complement to the
+    fan-in motif alert.
+
+    Exactness: amounts are 2-decimal on-grid, so round(value*100) is
+    an exact integer on both engines; counts are integers; the share
+    uses the div-based round-half-up identity (numerators nonnegative
+    — counts), and `flagged` compares exact micro-unit rationals
+    against on-grid constants, so the boolean cannot wobble. One
+    keyed aggregation, map-side partial; the purchase filter pushes
+    into the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.when((cents >= 9000) & (cents <= 9999), 1).otherwise(0)
+            ).alias("n_band"),
+        )
+        .filter(F.col("n_purchases") >= 3)
+    )
+    share = F.expr("(2 * n_band * 1000000 + n_purchases) div (2 * n_purchases)") / F.lit(
+        1000000.0
+    )
+    return agg.select(
+        "user_id",
+        "n_purchases",
+        "n_band",
+        share.alias("band_share"),
+        ((F.col("n_band") >= 2) & (share > 0.25)).alias("flagged"),
+    )
+
+
+@register(
+    "round_amount_bias_orders",
+    tags=("A2", "F5"),
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (
+               CAST(round(o_totalprice * 100) AS BIGINT) % 100 = 0
+           ) AS BIGINT) AS n_round,
+           ((2 * count(*) FILTER (
+                 CAST(round(o_totalprice * 100) AS BIGINT) % 100 = 0
+             ) * 1000000 + count(*)) // (2 * count(*))) / 1000000.0 AS round_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def round_amount_bias_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias per order-priority segment: the share of
+    order totals that are exact whole-currency amounts (cents == 0 —
+    12/169/1422 orders at the three SFs). Organic priced baskets
+    almost never sum to a round number; invented amounts dominated by
+    round figures are the trailing-digit complement to Benford's
+    leading-digit screen. Same exactness discipline as
+    threshold_avoidance_scores: on-grid cents, integer counts,
+    div-based round-half-up share."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(cents % 100 == 0, 1).otherwise(0)).alias("n_round"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_round",
+            (
+                F.expr("(2 * n_round * 1000000 + n_orders) div (2 * n_orders)")
+                / F.lit(1000000.0)
+            ).alias("round_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality expectations
 # ---------------------------------------------------------------------------
 

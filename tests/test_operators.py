@@ -879,3 +879,72 @@ def test_mannwhitney_matches_hand_reference(spark):
     want_z = round((5.5 - 3.0) / math.sqrt(2.85), 6)
     assert row.z_stat == want_z
     assert not row.sig_05
+
+
+def test_threshold_avoidance_hand_case(spark):
+    """Hand-computed structuring screen (out-of-family rule, r8): user
+    1 has purchases {90.00 (in band, inclusive low edge), 99.99 (in
+    band, top cent), 100.00 (AT the threshold — excluded), 50.00} =>
+    n=4, band=2, share=0.5, flagged. User 2 {10,20,30} => band 0, not
+    flagged. User 3 has n=2 < 3 => dropped. The view event must not
+    count toward purchases."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "purchase", 90.00), (1, "purchase", 99.99),
+        (1, "purchase", 100.00), (1, "purchase", 50.00),
+        (1, "view", 95.00),
+        (2, "purchase", 10.0), (2, "purchase", 20.0), (2, "purchase", 30.0),
+        (3, "purchase", 91.0), (3, "purchase", 92.0),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ty, v, f"e{i}") for i, (u, ty, v) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, value double, event_id string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.threshold_avoidance_scores(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1, 2}
+    assert (got[1].n_purchases, got[1].n_band, got[1].band_share, got[1].flagged) == (
+        4, 2, 0.5, True,
+    )
+    assert (got[2].n_purchases, got[2].n_band, got[2].band_share, got[2].flagged) == (
+        3, 0, 0.0, False,
+    )
+
+
+def test_round_amount_bias_hand_case(spark):
+    """Hand-computed round-number bias: URGENT {100.00, 250.50,
+    300.00} => 2/3 round, share = round_half_up(2/3, 6) = 0.666667
+    (the div identity: (4000003) div 6 = 666667); HIGH {99.99} => 0."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "1-URGENT", 100.00), (2, "1-URGENT", 250.50), (3, "1-URGENT", 300.00),
+        (4, "2-HIGH", 99.99),
+    ]
+    o = spark.createDataFrame(
+        [(k, 1, "O", p, t, pr) for k, pr, p in [(r[0], r[1], r[2]) for r in rows]],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: o
+    try:
+        got = {r.o_orderpriority: r for r in fq.round_amount_bias_orders(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert (got["1-URGENT"].n_orders, got["1-URGENT"].n_round) == (3, 2)
+    assert got["1-URGENT"].round_share == 0.666667
+    assert (got["2-HIGH"].n_orders, got["2-HIGH"].n_round, got["2-HIGH"].round_share) == (
+        1, 0, 0.0,
+    )
