@@ -221,6 +221,7 @@ def em_fit(
     (plans/linkage_queries.py).
     """
     params = init or _default_params([(c.name, c.n_levels) for c in comparisons])
+    it = -1  # max_iter <= 0 => zero sweeps; stats must report 0, not crash
     gcols = [f"gamma_{c.name}" for c in comparisons]
     pat_rows = gammas.groupBy(*gcols).agg(F.count(F.lit(1)).alias("cnt")).collect()
     if not pat_rows:

@@ -253,7 +253,12 @@ def test_pca_canonical_projection_matches_numpy(spark, sf_dir):
     evals, evecs = np.linalg.eigh(np.cov(X, rowvar=False))
     order = np.argsort(evals)[::-1][:8]
     V = evecs[:, order]
-    assert np.diff(evals[order]).max() < 0, "fixture eigenvalues not distinct"
+    # uniqueness of the TOP-8 eigenbasis needs all 9 leading
+    # eigenvalues strictly descending — a lambda8 == lambda9 tie lets
+    # the engines pick different 8th eigenvectors from the degenerate
+    # eigenspace even though the kept 8 values look distinct
+    top9 = evals[np.argsort(evals)[::-1][:9]]
+    assert np.diff(top9).max() < 0, "fixture eigenvalues not distinct through rank 9"
     for j in range(8):
         i_star = max(range(V.shape[0]), key=lambda i: (abs(V[i, j]), -i))
         if V[i_star, j] < 0:

@@ -77,7 +77,15 @@ def main() -> int:
     if args.out:
         merged: dict[str, dict] = {}
         if only is not None and os.path.exists(args.out):
-            merged = json.load(open(args.out)).get("queries", {})
+            prior = json.load(open(args.out))
+            # a subset merge must not relabel previously merged
+            # entries with a different SF — the artifact records ONE
+            # sweep scale
+            assert prior.get("sf_dir") == sf, (
+                f"--names merge at {sf} into an artifact recorded at "
+                f"{prior.get('sf_dir')}; rerun with the matching --sf-dir"
+            )
+            merged = prior.get("queries", {})
         merged.update(results)
         n_fail = sum(1 for r in merged.values() if not r["pass"])
         artifact = {

@@ -19,7 +19,9 @@ Pipeline measured in three phases (the production decomposition):
    (cost ∝ patterns x iterations, INDEPENDENT of pair count).
 
 Recovery check: fitted λ within ±0.03 of the planted match rate and
-m(exact name level 1) > u(level 1) — the EM found the planted
+m(token exact-agree level) > u(same level) — duplicates always keep
+the token column identical, so that comparison's agreement level is
+the cleanest match/unmatch separator; the EM must find the planted
 structure, not a degenerate fixpoint.
 
 Usage: python tools/stress_linkage.py [n_entities] [n_blocks]

@@ -98,6 +98,9 @@ def run_query(name: str, stream_df, checkpoint: str) -> dict:
     )
     q.awaitTermination()
     prog = [json.loads(p.json) for p in q.recentProgress]
+    assert len(prog) < int(
+        stream_df.sparkSession.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    ), "recentProgress hit its retention cap — early batches were dropped"
     batches = []
     for p in prog:
         if p.get("numInputRows", 0) == 0:
@@ -120,6 +123,11 @@ def run_query(name: str, stream_df, checkpoint: str) -> dict:
                 "state_mb": round((state[0].get("memoryUsedBytes") or 0) / 1e6, 1),
                 "wm_lag_s": lag_s,
             }
+        )
+    if not batches:
+        raise AssertionError(
+            f"{name}: no micro-batch processed any input rows — the file "
+            f"source never picked up the replay corpus (check the path/gen)"
         )
     total_rows = sum(b["rows"] for b in batches)
     total_s = sum(b["batch_s"] for b in batches)
@@ -148,6 +156,11 @@ def main() -> int:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     spark = get_spark(app_name="streaming_stress", shuffle_partitions=32)
+    # recentProgress retains only numRecentProgressUpdates entries
+    # (default 100) — a >100-file replay would silently report a
+    # suffix of the batches; raise the cap above the batch count and
+    # assert in run_query that we stayed under it
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(n_files + 16))
     scratch = tempfile.mkdtemp(prefix="stream_stress_")
     data = os.path.join(scratch, "events")
     try:
