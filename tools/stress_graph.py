@@ -117,7 +117,9 @@ def main() -> int:
     return 0
 
 
-def motif_stress(n_edges: int = 10_000_000, n_vertices: int = 2_500_000) -> int:
+def motif_stress(
+    n_edges: int = 10_000_000, n_vertices: int = 2_500_000, hub_in_degree: int = 1000
+) -> int:
     """Fan-in motif compiler at 10M+ edges with PLANTED motifs and a
     PLANTED HUB (r8 verdict item 4): the flagship structuring pattern
     "(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)" compiles to two
@@ -145,7 +147,7 @@ def motif_stress(n_edges: int = 10_000_000, n_vertices: int = 2_500_000) -> int:
         (F.pmod(F.xxhash64("id", F.lit("mw")), 1000) / 100.0 + 0.01).alias("amount"),
     )
     hub_id = n_vertices + 1_000_000
-    hub_in = spark.range(1000).select(
+    hub_in = spark.range(hub_in_degree).select(
         F.col("id").alias("src"), F.lit(hub_id).alias("dst"), F.lit(1.0).alias("amount")
     )
     hub_out = spark.range(1).select(
@@ -212,7 +214,7 @@ def motif_stress(n_edges: int = 10_000_000, n_vertices: int = 2_500_000) -> int:
         if "Exchange" in ln and "BroadcastExchange" not in ln and "Reused" not in ln
     )
     print(
-        f"motif_fanin: edges={n_edges}+hub1000+planted300 rows_out={len(rows)} "
+        f"motif_fanin: edges={n_edges}+hub{hub_in_degree}+planted300 rows_out={len(rows)} "
         f"recall={recall:.2f} wall={wall:.1f}s shuffle_exchanges={n_exch}"
     )
     print(f"  join chain: {joins}")
@@ -260,6 +262,7 @@ if __name__ == "__main__":
             motif_stress(
                 int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000,
                 int(sys.argv[3]) if len(sys.argv) > 3 else 2_500_000,
+                int(sys.argv[4]) if len(sys.argv) > 4 else 1000,
             )
         )
     raise SystemExit(main())
