@@ -288,6 +288,12 @@ _R10_PLAN: tuple[str, ...] = (
     # amount-shape structuring screens (r9-new)
     "threshold_avoidance_scores",
     "round_amount_bias_orders",
+    # temporal flow screens (r9-new): funnel accounts + standing orders
+    "passthrough_funds_alerts",
+    "periodic_transfer_patterns",
+    # drift/shift inference screens (r9-new)
+    "ks_test_periods",
+    "behavior_shift_users",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -2442,3 +2442,172 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.96).alias("sig_05"),
         )
     )
+
+
+@register(
+    "ks_test_periods",
+    tags=("A-ext", "W-ext"),
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS c1
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+               sum(c - c1) OVER (ORDER BY v) AS cum2,
+               sum(c1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n1,
+               sum(c - c1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n2
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+               CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        FROM cum
+    )
+    SELECT n1 AS n_a, n2 AS n_b, ks_num,
+           ((2 * ks_num * 1000000 + n1 * n2) // (2 * n1 * n2))
+             / 1000000.0 AS ks_d,
+           ks_num / (1.0 * n1 * n2)
+             > 1.358 * sqrt((n1 + n2) / (1.0 * n1 * n2)) AS sig_05
+    FROM agg
+    """,
+)
+def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the fixture's calendar
+    halves — the DISTRIBUTION-SHAPE member of the drift family
+    (welch tests the mean, mannwhitney the location, PSI the binned
+    histogram; KS is the sup-norm gap of the full ECDFs, so a variance
+    or tail change moves it even when the means agree).
+
+    Exactness: D's numerator max|cum1*n2 - cum2*n1| is an exact BIGINT
+    on the per-VALUE count table (values integer-scaled by 1e4, the
+    mannwhitney convention); D itself rounds half-up by the div
+    identity (numerator nonnegative). The 1e6-scaled identity needs
+    n1*n2 <= ~4.6e12 (~2.1M events a side) — re-scale before pointing
+    at a bigger single statistic. sig_05 compares D against the
+    alpha=.05 asymptotic line 1.358*sqrt((n1+n2)/(n1*n2)); the
+    boundary is irrational while D is rational, so the flag cannot sit
+    on a knife edge, and both engines evaluate the identical
+    correctly-rounded IEEE expression. Plan: one value-keyed count
+    shuffle compresses events to <= ~49k rows; the ordered ECDF window
+    and the 1-row max run on the compressed table."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy(F.round(F.col("value") * 10000).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.count(F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1))
+        .cast("long")
+        .alias("c1"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum(F.col("c") - F.col("c1")).over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).over(w_all).alias("n2"),
+    )
+    agg = cum.agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        .cast("long")
+        .alias("ks_num"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = F.col("ks_num") / (1.0 * n1 * n2)
+    return agg.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        "ks_num",
+        (
+            F.expr("(2 * ks_num * 1000000 + n1 * n2) div (2 * n1 * n2)")
+            / F.lit(1000000.0)
+        ).alias("ks_d"),
+        (d > 1.358 * F.sqrt((n1 + n2) / (1.0 * n1 * n2))).alias("sig_05"),
+    )
+
+
+@register(
+    "behavior_shift_users",
+    tags=("A-ext", "W-ext"),
+    oracle=f"""
+    WITH ct AS (
+        SELECT user_id, event_type,
+               CAST(count(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS c1,
+               CAST(count(*) FILTER (ts >= TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS c2
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, event_type, c1, c2,
+               sum(c1) OVER (PARTITION BY user_id) AS n1,
+               sum(c2) OVER (PARTITION BY user_id) AS n2
+        FROM ct
+    ),
+    agg AS (
+        SELECT user_id, CAST(max(n1) AS BIGINT) AS n_a,
+               CAST(max(n2) AS BIGINT) AS n_b,
+               CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num
+        FROM tot WHERE n1 > 0 AND n2 > 0 GROUP BY user_id
+    )
+    SELECT user_id, n_a, n_b, tv_num,
+           ((2 * tv_num * 1000000 + 2 * n_a * n_b) // (2 * 2 * n_a * n_b))
+             / 1000000.0 AS tv_dist,
+           5 * tv_num > 3 * n_a * n_b AS shifted
+    FROM agg
+    """,
+)
+def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-takeover / repurposing screen: per user, the total
+    variation distance between the event-type mix of the first and
+    second calendar halves — TV = (1/2) sum_t |p1(t) - p2(t)|, 0 for
+    an unchanged profile, 1 for a complete swap. A mule account that
+    flips from browsing to transacting moves TV even when its VOLUME
+    is steady (which is why this complements the per-user entropy and
+    the population-level PSI). ``shifted`` flags TV > 0.3 (~ the
+    fixture's p92).
+
+    Exactness: TV's numerator sum|c1*n2 - c2*n1| is an exact BIGINT;
+    TV = tv_num/(2*n1*n2) rounds half-up by the div identity
+    (nonnegative), and the flag is the exact integer compare
+    5*tv_num > 3*n1*n2 (TV > 0.3 with the 2 folded in). Plan:
+    one (user, type) count shuffle with map-side partials, then the
+    per-user window and final aggregate run on the <= users x types
+    compressed table, keyed on user."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    ct = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.when(F.col("ts") < split, 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("ts") >= split, 1)).cast("long").alias("c2"),
+    )
+    w_u = Window.partitionBy("user_id")
+    tot = ct.select(
+        "user_id",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_u).alias("n1"),
+        F.sum("c2").over(w_u).alias("n2"),
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    agg = tot.groupBy("user_id").agg(
+        F.max("n1").cast("long").alias("n_a"),
+        F.max("n2").cast("long").alias("n_b"),
+        F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+        .cast("long")
+        .alias("tv_num"),
+    )
+    return agg.select(
+        "user_id",
+        "n_a",
+        "n_b",
+        "tv_num",
+        (
+            F.expr("(2 * tv_num * 1000000 + 2 * n_a * n_b) div (2 * 2 * n_a * n_b)")
+            / F.lit(1000000.0)
+        ).alias("tv_dist"),
+        (5 * F.col("tv_num") > 3 * F.col("n_a") * F.col("n_b")).alias("shifted"),
+    )

@@ -1815,3 +1815,191 @@ def copurchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust_b").alias("cust_b"),
         F.col("shared_items").alias("shared_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rapid pass-through ("in-and-out") and periodic-transfer screens on the
+# flow graph — the temporal complements of the structural motif alerts
+# (fan-in catches WHO converges on a mule; pass-through catches money
+# that LEAVES again almost immediately and almost whole, the classic
+# funnel-account signature the reference's network narrative pairs with
+# structuring at 01_aml_network_analysis.py:308-405).
+# ---------------------------------------------------------------------------
+
+#: Pass-through window: outflow must leave within 48h of the inflow.
+_PASSTHROUGH_WINDOW_H = 48
+
+
+@register(
+    "passthrough_funds_alerts",
+    tags=("OP", "range", "A2", "J6"),
+    oracle=f"""
+    WITH e AS (
+        SELECT src, dst, txn_id, ts,
+               CAST(round(amount * 100) AS BIGINT) AS cents
+        FROM ({FLOW_EDGES_SQL})
+    ),
+    pairs AS (
+        SELECT i.dst AS mid, i.src AS src, o.dst AS sink,
+               i.cents AS in_cents, o.cents AS out_cents
+        FROM e i JOIN e o
+          ON o.src = i.dst
+         AND o.ts > i.ts
+         AND o.ts < i.ts + INTERVAL {_PASSTHROUGH_WINDOW_H} HOUR
+         AND o.cents * 10 BETWEEN i.cents * 8 AND i.cents * 10
+    )
+    SELECT mid, CAST(count(*) AS BIGINT) AS n_passthrough,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT sink) AS BIGINT) AS n_sinks,
+           CAST(sum(in_cents) AS BIGINT) / 100.0 AS in_total,
+           CAST(sum(out_cents) AS BIGINT) / 100.0 AS out_total
+    FROM pairs GROUP BY mid
+    """,
+)
+def passthrough_funds_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-account screen: for each middle account, count (inflow,
+    outflow) pairs where the outflow leaves within 48h of the inflow
+    at 80-100% of its amount (layering sheds a fee, so the out leg is
+    a near-echo, not an exact one). Severity columns are the paired
+    in/out totals — a mule moving money through shows in_total ~
+    out_total with short dwell.
+
+    Exactness: amounts are 2-decimal on-grid, so the ratio band is the
+    exact integer predicate out_cents*10 in [in_cents*8, in_cents*10];
+    totals are BIGINT cent sums divided by 100.0 (one correctly-rounded
+    IEEE division on both engines). Scale posture: the temporal join is
+    the bucketized range_join (equi-shuffle on (mid, 48h-bucket), exact
+    residual after) — never the per-account cartesian; the distinct
+    aggregates run on the filtered pair set, which the 80-100% band
+    keeps sparse."""
+    from anti_money_laundering_spark.operators import range_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") > 140.0  # FLOW_THRESHOLD — keep the oracle edge set
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    inflows = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("mid"),
+        F.col("user_id").alias("src"),
+        cents.alias("in_cents"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {_PASSTHROUGH_WINDOW_H} HOURS")).alias("hi"),
+    )
+    outflows = ev.select(
+        F.col("user_id").alias("mid"),
+        F.get_json_object("props", "$.k").cast("long").alias("sink"),
+        cents.alias("out_cents"),
+        F.col("ts").alias("out_ts"),
+    )
+    pairs = range_join(
+        outflows,
+        inflows,
+        by=["mid"],
+        point="out_ts",
+        lo="lo",
+        hi="hi",
+        bucket_width_seconds=_PASSTHROUGH_WINDOW_H * 3600,
+    ).filter(
+        (F.col("out_ts") > F.col("lo"))  # strict: an edge never pairs with itself
+        & (F.col("out_cents") * 10 >= F.col("in_cents") * 8)
+        & (F.col("out_cents") * 10 <= F.col("in_cents") * 10)
+    )
+    return pairs.groupBy("mid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passthrough"),
+        F.countDistinct("src").alias("n_sources"),
+        F.countDistinct("sink").alias("n_sinks"),
+        (F.sum("in_cents") / F.lit(100.0)).alias("in_total"),
+        (F.sum("out_cents") / F.lit(100.0)).alias("out_total"),
+    )
+
+
+@register(
+    "periodic_transfer_patterns",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH e AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    gaps AS (
+        SELECT src, dst,
+               (us - lag(us) OVER (PARTITION BY src, dst ORDER BY us))
+                 // 60000000 AS gap_min
+        FROM e
+    ),
+    st AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_min) AS BIGINT) AS s,
+               CAST(sum(gap_min * gap_min) AS BIGINT) AS ss
+        FROM gaps WHERE gap_min IS NOT NULL
+        GROUP BY src, dst HAVING count(*) >= 3 AND sum(gap_min) > 0
+    )
+    SELECT src, dst, n_gaps,
+           ((2 * s * 100000 + n_gaps) // (2 * n_gaps)) / 100000.0 AS mean_gap_min,
+           ((2 * (n_gaps * ss - s * s) * 100000 + s * s) // (2 * s * s))
+             / 100000.0 AS gap_cv2,
+           10 * (n_gaps * ss - s * s) < s * s AS periodic
+    FROM st
+    """,
+)
+def periodic_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-order detection: for each (payer, payee) channel with
+    >= 4 transfers, the squared coefficient of variation of the
+    inter-transfer gaps. Human-driven payments have ragged gaps
+    (CV^2 near and above 1); scheduled structuring drips are clockwork
+    (CV^2 near 0) — ``periodic`` flags CV^2 < 0.1.
+
+    Exactness: gaps are exact integer MINUTES (microsecond difference
+    div 60000000 — nonnegative, so Spark's truncating div == DuckDB's
+    flooring //); CV^2 = var/mean^2 collapses to the pure integer
+    rational (n*ss - s*s)/s^2 (population variance over the squared
+    mean — the n^2 denominators cancel), rounded half-up by the div
+    identity, and the flag is the exact integer compare
+    10*(n*ss - s*s) < s*s. Overflow bound: the 1e5-scaled numerator
+    needs n*max_gap <= ~6.8e6 gap-minutes; the fixture's worst channel
+    is ~3.2e6 (26-day span, <= 86 transfers) — re-derive before
+    pointing at multi-year histories. Plan: one lag window and one
+    aggregate, both keyed on (src, dst) — a single shuffle, reused."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("src", "dst").orderBy("us")
+    gaps = (
+        e.withColumn("prev_us", F.lag("us").over(w))
+        .select(
+            "src",
+            "dst",
+            F.expr("(us - prev_us) div 60000000").alias("gap_min"),
+        )
+        .filter(F.col("gap_min").isNotNull())
+    )
+    st = (
+        gaps.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_min").cast("long").alias("s"),
+            F.sum(F.col("gap_min") * F.col("gap_min")).cast("long").alias("ss"),
+        )
+        .filter((F.col("n_gaps") >= 3) & (F.col("s") > 0))
+    )
+    var_num = F.col("n_gaps") * F.col("ss") - F.col("s") * F.col("s")
+    return st.select(
+        "src",
+        "dst",
+        "n_gaps",
+        (
+            F.expr("(2 * s * 100000 + n_gaps) div (2 * n_gaps)") / F.lit(100000.0)
+        ).alias("mean_gap_min"),
+        (
+            F.expr(
+                "(2 * (n_gaps * ss - s * s) * 100000 + s * s) div (2 * s * s)"
+            )
+            / F.lit(100000.0)
+        ).alias("gap_cv2"),
+        (10 * var_num < F.col("s") * F.col("s")).alias("periodic"),
+    )

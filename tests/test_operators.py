@@ -948,3 +948,150 @@ def test_round_amount_bias_hand_case(spark):
     assert (got["2-HIGH"].n_orders, got["2-HIGH"].n_round, got["2-HIGH"].round_share) == (
         1, 0, 0.0,
     )
+
+
+def test_passthrough_hand_case(spark):
+    """Hand-computed funnel screen (out-of-family rule, r8): one
+    200.00 inflow into mid 5 pairs with outflows at exactly 80% of the
+    amount (inclusive low edge) and 100% (inclusive high edge) inside
+    the 48h window; a 159.99 outflow (one cent under 80%), an outflow
+    at exactly +48h (strict upper), one at the inflow's own timestamp
+    (strict lower), and a 139.00 inflow (under the flow threshold) all
+    drop. Expect mid=5: 2 pairs, 1 source, 1 sink, in 400.00 / out
+    360.00."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # (event_id, ts, user_id, value, props)
+        (1, t0, 1, 200.00, '{"k": 5}'),              # inflow 1 -> 5
+        (2, t0 + 1 * h, 5, 160.00, '{"k": 9}'),      # 80% edge: pairs
+        (3, t0 + 47 * h, 5, 200.00, '{"k": 9}'),     # 100% edge: pairs
+        (4, t0 + 2 * h, 5, 159.99, '{"k": 10}'),     # one cent under 80%
+        (5, t0 + 48 * h, 5, 170.00, '{"k": 9}'),     # exactly +48h: strict <
+        (6, t0, 5, 180.00, '{"k": 9}'),              # same instant: strict >
+        (7, t0, 2, 139.00, '{"k": 5}'),              # under flow threshold 140
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, p) for i, ts, u, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.mid: r for r in gq.passthrough_funds_alerts(spark, "x").collect()}
+    finally:
+        gq.load_table = orig
+    assert set(got) == {5}
+    r = got[5]
+    assert (r.n_passthrough, r.n_sources, r.n_sinks) == (2, 1, 1)
+    assert (r.in_total, r.out_total) == (400.00, 360.00)
+
+
+def test_periodic_transfer_hand_case(spark):
+    """Hand-computed standing-order screen: channel 1->5 drips every
+    10 minutes (gaps {10,10,10}: CV^2 = 0, periodic); channel 2->6 is
+    ragged (gaps {10,30,60}: var_num = 3*4600 - 100^2 = 3800, CV^2 =
+    0.38, mean = round_half_up(100/3, 5) = 33.33333, not periodic);
+    channel 3->7 has only two gaps and drops; channel 4->8 fires every
+    90 SECONDS — minute-flooring makes the gaps exact {1,1,1}, so it
+    reads periodic with mean 1.0."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    rows += [(1, 5, t0 + k * 10 * m) for k in range(4)]
+    rows += [(2, 6, t0), (2, 6, t0 + 10 * m), (2, 6, t0 + 40 * m), (2, 6, t0 + 100 * m)]
+    rows += [(3, 7, t0), (3, 7, t0 + 5 * m), (3, 7, t0 + 11 * m)]
+    rows += [(4, 8, t0 + k * 90 * s) for k in range(4)]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", 1.0, f'{{"k": {d}}}') for i, (u, d, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {(r.src, r.dst): r for r in gq.periodic_transfer_patterns(spark, "x").collect()}
+    finally:
+        gq.load_table = orig
+    assert set(got) == {(1, 5), (2, 6), (4, 8)}
+    assert (got[(1, 5)].mean_gap_min, got[(1, 5)].gap_cv2, got[(1, 5)].periodic) == (
+        10.0, 0.0, True,
+    )
+    assert (got[(2, 6)].mean_gap_min, got[(2, 6)].gap_cv2, got[(2, 6)].periodic) == (
+        33.33333, 0.38, False,
+    )
+    assert (got[(4, 8)].mean_gap_min, got[(4, 8)].periodic) == (1.0, True)
+
+
+def test_ks_test_hand_case(spark):
+    """Hand-computed two-sample KS: A = {1, 3}, B = {2, 4, 6}. Scaled
+    ECDF gaps |cum1*n2 - cum2*n1| over sorted values are {3, 1, 4, 2,
+    0}, so ks_num = 4 and D = round_half_up(4/6, 6) = 0.666667; the
+    alpha=.05 line is 1.358*sqrt(5/6) ~ 1.24, so not significant."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    a_day = dt.datetime(2024, 1, 10)
+    b_day = dt.datetime(2024, 1, 20)
+    rows = [(a_day, 1.0), (a_day, 3.0), (b_day, 2.0), (b_day, 4.0), (b_day, 6.0)]
+    ev = spark.createDataFrame(
+        [(i, ts, 1, "click", v, "{}") for i, (ts, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        row = fq.ks_test_periods(spark, "x").collect()[0]
+    finally:
+        fq.load_table = orig
+    assert (row.n_a, row.n_b, row.ks_num) == (2, 3, 4)
+    assert row.ks_d == 0.666667
+    assert not row.sig_05
+
+
+def test_behavior_shift_hand_case(spark):
+    """Hand-computed takeover screen: user 1 flips {click:3, view:1}
+    -> {click:1, purchase:3}: tv_num = |12-4| + |4-0| + |0-12| = 24
+    over 2*4*4 = 32 => TV = 0.75, shifted (> 0.3). User 2 is only
+    active in the first half and drops; user 3's mix is unchanged =>
+    TV = 0, not shifted."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    a_day = dt.datetime(2024, 1, 10)
+    b_day = dt.datetime(2024, 1, 20)
+    rows = (
+        [(1, a_day, "click")] * 3 + [(1, a_day, "view")]
+        + [(1, b_day, "click")] + [(1, b_day, "purchase")] * 3
+        + [(2, a_day, "click")] * 2
+        + [(3, a_day, "view")] * 2 + [(3, b_day, "view")] * 2
+    )
+    ev = spark.createDataFrame(
+        [(i, ts, u, ty, 1.0, "{}") for i, (u, ts, ty) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.behavior_shift_users(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1, 3}
+    assert (got[1].n_a, got[1].n_b, got[1].tv_num, got[1].tv_dist, got[1].shifted) == (
+        4, 4, 24, 0.75, True,
+    )
+    assert (got[3].tv_num, got[3].tv_dist, got[3].shifted) == (0, 0.0, False)
