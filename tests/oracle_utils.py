@@ -83,13 +83,29 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-def compare(spark_df: DataFrame, duck_con: duckdb.DuckDBPyConnection, oracle: str) -> int:
+def compare(
+    spark_df: DataFrame,
+    duck_con: duckdb.DuckDBPyConnection,
+    oracle: str,
+    timings: dict | None = None,
+) -> int:
     """Assert the Spark result matches the DuckDB oracle result under
     the driver-sim canonicalization. Returns the compared row count so
     callers (tools/predriver_check.py) can reject empty-vs-empty
-    without re-executing the oracle."""
+    without re-executing the oracle. Pass ``timings`` (a dict) to
+    receive the per-engine wall split — tools/audit_sf01.py records it
+    so an expensive ORACLE (DuckDB recursive CTEs at sf0.1) is never
+    misread as engine cost."""
+    import time as _time
+
+    t0 = _time.monotonic()
     sp = spark_df.toPandas()
+    t1 = _time.monotonic()
     dk = duck_con.execute(oracle).fetchdf()
+    t2 = _time.monotonic()
+    if timings is not None:
+        timings["spark_s"] = round(t1 - t0, 1)
+        timings["duck_s"] = round(t2 - t1, 1)
     sp_cols, dk_cols = sorted(c.lower() for c in sp.columns), sorted(c.lower() for c in dk.columns)
     assert sp_cols == dk_cols, f"schema mismatch: spark={sp_cols} duck={dk_cols}"
     assert len(sp) == len(dk), f"row count mismatch: spark={len(sp)} duck={len(dk)}"

@@ -62,11 +62,12 @@ def main() -> int:
         if q.oracle is None or (only is not None and name not in only):
             continue
         t0 = time.time()
+        tm: dict = {}
         try:
-            n = compare(q.fn(spark, sf), con, q.oracle)
+            n = compare(q.fn(spark, sf), con, q.oracle, timings=tm)
             wall = round(time.time() - t0, 1)
-            results[name] = {"pass": True, "rows": n, "wall_s": wall}
-            print(f"PASS {name} rows={n} {wall}s", flush=True)
+            results[name] = {"pass": True, "rows": n, "wall_s": wall, **tm}
+            print(f"PASS {name} rows={n} {wall}s {tm}", flush=True)
         except Exception as ex:  # noqa: BLE001 — the audit must continue past failures
             wall = round(time.time() - t0, 1)
             fails.append(name)

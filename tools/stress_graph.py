@@ -223,6 +223,155 @@ def motif_stress(
     return 0
 
 
+def passthrough_stress(
+    n_transfers: int = 20_000_000, n_accounts: int = 2_500_000, hot_k: int = 5000
+) -> int:
+    """Pass-through funnel screen at 20M transfers with PLANTED
+    funnels and a PLANTED HOT MID (the passthrough_funds_alerts
+    formulation: bucketized range_join on (mid, 48h bucket) + exact
+    integer cent-ratio band + per-mid aggregate).
+
+    Shape: uniform background over n_accounts; ONE hot funnel account
+    with hot_k inflows (518.4 s apart, 200.00 each) echoed 1h later at
+    the 80% band edge (160.00) — every outflow pairs with EVERY
+    in-window inflow (~333), so the hot mid alone contributes ~1.6M
+    pairs through one join key: the skew case the (mid, bucket)
+    sharding must spread. Plus 200 small funnels (10 in / 10 out at
+    90%, 6h apart) for recall breadth. Planted mids live in a reserved
+    id block the background cannot touch, so their expected outputs
+    are EXACTLY computable — a numpy integer-microsecond replay
+    asserts n_passthrough and in_total per planted mid.
+
+    Records wall, the shuffle Exchange count and join algorithms of
+    the executed plan, and the organic background pair volume."""
+    import numpy as np
+
+    spark = get_spark(app_name="graph_stress_passthrough", shuffle_partitions=64)
+    from anti_money_laundering_spark.operators import range_join  # noqa: E402
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC, exact integer µs
+    span_us = 30 * 86_400_000_000  # 30 days
+    win_h = 48
+    win_us = win_h * 3_600_000_000
+
+    background = spark.range(n_transfers).select(
+        F.pmod(F.xxhash64("id", F.lit("psrc")), n_accounts).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit("pdst")), n_accounts).alias("dst"),
+        (F.pmod(F.xxhash64("id", F.lit("pamt")), 1000) + 14001).alias("cents"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.pmod(F.xxhash64("id", F.lit("pts")), span_us)
+        ).alias("ts"),
+    )
+
+    hot_mid = n_accounts + 777
+    delta_us = span_us // hot_k  # 518.4 s — not a divisor of 1h, so no ties
+    hot_in = spark.range(hot_k).select(
+        (F.lit(n_accounts + 1_000_000) + F.col("id")).alias("src"),
+        F.lit(hot_mid).alias("dst"),
+        F.lit(20000).alias("cents"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * delta_us).alias("ts"),
+    )
+    hot_out = spark.range(hot_k).select(
+        F.lit(hot_mid).alias("src"),
+        (F.lit(n_accounts + 2_000_000) + F.col("id")).alias("dst"),
+        F.lit(16000).alias("cents"),  # exactly 80% — inclusive band edge
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * delta_us + 3_600_000_000
+        ).alias("ts"),
+    )
+
+    n_small, small_k = 200, 10
+    small_base = n_accounts + 3_000_000
+    sm = spark.range(n_small * small_k).select(
+        (F.col("id") / small_k).cast("long").alias("m"), F.pmod(F.col("id"), small_k).alias("k")
+    )
+    small_ts = (
+        F.lit(base_us) + F.col("m") * 1_020_000_000 + F.col("k") * F.lit(6 * 3_600_000_000)
+    )
+    small_in = sm.select(
+        (F.lit(small_base + 1_000_000) + F.col("m") * small_k + F.col("k")).alias("src"),
+        (F.lit(small_base) + F.col("m")).alias("dst"),
+        F.lit(30000).alias("cents"),
+        F.timestamp_micros(small_ts).alias("ts"),
+    )
+    small_out = sm.select(
+        (F.lit(small_base) + F.col("m")).alias("src"),
+        (F.lit(small_base + 2_000_000) + F.col("m") * small_k + F.col("k")).alias("dst"),
+        F.lit(27000).alias("cents"),  # 90%
+        F.timestamp_micros(small_ts + F.lit(1_800_000_000)).alias("ts"),
+    )
+
+    e = background.unionByName(hot_in).unionByName(hot_out)
+    e = e.unionByName(small_in).unionByName(small_out)
+
+    inflows = e.select(
+        F.col("dst").alias("mid"), "src", F.col("cents").alias("in_cents"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {win_h} HOURS")).alias("hi"),
+    )
+    outflows = e.select(
+        F.col("src").alias("mid"), F.col("dst").alias("sink"),
+        F.col("cents").alias("out_cents"), F.col("ts").alias("out_ts"),
+    )
+    t0 = time.perf_counter()
+    pairs = range_join(
+        outflows, inflows, by=["mid"], point="out_ts", lo="lo", hi="hi",
+        bucket_width_seconds=win_h * 3600,
+    ).filter(
+        (F.col("out_ts") > F.col("lo"))
+        & (F.col("out_cents") * 10 >= F.col("in_cents") * 8)
+        & (F.col("out_cents") * 10 <= F.col("in_cents") * 10)
+    )
+    agg = pairs.groupBy("mid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passthrough"),
+        F.sum("in_cents").cast("long").alias("in_cents_total"),
+    )
+    planted = {
+        r.mid: r for r in agg.filter(F.col("mid") >= n_accounts).collect()
+    }
+    n_organic = agg.filter(F.col("mid") < n_accounts).count()
+    wall = time.perf_counter() - t0
+
+    # numpy exact replay over the planted block (integer µs, no floats)
+    t_in = base_us + np.arange(hot_k, dtype=np.int64) * delta_us
+    t_out = t_in + 3_600_000_000
+    lo_idx = np.searchsorted(t_in, t_out - win_us, side="right")  # t_in > out-48h
+    hi_idx = np.searchsorted(t_in, t_out, side="left")  # t_in < out
+    per_out = hi_idx - lo_idx
+    want_hot_n = int(per_out.sum())
+    want_hot_total = int(per_out.sum()) * 20000
+    got_hot = planted[hot_mid]
+    assert got_hot.n_passthrough == want_hot_n, (got_hot.n_passthrough, want_hot_n)
+    assert got_hot.in_cents_total == want_hot_total
+
+    ts_small = base_us + np.arange(small_k, dtype=np.int64) * 6 * 3_600_000_000
+    os_small = ts_small + 1_800_000_000
+    lo_s = np.searchsorted(ts_small, os_small - win_us, side="right")
+    hi_s = np.searchsorted(ts_small, os_small, side="left")
+    want_small_n = int((hi_s - lo_s).sum())
+    for m in range(n_small):
+        r = planted[small_base + m]
+        assert r.n_passthrough == want_small_n, (m, r.n_passthrough, want_small_n)
+
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    joins = _re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|CartesianProduct|BroadcastNestedLoopJoin)", plan
+    )
+    n_exch = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln and "Reused" not in ln
+    )
+    print(
+        f"passthrough: transfers={n_transfers}+hot{hot_k}x2+small{n_small}x{small_k}x2 "
+        f"hot_pairs={want_hot_n} small_pairs_each={want_small_n} organic_mids={n_organic} "
+        f"wall={wall:.1f}s shuffle_exchanges={n_exch} joins={joins}"
+    )
+    return 0
+
+
 def landmark_error_sweep(n_edges: int = 200_000, n_vertices: int = 20_000) -> int:
     """Landmark-count vs estimator-error sweep (r7 verdict item 8): on
     a fixed synthetic graph, compare k-landmark betweenness against a
@@ -257,6 +406,14 @@ def landmark_error_sweep(n_edges: int = 200_000, n_vertices: int = 20_000) -> in
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "landmark-sweep":
         raise SystemExit(landmark_error_sweep())
+    if len(sys.argv) > 1 and sys.argv[1] == "passthrough":
+        raise SystemExit(
+            passthrough_stress(
+                int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000,
+                int(sys.argv[3]) if len(sys.argv) > 3 else 2_500_000,
+                int(sys.argv[4]) if len(sys.argv) > 4 else 5000,
+            )
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "motif":
         raise SystemExit(
             motif_stress(
