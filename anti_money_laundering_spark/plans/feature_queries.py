@@ -2473,7 +2473,7 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000.0 AS ks_d,
            ks_num / (1.0 * n1 * n2)
              > 1.358 * sqrt((n1 + n2) / (1.0 * n1 * n2)) AS sig_05
-    FROM agg
+    FROM agg WHERE n1 > 0 AND n2 > 0
     """,
 )
 def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,6 +2521,9 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     d = F.col("ks_num") / (1.0 * n1 * n2)
+    # degenerate-split guard (all events one side): emit no row instead
+    # of dividing by zero — DuckDB would ERROR where Spark yields NULL
+    agg = agg.filter((n1 > 0) & (n2 > 0))
     return agg.select(
         n1.alias("n_a"),
         n2.alias("n_b"),

@@ -13,6 +13,7 @@ from anti_money_laundering_spark.graph import pagerank, risk_propagation
 from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.plans.fixture_graphs import (
     FLOW_EDGES_SQL,
+    FLOW_THRESHOLD,
     IDENTITY_EDGES_SQL,
     TXN_EDGES_SQL,
     flow_graph,
@@ -1875,7 +1876,7 @@ def passthrough_funds_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.operators import range_join
 
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value") > 140.0  # FLOW_THRESHOLD — keep the oracle edge set
+        F.col("value") > FLOW_THRESHOLD  # the oracle edge set via FLOW_EDGES_SQL
     )
     cents = F.round(F.col("value") * 100).cast("long")
     inflows = ev.select(

@@ -326,11 +326,15 @@ def passthrough_stress(
         F.count(F.lit(1)).cast("long").alias("n_passthrough"),
         F.sum("in_cents").cast("long").alias("in_cents_total"),
     )
+    # persist: the planted collect and the organic count must not each
+    # recompute the 20M-row pipeline, or wall measures ~2 runs
+    agg = agg.persist()
     planted = {
         r.mid: r for r in agg.filter(F.col("mid") >= n_accounts).collect()
     }
     n_organic = agg.filter(F.col("mid") < n_accounts).count()
     wall = time.perf_counter() - t0
+    agg.unpersist()
 
     # numpy exact replay over the planted block (integer µs, no floats)
     t_in = base_us + np.arange(hot_k, dtype=np.int64) * delta_us
