@@ -294,6 +294,9 @@ _R10_PLAN: tuple[str, ...] = (
     # drift/shift inference screens (r9-new)
     "ks_test_periods",
     "behavior_shift_users",
+    # association + sequence-randomness screens (r9-new)
+    "kendall_tau_qty_discount",
+    "runs_test_user_values",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -2614,3 +2614,180 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tv_dist"),
         (5 * F.col("tv_num") > 3 * F.col("n_a") * F.col("n_b")).alias("shifted"),
     )
+
+
+@register(
+    "kendall_tau_qty_discount",
+    tags=("A-ext", "J3"),
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN a.d < b.d THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                   AS conc,
+               CAST(sum(CASE WHEN a.d > b.d THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                   AS disc
+        FROM cells a JOIN cells b ON a.q < b.q
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    tq AS (
+        SELECT CAST(sum(cq * (cq - 1)) // 2 AS BIGINT) AS t1
+        FROM (SELECT sum(c) AS cq FROM cells GROUP BY q)
+    ),
+    td AS (
+        SELECT CAST(sum(cd * (cd - 1)) // 2 AS BIGINT) AS t2
+        FROM (SELECT sum(c) AS cd FROM cells GROUP BY d)
+    )
+    SELECT n, conc, disc, t1, t2,
+           round((conc - disc)
+                 / (sqrt(n * (n - 1) / 2.0 - t1) * sqrt(n * (n - 1) / 2.0 - t2)),
+                 6) AS tau_b
+    FROM pairs, tot, tq, td
+    """,
+)
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between order quantity and discount — the
+    CONCORDANCE member of the association family (spearman ranks the
+    margins; tau-b counts concordant vs discordant pairs, with the
+    tie corrections both need on coarse grids). The naive O(n^2) pair
+    count collapses to the CONTINGENCY-GRID formulation: quantity and
+    discount live on a 50 x 11 grid, so concordant/discordant sums run
+    over <= 550^2 cell pairs with exact BIGINT products — one count
+    shuffle compresses the fact table, then the cell-pair join is a
+    broadcast over hundreds of rows, never the row-level self-join.
+
+    Exactness: conc/disc/t1/t2/n are exact integers (bounded by
+    n(n-1)/2 ~ 1.8e11 at sf0.1 — re-derive past ~4e9 rows where
+    n(n-1) would overflow); tau_b divides the exact integer (conc -
+    disc) through a sqrt product (irrational — round(6) boundary-safe,
+    and both engines evaluate the identical correctly-rounded IEEE
+    expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.round("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.col("a.q") < F.col("b.q")).agg(
+        F.sum(
+            F.when(F.col("a.d") < F.col("b.d"), F.col("a.c") * F.col("b.c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(F.col("a.d") > F.col("b.d"), F.col("a.c") * F.col("b.c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .agg(F.expr("sum(cq * (cq - 1)) div 2").cast("long").alias("t1"))
+    )
+    td = (
+        cells.groupBy("d")
+        .agg(F.sum("c").alias("cd"))
+        .agg(F.expr("sum(cd * (cd - 1)) div 2").cast("long").alias("t2"))
+    )
+    joined = pairs.crossJoin(tot).crossJoin(tq).crossJoin(td)
+    n0 = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
+    tau = (F.col("conc") - F.col("disc")) / (
+        F.sqrt(n0 - F.col("t1")) * F.sqrt(n0 - F.col("t2"))
+    )
+    return joined.select(
+        "n", "conc", "disc", "t1", "t2", F.round(tau, 6).alias("tau_b")
+    )
+
+
+@register(
+    "runs_test_user_values",
+    tags=("A-ext", "W-ext"),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, (value >= 50.0) AS hi,
+               lag(value >= 50.0) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev
+        FROM events
+    ),
+    st AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (hi) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (NOT hi) AS BIGINT) AS n2,
+               CAST(1 + count(*) FILTER (prev IS NOT NULL AND hi <> prev)
+                    AS BIGINT) AS runs
+        FROM seq GROUP BY user_id
+        HAVING 2 * n1 * n2 > n
+    )
+    SELECT user_id, n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / n + 1))
+                 / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n)
+                        / (1.0 * n * n * (n - 1))), 6) AS z_stat,
+           abs((runs - (2.0 * n1 * n2 / n + 1))
+               / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n)
+                      / (1.0 * n * n * (n - 1)))) > 1.96 AS nonrandom
+    FROM st
+    """,
+)
+def runs_test_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per user: is the time-ordered sequence
+    of high/low transaction values (threshold 50.00 — the fixture's
+    on-grid midscale) random, or does it cluster/alternate? Scripted
+    activity (bots, drip schedules) produces too FEW runs (clustered)
+    or too MANY (forced alternation); |z| > 1.96 flags either — the
+    sequence-order complement of the gap-based periodicity screen.
+
+    Exactness: the run count is an exact integer from a lag window
+    ordered by (integer microseconds, event_id) — a total order both
+    engines sort identically; n1/n2 are exact counts, the 2*n1*n2 > n
+    degeneracy guard is an exact integer predicate (sigma = 0
+    otherwise), and z divides exact integers through a sqrt
+    (irrational — round(6) boundary-safe). Plan: one lag window and
+    one aggregate, both keyed on user_id — a single shuffle,
+    reused."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.col("value") >= 50.0).alias("hi"),
+        F.lag(F.col("value") >= 50.0).over(w).alias("prev"),
+    )
+    st = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("hi"), 1)).cast("long").alias("n1"),
+            F.count(F.when(~F.col("hi"), 1)).cast("long").alias("n2"),
+            (
+                1
+                + F.count(
+                    F.when(F.col("prev").isNotNull() & (F.col("hi") != F.col("prev")), 1)
+                )
+            )
+            .cast("long")
+            .alias("runs"),
+        )
+        .filter(2 * F.col("n1") * F.col("n2") > F.col("n"))
+    )
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / n + 1
+    sigma = F.sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n) / (1.0 * n * n * (n - 1)))
+    z = (F.col("runs") - mu) / sigma
+    return st.select(
+        "user_id",
+        "n1",
+        "n2",
+        "runs",
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    )

@@ -1095,3 +1095,64 @@ def test_behavior_shift_hand_case(spark):
         4, 4, 24, 0.75, True,
     )
     assert (got[3].tv_num, got[3].tv_dist, got[3].shifted) == (0, 0.0, False)
+
+
+def test_kendall_tau_hand_case(spark):
+    """Hand-computed tau-b: points (q,d) = (1,1), (1,2), (2,3). The
+    (1,1)-(1,2) pair ties on q; the other two pairs are concordant =>
+    conc=2, disc=0, t1=1, t2=0, n=3, n0=3, so
+    tau_b = 2 / (sqrt(3-1)*sqrt(3-0)) = 2/sqrt(6) = 0.816497."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    pts = [(1.0, 0.01), (1.0, 0.02), (2.0, 0.03)]
+    li = spark.createDataFrame(
+        [(i, i, 1, q, d, 100.0) for i, (q, d) in enumerate(pts)],
+        "l_orderkey long, l_partkey long, l_linenumber long, "
+        "l_quantity double, l_discount double, l_extendedprice double",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: li
+    try:
+        row = fq.kendall_tau_qty_discount(spark, "x").collect()[0]
+    finally:
+        fq.load_table = orig
+    assert (row.n, row.conc, row.disc, row.t1, row.t2) == (3, 2, 0, 1, 0)
+    assert row.tau_b == 0.816497
+
+
+def test_runs_test_hand_case(spark):
+    """Hand-computed runs test: user 1's time-ordered hi/lo pattern
+    H H L H L has 4 runs with n1=3, n2=2 => mu = 12/5 + 1 = 3.4,
+    sigma^2 = 12*(12-5)/(25*4) = 0.84, z = 0.6/sqrt(0.84) = 0.654654.
+    A value of exactly 50.00 counts as high (>= threshold). User 2 is
+    all-high (n2=0) and user 3 has 2*n1*n2 = n (sigma = 0) — both must
+    drop via the exact integer guard."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 0, 60.0), (1, 1, 50.0), (1, 2, 10.0), (1, 3, 80.0), (1, 4, 20.0),
+        (2, 0, 90.0), (2, 1, 91.0),
+        (3, 0, 60.0), (3, 1, 10.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t0 + k * m, u, "click", v, "{}") for i, (u, k, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.runs_test_user_values(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1}
+    r = got[1]
+    assert (r.n1, r.n2, r.runs) == (3, 2, 4)
+    assert r.z_stat == 0.654654
+    assert not r.nonrandom
