@@ -1102,8 +1102,6 @@ def test_kendall_tau_hand_case(spark):
     (1,1)-(1,2) pair ties on q; the other two pairs are concordant =>
     conc=2, disc=0, t1=1, t2=0, n=3, n0=3, so
     tau_b = 2 / (sqrt(3-1)*sqrt(3-0)) = 2/sqrt(6) = 0.816497."""
-    import datetime as dt
-
     import anti_money_laundering_spark.plans.feature_queries as fq
 
     pts = [(1.0, 0.01), (1.0, 0.02), (2.0, 0.03)]
