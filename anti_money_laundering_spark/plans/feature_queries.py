@@ -2642,10 +2642,12 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(cd * (cd - 1)) // 2 AS BIGINT) AS t2
         FROM (SELECT sum(c) AS cd FROM cells GROUP BY d)
     )
-    SELECT n, conc, disc, t1, t2,
-           round((conc - disc)
-                 / (sqrt(n * (n - 1) / 2.0 - t1) * sqrt(n * (n - 1) / 2.0 - t2)),
-                 6) AS tau_b
+    SELECT n, coalesce(conc, 0) AS conc, coalesce(disc, 0) AS disc, t1, t2,
+           CASE WHEN n * (n - 1) // 2 > t1 AND n * (n - 1) // 2 > t2
+                THEN round((coalesce(conc, 0) - coalesce(disc, 0))
+                           / (sqrt(n * (n - 1) / 2.0 - t1)
+                              * sqrt(n * (n - 1) / 2.0 - t2)), 6)
+           END AS tau_b
     FROM pairs, tot, tq, td
     """,
 )
@@ -2699,12 +2701,26 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(cd * (cd - 1)) div 2").cast("long").alias("t2"))
     )
     joined = pairs.crossJoin(tot).crossJoin(tq).crossJoin(td)
+    # degenerate guard (all rows tied on one variable, or n < 2): the
+    # denominator is 0 — emit NULL identically on both engines instead
+    # of an engine-specific 0/0; conc/disc coalesce to 0 when the
+    # cell-pair join is empty (single q value)
+    conc = F.coalesce(F.col("conc"), F.lit(0)).alias("conc")
+    disc = F.coalesce(F.col("disc"), F.lit(0)).alias("disc")
     n0 = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
-    tau = (F.col("conc") - F.col("disc")) / (
+    n0_int = F.expr("n * (n - 1) div 2")
+    tau = (F.coalesce(F.col("conc"), F.lit(0)) - F.coalesce(F.col("disc"), F.lit(0))) / (
         F.sqrt(n0 - F.col("t1")) * F.sqrt(n0 - F.col("t2"))
     )
     return joined.select(
-        "n", "conc", "disc", "t1", "t2", F.round(tau, 6).alias("tau_b")
+        "n",
+        conc,
+        disc,
+        "t1",
+        "t2",
+        F.when(
+            (n0_int > F.col("t1")) & (n0_int > F.col("t2")), F.round(tau, 6)
+        ).alias("tau_b"),
     )
 
 

@@ -1062,3 +1062,109 @@ def test_winnowing_equals_reference_on_random_corpora(spark, docs):
         got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
     for i, toks in enumerate(docs):
         assert got.get(i, set()) == _winnow_ref(toks), (i, toks)
+
+
+# --- kendall tau-b vs O(n^2) brute force ------------------------------------
+
+qd_strategy = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(0, 4)), min_size=1, max_size=40
+)
+
+
+@settings(**SETTINGS)
+@given(pts=qd_strategy)
+def test_kendall_tau_matches_bruteforce(spark, pts):
+    """tau-b's contingency-grid formulation vs the definitional O(n^2)
+    pair loop — including the degenerate all-tied / n=1 inputs where
+    the query must emit a NULL tau instead of an engine-specific 0/0
+    (out-of-family rule: the oracle shares the grid formulation, so
+    only an independent derivation can catch a shared formula bug)."""
+    import math
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    li = spark.createDataFrame(
+        [(i, float(q), d / 100.0) for i, (q, d) in enumerate(pts)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: li
+    try:
+        row = fq.kendall_tau_qty_discount(spark, "x").collect()[0]
+    finally:
+        fq.load_table = orig
+
+    n = len(pts)
+    conc = disc = t1 = t2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dq = pts[i][0] - pts[j][0]
+            dd = pts[i][1] - pts[j][1]
+            if dq == 0:
+                t1 += 1
+            if dd == 0:
+                t2 += 1
+            if dq * dd > 0:
+                conc += 1
+            elif dq * dd < 0:
+                disc += 1
+    assert (row.n, row.conc, row.disc, row.t1, row.t2) == (n, conc, disc, t1, t2)
+    n0 = n * (n - 1) // 2
+    if n0 > t1 and n0 > t2:
+        want = (conc - disc) / (math.sqrt(n0 - t1) * math.sqrt(n0 - t2))
+        assert row.tau_b is not None and abs(row.tau_b - want) < 1e-6
+    else:
+        assert row.tau_b is None
+
+
+# --- runs test vs definitional sequence scan ---------------------------------
+
+runs_strategy = st.lists(
+    st.lists(st.booleans(), min_size=1, max_size=25), min_size=1, max_size=4
+)
+
+
+@settings(**SETTINGS)
+@given(seqs=runs_strategy)
+def test_runs_test_matches_bruteforce(spark, seqs):
+    """Wald-Wolfowitz z per user vs a definitional python scan of the
+    boolean sequence (run count = 1 + sign changes; mu/sigma from
+    n1/n2), including the 2*n1*n2 <= n degeneracy drops."""
+    import datetime as dt
+    import math
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (u * 1000 + k, t0 + k * m, u, 80.0 if hi else 20.0)
+        for u, seq in enumerate(seqs)
+        for k, hi in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, u, "click", v, "{}") for eid, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.runs_test_user_values(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+
+    for u, seq in enumerate(seqs):
+        n = len(seq)
+        n1 = sum(seq)
+        n2 = n - n1
+        if 2 * n1 * n2 <= n:
+            assert u not in got
+            continue
+        runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        mu = 2.0 * n1 * n2 / n + 1
+        sigma = math.sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1)))
+        r = got[u]
+        assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
+        assert abs(r.z_stat - (runs - mu) / sigma) < 1e-6
+        assert r.nonrandom == (abs((runs - mu) / sigma) > 1.96)
