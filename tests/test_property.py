@@ -1168,3 +1168,236 @@ def test_runs_test_matches_bruteforce(spark, seqs):
         assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
         assert abs(r.z_stat - (runs - mu) / sigma) < 1e-6
         assert r.nonrandom == (abs((runs - mu) / sigma) > 1.96)
+
+
+# --- two-sample KS vs definitional ECDF scan ---------------------------------
+
+ks_strategy = st.tuples(
+    st.lists(st.integers(0, 30), max_size=25),
+    st.lists(st.integers(0, 30), max_size=25),
+)
+
+
+@settings(**SETTINGS)
+@given(ab=ks_strategy)
+def test_ks_periods_matches_bruteforce(spark, ab):
+    """ks_test_periods vs a definitional python ECDF scan — exact
+    integer ks_num / n_a / n_b, div-identity ks_d, and the empty-side
+    guard (no row when every event falls in one half)."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    a_vals, b_vals = ab
+    a_day = dt.datetime(2024, 1, 10)
+    b_day = dt.datetime(2024, 1, 20)
+    rows = [(a_day, x) for x in a_vals] + [(b_day, x) for x in b_vals]
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        [(i, ts, 1, "click", x / 100.0, "{}") for i, (ts, x) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        out = fq.ks_test_periods(spark, "x").collect()
+    finally:
+        fq.load_table = orig
+
+    n1, n2 = len(a_vals), len(b_vals)
+    if n1 == 0 or n2 == 0:
+        assert out == []
+        return
+    ks_num = 0
+    cum1 = cum2 = 0
+    for v in sorted(set(a_vals) | set(b_vals)):
+        cum1 += sum(1 for x in a_vals if x == v)
+        cum2 += sum(1 for x in b_vals if x == v)
+        ks_num = max(ks_num, abs(cum1 * n2 - cum2 * n1))
+    row = out[0]
+    assert (row.n_a, row.n_b, row.ks_num) == (n1, n2, ks_num)
+    assert row.ks_d == ((2 * ks_num * 1000000 + n1 * n2) // (2 * n1 * n2)) / 1000000.0
+
+
+# --- behavior shift vs dict TV distance --------------------------------------
+
+shift_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["click", "view", "purchase"]), max_size=12),
+        st.lists(st.sampled_from(["click", "view", "purchase"]), max_size=12),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**SETTINGS)
+@given(users=shift_strategy)
+def test_behavior_shift_matches_bruteforce(spark, users):
+    """behavior_shift_users vs a dict-based total-variation reference,
+    including the drop of users active in only one half."""
+    import datetime as dt
+    from collections import Counter
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    a_day = dt.datetime(2024, 1, 10)
+    b_day = dt.datetime(2024, 1, 20)
+    rows = [
+        (u, ts, ty)
+        for u, (first, second) in enumerate(users)
+        for ts, tys in ((a_day, first), (b_day, second))
+        for ty in tys
+    ]
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        [(i, ts, u, ty, 1.0, "{}") for i, (u, ts, ty) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.behavior_shift_users(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+
+    for u, (first, second) in enumerate(users):
+        n1, n2 = len(first), len(second)
+        if n1 == 0 or n2 == 0:
+            assert u not in got
+            continue
+        c1, c2 = Counter(first), Counter(second)
+        tv_num = sum(
+            abs(c1.get(t, 0) * n2 - c2.get(t, 0) * n1) for t in set(c1) | set(c2)
+        )
+        r = got[u]
+        assert (r.n_a, r.n_b, r.tv_num) == (n1, n2, tv_num)
+        assert r.tv_dist == (
+            (2 * tv_num * 1000000 + 2 * n1 * n2) // (2 * 2 * n1 * n2)
+        ) / 1000000.0
+        assert r.shifted == (5 * tv_num > 3 * n1 * n2)
+
+
+# --- periodic transfers vs python gap scan -----------------------------------
+
+periodic_strategy = st.lists(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=12, unique=True),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**SETTINGS)
+@given(channels=periodic_strategy)
+def test_periodic_transfers_matches_bruteforce(spark, channels):
+    """periodic_transfer_patterns vs a python gap scan: second-level
+    event times floor to minute gaps (div 60000000 on microseconds),
+    stats via the exact integer identities, channels with < 3 gaps or
+    an all-zero gap sum dropped."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (ch, t0 + sec * s)
+        for ch, secs in enumerate(channels)
+        for sec in secs
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, ch, "transfer", 1.0, f'{{"k": {100 + ch}}}') for i, (ch, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {
+            (r.src, r.dst): r
+            for r in gq.periodic_transfer_patterns(spark, "x").collect()
+        }
+    finally:
+        gq.load_table = orig
+
+    for ch, secs in enumerate(channels):
+        t = sorted(secs)
+        gaps = [(b * 1_000_000 - a * 1_000_000) // 60_000_000 for a, b in zip(t, t[1:])]
+        n, ssum = len(gaps), sum(gaps)
+        key = (ch, 100 + ch)
+        if n < 3 or ssum == 0:
+            assert key not in got
+            continue
+        ss = sum(g * g for g in gaps)
+        var_num = n * ss - ssum * ssum
+        r = got[key]
+        assert r.n_gaps == n
+        assert r.mean_gap_min == ((2 * ssum * 100000 + n) // (2 * n)) / 100000.0
+        assert r.gap_cv2 == (
+            (2 * var_num * 100000 + ssum * ssum) // (2 * ssum * ssum)
+        ) / 100000.0
+        assert r.periodic == (10 * var_num < ssum * ssum)
+
+
+# --- pass-through funnel vs nested-loop scan ---------------------------------
+
+pt_edge = st.tuples(
+    st.integers(0, 5),          # src
+    st.integers(0, 5),          # dst
+    st.integers(14001, 14010),  # cents (> flow threshold 14000)
+    st.integers(0, 96),         # hour offset
+)
+
+
+@settings(**SETTINGS)
+@given(edges=st.lists(pt_edge, min_size=1, max_size=30))
+def test_passthrough_matches_bruteforce(spark, edges):
+    """passthrough_funds_alerts vs a nested-loop python scan over the
+    same edge list: strict (in.ts, in.ts+48h) window, inclusive
+    80-100% integer cent band, per-mid pair/source/sink counts and
+    exact cent totals."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + hh * h, src, "transfer", c / 100.0, f'{{"k": {dst}}}')
+            for i, (src, dst, c, hh) in enumerate(edges)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.mid: r for r in gq.passthrough_funds_alerts(spark, "x").collect()}
+    finally:
+        gq.load_table = orig
+
+    agg = defaultdict(lambda: [0, set(), set(), 0, 0])
+    for isrc, idst, ic, ih in edges:
+        for osrc, odst, oc, oh in edges:
+            if (
+                osrc == idst
+                and ih < oh < ih + 48
+                and ic * 8 <= oc * 10 <= ic * 10
+            ):
+                a = agg[idst]
+                a[0] += 1
+                a[1].add(isrc)
+                a[2].add(odst)
+                a[3] += ic
+                a[4] += oc
+    assert set(got) == set(agg)
+    for mid, (np_, srcs, sinks, ict, oct_) in agg.items():
+        r = got[mid]
+        assert (r.n_passthrough, r.n_sources, r.n_sinks) == (np_, len(srcs), len(sinks))
+        assert (r.in_total, r.out_total) == (ict / 100.0, oct_ / 100.0)
