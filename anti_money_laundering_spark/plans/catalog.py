@@ -297,6 +297,8 @@ _R10_PLAN: tuple[str, ...] = (
     # association + sequence-randomness screens (r9-new)
     "kendall_tau_qty_discount",
     "runs_test_user_values",
+    # streaming twin of the pass-through screen (r9-new)
+    "stream_passthrough_pairs",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -251,3 +251,74 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         F.col("l_user_id").alias("user_id"),
     )
+
+
+from anti_money_laundering_spark.plans.fixture_graphs import (  # noqa: E402
+    FLOW_EDGES_SQL,
+    FLOW_THRESHOLD,
+)
+
+
+@register(
+    "stream_passthrough_pairs",
+    tags=("STR", "range"),
+    oracle=f"""
+    WITH e AS (
+        SELECT src, dst, txn_id, ts,
+               CAST(round(amount * 100) AS BIGINT) AS cents
+        FROM ({FLOW_EDGES_SQL})
+    )
+    SELECT i.dst AS mid, i.txn_id AS in_event, o.txn_id AS out_event,
+           i.cents / 100.0 AS in_amount, o.cents / 100.0 AS out_amount
+    FROM e i JOIN e o
+      ON o.src = i.dst
+     AND o.ts >= i.ts AND o.ts < i.ts + INTERVAL 48 HOUR
+     AND o.txn_id <> i.txn_id
+     AND o.cents * 10 BETWEEN i.cents * 8 AND i.cents * 10
+    """,
+)
+def stream_passthrough_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the STREAMING pass-through screen: the
+    ``passthrough_funds_alerts`` pair detection re-expressed as a
+    stream-stream interval join (streaming.interval_join_streams) so a
+    funnel account alerts WHILE the money moves, not in a nightly
+    batch. Inflow leg keyed on the receiving account, outflow leg on
+    the sending account; an outflow matches inflows into the same
+    account within [in.ts, in.ts + 48h) at 80-100% of the amount.
+    Two deliberate deltas vs the batch screen, both from the facade's
+    stream-state contract: the window lower bound is INCLUSIVE (the
+    state-store horizon is [l.ts, l.ts+upper)), so self-pairing is
+    excluded by event id instead of strict time; and output is
+    PAIR-level (append-mode emittable as matches land) rather than the
+    per-mid aggregate, which a downstream batch rollup can fold.
+    Replay parity over 4 micro-batches with BOTH legs watermarked:
+    tests/test_streaming.py::test_stream_passthrough_pairs_parity."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.streaming import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > FLOW_THRESHOLD)
+    cents = F.round(F.col("value") * 100).cast("long")
+    inflows = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("mid"),
+        "event_id",
+        cents.alias("cents"),
+        "ts",
+    )
+    outflows = ev.select(
+        F.col("user_id").alias("mid"), "event_id", cents.alias("cents"), "ts"
+    )
+    out = interval_join_streams(
+        inflows, outflows, key="mid", upper="48 hours", watermark="49 hours"
+    ).filter(
+        (F.col("l_event_id") != F.col("r_event_id"))
+        & (F.col("r_cents") * 10 >= F.col("l_cents") * 8)
+        & (F.col("r_cents") * 10 <= F.col("l_cents") * 10)
+    )
+    return out.select(
+        F.col("l_mid").alias("mid"),
+        F.col("l_event_id").alias("in_event"),
+        F.col("r_event_id").alias("out_event"),
+        (F.col("l_cents") / F.lit(100.0)).alias("in_amount"),
+        (F.col("r_cents") / F.lit(100.0)).alias("out_amount"),
+    )

@@ -468,3 +468,49 @@ def test_stateful_totals_v2_stream_parity(spark, sf_dir, replay_dir):
     }
     for k, v in exp.items():
         assert k in last and abs(last[k][0] - v[0]) < 1e-6 and last[k][1] == v[1]
+
+
+def test_stream_passthrough_pairs_parity(spark, sf_dir, replay_dir):
+    """The pass-through screen's streaming face replayed over 4
+    micro-batches must equal its batch face: inflow and outflow legs
+    both read from the stream source (two watermarked legs keyed on
+    the MIDDLE account, 48h state horizon), the cent-band and
+    self-pair residuals applied on the joined stream."""
+    from anti_money_laundering_spark.plans.catalog import get_catalog
+    from anti_money_laundering_spark.streaming import interval_join_streams
+
+    batch = get_catalog()["stream_passthrough_pairs"].fn(spark, sf_dir)
+
+    def leg(df, inflow):
+        df = df.filter(F.col("value") > 140.0)
+        cents = F.round(F.col("value") * 100).cast("long")
+        if inflow:
+            return df.select(
+                F.get_json_object("props", "$.k").cast("long").alias("mid"),
+                "event_id",
+                cents.alias("cents"),
+                "ts",
+            )
+        return df.select(
+            F.col("user_id").alias("mid"), "event_id", cents.alias("cents"), "ts"
+        )
+
+    stream = interval_join_streams(
+        leg(read_events_stream(spark, replay_dir), inflow=True),
+        leg(read_events_stream(spark, replay_dir), inflow=False),
+        key="mid",
+        upper="48 hours",
+        watermark="49 hours",
+    ).filter(
+        (F.col("l_event_id") != F.col("r_event_id"))
+        & (F.col("r_cents") * 10 >= F.col("l_cents") * 8)
+        & (F.col("r_cents") * 10 <= F.col("l_cents") * 10)
+    )
+    got = run_stream_to_memory(stream, "t_passthrough", output_mode="append")
+    got = got.select(
+        F.col("l_mid").alias("mid"),
+        F.col("l_event_id").alias("in_event"),
+        F.col("r_event_id").alias("out_event"),
+    )
+    cols = ["mid", "in_event", "out_event"]
+    assert _rows(got, cols) == _rows(batch, cols)
