@@ -299,6 +299,8 @@ _R10_PLAN: tuple[str, ...] = (
     "runs_test_user_values",
     # streaming twin of the pass-through screen (r9-new)
     "stream_passthrough_pairs",
+    # Benford leading-digit screen completing the amount-shape family (r9-new)
+    "benford_first_digit_lineitem",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -1467,6 +1467,114 @@ def round_amount_bias_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benford first-digit expected shares, micro-units of log10(1 + 1/d)
+#: for d = 1..9 (301030 = round(log10(2) * 1e6), ...). Rounded
+#: constants sum to EXACTLY 1_000_000, so the expected distribution is
+#: itself on the micro grid. A single tuple feeds BOTH the Spark plan
+#: and the DuckDB oracle below — the two engines cannot disagree on
+#: the reference distribution by construction.
+_BENFORD_MICRO: tuple[int, ...] = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_MICRO, start=1)
+) + " END"
+
+
+@register(
+    "benford_first_digit_lineitem",
+    tags=("A2", "F4", "F-ext"),
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM lineitem GROUP BY 1
+    ), spine AS (
+      SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(digit)
+    ), j AS (
+      SELECT spine.digit AS digit,
+             COALESCE(c.n_obs, 0) AS n_obs,
+             CAST(sum(COALESCE(c.n_obs, 0)) OVER () AS BIGINT) AS n_total
+      FROM spine LEFT JOIN c ON spine.digit = c.digit
+    ), m AS (
+      SELECT digit, n_obs, n_total,
+             (2 * n_obs * 1000000 + n_total) // (2 * n_total) AS obs_micro,
+             {_BENFORD_CASE_SQL} AS ben_micro
+      FROM j
+    )
+    SELECT digit, n_obs, n_total,
+           obs_micro / 1000000.0 AS obs_share,
+           ben_micro / 1000000.0 AS benford_share,
+           CAST(abs(obs_micro - ben_micro) AS BIGINT) AS dev_micro,
+           obs_micro > ben_micro AS over_represented
+    FROM m
+    """,
+)
+def benford_first_digit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over line-item prices: one row
+    per leading digit 1..9 with the observed share, the Benford
+    expectation log10(1+1/d), and the absolute deviation in micro
+    units — the classic forensic-accounting test for invented amounts
+    (Nigrini's digit analysis; the leading-digit complement to
+    ``round_amount_bias_orders``' trailing-digit screen, completing
+    the amount-shape family the reference's structuring narrative
+    implies, 01_aml_network_analysis.py's alert motivation).
+
+    Exactness: prices are 2-decimal on-grid, so round(value*100) is an
+    exact BIGINT on both engines and the leading digit is an exact
+    substring of its decimal rendering; counts are integers; shares
+    use the div-based round-half-up identity (numerators nonnegative —
+    counts); the Benford reference shares are the shared integer
+    constants in ``_BENFORD_MICRO`` (they sum to exactly 1e6), so
+    ``dev_micro`` and ``over_represented`` are pure integer
+    arithmetic and cannot wobble. Requires a non-empty table (the
+    share denominator) and positive amounts (fixture invariant,
+    asserted by ``dq_expectations_orders``-style price_positive).
+
+    Scale: ONE map-side-combinable aggregation on a 9-value key (each
+    task emits <= 9 partial rows, so the reduce is trivially small at
+    any SF); everything downstream — the 9-row digit spine left join
+    (a missing digit must still surface as an n_obs=0 row: its
+    |0 - expected| deviation is evidence, exactly what a curated
+    sample of fabricated amounts produces) and the unpartitioned
+    total window — touches 9 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    counts = (
+        li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    ben_micro = F.lit(None).cast("int")
+    for d, p in enumerate(_BENFORD_MICRO, start=1):
+        ben_micro = F.when(F.col("digit") == d, p).otherwise(ben_micro)
+    joined = (
+        spine.join(counts, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+        )
+        .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
+        .withColumn(
+            "obs_micro",
+            F.expr("(2 * n_obs * 1000000 + n_total) div (2 * n_total)"),
+        )
+        .withColumn("ben_micro", ben_micro)
+    )
+    return joined.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        (F.col("obs_micro") / F.lit(1000000.0)).alias("obs_share"),
+        (F.col("ben_micro") / F.lit(1000000.0)).alias("benford_share"),
+        F.abs(F.col("obs_micro") - F.col("ben_micro")).cast("long").alias("dev_micro"),
+        (F.col("obs_micro") > F.col("ben_micro")).alias("over_represented"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-quality expectations
 # ---------------------------------------------------------------------------

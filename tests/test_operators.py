@@ -950,6 +950,46 @@ def test_round_amount_bias_hand_case(spark):
     )
 
 
+def test_benford_first_digit_hand_case(spark):
+    """Hand-computed Benford screen (out-of-family rule, r8): prices
+    {100.00, 19.99, 0.01} lead with 1 (0.01 -> cents=1 -> digit '1'),
+    {250.50, 2.00} with 2, {999.99} with 9; n_total=6. Digit 1's true
+    share 3/6*1e6 = 500000.0 exercises the exact-integer branch of the
+    half-up identity ((6000006) div 12 = 500000); digit 2 truncates
+    333333.83 -> 333333; absent digits 3-8 must still surface as
+    n_obs=0 spine rows with dev_micro equal to the full Benford
+    expectation."""
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    li = spark.createDataFrame(
+        [(100.00,), (19.99,), (0.01,), (250.50,), (2.00,), (999.99,)],
+        "l_extendedprice double",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: li
+    try:
+        got = {r.digit: r for r in fq.benford_first_digit_lineitem(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == set(range(1, 10))
+    assert all(got[d].n_total == 6 for d in got)
+    assert (got[1].n_obs, got[1].obs_share, got[1].dev_micro, got[1].over_represented) == (
+        3, 0.5, 198970, True,
+    )
+    assert (got[2].n_obs, got[2].obs_share, got[2].dev_micro, got[2].over_represented) == (
+        2, 0.333333, 157242, True,
+    )
+    assert (got[9].n_obs, got[9].obs_share, got[9].dev_micro, got[9].over_represented) == (
+        1, 0.166667, 120910, True,
+    )
+    for d, p in zip(range(3, 9), fq._BENFORD_MICRO[2:8]):
+        assert (got[d].n_obs, got[d].obs_share, got[d].dev_micro, got[d].over_represented) == (
+            0, 0.0, p, False,
+        )
+    # the rounded reference distribution is itself a distribution
+    assert sum(fq._BENFORD_MICRO) == 1_000_000
+
+
 def test_passthrough_hand_case(spark):
     """Hand-computed funnel screen (out-of-family rule, r8): one
     200.00 inflow into mid 5 pairs with outflows at exactly 80% of the
