@@ -1484,7 +1484,7 @@ _BENFORD_CASE_SQL = "CASE digit " + " ".join(
 
 @register(
     "benford_first_digit_lineitem",
-    tags=("A2", "F4", "F-ext"),
+    tags=("A-ext", "F-ext"),
     oracle=f"""
     WITH c AS (
       SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1517,10 +1517,13 @@ def benford_first_digit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     per leading digit 1..9 with the observed share, the Benford
     expectation log10(1+1/d), and the absolute deviation in micro
     units — the classic forensic-accounting test for invented amounts
-    (Nigrini's digit analysis; the leading-digit complement to
-    ``round_amount_bias_orders``' trailing-digit screen, completing
-    the amount-shape family the reference's structuring narrative
-    implies, 01_aml_network_analysis.py's alert motivation).
+    (Nigrini's digit analysis). Positioning within the amount-shape
+    family: ``benford_digit_scores`` (extended_queries.py) is the
+    per-customer chi-square CONFORMANCE score over orders; this query
+    is the corpus-level per-digit PROFILE an analyst inspects to see
+    WHERE the distribution deviates, in fully exact integer arithmetic
+    (the chi-square twin's float pow/log10 terms can't be) — alongside
+    ``round_amount_bias_orders``' trailing-digit screen.
 
     Exactness: prices are 2-decimal on-grid, so round(value*100) is an
     exact BIGINT on both engines and the leading digit is an exact
@@ -2772,10 +2775,20 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: conc/disc/t1/t2/n are exact integers (bounded by
     n(n-1)/2 ~ 1.8e11 at sf0.1 — re-derive past ~4e9 rows where
-    n(n-1) would overflow); tau_b divides the exact integer (conc -
-    disc) through a sqrt product (irrational — round(6) boundary-safe,
-    and both engines evaluate the identical correctly-rounded IEEE
-    expression)."""
+    n(n-1) would overflow), so the hash attests the full sufficient
+    statistics exactly; tau_b divides the exact integer (conc - disc)
+    through sqrt((n0-t1)(n0-t2)). That sqrt is irrational — and
+    round(6) therefore boundary-safe — ONLY while the radicand is not
+    a perfect square (it IS one in e.g. the tie-free case, where the
+    quotient degenerates to the rational (conc-disc)/n0 — the
+    documented round(6) landmine class). The fixture radicands are
+    non-square and the computed tau_b values sit >= 1e-4 scaled units
+    off every round-half boundary, pinned at all SFs by
+    tests/test_operators.py::
+    test_kendall_runs_stay_off_rounding_boundaries (predriver pin
+    list); a regen that breaks the pin must reformulate tau_b with the
+    div-based integer identity on the rational branch BEFORE the
+    driver runs."""
     li = load_table(spark, sf_dir, "lineitem")
     cells = (
         li.groupBy(
@@ -2783,6 +2796,11 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_discount") * 100).cast("long").alias("d"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # 5 plan branches consume `cells` (a, b, tot, tq, td): cut the
+        # lineage once so the lineitem scan + count shuffle run ONCE
+        # instead of per branch (the r8 tfidf lesson); the grid is
+        # <= 550 rows at any SF, so the checkpoint is free
+        .localCheckpoint()
     )
     a, b = cells.alias("a"), cells.alias("b")
     pairs = a.join(b, F.col("a.q") < F.col("b.q")).agg(
@@ -2875,10 +2893,19 @@ def runs_test_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by (integer microseconds, event_id) — a total order both
     engines sort identically; n1/n2 are exact counts, the 2*n1*n2 > n
     degeneracy guard is an exact integer predicate (sigma = 0
-    otherwise), and z divides exact integers through a sqrt
-    (irrational — round(6) boundary-safe). Plan: one lag window and
-    one aggregate, both keyed on user_id — a single shuffle,
-    reused."""
+    otherwise), and z divides exact rationals through
+    sqrt(2*n1*n2*(2*n1*n2-n)/(n^2*(n-1))) — irrational (so round(6)
+    boundary-safe) ONLY while 2*n1*n2*(2*n1*n2-n)*(n-1) is not a
+    perfect square; a user whose counts make it one lands z on the
+    documented rational round(6) landmine. The fixture radicands are
+    all non-square and every z sits >= 1e-4 scaled units off the
+    round-half boundaries, pinned at all SFs by
+    tests/test_operators.py::
+    test_kendall_runs_stay_off_rounding_boundaries (predriver pin
+    list; on failure, reformulate the offending branch with the
+    div-based integer identity BEFORE the driver runs). Plan: one lag
+    window and one aggregate, both keyed on user_id — a single
+    shuffle, reused."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     seq = ev.select(

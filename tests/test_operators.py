@@ -950,6 +950,150 @@ def test_round_amount_bias_hand_case(spark):
     )
 
 
+def test_stream_passthrough_hand_case(spark):
+    """Hand-computed pass-through pairs (out-of-family rule, r8),
+    pinning the streaming screen's two deliberate deltas from the
+    batch ``passthrough_funds_alerts``: (a) the window lower bound is
+    INCLUSIVE — outflows o1 at exactly the inflow's own timestamp must
+    pair; (b) self-pairing is excluded by EVENT ID, not by strict
+    time — e1 is simultaneously a 500.00 inflow into account 5 and a
+    500.00 outflow from it at the same instant (100% of itself, inside
+    the band and the inclusive window) and must NOT pair with itself.
+    Also pinned: the strict upper bound (o2 at exactly +48h drops),
+    both band edges (o1 at exactly 80% pairs, o3 one cent under 80%
+    of i1 drops — but pairs with i2 whose band it IS inside), and the
+    flow threshold (o5 at 140.00 is not > 140 and never enters,
+    despite sitting exactly on i2's 80% edge)."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.streaming_queries as sq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # (event_id, user_id, props, value, ts)
+        ("i1", 1, '{"k": 5}', 200.00, t0),
+        ("i2", 2, '{"k": 5}', 175.00, t0),
+        ("e1", 5, '{"k": 5}', 500.00, t0),
+        ("o1", 5, "{}", 160.00, t0),            # 80% of i1, ts == t0
+        ("o2", 5, "{}", 200.00, t0 + 48 * h),   # exactly +48h: strict upper
+        ("o3", 5, "{}", 159.99, t0 + 1 * h),    # 1 cent under i1's band; in i2's
+        ("o4", 5, "{}", 200.00, t0 + 1 * h),    # 100% of i1, inclusive high edge
+        ("o5", 5, "{}", 140.00, t0 + 1 * h),    # on i2's 80% edge but NOT > threshold
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id long, props string, value double, ts timestamp"
+    )
+    orig = sq.load_table
+    sq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {
+            (r.in_event, r.out_event): r
+            for r in sq.stream_passthrough_pairs(spark, "x").collect()
+        }
+    finally:
+        sq.load_table = orig
+    assert set(got) == {("i1", "o1"), ("i1", "o4"), ("i2", "o1"), ("i2", "o3")}
+    assert all(r.mid == 5 for r in got.values())
+    assert (got[("i1", "o1")].in_amount, got[("i1", "o1")].out_amount) == (200.0, 160.0)
+    assert (got[("i2", "o3")].in_amount, got[("i2", "o3")].out_amount) == (175.0, 159.99)
+
+
+def test_kendall_runs_stay_off_rounding_boundaries(duck):
+    """Pre-driver pin for kendall_tau_qty_discount's tau_b and
+    runs_test_user_values' z_stat (r9 review finding): both divide
+    exact integers through a sqrt whose radicand CAN be a perfect
+    square (tie-free kendall degenerates to rational (conc-disc)/n0;
+    a runs-test user with square 2*n1*n2*(2*n1*n2-n)*(n-1) gets a
+    rational z) — the documented cross-engine round(6) landmine class
+    the docstrings previously claimed was structurally absent. This
+    pin recomputes every compared float from the EXACT integer
+    sufficient statistics via 60-digit Decimal and asserts (a) no
+    fixture radicand is a perfect square, and (b) every true value
+    sits >= 1e-4 scaled units (1e-10 in value — ~10^4x the measured
+    cross-engine ulp divergence) off each round-half-to-6-decimals
+    boundary. If a fixture regen fails either clause, reformulate the
+    offending statistic with the div-based integer round identity
+    BEFORE the driver runs (the tfidf margin-pin protocol)."""
+    import math
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 60
+    margin = Decimal("1e-4")
+
+    def half_dist_scaled(x: Decimal) -> Decimal:
+        scaled = x * Decimal(10) ** 6
+        frac = scaled - scaled.to_integral_value(rounding="ROUND_FLOOR")
+        return abs(frac - Decimal("0.5"))
+
+    # kendall: one global row of exact integers
+    n, conc, disc, t1, t2 = (
+        int(v)
+        for v in duck.execute(
+            """
+        WITH cells AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) q,
+                   CAST(round(l_discount*100) AS BIGINT) d,
+                   CAST(count(*) AS BIGINT) c
+            FROM lineitem GROUP BY 1, 2),
+        pairs AS (
+            SELECT CAST(sum(CASE WHEN a.d < b.d THEN a.c*b.c ELSE 0 END) AS BIGINT) conc,
+                   CAST(sum(CASE WHEN a.d > b.d THEN a.c*b.c ELSE 0 END) AS BIGINT) disc
+            FROM cells a JOIN cells b ON a.q < b.q),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) n FROM cells),
+        tq AS (SELECT CAST(sum(cq*(cq-1))//2 AS BIGINT) t1
+               FROM (SELECT sum(c) cq FROM cells GROUP BY q)),
+        td AS (SELECT CAST(sum(cd*(cd-1))//2 AS BIGINT) t2
+               FROM (SELECT sum(c) cd FROM cells GROUP BY d))
+        SELECT n, coalesce(conc, 0), coalesce(disc, 0), t1, t2
+        FROM pairs, tot, tq, td
+        """
+        ).fetchone()
+    )
+    n0 = n * (n - 1) // 2
+    d1, d2 = n0 - t1, n0 - t2
+    assert d1 > 0 and d2 > 0, "fixture degenerated to all-tied"
+    assert math.isqrt(d1 * d2) ** 2 != d1 * d2, (
+        "kendall radicand (n0-t1)*(n0-t2) became a perfect square — tau_b is "
+        "now a RATIONAL quotient; switch it to the div-based integer round identity"
+    )
+    tau = Decimal(conc - disc) / (Decimal(d1).sqrt() * Decimal(d2).sqrt())
+    assert half_dist_scaled(tau) >= margin, f"tau_b within {margin} of a boundary"
+
+    # runs test: exact integers per user
+    rows = duck.execute(
+        """
+        WITH seq AS (
+            SELECT user_id, (value >= 50.0) hi,
+                   lag(value >= 50.0) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) prev
+            FROM events),
+        st AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) n,
+                   CAST(count(*) FILTER (hi) AS BIGINT) n1,
+                   CAST(count(*) FILTER (NOT hi) AS BIGINT) n2,
+                   CAST(1 + count(*) FILTER (prev IS NOT NULL AND hi <> prev)
+                        AS BIGINT) runs
+            FROM seq GROUP BY user_id HAVING 2*n1*n2 > n)
+        SELECT user_id, n, n1, n2, runs FROM st
+        """
+    ).fetchall()
+    assert rows, "runs-test fixture output became empty"
+    for uid, nn, n1, n2, runs in rows:
+        nn, n1, n2, runs = int(nn), int(n1), int(n2), int(runs)
+        rad = 2 * n1 * n2 * (2 * n1 * n2 - nn) * (nn - 1)  # times n^2 (square)
+        assert math.isqrt(rad) ** 2 != rad, (
+            f"user {uid}: runs-test radicand is a perfect square — z is RATIONAL; "
+            "switch z_stat to the div-based integer round identity"
+        )
+        num = Decimal(runs) - (Decimal(2 * n1 * n2) / Decimal(nn) + 1)
+        sig = (Decimal(rad) / Decimal(nn * nn * (nn - 1)) / Decimal(nn - 1)).sqrt()
+        z = num / sig
+        assert half_dist_scaled(z) >= margin, (
+            f"user {uid}: z_stat within {margin} scaled units of a round(6) boundary"
+        )
+
+
 def test_benford_first_digit_hand_case(spark):
     """Hand-computed Benford screen (out-of-family rule, r8): prices
     {100.00, 19.99, 0.01} lead with 1 (0.01 -> cents=1 -> digit '1'),

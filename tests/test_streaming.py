@@ -477,12 +477,13 @@ def test_stream_passthrough_pairs_parity(spark, sf_dir, replay_dir):
     the MIDDLE account, 48h state horizon), the cent-band and
     self-pair residuals applied on the joined stream."""
     from anti_money_laundering_spark.plans.catalog import get_catalog
+    from anti_money_laundering_spark.plans.fixture_graphs import FLOW_THRESHOLD
     from anti_money_laundering_spark.streaming import interval_join_streams
 
     batch = get_catalog()["stream_passthrough_pairs"].fn(spark, sf_dir)
 
     def leg(df, inflow):
-        df = df.filter(F.col("value") > 140.0)
+        df = df.filter(F.col("value") > FLOW_THRESHOLD)
         cents = F.round(F.col("value") * 100).cast("long")
         if inflow:
             return df.select(

@@ -41,6 +41,7 @@ _PIN_TESTS = (
     "tests/test_vector.py::test_lsh_topk_equals_bruteforce",
     "tests/test_vector.py::test_ivf_exact_rerank_equals_bruteforce",
     "tests/test_graph.py::test_k_core_converges_within_oracle_rounds",
+    "tests/test_operators.py::test_kendall_runs_stay_off_rounding_boundaries",
 )
 
 
