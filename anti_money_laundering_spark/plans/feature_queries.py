@@ -2575,12 +2575,14 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals
     ),
     agg AS (
-        SELECT CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+        SELECT CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
+                            - CAST(cum2 AS HUGEINT) * n1)) AS BIGINT) AS ks_num,
                CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
         FROM cum
     )
     SELECT n1 AS n_a, n2 AS n_b, ks_num,
-           ((2 * ks_num * 1000000 + n1 * n2) // (2 * n1 * n2))
+           ((2 * CAST(ks_num AS HUGEINT) * 1000000 + CAST(n1 AS HUGEINT) * n2)
+              // (2 * CAST(n1 AS HUGEINT) * n2))
              / 1000000.0 AS ks_d,
            ks_num / (1.0 * n1 * n2)
              > 1.358 * sqrt((n1 + n2) / (1.0 * n1 * n2)) AS sig_05
@@ -2594,12 +2596,14 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram; KS is the sup-norm gap of the full ECDFs, so a variance
     or tail change moves it even when the means agree).
 
-    Exactness: D's numerator max|cum1*n2 - cum2*n1| is an exact BIGINT
-    on the per-VALUE count table (values integer-scaled by 1e4, the
-    mannwhitney convention); D itself rounds half-up by the div
-    identity (numerator nonnegative). The 1e6-scaled identity needs
-    n1*n2 <= ~4.6e12 (~2.1M events a side) — re-scale before pointing
-    at a bigger single statistic. sig_05 compares D against the
+    Exactness: D's numerator max|cum1*n2 - cum2*n1| is exact on the
+    per-VALUE count table (values integer-scaled by 1e4, the
+    mannwhitney convention), with products and the half-up div
+    identity computed in decimal(38,0) / HUGEINT (numerator
+    nonnegative) — exact to ~1e15 events a side; the output ks_num's
+    BIGINT cast is the one remaining bound (n1*n2 < 9.2e18, ~3e9
+    events a side; widen to a VARCHAR-cast decimal if a corpus ever
+    exceeds it). sig_05 compares D against the
     alpha=.05 asymptotic line 1.358*sqrt((n1+n2)/(n1*n2)); the
     boundary is irrational while D is rational, so the flag cannot sit
     on a knife edge, and both engines evaluate the identical
@@ -2623,8 +2627,15 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w_all).alias("n1"),
         F.sum(F.col("c") - F.col("c1")).over(w_all).alias("n2"),
     )
+    # products and the round identity run in decimal(38,0) (HUGEINT on
+    # the oracle side) so the statistic stays exact far past the LONG
+    # ceiling; only the OUTPUT ks_num is cast back to BIGINT — valid
+    # while n1*n2 < 9.2e18 (~3e9 events a side), the one remaining
+    # bound, and kept because decimal output columns are
+    # driver-canonicalizer-hostile (the r7 decimal_money_totals class)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = cum.agg(
-        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        F.max(F.abs(dec("cum1") * dec("n2") - dec("cum2") * dec("n1")))
         .cast("long")
         .alias("ks_num"),
         F.max("n1").cast("long").alias("n1"),
@@ -2640,7 +2651,11 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.alias("n_b"),
         "ks_num",
         (
-            F.expr("(2 * ks_num * 1000000 + n1 * n2) div (2 * n1 * n2)")
+            F.expr(
+                "(2 * cast(ks_num as decimal(38,0)) * 1000000"
+                " + cast(n1 as decimal(38,0)) * n2)"
+                " div (2 * cast(n1 as decimal(38,0)) * n2)"
+            )
             / F.lit(1000000.0)
         ).alias("ks_d"),
         (d > 1.358 * F.sqrt((n1 + n2) / (1.0 * n1 * n2))).alias("sig_05"),

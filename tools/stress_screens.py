@@ -127,6 +127,33 @@ def main() -> int:
     # UNDER-representation (uniform ~11.1% vs Benford 17.6%)
     over = [r for r in rows if r.over_represented]
     assert max(over, key=lambda r: r.dev_micro).digit == 1
+
+    # --- KS: 25M events a side — 12x past the OLD long-identity
+    # ceiling (~2.1M a side), possible only since the decimal(38,0) /
+    # HUGEINT widening; values live on a ~100k-point grid so the
+    # single-partition ECDF window input is grid-bounded, and the
+    # post-split distribution is shifted +5% -> D must flag ------------
+    n_ks = n_benford
+    half = n_ks // 2
+    split = F.lit(fq._DRIFT_SPLIT).cast("timestamp")
+    before = F.when(F.col("id") < half, 1).otherwise(0)
+    h4 = F.abs(F.xxhash64("id", F.lit(4)))
+    base_v = (h4 % 1_000_000).cast("double") / F.lit(10000.0)  # 4-decimal grid
+    ev2 = spark.range(n_ks).select(
+        F.when(
+            before == 1, split - F.expr("INTERVAL 1 DAY")
+        ).otherwise(split + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.when(before == 1, base_v).otherwise(base_v * 1.05).alias("value"),
+    )
+    rows, wall = _run(spark, fq.ks_test_periods, ev2)
+    r = rows[0]
+    print(
+        f"ks_test_periods: {n_ks} events ({r.n_a}/{r.n_b} split) -> "
+        f"D={r.ks_d} (ks_num={r.ks_num}) sig={r.sig_05} in {wall:.1f}s"
+    )
+    assert (r.n_a, r.n_b) == (half, n_ks - half)
+    assert r.sig_05 and r.ks_d > 0.01, "planted +5% shift must flag"
+    assert r.ks_num > 0
     print("SCREENS-STRESS OK")
     return 0
 
