@@ -2467,24 +2467,29 @@ def welch_ttest_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals
     ),
     agg AS (
-        SELECT CAST(sum(c1 * (2 * cum_excl + c + 1)) AS BIGINT) AS r1x2,
+        SELECT sum(CAST(c1 AS HUGEINT) * (2 * cum_excl + c + 1)) AS r1x2,
                CAST(sum(c1) AS BIGINT) AS n1,
                CAST(sum(c) AS BIGINT) AS n,
-               CAST(sum(c * c * c - c) AS BIGINT) AS tie
+               sum(CAST(c AS HUGEINT) * c * c - c) AS tie
         FROM ranked
     ),
     stat AS (
-        SELECT n1, n - n1 AS n2, r1x2 - n1 * (n1 + 1) AS u1x2, n, tie FROM agg
+        SELECT n1, n - n1 AS n2,
+               r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2, n, tie
+        FROM agg
     )
     SELECT n1 AS n_a, n2 AS n_b,
            round(u1x2 / 2.0, 1) AS u_a,
-           round((u1x2 - n1 * n2)
-                 / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0)),
+           round((u1x2 - CAST(n1 AS HUGEINT) * n2)
+                 / (2.0 * sqrt((1.0 * n1) * n2
+                               * ((n + 1) - tie / ((1.0 * n) * (n - 1))) / 12.0)),
                  6) AS z_stat,
-           (((2 * u1x2 * 1000000 + n1 * n2) // (2 * n1 * n2)) - 1000000)
+           (((2 * u1x2 * 1000000 + CAST(n1 AS HUGEINT) * n2)
+               // (2 * CAST(n1 AS HUGEINT) * n2)) - 1000000)
              / 1000000.0 AS rank_biserial,
-           abs((u1x2 - n1 * n2)
-               / (2.0 * sqrt(n1 * n2 * ((n + 1) - tie / (1.0 * n * (n - 1))) / 12.0))) > 1.96
+           abs((u1x2 - CAST(n1 AS HUGEINT) * n2)
+               / (2.0 * sqrt((1.0 * n1) * n2
+                             * ((n + 1) - tie / ((1.0 * n) * (n - 1))) / 12.0))) > 1.96
              AS sig_05
     FROM stat
     """,
@@ -2500,7 +2505,11 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline: ranks are computed from per-VALUE counts
     (values integer-scaled by 1e4 — fixture values carry <= 4
     decimals), so the doubled rank sum 2*R1 = sum c1*(2*cum_excl+c+1)
-    is an exact BIGINT on both engines. z divides identical integers
+    is exact on both engines — in decimal(38,0)/HUGEINT, like the tie
+    term and the effect-size identity (the LONG forms capped at ~3e6
+    total events and wrapped silently past it; remaining bounds: one
+    value carried by < 4.6e12 rows, n < 9.2e18). z divides identical
+    integers
     through a sqrt (irrational — round(6) is boundary-safe), while the
     RATIONAL effect size rank_biserial = 2*U1/(n1*n2) - 1 =
     u1x2/(n1*n2) - 1 (r8 review fix: the first cut dropped the factor
@@ -2525,22 +2534,37 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = vals.select(
         "v", "c", "c1", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_excl")
     )
+    # rank-sum, tie, and effect-size products run in decimal(38,0)
+    # (HUGEINT in the oracle): the LONG forms cap at ~3e6 total events
+    # (2*u1x2*1e6 needs u1x2 <= n1*n2 < 4.6e12) and the tie term c^3
+    # overflows on any single value carried by > 2.1e6 rows — the
+    # corpus-scale silent-wrap hazard the KS widening closed. Remaining
+    # exactness bounds: c < 4.6e12 rows on ONE value (c^3 vs 1e38) and
+    # n < ~9.2e18 (the n1/n LONG outputs).
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = ranked.agg(
-        F.sum(F.col("c1") * (2 * F.col("cum_excl") + F.col("c") + 1)).alias("r1x2"),
+        F.sum(
+            dec("c1") * (2 * F.col("cum_excl") + F.col("c") + 1).cast("decimal(19,0)")
+        ).alias("r1x2"),
         F.sum("c1").alias("n1"),
         F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie"),
+        F.sum(dec("c") * dec("c") * dec("c") - dec("c")).alias("tie"),
     )
     n1, n = F.col("n1"), F.col("n")
     n2 = n - n1
-    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    n1d = n1.cast("decimal(19,0)")
+    u1x2 = F.col("r1x2") - n1d * (n1 + 1)
+    # the float sigma/z path multiplies via (1.0*n1)*n2 so no LONG
+    # product ever forms (the integer n1*n2 wraps past ~3e9 a side);
+    # the oracle mirrors the same shapes so both engines evaluate the
+    # identical correctly-rounded IEEE expression
     sigma_x2 = 2.0 * F.sqrt(
-        n1 * n2 * ((n + 1) - F.col("tie") / (1.0 * n * (n - 1))) / 12.0
+        (1.0 * n1) * n2 * ((n + 1) - F.col("tie") / ((1.0 * n) * (n - 1))) / 12.0
     )
-    z = (u1x2 - n1 * n2) / sigma_x2
+    z = (u1x2 - n1d * n2) / sigma_x2
     return (
-        agg.withColumn("__a", u1x2.cast("long"))
-        .withColumn("__b", (n1 * n2).cast("long"))
+        agg.withColumn("__a", u1x2.cast("decimal(38,0)"))
+        .withColumn("__b", (n1d * n2).cast("decimal(38,0)"))
         .select(
             n1.alias("n_a"),
             n2.alias("n_b"),

@@ -154,6 +154,21 @@ def main() -> int:
     assert (r.n_a, r.n_b) == (half, n_ks - half)
     assert r.sig_05 and r.ks_d > 0.01, "planted +5% shift must flag"
     assert r.ks_num > 0
+
+    # --- mann-whitney on the same drifted frame: 25M a side is ~8000x
+    # past the OLD long effect-size identity ceiling (~3e6 total);
+    # the +5% post-split shift must give side A (before, lower values)
+    # u1x2 < n1*n2 -> negative rank_biserial and z, sig true ----------
+    rows, wall = _run(spark, fq.mannwhitney_value_periods, ev2)
+    r = rows[0]
+    print(
+        f"mannwhitney_value_periods: {n_ks} events -> z={r.z_stat} "
+        f"rank_biserial={r.rank_biserial} sig={r.sig_05} in {wall:.1f}s"
+    )
+    assert (r.n_a, r.n_b) == (half, n_ks - half)
+    assert r.sig_05 and r.z_stat < 0 and r.rank_biserial < 0, (
+        "planted upward post-shift must rank side A lower"
+    )
     print("SCREENS-STRESS OK")
     return 0
 
