@@ -1297,14 +1297,15 @@ def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     stats AS (
-      SELECT user_id, sum(c) AS s, sum(c * c) AS ss,
+      SELECT user_id, sum(c) AS s, sum(CAST(c AS HUGEINT) * c) AS ss,
              CAST(count(*) AS BIGINT) AS n
       FROM daily GROUP BY user_id
       HAVING count(*) >= 5
     )
     SELECT user_id,
-           ((2 * (n * ss - s * s) * 1000000 + (n - 1) * s)
-              // (2 * (n - 1) * s)) / 1000000.0 AS fano,
+           ((2 * (n * ss - CAST(s AS HUGEINT) * s) * 1000000
+             + (n - 1) * CAST(s AS HUGEINT))
+              // (2 * (n - 1) * CAST(s AS HUGEINT))) / 1000000.0 AS fano,
            n AS n_days
     FROM stats
     """,
@@ -1330,20 +1331,32 @@ def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # Σc² and the fano numerator run in decimal (HUGEINT in the
+    # oracle): the LONG forms wrap once one user's daily counts square
+    # past ~3e9/day or n*ss crosses 4.6e12 — hub-account hazards at
+    # corpus scale
     stats = (
         daily.groupBy("user_id")
         .agg(
             F.sum("c").alias("s"),
-            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("ss"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
         .filter(F.col("n") >= 5)
     )
     return (
         stats.withColumn(
-            "__a", (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("long")
+            "__a",
+            (
+                F.col("n") * F.col("ss")
+                - F.col("s").cast("decimal(19,0)") * F.col("s")
+            ).cast("decimal(38,0)"),
         )
-        .withColumn("__b", ((F.col("n") - 1) * F.col("s")).cast("long"))
+        .withColumn(
+            "__b", ((F.col("n") - 1) * F.col("s").cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        )
         .select(
             "user_id",
             (
@@ -1432,9 +1445,10 @@ def threshold_avoidance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (
                CAST(round(o_totalprice * 100) AS BIGINT) % 100 = 0
            ) AS BIGINT) AS n_round,
-           ((2 * count(*) FILTER (
+           ((2 * CAST(count(*) FILTER (
                  CAST(round(o_totalprice * 100) AS BIGINT) % 100 = 0
-             ) * 1000000 + count(*)) // (2 * count(*))) / 1000000.0 AS round_share
+             ) AS HUGEINT) * 1000000 + count(*))
+             // (2 * CAST(count(*) AS HUGEINT))) / 1000000.0 AS round_share
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -1460,7 +1474,13 @@ def round_amount_bias_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "n_round",
             (
-                F.expr("(2 * n_round * 1000000 + n_orders) div (2 * n_orders)")
+                # priority groups hold ~corpus/5 rows, so the share
+                # identity runs in decimal (the LONG form wraps past
+                # 4.6e12 rows per group)
+                F.expr(
+                    "(2 * cast(n_round as decimal(38,0)) * 1000000 + n_orders)"
+                    " div (2 * cast(n_orders as decimal(38,0)))"
+                )
                 / F.lit(1000000.0)
             ).alias("round_share"),
         )
@@ -1500,7 +1520,8 @@ _BENFORD_CASE_SQL = "CASE digit " + " ".join(
       FROM spine LEFT JOIN c ON spine.digit = c.digit
     ), m AS (
       SELECT digit, n_obs, n_total,
-             (2 * n_obs * 1000000 + n_total) // (2 * n_total) AS obs_micro,
+             (2 * CAST(n_obs AS HUGEINT) * 1000000 + n_total)
+               // (2 * CAST(n_total AS HUGEINT)) AS obs_micro,
              {_BENFORD_CASE_SQL} AS ben_micro
       FROM j
     )
@@ -1563,7 +1584,13 @@ def benford_first_digit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
         .withColumn(
             "obs_micro",
-            F.expr("(2 * n_obs * 1000000 + n_total) div (2 * n_total)"),
+            # decimal identity (HUGEINT in the oracle): the LONG form
+            # wraps past 4.6e12 corpus rows — within an order of a
+            # 100 TB event table
+            F.expr(
+                "(2 * cast(n_obs as decimal(38,0)) * 1000000 + n_total)"
+                " div (2 * cast(n_total as decimal(38,0)))"
+            ),
         )
         .withColumn("ben_micro", ben_micro)
     )
@@ -1754,7 +1781,8 @@ def longest_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY count(*) OVER (PARTITION BY user_id) >= 2
     )
     SELECT event_id, user_id,
-           ((2 * num * 1000000 + den) // (2 * den)) / 1000000.0 AS loo_mean
+           ((2 * CAST(num AS HUGEINT) * 1000000 + den)
+              // (2 * CAST(den AS HUGEINT))) / 1000000.0 AS loo_mean
     FROM s
     """,
 )
@@ -1798,7 +1826,13 @@ def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             (
-                F.expr("(2 * __num * 1000000 + __den) div (2 * __den)")
+                # decimal identity (HUGEINT in the oracle): the LONG
+                # form wraps once one user's scaled-value sum crosses
+                # 4.6e12 — a hub-account hazard at corpus scale
+                F.expr(
+                    "(2 * cast(__num as decimal(38,0)) * 1000000 + __den)"
+                    " div (2 * cast(__den as decimal(38,0)))"
+                )
                 / F.lit(1000000.0)
             ).alias("loo_mean"),
         )
@@ -2705,13 +2739,15 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT user_id, CAST(max(n1) AS BIGINT) AS n_a,
                CAST(max(n2) AS BIGINT) AS n_b,
-               CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num
+               CAST(sum(abs(CAST(c1 AS HUGEINT) * n2
+                            - CAST(c2 AS HUGEINT) * n1)) AS BIGINT) AS tv_num
         FROM tot WHERE n1 > 0 AND n2 > 0 GROUP BY user_id
     )
     SELECT user_id, n_a, n_b, tv_num,
-           ((2 * tv_num * 1000000 + 2 * n_a * n_b) // (2 * 2 * n_a * n_b))
+           ((2 * CAST(tv_num AS HUGEINT) * 1000000 + 2 * CAST(n_a AS HUGEINT) * n_b)
+              // (2 * 2 * CAST(n_a AS HUGEINT) * n_b))
              / 1000000.0 AS tv_dist,
-           5 * tv_num > 3 * n_a * n_b AS shifted
+           5 * CAST(tv_num AS HUGEINT) > 3 * CAST(n_a AS HUGEINT) * n_b AS shifted
     FROM agg
     """,
 )
@@ -2746,10 +2782,14 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w_u).alias("n1"),
         F.sum("c2").over(w_u).alias("n2"),
     ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    # per-user products run in decimal (HUGEINT in the oracle): the
+    # LONG tv identity wraps once ONE user's half-counts multiply past
+    # ~2.3e12 — a bot/hub account hazard at corpus scale
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = tot.groupBy("user_id").agg(
         F.max("n1").cast("long").alias("n_a"),
         F.max("n2").cast("long").alias("n_b"),
-        F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+        F.sum(F.abs(dec("c1") * dec("n2") - dec("c2") * dec("n1")))
         .cast("long")
         .alias("tv_num"),
     )
@@ -2759,10 +2799,17 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "tv_num",
         (
-            F.expr("(2 * tv_num * 1000000 + 2 * n_a * n_b) div (2 * 2 * n_a * n_b)")
+            F.expr(
+                "(2 * cast(tv_num as decimal(38,0)) * 1000000"
+                " + 2 * cast(n_a as decimal(38,0)) * n_b)"
+                " div (2 * 2 * cast(n_a as decimal(38,0)) * n_b)"
+            )
             / F.lit(1000000.0)
         ).alias("tv_dist"),
-        (5 * F.col("tv_num") > 3 * F.col("n_a") * F.col("n_b")).alias("shifted"),
+        (
+            5 * F.col("tv_num").cast("decimal(38,0)")
+            > 3 * F.col("n_a").cast("decimal(19,0)") * F.col("n_b")
+        ).alias("shifted"),
     )
 
 
@@ -2777,26 +2824,29 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1, 2
     ),
     pairs AS (
-        SELECT CAST(sum(CASE WHEN a.d < b.d THEN a.c * b.c ELSE 0 END) AS BIGINT)
+        SELECT CAST(sum(CASE WHEN a.d < b.d
+                             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS BIGINT)
                    AS conc,
-               CAST(sum(CASE WHEN a.d > b.d THEN a.c * b.c ELSE 0 END) AS BIGINT)
+               CAST(sum(CASE WHEN a.d > b.d
+                             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS BIGINT)
                    AS disc
         FROM cells a JOIN cells b ON a.q < b.q
     ),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
     tq AS (
-        SELECT CAST(sum(cq * (cq - 1)) // 2 AS BIGINT) AS t1
+        SELECT CAST(sum(CAST(cq AS HUGEINT) * (cq - 1)) // 2 AS BIGINT) AS t1
         FROM (SELECT sum(c) AS cq FROM cells GROUP BY q)
     ),
     td AS (
-        SELECT CAST(sum(cd * (cd - 1)) // 2 AS BIGINT) AS t2
+        SELECT CAST(sum(CAST(cd AS HUGEINT) * (cd - 1)) // 2 AS BIGINT) AS t2
         FROM (SELECT sum(c) AS cd FROM cells GROUP BY d)
     )
     SELECT n, coalesce(conc, 0) AS conc, coalesce(disc, 0) AS disc, t1, t2,
-           CASE WHEN n * (n - 1) // 2 > t1 AND n * (n - 1) // 2 > t2
+           CASE WHEN CAST(n AS HUGEINT) * (n - 1) // 2 > t1
+                 AND CAST(n AS HUGEINT) * (n - 1) // 2 > t2
                 THEN round((coalesce(conc, 0) - coalesce(disc, 0))
-                           / (sqrt(n * (n - 1) / 2.0 - t1)
-                              * sqrt(n * (n - 1) / 2.0 - t2)), 6)
+                           / (sqrt((1.0 * n) * (n - 1) / 2.0 - t1)
+                              * sqrt((1.0 * n) * (n - 1) / 2.0 - t2)), 6)
            END AS tau_b
     FROM pairs, tot, tq, td
     """,
@@ -2812,10 +2862,11 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle compresses the fact table, then the cell-pair join is a
     broadcast over hundreds of rows, never the row-level self-join.
 
-    Exactness: conc/disc/t1/t2/n are exact integers (bounded by
-    n(n-1)/2 ~ 1.8e11 at sf0.1 — re-derive past ~4e9 rows where
-    n(n-1) would overflow), so the hash attests the full sufficient
-    statistics exactly; tau_b divides the exact integer (conc - disc)
+    Exactness: conc/disc/t1/t2/n are exact integers — products run in
+    decimal(38,0)/HUGEINT (the LONG forms wrapped past ~4e9 rows);
+    the OUTPUT casts stay BIGINT, valid while n(n-1)/2 < 9.2e18
+    (~4e9 rows), the remaining documented bound — so the hash attests
+    the full sufficient statistics exactly; tau_b divides the exact integer (conc - disc)
     through sqrt((n0-t1)(n0-t2)). That sqrt is irrational — and
     round(6) therefore boundary-safe — ONLY while the radicand is not
     a perfect square (it IS one in e.g. the tie-free case, where the
@@ -2841,16 +2892,18 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         # <= 550 rows at any SF, so the checkpoint is free
         .localCheckpoint()
     )
+    # cell products, tie terms, and the n0 guard run in decimal(38,0)
+    # (HUGEINT in the oracle): the LONG forms wrap past ~4e9 rows
+    # (c*c, cq*(cq-1), n*(n-1) all quadratic in corpus size); the
+    # conc/disc/t1/t2 OUTPUT casts stay BIGINT — valid to n*(n-1)/2 <
+    # 9.2e18 (~4e9 rows), the remaining documented bound
     a, b = cells.alias("a"), cells.alias("b")
+    cd_ = lambda side: F.col(f"{side}.c").cast("decimal(19,0)")  # noqa: E731
     pairs = a.join(b, F.col("a.q") < F.col("b.q")).agg(
-        F.sum(
-            F.when(F.col("a.d") < F.col("b.d"), F.col("a.c") * F.col("b.c")).otherwise(0)
-        )
+        F.sum(F.when(F.col("a.d") < F.col("b.d"), cd_("a") * cd_("b")).otherwise(0))
         .cast("long")
         .alias("conc"),
-        F.sum(
-            F.when(F.col("a.d") > F.col("b.d"), F.col("a.c") * F.col("b.c")).otherwise(0)
-        )
+        F.sum(F.when(F.col("a.d") > F.col("b.d"), cd_("a") * cd_("b")).otherwise(0))
         .cast("long")
         .alias("disc"),
     )
@@ -2858,12 +2911,20 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = (
         cells.groupBy("q")
         .agg(F.sum("c").alias("cq"))
-        .agg(F.expr("sum(cq * (cq - 1)) div 2").cast("long").alias("t1"))
+        .agg(
+            F.expr("sum(cast(cq as decimal(19,0)) * (cq - 1)) div 2")
+            .cast("long")
+            .alias("t1")
+        )
     )
     td = (
         cells.groupBy("d")
         .agg(F.sum("c").alias("cd"))
-        .agg(F.expr("sum(cd * (cd - 1)) div 2").cast("long").alias("t2"))
+        .agg(
+            F.expr("sum(cast(cd as decimal(19,0)) * (cd - 1)) div 2")
+            .cast("long")
+            .alias("t2")
+        )
     )
     joined = pairs.crossJoin(tot).crossJoin(tq).crossJoin(td)
     # degenerate guard (all rows tied on one variable, or n < 2): the
@@ -2872,8 +2933,8 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell-pair join is empty (single q value)
     conc = F.coalesce(F.col("conc"), F.lit(0)).alias("conc")
     disc = F.coalesce(F.col("disc"), F.lit(0)).alias("disc")
-    n0 = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
-    n0_int = F.expr("n * (n - 1) div 2")
+    n0 = (1.0 * F.col("n")) * (F.col("n") - 1) / F.lit(2.0)
+    n0_int = F.expr("cast(n as decimal(19,0)) * (n - 1) div 2")
     tau = (F.coalesce(F.col("conc"), F.lit(0)) - F.coalesce(F.col("disc"), F.lit(0))) / (
         F.sqrt(n0 - F.col("t1")) * F.sqrt(n0 - F.col("t2"))
     )
@@ -2908,14 +2969,14 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(1 + count(*) FILTER (prev IS NOT NULL AND hi <> prev)
                     AS BIGINT) AS runs
         FROM seq GROUP BY user_id
-        HAVING 2 * n1 * n2 > n
+        HAVING 2 * CAST(n1 AS HUGEINT) * n2 > n
     )
     SELECT user_id, n1, n2, runs,
            round((runs - (2.0 * n1 * n2 / n + 1))
-                 / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n)
+                 / sqrt((2.0 * n1 * n2) * ((2.0 * n1 * n2) - n)
                         / (1.0 * n * n * (n - 1))), 6) AS z_stat,
            abs((runs - (2.0 * n1 * n2 / n + 1))
-               / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n)
+               / sqrt((2.0 * n1 * n2) * ((2.0 * n1 * n2) - n)
                       / (1.0 * n * n * (n - 1)))) > 1.96 AS nonrandom
     FROM st
     """,
@@ -2967,11 +3028,20 @@ def runs_test_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("runs"),
         )
-        .filter(2 * F.col("n1") * F.col("n2") > F.col("n"))
+        # decimal guard (HUGEINT in the oracle): the LONG 2*n1*n2
+        # wraps once one user's half-counts multiply past ~4.6e18
+        .filter(
+            2 * F.col("n1").cast("decimal(19,0)") * F.col("n2") > F.col("n")
+        )
     )
     n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
     mu = 2.0 * n1 * n2 / n + 1
-    sigma = F.sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n) / (1.0 * n * n * (n - 1)))
+    # sigma's products stay float-shaped on BOTH engines so no integer
+    # product ever forms (values identical below 2^53, shapes identical
+    # above)
+    sigma = F.sqrt(
+        (2.0 * n1 * n2) * ((2.0 * n1 * n2) - n) / (1.0 * n * n * (n - 1))
+    )
     z = (F.col("runs") - mu) / sigma
     return st.select(
         "user_id",

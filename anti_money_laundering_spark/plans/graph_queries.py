@@ -1933,15 +1933,19 @@ def passthrough_funds_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
         SELECT src, dst, CAST(count(*) AS BIGINT) AS n_gaps,
                CAST(sum(gap_min) AS BIGINT) AS s,
-               CAST(sum(gap_min * gap_min) AS BIGINT) AS ss
+               sum(CAST(gap_min AS HUGEINT) * gap_min) AS ss
         FROM gaps WHERE gap_min IS NOT NULL
         GROUP BY src, dst HAVING count(*) >= 3 AND sum(gap_min) > 0
     )
     SELECT src, dst, n_gaps,
-           ((2 * s * 100000 + n_gaps) // (2 * n_gaps)) / 100000.0 AS mean_gap_min,
-           ((2 * (n_gaps * ss - s * s) * 100000 + s * s) // (2 * s * s))
+           ((2 * CAST(s AS HUGEINT) * 100000 + n_gaps)
+              // (2 * CAST(n_gaps AS HUGEINT))) / 100000.0 AS mean_gap_min,
+           ((2 * (n_gaps * ss - CAST(s AS HUGEINT) * s) * 100000
+             + CAST(s AS HUGEINT) * s)
+              // (2 * CAST(s AS HUGEINT) * s))
              / 100000.0 AS gap_cv2,
-           10 * (n_gaps * ss - s * s) < s * s AS periodic
+           10 * (n_gaps * ss - CAST(s AS HUGEINT) * s)
+             < CAST(s AS HUGEINT) * s AS periodic
     FROM st
     """,
 )
@@ -1958,10 +1962,10 @@ def periodic_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational (n*ss - s*s)/s^2 (population variance over the squared
     mean — the n^2 denominators cancel), rounded half-up by the div
     identity, and the flag is the exact integer compare
-    10*(n*ss - s*s) < s*s. Overflow bound: the 1e5-scaled numerator
-    needs n*max_gap <= ~6.8e6 gap-minutes; the fixture's worst channel
-    is ~3.2e6 (26-day span, <= 86 transfers) — re-derive before
-    pointing at multi-year histories. Plan: one lag window and one
+    10*(n*ss - s*s) < s*s — all products in decimal(38,0)/HUGEINT
+    (the LONG forms capped at ~6.8e6 channel gap-minutes, i.e. any
+    multi-year history; the widened forms are exact to ~1e16
+    gap-minutes). Plan: one lag window and one
     aggregate, both keyed on (src, dst) — a single shuffle, reused."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
@@ -1979,28 +1983,41 @@ def periodic_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_min").isNotNull())
     )
+    # gap squares, the CV^2 rational, and the periodic flag run in
+    # decimal (HUGEINT in the oracle): the LONG forms wrapped once a
+    # channel's n*max_gap crossed ~6.8e6 gap-minutes — i.e. on any
+    # multi-year standing-order history, exactly the records this
+    # screen exists for
     st = (
         gaps.groupBy("src", "dst")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_gaps"),
             F.sum("gap_min").cast("long").alias("s"),
-            F.sum(F.col("gap_min") * F.col("gap_min")).cast("long").alias("ss"),
+            F.sum(F.col("gap_min").cast("decimal(19,0)") * F.col("gap_min")).alias(
+                "ss"
+            ),
         )
         .filter((F.col("n_gaps") >= 3) & (F.col("s") > 0))
     )
-    var_num = F.col("n_gaps") * F.col("ss") - F.col("s") * F.col("s")
-    return st.select(
-        "src",
-        "dst",
-        "n_gaps",
-        (
-            F.expr("(2 * s * 100000 + n_gaps) div (2 * n_gaps)") / F.lit(100000.0)
-        ).alias("mean_gap_min"),
-        (
-            F.expr(
-                "(2 * (n_gaps * ss - s * s) * 100000 + s * s) div (2 * s * s)"
-            )
-            / F.lit(100000.0)
-        ).alias("gap_cv2"),
-        (10 * var_num < F.col("s") * F.col("s")).alias("periodic"),
+    s_dec = F.col("s").cast("decimal(19,0)")
+    var_num = F.col("n_gaps") * F.col("ss") - s_dec * F.col("s")
+    return (
+        st.withColumn("__v", var_num.cast("decimal(38,0)"))
+        .withColumn("__s2", (s_dec * F.col("s")).cast("decimal(38,0)"))
+        .select(
+            "src",
+            "dst",
+            "n_gaps",
+            (
+                F.expr(
+                    "(2 * cast(s as decimal(38,0)) * 100000 + n_gaps)"
+                    " div (2 * cast(n_gaps as decimal(38,0)))"
+                )
+                / F.lit(100000.0)
+            ).alias("mean_gap_min"),
+            (
+                F.expr("(2 * __v * 100000 + __s2) div (2 * __s2)") / F.lit(100000.0)
+            ).alias("gap_cv2"),
+            (10 * F.col("__v") < F.col("__s2")).alias("periodic"),
+        )
     )
