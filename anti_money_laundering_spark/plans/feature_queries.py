@@ -34,6 +34,15 @@ from anti_money_laundering_spark.sampling import hash_bucket
 from anti_money_laundering_spark.sources import load_table
 
 
+def _dec19(c: str):
+    """The repo-wide integer-widening convention: cast a LONG column to
+    decimal(19,0) so subsequent products promote to decimal(38,0)
+    (HUGEINT on the DuckDB oracle side) instead of silently wrapping a
+    LONG — see the r9 overflow sweep (KS / mann-whitney commit
+    messages) for the per-screen ceilings the LONG forms had."""
+    return F.col(c).cast("decimal(19,0)")
+
+
 # ---------------------------------------------------------------------------
 # SCD2 history build
 # ---------------------------------------------------------------------------
@@ -1388,10 +1397,12 @@ def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT user_id, n_purchases, n_band,
-           ((2 * n_band * 1000000 + n_purchases) // (2 * n_purchases))
+           ((2 * CAST(n_band AS HUGEINT) * 1000000 + n_purchases)
+              // (2 * CAST(n_purchases AS HUGEINT)))
              / 1000000.0 AS band_share,
            (n_band >= 2 AND
-            ((2 * n_band * 1000000 + n_purchases) // (2 * n_purchases))
+            ((2 * CAST(n_band AS HUGEINT) * 1000000 + n_purchases)
+               // (2 * CAST(n_purchases AS HUGEINT)))
               / 1000000.0 > 0.25) AS flagged
     FROM pu WHERE n_purchases >= 3
     """,
@@ -1425,9 +1436,12 @@ def threshold_avoidance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_purchases") >= 3)
     )
-    share = F.expr("(2 * n_band * 1000000 + n_purchases) div (2 * n_purchases)") / F.lit(
-        1000000.0
-    )
+    # decimal identity (HUGEINT in the oracle): same 4.6e12-per-user
+    # LONG ceiling class as the rest of the r9 overflow sweep
+    share = F.expr(
+        "(2 * cast(n_band as decimal(38,0)) * 1000000 + n_purchases)"
+        " div (2 * cast(n_purchases as decimal(38,0)))"
+    ) / F.lit(1000000.0)
     return agg.select(
         "user_id",
         "n_purchases",
@@ -2541,8 +2555,10 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals), so the doubled rank sum 2*R1 = sum c1*(2*cum_excl+c+1)
     is exact on both engines — in decimal(38,0)/HUGEINT, like the tie
     term and the effect-size identity (the LONG forms capped at ~3e6
-    total events and wrapped silently past it; remaining bounds: one
-    value carried by < 4.6e12 rows, n < 9.2e18). z divides identical
+    total events and wrapped silently past it). Remaining bounds: one
+    value carried by < 4.6e12 rows (the c^3 tie term vs 1e38), and
+    the effect-size identity's 2*u1x2*1e6 < 1e38, i.e. n1*n2 <
+    ~2.5e31 (~1e16 events total, balanced). z divides identical
     integers
     through a sqrt (irrational — round(6) is boundary-safe), while the
     RATIONAL effect size rank_biserial = 2*U1/(n1*n2) - 1 =
@@ -2575,14 +2591,15 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale silent-wrap hazard the KS widening closed. Remaining
     # exactness bounds: c < 4.6e12 rows on ONE value (c^3 vs 1e38) and
     # n < ~9.2e18 (the n1/n LONG outputs).
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = ranked.agg(
+        # the rank term 2*cum_excl+c+1 also widens BEFORE its doubling
+        # (cum_excl <= n, so the LONG form wraps at n > ~4.6e18)
         F.sum(
-            dec("c1") * (2 * F.col("cum_excl") + F.col("c") + 1).cast("decimal(19,0)")
+            _dec19("c1") * (2 * _dec19("cum_excl") + F.col("c") + 1)
         ).alias("r1x2"),
         F.sum("c1").alias("n1"),
         F.sum("c").alias("n"),
-        F.sum(dec("c") * dec("c") * dec("c") - dec("c")).alias("tie"),
+        F.sum(_dec19("c") * _dec19("c") * _dec19("c") - _dec19("c")).alias("tie"),
     )
     n1, n = F.col("n1"), F.col("n")
     n2 = n - n1
@@ -2691,9 +2708,8 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while n1*n2 < 9.2e18 (~3e9 events a side), the one remaining
     # bound, and kept because decimal output columns are
     # driver-canonicalizer-hostile (the r7 decimal_money_totals class)
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = cum.agg(
-        F.max(F.abs(dec("cum1") * dec("n2") - dec("cum2") * dec("n1")))
+        F.max(F.abs(_dec19("cum1") * _dec19("n2") - _dec19("cum2") * _dec19("n1")))
         .cast("long")
         .alias("ks_num"),
         F.max("n1").cast("long").alias("n1"),
@@ -2785,11 +2801,10 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user products run in decimal (HUGEINT in the oracle): the
     # LONG tv identity wraps once ONE user's half-counts multiply past
     # ~2.3e12 — a bot/hub account hazard at corpus scale
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = tot.groupBy("user_id").agg(
         F.max("n1").cast("long").alias("n_a"),
         F.max("n2").cast("long").alias("n_b"),
-        F.sum(F.abs(dec("c1") * dec("n2") - dec("c2") * dec("n1")))
+        F.sum(F.abs(_dec19("c1") * _dec19("n2") - _dec19("c2") * _dec19("n1")))
         .cast("long")
         .alias("tv_num"),
     )
@@ -2898,12 +2913,12 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conc/disc/t1/t2 OUTPUT casts stay BIGINT — valid to n*(n-1)/2 <
     # 9.2e18 (~4e9 rows), the remaining documented bound
     a, b = cells.alias("a"), cells.alias("b")
-    cd_ = lambda side: F.col(f"{side}.c").cast("decimal(19,0)")  # noqa: E731
+    ac, bc = _dec19("a.c"), _dec19("b.c")
     pairs = a.join(b, F.col("a.q") < F.col("b.q")).agg(
-        F.sum(F.when(F.col("a.d") < F.col("b.d"), cd_("a") * cd_("b")).otherwise(0))
+        F.sum(F.when(F.col("a.d") < F.col("b.d"), ac * bc).otherwise(0))
         .cast("long")
         .alias("conc"),
-        F.sum(F.when(F.col("a.d") > F.col("b.d"), cd_("a") * cd_("b")).otherwise(0))
+        F.sum(F.when(F.col("a.d") > F.col("b.d"), ac * bc).otherwise(0))
         .cast("long")
         .alias("disc"),
     )

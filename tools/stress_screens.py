@@ -101,7 +101,7 @@ def main() -> int:
         f"({len(alts)} planted alternators, all z>0: "
         f"{all(r.z_stat > 0 for r in alts)}) in {wall:.1f}s"
     )
-    assert len(alts) >= n_users // 17, "every planted alternator must flag"
+    assert len(alts) >= (n_users + 16) // 17, "every planted alternator must flag"
     assert all(r.z_stat > 0 for r in alts), "alternators have too MANY runs"
 
     # --- benford: 70% UNIFORM magnitudes over [1.00, 100000.00] (first
@@ -130,8 +130,9 @@ def main() -> int:
 
     # --- KS: 25M events a side — 12x past the OLD long-identity
     # ceiling (~2.1M a side), possible only since the decimal(38,0) /
-    # HUGEINT widening; values live on a ~100k-point grid so the
-    # single-partition ECDF window input is grid-bounded, and the
+    # HUGEINT widening; values live on a 1M-point grid (the shifted
+    # side re-snaps to ~1.05M points -> ~2M distinct window rows), so
+    # the single-partition ECDF window input is grid-bounded, and the
     # post-split distribution is shifted +5% -> D must flag ------------
     n_ks = n_benford
     half = n_ks // 2
@@ -155,10 +156,12 @@ def main() -> int:
     assert r.sig_05 and r.ks_d > 0.01, "planted +5% shift must flag"
     assert r.ks_num > 0
 
-    # --- mann-whitney on the same drifted frame: 25M a side is ~8000x
-    # past the OLD long effect-size identity ceiling (~3e6 total);
-    # the +5% post-split shift must give side A (before, lower values)
-    # u1x2 < n1*n2 -> negative rank_biserial and z, sig true ----------
+    # --- mann-whitney on the same drifted frame: 50M total is ~17x
+    # past the OLD long effect-size identity ceiling (~3e6 total
+    # events; the identity VALUE 2*u1x2*1e6 ~ 1.2e21 is ~130x past the
+    # 9.2e18 LONG cap); the +5% post-split shift must give side A
+    # (before, lower values) u1x2 < n1*n2 -> negative rank_biserial
+    # and z, sig true --------------------------------------------------
     rows, wall = _run(spark, fq.mannwhitney_value_periods, ev2)
     r = rows[0]
     print(
