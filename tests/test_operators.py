@@ -950,6 +950,60 @@ def test_round_amount_bias_hand_case(spark):
     )
 
 
+def test_widened_div_identity_matches_fraction(spark, duck):
+    """Convention pin for the r9 overflow sweep: the widened
+    round-half-up identity round_half_up(a/b, 6) = (2a*1e6 + b) div
+    (2b) — decimal(38,0) on Spark, HUGEINT in DuckDB — must equal
+    exact Fraction arithmetic for nonnegative a, positive b at
+    magnitudes far PAST the old LONG cap (the screens' stress runs
+    assert planted signals, not exact identity values; this is the
+    out-of-family reference for the arithmetic itself). Includes
+    constructed exact-tie cases (7th decimal exactly 5, where
+    half-up vs truncation would differ by 1 micro-unit) and huge
+    operands up to ~1e28."""
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(99)
+    pairs = []
+    # random magnitudes across 28 decades, a <= b (share-shaped) and a free
+    for _ in range(60):
+        mag = 10 ** rng.randint(1, 28)
+        b = rng.randint(1, mag)
+        pairs.append((rng.randint(0, b), b))
+        pairs.append((rng.randint(0, mag), b))
+    # exact .5 ties on the 1e-6 grid: a/b = (10j+5)/1e7 has 7th decimal 5
+    for j in (0, 1, 7, 123456, 10**15):
+        pairs.append((10 * j + 5, 10**7))
+    # old-LONG-cap boundary neighborhood
+    for a in (4_611_686_018_427_387_903, 4_611_686_018_427_387_904, 2**63 - 1):
+        pairs.append((a, a + 1))
+
+    def frac_round(a, b):
+        # floor((2a*1e6 + b) / (2b)) == round-half-up(a/b * 1e6) for a >= 0
+        return (2 * a * 10**6 + b) // (2 * b)
+
+    rows = [(str(a), str(b)) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a string, b string").select(
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+    )
+    got = df.selectExpr("a", "b", "(2 * a * 1000000 + b) div (2 * b) as q").collect()
+    for r in got:
+        a, b = int(r.a), int(r.b)
+        assert r.q == frac_round(a, b), f"spark div mismatch at a={a} b={b}"
+        # and the floor identity really is round-half-up of the true quotient
+        true_micro = Fraction(a, b) * 10**6
+        lo = true_micro - Fraction(1, 2)
+        assert lo <= r.q <= true_micro + Fraction(1, 2)
+    for a, b in pairs:
+        (dq,) = duck.execute(
+            f"SELECT (2 * CAST('{a}' AS HUGEINT) * 1000000 + {b})"
+            f" // (2 * CAST('{b}' AS HUGEINT))"
+        ).fetchone()
+        assert int(dq) == frac_round(a, b), f"duckdb // mismatch at a={a} b={b}"
+
+
 def test_stream_passthrough_hand_case(spark):
     """Hand-computed pass-through pairs (out-of-family rule, r8),
     pinning the streaming screen's two deliberate deltas from the
