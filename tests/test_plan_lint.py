@@ -88,6 +88,22 @@ EXCHANGE_BUDGET = {
     "multiway_join_revenue": 1,
     "window_topk_per_group": 1,
     "stream_user_totals": 1,
+    # r9: the _R10_PLAN screens get budgets BEFORE their driver window
+    # so a shuffle regression can't slip into their first attestation.
+    # kendall's 6 are all over the localCheckpointed <= 550-cell grid
+    # (the lineitem scan+count shuffle happens once, at checkpoint
+    # time, outside this plan); the rest are their single keyed
+    # aggregation / window shuffles.
+    "threshold_avoidance_scores": 1,
+    "round_amount_bias_orders": 1,
+    "passthrough_funds_alerts": 2,
+    "periodic_transfer_patterns": 1,
+    "ks_test_periods": 2,
+    "behavior_shift_users": 2,
+    "kendall_tau_qty_discount": 6,
+    "runs_test_user_values": 1,
+    "stream_passthrough_pairs": 0,
+    "benford_first_digit_lineitem": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
