@@ -983,6 +983,13 @@ def test_widened_div_identity_matches_fraction(spark, duck):
         # floor((2a*1e6 + b) / (2b)) == round-half-up(a/b * 1e6) for a >= 0
         return (2 * a * 10**6 + b) // (2 * b)
 
+    # Spark's `div` returns BIGINT even on decimal operands, so the
+    # QUOTIENT (not the operands) must stay under 2^63 — true for
+    # every screen (quotients are micro-unit shares/statistics), and
+    # enforced here so a future generator edit can't silently push a
+    # pair past the convention's own boundary
+    assert all(frac_round(a, b) < 2**63 for a, b in pairs)
+
     rows = [(str(a), str(b)) for a, b in pairs]
     df = spark.createDataFrame(rows, "a string, b string").select(
         F.col("a").cast("decimal(38,0)").alias("a"),
