@@ -27,24 +27,53 @@ from tests.test_plans import explain_str
 
 ANTIPATTERNS = ("BatchEvalPython", "CartesianProduct")
 
+#: Queries ALLOWED to carry interpreted higher-order lambdas
+#: (transform/filter/aggregate LambdaFunction nodes) in their plans —
+#: the known LINEAR per-row uses (tokenize a document once, walk a
+#: short token array). Lambdas evaluate interpreted at ~15x codegen
+#: cost (round-1 lesson), and the repo's worst perf bugs were lambdas
+#: in QUADRATIC contexts (r7: a transform() re-run per posexplode'd
+#: gram, 70.5 s -> 4.8 s when rewritten with lead+concat). This
+#: ratchet freezes the accepted set: a NEW query that gains a lambda
+#: must either rewrite with codegen'd expressions (lead+concat for
+#: grams, explode + keyed agg for signatures) or be added here with a
+#: linearity justification in its docstring.
+LAMBDA_ALLOWED = frozenset({
+    "ann_ivf_topk", "bigram_pmi_collocations", "bm25_doc_scores",
+    "bpe_pair_counts", "chunk_sliding_windows", "corpus_clean_pipeline",
+    "corpus_datasheet", "corpus_despan_clean", "corpus_training_manifest",
+    "decontam_ngram_overlap", "dedup_exact_groups", "dedup_repeated_spans",
+    "dedup_simhash_candidates", "doc_keywords", "heavy_hitter_tokens",
+    "lang_trigram_docs", "map_function_suite", "ml_embedding_pca",
+    "ngram_lm_quality", "pack_sequences_docs", "quality_rule_screen",
+    "repetition_scores_docs", "retrieval_rrf_fusion", "rolling_median_value",
+    "shard_manifest_docs", "text_fingerprints", "text_lang_id",
+    "text_length_quantiles", "text_quality_scores", "text_token_stats",
+    "user_event_type_profile", "vocab_top_terms", "winnow_fingerprints_docs",
+})
+
 
 def test_no_catalog_plan_contains_scale_antipatterns(spark, sf_dir):
-    """One sweep, two repo-wide gates: (a) no scale antipatterns in any
-    catalog plan; (b) no ArrayType/MapType column in any catalog
+    """One sweep, three repo-wide gates: (a) no scale antipatterns in
+    any catalog plan; (b) no ArrayType/MapType column in any catalog
     query's OUTPUT schema — the r7 driver proved its canonicalizer
     (pandas sort_values over raw columns) crashes on collection cells,
     for hash-compared AND rows-only queries alike, so any query is one
-    window rotation away from an ERR row if it emits one. Collection
-    columns are fine mid-plan; outputs must be scalar (array_join /
-    per-component projection at the boundary)."""
+    window rotation away from an ERR row if it emits one (collection
+    columns are fine mid-plan; outputs must be scalar — array_join /
+    per-component projection at the boundary); (c) no query OUTSIDE
+    ``LAMBDA_ALLOWED`` carries an interpreted lambda in its plan."""
     bad: dict[str, str] = {}
     unhashable: dict[str, list[str]] = {}
+    new_lambdas: list[str] = []
     for name, q in get_catalog().items():
         df = q.fn(spark, sf_dir)
         plan = explain_str(df, "simple")
         hits = [p for p in ANTIPATTERNS if p in plan]
         if hits:
             bad[name] = ",".join(hits)
+        if "lambdafunction" in plan.lower() and name not in LAMBDA_ALLOWED:
+            new_lambdas.append(name)
         cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))
         ]
@@ -54,6 +83,11 @@ def test_no_catalog_plan_contains_scale_antipatterns(spark, sf_dir):
     assert not unhashable, (
         f"array/map columns in catalog query outputs (crash the driver canonicalizer): "
         f"{unhashable}"
+    )
+    assert not new_lambdas, (
+        "interpreted higher-order lambdas in queries outside LAMBDA_ALLOWED "
+        f"(~15x codegen cost — rewrite with codegen'd expressions or justify): "
+        f"{new_lambdas}"
     )
 
 
