@@ -65,9 +65,11 @@ def exact_kmeans_assignments(
     n^2, so both engines rank identical numbers and the
     (dist, cluster) tiebreak closes the rest.
 
-    Overflow bounds (non-ANSI Spark NULLs silently on DECIMAL overflow
-    while DuckDB widens to HUGEINT, so the limits must hold by
-    construction): with scale=1e6 and |coord| <= B, (a) the centroid
+    Overflow bounds (under this engine's ANSI mode — Spark 4 default,
+    kept on — DECIMAL overflow FAILS the query, and with ANSI off it
+    NULLs silently, while DuckDB widens to HUGEINT; either way the
+    limits must hold by construction): with scale=1e6 and |coord| <=
+    B, (a) the centroid
     sum s = Σ x fits LONG while n <= 2^63/(B*1e6) (~4.6e12 rows per
     cluster at B=2); (b) the binding constraint is the second-pass
     per-row sum Σ_d (n*x_d - s_d)^2 <= 10^38 - 1, i.e. n <=

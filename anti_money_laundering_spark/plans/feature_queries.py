@@ -37,9 +37,11 @@ from anti_money_laundering_spark.sources import load_table
 def _dec19(c: str):
     """The repo-wide integer-widening convention: cast a LONG column to
     decimal(19,0) so subsequent products promote to decimal(38,0)
-    (HUGEINT on the DuckDB oracle side) instead of silently wrapping a
-    LONG — see the r9 overflow sweep (KS / mann-whitney commit
-    messages) for the per-screen ceilings the LONG forms had."""
+    (HUGEINT on the DuckDB oracle side) instead of overflowing a LONG
+    — which FAILS the query under this engine's ANSI mode (Spark 4
+    default, kept on), or wraps silently with ANSI off — see the r9
+    overflow sweep (KS / mann-whitney commit messages) for the
+    per-screen ceilings the LONG forms had."""
     return F.col(c).cast("decimal(19,0)")
 
 
@@ -1341,7 +1343,7 @@ def burstiness_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     # Σc² and the fano numerator run in decimal (HUGEINT in the
-    # oracle): the LONG forms wrap once one user's daily counts square
+    # oracle): the LONG forms overflow once one user's daily counts square
     # past ~3e9/day or n*ss crosses 4.6e12 — hub-account hazards at
     # corpus scale
     stats = (
@@ -1489,7 +1491,7 @@ def round_amount_bias_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_round",
             (
                 # priority groups hold ~corpus/5 rows, so the share
-                # identity runs in decimal (the LONG form wraps past
+                # identity runs in decimal (the LONG form overflows past
                 # 4.6e12 rows per group)
                 F.expr(
                     "(2 * cast(n_round as decimal(38,0)) * 1000000 + n_orders)"
@@ -1599,7 +1601,7 @@ def benford_first_digit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "obs_micro",
             # decimal identity (HUGEINT in the oracle): the LONG form
-            # wraps past 4.6e12 corpus rows — within an order of a
+            # overflows past 4.6e12 corpus rows — within an order of a
             # 100 TB event table
             F.expr(
                 "(2 * cast(n_obs as decimal(38,0)) * 1000000 + n_total)"
@@ -1841,7 +1843,7 @@ def loo_value_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             (
                 # decimal identity (HUGEINT in the oracle): the LONG
-                # form wraps once one user's scaled-value sum crosses
+                # form overflows once one user's scaled-value sum crosses
                 # 4.6e12 — a hub-account hazard at corpus scale
                 F.expr(
                     "(2 * cast(__num as decimal(38,0)) * 1000000 + __den)"
@@ -2555,7 +2557,8 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals), so the doubled rank sum 2*R1 = sum c1*(2*cum_excl+c+1)
     is exact on both engines — in decimal(38,0)/HUGEINT, like the tie
     term and the effect-size identity (the LONG forms capped at ~3e6
-    total events and wrapped silently past it). Remaining bounds: one
+    total events and failed past it — an ANSI overflow error here,
+    a silent wrap with ANSI off). Remaining bounds: one
     value carried by < 4.6e12 rows (the c^3 tie term vs 1e38), and
     the effect-size identity's 2*u1x2*1e6 < 1e38, i.e. n1*n2 <
     ~2.5e31 (~1e16 events total, balanced). z divides identical
@@ -2588,12 +2591,13 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (HUGEINT in the oracle): the LONG forms cap at ~3e6 total events
     # (2*u1x2*1e6 needs u1x2 <= n1*n2 < 4.6e12) and the tie term c^3
     # overflows on any single value carried by > 2.1e6 rows — the
-    # corpus-scale silent-wrap hazard the KS widening closed. Remaining
+    # corpus-scale overflow hazard (ANSI error / non-ANSI silent
+    # wrap) the KS widening closed. Remaining
     # exactness bounds: c < 4.6e12 rows on ONE value (c^3 vs 1e38) and
     # n < ~9.2e18 (the n1/n LONG outputs).
     agg = ranked.agg(
         # the rank term 2*cum_excl+c+1 also widens BEFORE its doubling
-        # (cum_excl <= n, so the LONG form wraps at n > ~4.6e18)
+        # (cum_excl <= n, so the LONG form overflows at n > ~4.6e18)
         F.sum(
             _dec19("c1") * (2 * _dec19("cum_excl") + F.col("c") + 1)
         ).alias("r1x2"),
@@ -2606,7 +2610,7 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1d = n1.cast("decimal(19,0)")
     u1x2 = F.col("r1x2") - n1d * (n1 + 1)
     # the float sigma/z path multiplies via (1.0*n1)*n2 so no LONG
-    # product ever forms (the integer n1*n2 wraps past ~3e9 a side);
+    # product ever forms (the integer n1*n2 overflows past ~3e9 a side);
     # the oracle mirrors the same shapes so both engines evaluate the
     # identical correctly-rounded IEEE expression
     sigma_x2 = 2.0 * F.sqrt(
@@ -2799,7 +2803,7 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c2").over(w_u).alias("n2"),
     ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
     # per-user products run in decimal (HUGEINT in the oracle): the
-    # LONG tv identity wraps once ONE user's half-counts multiply past
+    # LONG tv identity overflows once ONE user's half-counts multiply past
     # ~2.3e12 — a bot/hub account hazard at corpus scale
     agg = tot.groupBy("user_id").agg(
         F.max("n1").cast("long").alias("n_a"),
@@ -2878,7 +2882,7 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast over hundreds of rows, never the row-level self-join.
 
     Exactness: conc/disc/t1/t2/n are exact integers — products run in
-    decimal(38,0)/HUGEINT (the LONG forms wrapped past ~4e9 rows);
+    decimal(38,0)/HUGEINT (the LONG forms overflowed past ~4e9 rows);
     the OUTPUT casts stay BIGINT, valid while n(n-1)/2 < 9.2e18
     (~4e9 rows), the remaining documented bound — so the hash attests
     the full sufficient statistics exactly; tau_b divides the exact integer (conc - disc)
@@ -2908,7 +2912,7 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # cell products, tie terms, and the n0 guard run in decimal(38,0)
-    # (HUGEINT in the oracle): the LONG forms wrap past ~4e9 rows
+    # (HUGEINT in the oracle): the LONG forms overflow past ~4e9 rows
     # (c*c, cq*(cq-1), n*(n-1) all quadratic in corpus size); the
     # conc/disc/t1/t2 OUTPUT casts stay BIGINT — valid to n*(n-1)/2 <
     # 9.2e18 (~4e9 rows), the remaining documented bound
@@ -3044,7 +3048,7 @@ def runs_test_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("runs"),
         )
         # decimal guard (HUGEINT in the oracle): the LONG 2*n1*n2
-        # wraps once one user's half-counts multiply past ~4.6e18
+        # overflows once one user's half-counts multiply past ~4.6e18
         .filter(
             2 * F.col("n1").cast("decimal(19,0)") * F.col("n2") > F.col("n")
         )

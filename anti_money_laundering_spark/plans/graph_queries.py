@@ -1984,7 +1984,7 @@ def periodic_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_min").isNotNull())
     )
     # gap squares, the CV^2 rational, and the periodic flag run in
-    # decimal (HUGEINT in the oracle): the LONG forms wrapped once a
+    # decimal (HUGEINT in the oracle): the LONG forms overflowed once a
     # channel's n*max_gap crossed ~6.8e6 gap-minutes — i.e. on any
     # multi-year standing-order history, exactly the records this
     # screen exists for
