@@ -78,21 +78,20 @@ DRIVER_WINDOW = 50
 #: count as prior evidence. This makes the suite time-stable (r6
 #: verdict item 2): it passes identically before and after the
 #: current round's driver artifact lands on disk.
-_WINDOW_ROUND = 9
+_WINDOW_ROUND = 10
 
-#: ROUND-9 ROTATION — the FULL-ATTESTATION round (r8 verdict item 1):
-#: the 8-query flagship keep core re-attests as always; the 5
-#: ``_R9_PLAN`` queries (registered during r8, after its window froze)
-#: get their first driver rows — after which EVERY catalog query has at
-#: least one driver row; ``ml_embedding_pca`` re-attests for its first
-#: HASH row (r8 verdict item 3: eigenbasis sign-canonicalized + §E
-#: skeleton oracle, leaving ``_ROWS_ONLY_UNATTESTABLE`` empty); and the
-#: remaining 36 slots re-row the OLDEST ledger entries (every r1-r3
-#: attestation plus the 12 oldest r4 ones) for cross-round regression
-#: evidence — their only driver rows predate four rounds of engine
-#: refactors. Every rotated-out query stayed green in prior driver
-#: rounds AND passes the identical DuckDB compare in pytest
-#: (tests/test_catalog_oracle.py).
+#: ROUND-10 ROTATION (r9 verdict item 1): the 8-query flagship keep
+#: core re-attests as always; the 10 ``_R10_PLAN`` screens (registered
+#: during r9, after its window froze) get their first driver rows —
+#: after which the 231-query catalog is FULLY driver-attested; and the
+#: remaining 32 slots continue the oldest-ledger-first rotation: the 11
+#: queries whose latest green row is still r4 (the r9 window re-rowed
+#: the other 12 of that cohort), then the alphabetically-first 21 of
+#: the 42 whose latest row is r5 (the remaining 21 are the r11 filler
+#: pool). Every rotated-out query stayed green in prior driver rounds
+#: AND passes the identical DuckDB compare in pytest
+#: (tests/test_catalog_oracle.py) and the committed sf0.1 audit
+#: (AUDIT_r9.json, 231/231 pass).
 _WINDOW: tuple[str, ...] = (
     # --- keep core: 8 flagship canaries ------------------------------
     "sources_roundtrip",        # S2,S3,S4,S8,S9,S10
@@ -103,55 +102,52 @@ _WINDOW: tuple[str, ...] = (
     "linkage_entity_clusters",  # E4,G4
     "ann_lsh_topk",             # LLM,ann (recall-1.0 pin, exact oracle)
     "aml_alert_feed",           # G5,G4,G6,U2 (composite flagship)
-    # --- 5 first-time attestations: the committed _R9_PLAN -----------
-    "mannwhitney_value_periods",
-    "copurchase_graph_edges",
-    "kmeans_lloyd_assignments",
-    "rank_distribution_orders",
-    "regex_scalar_suite",
-    # --- first HASH row for the r8 verdict-item-3 promotion ----------
-    "ml_embedding_pca",         # sign-canonicalized + §E skeleton oracle
-    # --- 36 oldest-ledger re-attests (latest green row in parens) ----
-    # r1 (12): their only driver rows predate the r2+ engine refactors
-    "anti_join_no_orders",
-    "conditional_agg_having",
-    "cube_lineitem_flags",
-    "linkage_term_frequencies",
-    "motif_roundtrip_cycle",
-    "near_dup_embeddings",
-    "pagerank_flow",
-    "semi_join_subquery",
-    "set_except_users",
-    "structuring_alerts_named",
-    "text_fingerprints",
-    "text_quality_scores",
-    # r2 (3)
-    "outer_join_nation_counts",
-    "stream_user_totals",
-    "window_topk_per_group",
-    # r3 (9)
-    "dedup_exact_groups",
-    "dedup_jaccard_pairs",
-    "linkage_gamma_vectors",
-    "multiway_join_revenue",
-    "near_dup_embedding_clusters",
-    "rollup_order_totals",
-    "stream_session_stats",     # gap oracle rewritten to exact-µs in r8
-    "text_token_stats",
-    "window_running_sum",
-    # r4 (12 oldest of that round)
-    "ann_cosine_topk",
-    "corpus_train_split",
-    "dedup_near_clusters",
-    "dq_expectations_orders",
-    "graph_bfs_paths",
-    "graph_k_core",
-    "graph_triangle_count",
-    "linkage_em_scored",
-    "merge_upsert_orders",
-    "motif_peeling_chain",
-    "salted_join_user_events",
-    "stratified_sample_events",
+    # --- 10 first-time attestations: the committed _R10_PLAN ---------
+    "threshold_avoidance_scores",
+    "round_amount_bias_orders",
+    "passthrough_funds_alerts",
+    "periodic_transfer_patterns",
+    "ks_test_periods",
+    "behavior_shift_users",
+    "kendall_tau_qty_discount",
+    "runs_test_user_values",
+    "stream_passthrough_pairs",
+    "benford_first_digit_lineitem",
+    # --- 32 oldest-ledger re-attests ----------------------------------
+    # r4 remainder (11): the rest of that cohort re-rowed in r9
+    "motif_oneway_negated",
+    "motif_roundtrip_4cycle",
+    "multimodal_metadata",
+    "order_limit_top10",
+    "pack_sequences_docs",
+    "scd2_user_status",
+    "set_intersect_users",
+    "stream_tumbling_counts",
+    "struct_pack_expand",
+    "synthetic_source_scan",
+    "text_lang_id",
+    # r5 (alphabetically-first 21 of 42; remainder = r11 filler pool)
+    "ann_ivf_topk",
+    "asof_join_last_purchase",
+    "cohort_retention",
+    "corpus_training_manifest",
+    "date_trunc_daily",
+    "derived_translate_cast",
+    "event_cooccurrence",
+    "exists_correlated_suppliers",
+    "filter_project_null",
+    "formats_roundtrip",
+    "funnel_conversion",
+    "graph_degree_pruned",
+    "graph_degrees",
+    "graph_scc",
+    "grouping_sets_orders",
+    "json_extract_props",
+    "lateral_explode_props",
+    "linkage_blocked_pairs",
+    "linkage_em_params",
+    "linkage_relink_segment",
+    "ml_feature_pipeline",
 )
 
 #: ROUND-7 COMPLETION SCHEDULE — retained verbatim from the r6 freeze
@@ -303,11 +299,18 @@ _R10_PLAN: tuple[str, ...] = (
     "benford_first_digit_lineitem",
 )
 
+#: ROUND-11 SCHEDULE: queries registered during r10 (after the r10
+#: window froze). Append every r10-new registration here or
+#: tests/test_catalog_window.py fails; keep <= ~10 at round close
+#: (r9 verdict item 7) so the r11 window isn't oversubscribed.
+_R11_PLAN: tuple[str, ...] = ()
+
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,
     8: _R8_PLAN,
     9: _R9_PLAN,
     10: _R10_PLAN,
+    11: _R11_PLAN,
 }
 
 #: EMPTY since r9: every catalog query now carries a DuckDB oracle.
