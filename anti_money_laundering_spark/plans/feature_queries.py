@@ -2908,8 +2908,17 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 5 plan branches consume `cells` (a, b, tot, tq, td): cut the
         # lineage once so the lineitem scan + count shuffle run ONCE
         # instead of per branch (the r8 tfidf lesson); the grid is
-        # <= 550 rows at any SF, so the checkpoint is free
-        .localCheckpoint()
+        # <= 550 rows at any SF, so the checkpoint is free. eager=False
+        # keeps PLAN CONSTRUCTION lazy (catalog sweeps / plan lint /
+        # explain-only tooling must not execute the lineitem scan as a
+        # side effect — r9 advice); the checkpoint materializes at the
+        # first action and is shared by all branches from then on.
+        # Failure mode at cluster scale: localCheckpoint blocks live on
+        # executors (not the reliable store), so losing an executor
+        # mid-query drops the grid and fails the query — acceptable for
+        # a <= 550-row cache that a retry rebuilds in one shuffle; use
+        # checkpoint(reliable) only if retries themselves are costly.
+        .localCheckpoint(eager=False)
     )
     # cell products, tie terms, and the n0 guard run in decimal(38,0)
     # (HUGEINT in the oracle): the LONG forms overflow past ~4e9 rows

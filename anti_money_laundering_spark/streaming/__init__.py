@@ -186,6 +186,16 @@ def interval_join_streams(
         right = right.withWatermark("ts", watermark)
     l = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
     r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    if not (left.isStreaming or right.isStreaming):
+        # Batch face: pin the join strategy to sort-merge explicitly.
+        # Both legs are event-scale (never broadcastable at 100 TB —
+        # the streaming face buffers them in the state store for the
+        # same reason), but at fixture scale Catalyst's size estimate
+        # auto-broadcasts one side, making the plan shape drift with
+        # data size. The explicit hint makes the 2-exchange SMJ shape
+        # deterministic at every SF, so the plan-lint EXCHANGE_BUDGET
+        # pin is exact instead of slack (r9 advice item).
+        l = l.hint("merge")
     lk, rk = f"{left_prefix}{key}", f"{right_prefix}{key}"
     lts, rts = f"{left_prefix}ts", f"{right_prefix}ts"
     cond = (

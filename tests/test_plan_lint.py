@@ -136,10 +136,10 @@ EXCHANGE_BUDGET = {
     "behavior_shift_users": 2,
     "kendall_tau_qty_discount": 6,
     "runs_test_user_values": 1,
-    # the batch face's equi-join auto-broadcasts at fixture scale
-    # (0 exchanges observed), but the join carries no explicit hint —
-    # pin the deterministic sort-merge shape (2) so a size-estimation
-    # drift can't false-trip the ratchet on unchanged code
+    # r10: the batch face now carries an explicit merge hint
+    # (streaming.interval_join_streams — both legs are event-scale,
+    # never broadcastable at 100 TB), so the 2-exchange SMJ shape is
+    # deterministic at every SF and this pin is exact, not slack
     "stream_passthrough_pairs": 2,
     "benford_first_digit_lineitem": 2,
 }
