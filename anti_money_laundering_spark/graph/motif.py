@@ -66,13 +66,59 @@ def _parse(pattern: str) -> list[dict]:
     return terms
 
 
-def find_motif(graph: "Graph", pattern: str) -> DataFrame:
+def find_motif(
+    graph: "Graph", pattern: str, max_vertex_degree: int | None = None
+) -> DataFrame:
     """Compile ``pattern`` against ``graph`` into a DataFrame whose
     columns are structs for each named vertex/edge variable, in order
-    of first appearance (GraphFrames-compatible output shape)."""
+    of first appearance (GraphFrames-compatible output shape).
+
+    ``max_vertex_degree`` is the super-hub guard (the knob GraphFrames
+    lacks): when set, matches routed through a CHAIN vertex — a named
+    vertex variable joining two or more positive terms — whose total
+    degree (in + out) exceeds the cap are excluded STRUCTURALLY, by
+    anti-joining each term's edge feed against the hub-id set before
+    the pair join ever forms. A chain vertex with in-degree d_i and
+    out-degree d_o multiplies d_i*d_o intermediate rows (measured:
+    one 30k-in-degree vertex adds 900M pairs, SCALE.md §motif), so at
+    100 TB an uncapped fan-in pattern on a retail-bank hub is the #1
+    scale killer; endpoint-only variables contribute linearly and are
+    deliberately NOT capped. Recall contract: 1.0 for every match
+    whose chain vertices all have degree <= cap; matches through
+    larger hubs are dropped (cap or pre-aggregate those separately —
+    a 100k-degree hub is an institution, not a mule). The hub-id set
+    is bounded by 2|E|/cap rows, so it broadcasts.
+
+    Default ``None`` leaves the plan byte-identical to the unguarded
+    compiler."""
     terms = _parse(pattern)
     edge_cols = graph.edges.columns
     vertex_cols = graph.vertices.columns
+
+    # --- super-hub guard: ids with in+out degree > cap (small: <=
+    # 2|E|/cap rows), anti-joined against each term's edge feed on the
+    # CHAIN variables only. Lazy-checkpointed so the degree shuffle
+    # runs once, not per term; broadcast by size at join time.
+    hub_ids: DataFrame | None = None
+    chain_vars: set[str] = set()
+    if max_vertex_degree is not None:
+        occurrences: dict[str, int] = {}
+        for t in terms:
+            if t["neg"]:
+                continue  # anti-joins never multiply rows
+            for v in {t["src"], t["dst"]} - {None}:
+                occurrences[v] = occurrences.get(v, 0) + 1
+        chain_vars = {v for v, n in occurrences.items() if n >= 2}
+        if chain_vars:
+            hub_ids = (
+                graph.edges.select(F.col("src").alias("__hub_id"))
+                .unionAll(graph.edges.select(F.col("dst").alias("__hub_id")))
+                .groupBy("__hub_id")
+                .agg(F.count(F.lit(1)).alias("__deg"))
+                .filter(F.col("__deg") > F.lit(max_vertex_degree))
+                .select("__hub_id")
+                .localCheckpoint(eager=False)
+            )
 
     named_order: list[str] = []  # output column order (first appearance)
     bound: set[str] = set()  # bound vertex vars
@@ -113,6 +159,18 @@ def find_motif(graph: "Graph", pattern: str) -> DataFrame:
             F.col("dst").alias("__t_dst"),
             F.struct(*edge_cols).alias("__t_edge"),
         )
+        if hub_ids is not None:
+            # drop hub-incident edges BEFORE this term joins the chain:
+            # the d_in*d_out blowup never forms (column names are
+            # disjoint, so the shared-lineage self-join is unambiguous)
+            if src in chain_vars:
+                term_df = term_df.join(
+                    hub_ids, F.col("__t_src") == F.col("__hub_id"), "left_anti"
+                )
+            if dst in chain_vars and dst != src:
+                term_df = term_df.join(
+                    hub_ids, F.col("__t_dst") == F.col("__hub_id"), "left_anti"
+                )
         if result is None:
             if src == dst:  # self-loop term (a)-[]->(a)
                 result = term_df.filter(F.col("__t_src") == F.col("__t_dst")).select(

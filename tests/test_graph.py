@@ -91,6 +91,57 @@ def test_motif_anonymous_and_negation(spark):
     assert m2.count() == 5  # a in {1,2}: 1 has 1 out-edge (1 combo), 2 has 2 (4 combos)
 
 
+def test_motif_hub_guard_caps_chain_vertices_only(spark):
+    """max_vertex_degree drops matches routed THROUGH a super-hub
+    chain vertex, keeps everything else (capped-recall contract), and
+    leaves endpoint-only hubs alone — endpoints are linear, the
+    d_in*d_out blowup only forms on chain variables."""
+    # hub 100: in-degree 3 (1,2,3 -> 100), out-degree 3 (100 -> 11,12,13)
+    # => total degree 6. quiet path: 1 -> 20 -> 21 (all degrees <= 3).
+    hub_in = [(s, 100) for s in (1, 2, 3)]
+    hub_out = [(100, d) for d in (11, 12, 13)]
+    quiet = [(1, 20), (20, 21)]
+    gr = g(spark, hub_in + hub_out + quiet)
+    pat = "(a)-[e1]->(b); (b)-[e2]->(c)"
+    full = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in gr.find(pat).collect()
+    }
+    assert len(full) == 10  # 3*3 through the hub + 1 quiet
+    capped = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in gr.find(pat, max_vertex_degree=5).collect()
+    }
+    # exactly the matches whose CHAIN vertex (b) is the hub are gone
+    assert capped == {t for t in full if t[1] != 100}
+    # cap above the hub's degree => identical to the unguarded result
+    assert {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in gr.find(pat, max_vertex_degree=6).collect()
+    } == full
+    # endpoint-only hub is KEPT: single-term pattern has no chain vars,
+    # so even degree-6 vertex 100 still matches as a or b
+    pairs = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in gr.find("(a)-[]->(b)", max_vertex_degree=5).collect()
+    }
+    assert (1, 100) in pairs and (100, 11) in pairs and len(pairs) == 8
+
+
+def test_motif_hub_guard_cycle_caps_every_chain_var(spark):
+    # in a cycle every variable is a chain var: capping removes all
+    # rotations through the hub, keeps the disjoint quiet cycle
+    hub_cycle = [(100, 2), (2, 3), (3, 100)]
+    fan = [(s, 100) for s in (4, 5, 6, 7)]  # push hub degree to 7
+    quiet_cycle = [(30, 31), (31, 32), (32, 30)]
+    gr = g(spark, hub_cycle + fan + quiet_cycle)
+    pat = "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)"
+    capped = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in gr.find(pat, max_vertex_degree=5).collect()
+    }
+    assert capped == {(30, 31, 32), (31, 32, 30), (32, 30, 31)}
+
+
 def test_motif_parse_errors(spark):
     gr = g(spark, [(1, 2)])
     with pytest.raises(ValueError):

@@ -220,6 +220,36 @@ def motif_stress(
     print(f"  join chain: {joins}")
     assert recall == 1.0, f"planted-motif recall {recall} != 1.0"
     assert got == expect, f"unexpected non-planted rows: {sorted(got - expect)[:5]}"
+
+    # --- capped re-run (r9 verdict item 2): the SAME pattern with the
+    # compiler's super-hub guard. The cap sits far above the planted
+    # motifs' chain degrees (c: in 2 / out 1 — background adds ~4) and
+    # far below the planted hub, so recall must stay 1.0 while the
+    # hub's indeg² pair blowup is excluded before the join forms.
+    cap = 500
+    t0 = time.perf_counter()
+    mc = find_motif(
+        g, "(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)", max_vertex_degree=cap
+    )
+    outc = mc.filter(
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("e1.amount") + F.col("e2.amount") > 400.0)
+    ).select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("c.id").alias("c_id"),
+        F.col("g.id").alias("g_id"),
+    )
+    rows_c = outc.collect()
+    wall_c = time.perf_counter() - t0
+    got_c = {(r.a_id, r.b_id, r.c_id, r.g_id) for r in rows_c}
+    recall_c = len(expect & got_c) / len(expect)
+    print(
+        f"motif_fanin_capped: cap={cap} rows_out={len(rows_c)} "
+        f"recall={recall_c:.2f} wall={wall_c:.1f}s (uncapped {wall:.1f}s)"
+    )
+    assert recall_c == 1.0, f"capped planted-motif recall {recall_c} != 1.0"
+    assert got_c == expect, f"unexpected rows under cap: {sorted(got_c - expect)[:5]}"
     return 0
 
 
