@@ -2654,16 +2654,17 @@ def mannwhitney_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals
     ),
     agg AS (
-        SELECT CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
-                            - CAST(cum2 AS HUGEINT) * n1)) AS BIGINT) AS ks_num,
+        SELECT max(abs(CAST(cum1 AS HUGEINT) * n2
+                       - CAST(cum2 AS HUGEINT) * n1)) AS ks_num,
                CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
         FROM cum
     )
-    SELECT n1 AS n_a, n2 AS n_b, ks_num,
-           ((2 * CAST(ks_num AS HUGEINT) * 1000000 + CAST(n1 AS HUGEINT) * n2)
+    SELECT n1 AS n_a, n2 AS n_b,
+           CAST(ks_num AS VARCHAR) AS ks_num,
+           ((2 * ks_num * 1000000 + CAST(n1 AS HUGEINT) * n2)
               // (2 * CAST(n1 AS HUGEINT) * n2))
              / 1000000.0 AS ks_d,
-           ks_num / (1.0 * n1 * n2)
+           CAST(ks_num AS DOUBLE) / (1.0 * n1 * n2)
              > 1.358 * sqrt((n1 + n2) / (1.0 * n1 * n2)) AS sig_05
     FROM agg WHERE n1 > 0 AND n2 > 0
     """,
@@ -2679,10 +2680,14 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-VALUE count table (values integer-scaled by 1e4, the
     mannwhitney convention), with products and the half-up div
     identity computed in decimal(38,0) / HUGEINT (numerator
-    nonnegative) — exact to ~1e15 events a side; the output ks_num's
-    BIGINT cast is the one remaining bound (n1*n2 < 9.2e18, ~3e9
-    events a side; widen to a VARCHAR-cast decimal if a corpus ever
-    exceeds it). sig_05 compares D against the
+    nonnegative) — exact to ~1e15 events a side, which is also the
+    output bound: ks_num is emitted as a VARCHAR-cast decimal (r9
+    verdict item 3 — the old BIGINT cast died at n1*n2 >= 9.2e18,
+    ~3e9 events a side), rendered identically by Spark decimal(38,0)
+    and DuckDB HUGEINT since the value is a nonnegative scale-0
+    integer. sig_05's D is the correctly-rounded double of that
+    integer over (1.0*n1)*n2 on both engines. sig_05 compares D
+    against the
     alpha=.05 asymptotic line 1.358*sqrt((n1+n2)/(n1*n2)); the
     boundary is irrational while D is rational, so the flag cannot sit
     on a knife edge, and both engines evaluate the identical
@@ -2708,30 +2713,29 @@ def ks_test_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # products and the round identity run in decimal(38,0) (HUGEINT on
     # the oracle side) so the statistic stays exact far past the LONG
-    # ceiling; only the OUTPUT ks_num is cast back to BIGINT — valid
-    # while n1*n2 < 9.2e18 (~3e9 events a side), the one remaining
-    # bound, and kept because decimal output columns are
-    # driver-canonicalizer-hostile (the r7 decimal_money_totals class)
+    # ceiling; the OUTPUT ks_num is a VARCHAR-cast decimal (plain
+    # decimal outputs are driver-canonicalizer-hostile — the r7
+    # decimal_money_totals class — but the string of a nonnegative
+    # scale-0 integer renders identically on both engines), so the
+    # whole query is exact to the internal ~1e15-events-a-side width
     agg = cum.agg(
         F.max(F.abs(_dec19("cum1") * _dec19("n2") - _dec19("cum2") * _dec19("n1")))
-        .cast("long")
-        .alias("ks_num"),
+        .alias("__ks"),
         F.max("n1").cast("long").alias("n1"),
         F.max("n2").cast("long").alias("n2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
-    d = F.col("ks_num") / (1.0 * n1 * n2)
+    d = F.col("__ks").cast("double") / (1.0 * n1 * n2)
     # degenerate-split guard (all events one side): emit no row instead
     # of dividing by zero — DuckDB would ERROR where Spark yields NULL
     agg = agg.filter((n1 > 0) & (n2 > 0))
     return agg.select(
         n1.alias("n_a"),
         n2.alias("n_b"),
-        "ks_num",
+        F.col("__ks").cast("string").alias("ks_num"),
         (
             F.expr(
-                "(2 * cast(ks_num as decimal(38,0)) * 1000000"
-                " + cast(n1 as decimal(38,0)) * n2)"
+                "(2 * __ks * 1000000 + cast(n1 as decimal(38,0)) * n2)"
                 " div (2 * cast(n1 as decimal(38,0)) * n2)"
             )
             / F.lit(1000000.0)

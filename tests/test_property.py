@@ -1217,7 +1217,7 @@ def test_ks_periods_matches_bruteforce(spark, ab):
         cum2 += sum(1 for x in b_vals if x == v)
         ks_num = max(ks_num, abs(cum1 * n2 - cum2 * n1))
     row = out[0]
-    assert (row.n_a, row.n_b, row.ks_num) == (n1, n2, ks_num)
+    assert (row.n_a, row.n_b, row.ks_num) == (n1, n2, str(ks_num))
     assert row.ks_d == ((2 * ks_num * 1000000 + n1 * n2) // (2 * n1 * n2)) / 1000000.0
 
 
