@@ -99,7 +99,15 @@ def exact_kmeans_assignments(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "__x"),
     ).select(
         "__id", "d", F.round(F.col("__x") * scale).cast("long").alias("x")
-    ).localCheckpoint()
+        # eager=False keeps PLAN CONSTRUCTION lazy (catalog sweeps /
+        # plan lint / explain-only tooling must not execute the
+        # embeddings scan as a side effect — the kendall-grid r9 advice
+        # applied repo-wide); the checkpoint materializes at the first
+        # action and the three consumers (seed join, a1, cent/a2) share
+        # it from then on. Executor-loss failure mode as documented at
+        # feature_queries.kendall_tau_qty_discount: a retry rebuilds the
+        # scaled-dims table in one scan.
+    ).localCheckpoint(eager=False)
 
     seed_ids = (
         embeddings.select(

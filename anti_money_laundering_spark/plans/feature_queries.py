@@ -2838,6 +2838,7 @@ def behavior_shift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kendall_tau_qty_discount",
+    headline=True,  # r10: bench floor for the contingency-grid family (r9 verdict item 4)
     tags=("A-ext", "J3"),
     oracle="""
     WITH cells AS (

@@ -1833,6 +1833,7 @@ _PASSTHROUGH_WINDOW_H = 48
 
 @register(
     "passthrough_funds_alerts",
+    headline=True,  # r10: bench floor for the temporal range-join family (r9 verdict item 4)
     tags=("OP", "range", "A2", "J6"),
     oracle=f"""
     WITH e AS (

@@ -1527,6 +1527,7 @@ def ml_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_lloyd_assignments",
+    headline=True,  # r10: bench floor for the iterative exact-ML family (r9 verdict item 4)
     tags=("LLM", "ml", "ann"),
     # full replay of the exact-arithmetic Lloyd round: integer-scaled
     # coordinates, md5-seeded init, integer first-pass distances,

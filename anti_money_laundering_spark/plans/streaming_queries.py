@@ -261,6 +261,7 @@ from anti_money_laundering_spark.plans.fixture_graphs import (  # noqa: E402
 
 @register(
     "stream_passthrough_pairs",
+    headline=True,  # r10: bench floor for the streaming range-join twin (r9 verdict item 4)
     tags=("STR", "range"),
     oracle=f"""
     WITH e AS (

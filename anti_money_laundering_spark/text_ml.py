@@ -78,8 +78,12 @@ def tfidf_exact_cosine_pairs(
     )
     # four downstream branches re-derive w otherwise — see the hashed
     # twin below for the measurement; one localCheckpoint computes the
-    # tokenize+agg+idf-join subtree once
-    w = w.localCheckpoint()
+    # tokenize+agg+idf-join subtree once. eager=False keeps plan
+    # CONSTRUCTION lazy (catalog sweeps / plan lint must not run the
+    # scan as a side effect — r9 advice, applied repo-wide); the
+    # branches still share the one materialization after the first
+    # action.
+    w = w.localCheckpoint(eager=False)
     norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     wa = w.select(F.col("doc").alias("id_a"), "token", F.col("w").alias("__wa"))
     wb = w.select(F.col("doc").alias("id_b"), "token", F.col("w").alias("__wb"))
@@ -188,8 +192,11 @@ def tfidf_hashed_cosine_pairs(
         # w feeds FOUR plan branches (norms twice via na/nb, wa, wb);
         # without materialization Catalyst re-derives the whole
         # tokenize+agg+join subtree per branch (measured: 23 exchanges,
-        # zero reuse). One localCheckpoint computes it once.
-        w = tfidf_hashed_weights(docs, id_col, text_col, num_features, salt).localCheckpoint()
+        # zero reuse). One localCheckpoint computes it once; eager=False
+        # keeps plan construction lazy (r9 advice, applied repo-wide).
+        w = tfidf_hashed_weights(
+            docs, id_col, text_col, num_features, salt
+        ).localCheckpoint(eager=False)
     norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     wa = w.select(F.col("doc").alias("id_a"), "bucket", F.col("w").alias("__wa"))
     wb = w.select(F.col("doc").alias("id_b"), "bucket", F.col("w").alias("__wb"))

@@ -142,6 +142,13 @@ EXCHANGE_BUDGET = {
     # deterministic at every SF and this pin is exact, not slack
     "stream_passthrough_pairs": 2,
     "benford_first_digit_lineitem": 2,
+    # r10: promoted to headline (r9 verdict item 4 — bench floor for the
+    # iterative exact-ML family). One Lloyd round over the lazily
+    # checkpointed scaled-dims table: seed-window sort + a1/b1
+    # (first-pass distance agg + argmin window) + cent (centroid agg) +
+    # a2 (second-pass distance agg) = 5; the k*dims centroid tables are
+    # BroadcastExchanges, excluded by design.
+    "kmeans_lloyd_assignments": 5,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
