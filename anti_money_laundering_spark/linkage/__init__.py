@@ -166,7 +166,17 @@ def candidate_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.dropDuplicates([f"{unique_id}_l", f"{unique_id}_r"])
+    if len(parts) > 1:
+        # Cross-rule dedup: a pair blocked by two rules appears once per
+        # rule. With a SINGLE rule the pairs are already distinct (the
+        # equi-self-join emits each (l, r) once because ``unique_id`` is
+        # unique — the dedupe_only contract), so the dropDuplicates
+        # would be a pure extra shuffle over the full pair set — at
+        # sf0.1's 4.5M nation-blocked pairs it was 90% of
+        # linkage_relink_segment's wall (3.6 s -> 0.35 s measured,
+        # SCALE.md §relink), and at 100 TB it is a pair-scale shuffle
+        # that buys nothing.
+        out = out.dropDuplicates([f"{unique_id}_l", f"{unique_id}_r"])
     return out.withColumnsRenamed({f"{unique_id}_l": "uid_l", f"{unique_id}_r": "uid_r"})
 
 
