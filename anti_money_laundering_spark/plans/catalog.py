@@ -303,7 +303,18 @@ _R10_PLAN: tuple[str, ...] = (
 #: window froze). Append every r10-new registration here or
 #: tests/test_catalog_window.py fails; keep <= ~10 at round close
 #: (r9 verdict item 7) so the r11 window isn't oversubscribed.
-_R11_PLAN: tuple[str, ...] = ()
+_R11_PLAN: tuple[str, ...] = (
+    # U-turn / wash round-trip screen — the temporal-reciprocal member
+    # of the flow family (r10-new)
+    "reciprocal_transfer_alerts",
+    # rolling multi-horizon rate-limit control (r10-new)
+    "velocity_limit_breaches",
+    # counterparty-churn: first-contact share per account-day (r10-new)
+    "new_counterparty_rate",
+    # per-account ending-digit entropy completing the amount-shape
+    # family at the account grain (r10-new)
+    "amount_digit_entropy",
+)
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,

@@ -3084,3 +3084,233 @@ def runs_test_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.96).alias("nonrandom"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Velocity controls (r10): rolling multi-horizon rate limits — the real-time
+# control AML programs pair with the retrospective screens above. RANGE
+# frames anchored at CURRENT ROW grow incrementally (the O(n^2) window trap
+# is UNBOUNDED FOLLOWING re-aggregation — see operators.skyline_2d), so per
+# partition this is one sort + one linear pass.
+# ---------------------------------------------------------------------------
+
+#: 1h-count and 24h-sum limits sit at the fixture's p99 band (probed at all
+#: three SFs: c1h quantiles [p50 1, p99 2, max 3-4]; s24 cents quantiles
+#: [p50 ~13.5k, p99 ~52k, max ~96k]) — breaches exist at every SF
+#: (4/31/427 count breaches, 15/85/1027 sum breaches) without flagging
+#: half the table.
+_VELOCITY_MAX_1H = 3
+_VELOCITY_MAX_24H_CENTS = 52_000
+
+
+@register(
+    "velocity_limit_breaches",
+    tags=("W-ext", "A2"),
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS c1h,
+             sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS s24
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(c1h) AS BIGINT) AS max_1h_count,
+           CAST(max(s24) AS BIGINT) AS max_24h_cents,
+           CAST(count(*) FILTER (c1h >= {_VELOCITY_MAX_1H}) AS BIGINT)
+             AS n_count_breaches,
+           CAST(count(*) FILTER (s24 > {_VELOCITY_MAX_24H_CENTS}) AS BIGINT)
+             AS n_sum_breaches
+    FROM v GROUP BY user_id
+    HAVING count(*) FILTER (c1h >= {_VELOCITY_MAX_1H}) > 0
+        OR count(*) FILTER (s24 > {_VELOCITY_MAX_24H_CENTS}) > 0
+    """,
+)
+def velocity_limit_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling velocity-limit screen: per user, every event evaluates
+    two trailing-horizon counters — transaction COUNT over the last
+    hour and cent VOLUME over the last 24 h — against fixed limits
+    (the card-network/KYC control: rapid-fire bursts and daily-volume
+    caps), and users with any breach surface with their worst
+    readings. The retrospective twin of the streaming façade's
+    stateful_user_totals alert.
+
+    Exactness: frames are anchored on exact integer MICROSECONDS
+    (unix_micros/epoch_us) so frame membership is identical on both
+    engines — ties (same user, same ts) are RANGE-frame peers and
+    aggregate identically; counters are integer counts and exact cent
+    sums. Plan: ONE shuffle on user_id serves both windows (same
+    partitioning, same sort), then a keyed re-aggregation on the same
+    key — partial-aggregated, no second exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    w1h = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    v = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w1h).alias("c1h"),
+        F.sum(cents).over(w24).alias("s24"),
+    )
+    count_breach = F.when(F.col("c1h") >= _VELOCITY_MAX_1H, 1).otherwise(0)
+    sum_breach = F.when(F.col("s24") > _VELOCITY_MAX_24H_CENTS, 1).otherwise(0)
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("c1h").cast("long").alias("max_1h_count"),
+            F.max("s24").cast("long").alias("max_24h_cents"),
+            F.sum(count_breach).cast("long").alias("n_count_breaches"),
+            F.sum(sum_breach).cast("long").alias("n_sum_breaches"),
+        )
+        .filter((F.col("n_count_breaches") > 0) | (F.col("n_sum_breaches") > 0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Counterparty-network churn (r10): NEW counterparties per account-day.
+# counterparty_concentration reads the STOCK of a user's network; this reads
+# the FLOW — a dormant-then-many-new-counterparties day is the activation
+# shape of a mule account handed to an operator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "new_counterparty_rate",
+    tags=("W-ext", "A-ext"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id AS src,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+             strftime(ts, '%Y-%m-%d') AS day,
+             row_number() OVER (PARTITION BY user_id,
+                                  CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                ORDER BY ts, event_id) = 1 AS is_first
+      FROM events
+    )
+    SELECT src, day,
+           CAST(count(*) AS BIGINT) AS n_transfers,
+           CAST(count(*) FILTER (is_first) AS BIGINT) AS n_new,
+           ((2 * CAST(count(*) FILTER (is_first) AS HUGEINT) * 1000000
+             + count(*)) // (2 * CAST(count(*) AS HUGEINT)))
+             / 1000000.0 AS new_share
+    FROM firsts GROUP BY src, day
+    """,
+)
+def new_counterparty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterparty-churn screen: per payer per day, how many
+    transfers went to a counterparty that payer had NEVER paid before
+    (first transfer on the (src, dst) channel, ties broken by
+    event_id), and the share of the day's transfers that were
+    first-contacts. Organic accounts accrete counterparties slowly; a
+    taken-over account fans out to a fresh set overnight.
+
+    Exactness: first-ness is a deterministic row_number over exact
+    (ts, event_id); days are ISO strings on both engines (the r5 date
+    lesson); the share uses the div-based round-half-up identity in
+    HUGEINT/decimal. Plan: one shuffle on (src, dst) for the
+    first-seen window, then one keyed aggregation on (src, day) —
+    at 100 TB the channel key is the natural partitioning (same key
+    the reciprocal/periodic screens shuffle on) and the day rollup is
+    a near-local re-aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    chan = Window.partitionBy(
+        "user_id", F.get_json_object("props", "$.k").cast("long")
+    ).orderBy("ts", "event_id")
+    firsts = ev.select(
+        F.col("user_id").alias("src"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.row_number().over(chan) == 1).alias("is_first"),
+    )
+    share = F.expr(
+        "(2 * cast(n_new as decimal(38,0)) * 1000000 + n_transfers)"
+        " div (2 * cast(n_transfers as decimal(38,0)))"
+    ) / F.lit(1000000.0)
+    return (
+        firsts.groupBy("src", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transfers"),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("n_new"),
+        )
+        .select("src", "day", "n_transfers", "n_new", share.alias("new_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Amount ending-digit entropy (r10): the per-account member of the
+# amount-shape family — benford screens read LEADING digits corpus/segment
+# wide, round_amount_bias reads the 00-ending share per segment; this reads
+# each account's full ENDING-digit distribution. Scripted amounts are either
+# too concentrated (one template => entropy ~0) or too uniform (RNG cents =>
+# entropy ~ln(100)); organic spending sits between.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "amount_digit_entropy",
+    tags=("A-ext", "F5"),
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS dp
+      FROM orders
+    ),
+    c AS (SELECT o_custkey, dp, count(*) AS k FROM d GROUP BY 1, 2),
+    t AS (SELECT o_custkey, sum(k) AS n, count(*) AS n_distinct FROM c GROUP BY 1)
+    SELECT c.o_custkey,
+           CAST(t.n AS BIGINT) AS n_orders,
+           CAST(t.n_distinct AS BIGINT) AS n_endings,
+           round(-sum((c.k / t.n) * ln(c.k / t.n)), 6) AS ending_entropy,
+           CAST(max(c.k) AS BIGINT) AS modal_count
+    FROM c JOIN t ON c.o_custkey = t.o_custkey
+    WHERE t.n >= 5
+    GROUP BY c.o_custkey, t.n, t.n_distinct
+    """,
+)
+def amount_digit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Shannon entropy of order-amount ENDING digit pairs
+    (the cents, 00-99): the account-level structuring fingerprint —
+    a template-scripted account repeats one ending (entropy near 0,
+    modal_count ~ n), organic accounts spread endings. n >= 5 floor
+    (fixture: every SF has 146/1451/14534 qualifying customers,
+    median 10 orders).
+
+    Exactness: digit pairs are exact integers (on-grid cents mod
+    100); counts are integers, so every p = k/n is the same rational
+    on both engines and the entropy is a sum of transcendentals —
+    round(6) is boundary-safe (the r8 taxonomy: ln of a non-unit
+    rational is irrational; the p=1 single-ending case gives entropy
+    exactly -1*ln(1) = 0 with no rounding involved). Plan: one
+    (custkey, digit-pair) count shuffle, per-customer totals as a
+    window over the SAME key, one keyed re-aggregation — the
+    behavior_entropy_users shuffle shape on the amount axis."""
+    orders = load_table(spark, sf_dir, "orders")
+    dp = (F.round(F.col("o_totalprice") * 100).cast("long") % 100).alias("dp")
+    c = orders.select("o_custkey", dp).groupBy("o_custkey", "dp").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = Window.partitionBy("o_custkey")
+    n = F.sum("k").over(w)
+    p = F.col("k") / n
+    return (
+        c.withColumn("n", n)
+        .withColumn("p", p)
+        .groupBy("o_custkey")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_endings"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("ending_entropy"),
+            F.max("k").cast("long").alias("modal_count"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )

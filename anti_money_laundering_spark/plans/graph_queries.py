@@ -2022,3 +2022,102 @@ def periodic_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (10 * F.col("__v") < F.col("__s2")).alias("periodic"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mirror / round-trip transfer screen (r10): the temporal-reciprocal
+# complement of passthrough_funds_alerts — funds that come straight BACK
+# along the same channel instead of moving on. Completes the temporal-flow
+# family: fan-in (motif_fanin_structuring), pass-through (funnel), and now
+# U-turn (wash/round-trip) — the reference's structuring narrative names all
+# three shapes (01_aml_network_analysis.py:308-405).
+# ---------------------------------------------------------------------------
+
+_RECIPROCAL_WINDOW_H = 48
+
+
+@register(
+    "reciprocal_transfer_alerts",
+    tags=("OP", "range", "J3", "A2"),
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+               event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    rt AS (
+        SELECT a.src, a.dst,
+               a.cents AS out_cents, b.cents AS back_cents,
+               epoch_us(b.ts) - epoch_us(a.ts) AS dwell_us
+        FROM e a JOIN e b
+          ON b.src = a.dst AND b.dst = a.src
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL {_RECIPROCAL_WINDOW_H} HOUR
+    )
+    SELECT src, dst,
+           CAST(count(*) AS BIGINT) AS n_roundtrips,
+           CAST(sum(out_cents) AS BIGINT) / 100.0 AS out_total,
+           CAST(sum(back_cents) AS BIGINT) / 100.0 AS back_total,
+           CAST(min(dwell_us) AS BIGINT) AS min_dwell_us,
+           CAST(count(*) FILTER (back_cents * 10 BETWEEN out_cents * 8
+                                 AND out_cents * 10) AS BIGINT) AS n_echo
+    FROM rt GROUP BY src, dst
+    """,
+)
+def reciprocal_transfer_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-turn screen: for each directed channel src->dst, transfers
+    answered by a RETURN transfer dst->src within 48 h — the
+    round-trip/wash shape (money out and straight back builds fake
+    volume or launders through a cooperating counterparty). ``n_echo``
+    counts returns at 80-100% of the outbound amount (the fee-shedding
+    echo, same band as passthrough_funds_alerts); ``min_dwell_us`` is
+    the fastest turnaround — machine-speed returns are the strongest
+    signal. Unlike the static reciprocity count
+    (counterparty_concentration's n_reciprocal), both the time window
+    and the amount band are per-pair conditions.
+
+    Exactness: cents and microsecond dwells are exact integers on both
+    engines; totals are BIGINT cent sums divided by 100.0 (one
+    correctly-rounded IEEE division). Scale posture: the match is an
+    EQUI-join on the composite (dst, src)=(src, dst) key — channels,
+    not a time-bucket theta join — so each side shuffles once on the
+    channel key and the time/band residuals filter inside matched
+    channel groups; per-channel volume bounds the blowup (the hub
+    guard concern does not arise: a channel is a PAIR, already the
+    finest grain). Uses ALL events (no flow threshold): a wash leg
+    below the flow-graph sparsification cutoff is exactly what the
+    screen must not miss."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        cents.alias("out_cents"),
+        F.col("ts").alias("out_ts"),
+    )
+    back = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("src"),
+        F.col("user_id").alias("dst"),
+        cents.alias("back_cents"),
+        F.col("ts").alias("back_ts"),
+    )
+    rt = out.join(back, ["src", "dst"]).filter(
+        (F.col("back_ts") > F.col("out_ts"))
+        & (
+            F.col("back_ts")
+            <= F.col("out_ts") + F.expr(f"INTERVAL {_RECIPROCAL_WINDOW_H} HOURS")
+        )
+    )
+    echo = (F.col("back_cents") * 10 >= F.col("out_cents") * 8) & (
+        F.col("back_cents") * 10 <= F.col("out_cents") * 10
+    )
+    dwell = F.unix_micros("back_ts") - F.unix_micros("out_ts")
+    return rt.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_roundtrips"),
+        (F.sum("out_cents") / F.lit(100.0)).alias("out_total"),
+        (F.sum("back_cents") / F.lit(100.0)).alias("back_total"),
+        F.min(dwell).cast("long").alias("min_dwell_us"),
+        F.sum(F.when(echo, 1).otherwise(0)).cast("long").alias("n_echo"),
+    )

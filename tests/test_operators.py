@@ -1399,3 +1399,149 @@ def test_runs_test_hand_case(spark):
     assert (r.n1, r.n2, r.runs) == (3, 2, 4)
     assert r.z_stat == 0.654654
     assert not r.nonrandom
+
+
+def test_reciprocal_transfer_hand_case(spark):
+    """Hand-computed U-turn screen (out-of-family rule, r8): 100.00
+    goes 1->5 at t0; returns 5->1 at +1h for 85.00 (echo), at exactly
+    +48h for 100.00 (inclusive upper edge, 100% echo edge), at +1h for
+    79.99 (roundtrip, one cent under the echo band), and at t0 itself
+    (strict lower edge: drops). The return legs are also OUT legs on
+    channel (5,1) but no 1->5 transfer follows them, so only (1,5)
+    surfaces."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 1, 100.00, '{"k": 5}'),
+        (2, t0 + 1 * h, 5, 85.00, '{"k": 1}'),
+        (3, t0 + 48 * h, 5, 100.00, '{"k": 1}'),
+        (4, t0 + 1 * h, 5, 79.99, '{"k": 1}'),
+        (5, t0, 5, 90.00, '{"k": 1}'),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, p) for i, ts, u, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {(r.src, r.dst): r for r in gq.reciprocal_transfer_alerts(spark, "x").collect()}
+    finally:
+        gq.load_table = orig
+    assert set(got) == {(1, 5)}
+    r = got[(1, 5)]
+    assert r.n_roundtrips == 3
+    assert (r.out_total, r.back_total) == (300.00, 264.99)
+    assert r.min_dwell_us == 3_600_000_000
+    assert r.n_echo == 2
+
+
+def test_velocity_limit_hand_case(spark):
+    """Hand-computed velocity control: user 1 fires 3 events inside
+    one hour — the third's trailing frame holds all 3 (the -1h edge is
+    INCLUSIVE: events at t0 and t0+1h are frame peers), one count
+    breach. User 2 moves 300.00 then 220.01 exactly 24h later — the
+    inclusive frame sums to 52001 cents, one cent over the limit.
+    User 3 sums to exactly 52000 (the > is strict) and never breaches
+    — filtered out entirely."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mi, hr = dt.timedelta(minutes=1), dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 1, 1.00), (2, t0 + 30 * mi, 1, 1.00), (3, t0 + 60 * mi, 1, 1.00),
+        (4, t0, 2, 300.00), (5, t0 + 24 * hr, 2, 220.01),
+        (6, t0, 3, 300.00), (7, t0 + 1 * hr, 3, 220.00),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, None) for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.velocity_limit_breaches(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1, 2}
+    assert (got[1].n_events, got[1].max_1h_count, got[1].n_count_breaches,
+            got[1].n_sum_breaches) == (3, 3, 1, 0)
+    assert (got[2].max_24h_cents, got[2].n_count_breaches,
+            got[2].n_sum_breaches) == (52001, 0, 1)
+
+
+def test_new_counterparty_hand_case(spark):
+    """Hand-computed counterparty churn: user 1 pays 5 twice and 6
+    once on day 1 (2 first-contacts of 3 transfers, share
+    round_half_up(2/3, 6) = 0.666667), then 5 again and new 7 on day 2
+    (1 of 2). User 2 pays NEW dst 8 twice at the SAME timestamp —
+    the event_id tiebreak makes exactly one of them the first."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    d1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d2 = dt.datetime(2024, 1, 2, 10, 0, 0)
+    mi = dt.timedelta(minutes=1)
+    rows = [
+        (1, d1, 1, 5), (2, d1 + mi, 1, 5), (3, d1 + 2 * mi, 1, 6),
+        (4, d2, 1, 5), (5, d2 + mi, 1, 7),
+        (6, d1, 2, 8), (7, d1, 2, 8),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", 1.0, f'{{"k": {d}}}') for i, ts, u, d in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {(r.src, r.day): r for r in fq.new_counterparty_rate(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {(1, "2024-01-01"), (1, "2024-01-02"), (2, "2024-01-01")}
+    assert (got[(1, "2024-01-01")].n_transfers, got[(1, "2024-01-01")].n_new,
+            got[(1, "2024-01-01")].new_share) == (3, 2, 0.666667)
+    assert (got[(1, "2024-01-02")].n_transfers, got[(1, "2024-01-02")].n_new,
+            got[(1, "2024-01-02")].new_share) == (2, 1, 0.5)
+    assert (got[(2, "2024-01-01")].n_transfers, got[(2, "2024-01-01")].n_new,
+            got[(2, "2024-01-01")].new_share) == (2, 1, 0.5)
+
+
+def test_amount_digit_entropy_hand_case(spark):
+    """Hand-computed ending-digit entropy vs a python-math replay
+    (out-of-family rule, r8): customer 1 repeats one ending (entropy
+    exactly 0.0); customer 2's endings split 3/2/1 over six orders
+    (entropy = -(1/2 ln 1/2 + 1/3 ln 1/3 + 1/6 ln 1/6)); customer 3
+    has only 4 orders and drops at the n >= 5 floor."""
+    import math
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    rows = [(1, 100.25)] * 5
+    rows += [(2, 10.10), (2, 20.10), (2, 30.10), (2, 40.20), (2, 50.20), (2, 60.30)]
+    rows += [(3, 1.11)] * 4
+    orders = spark.createDataFrame(
+        [(c, i, p) for i, (c, p) in enumerate(rows)],
+        "o_custkey long, o_orderkey long, o_totalprice double",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: orders
+    try:
+        got = {r.o_custkey: r for r in fq.amount_digit_entropy(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1, 2}
+    assert (got[1].n_orders, got[1].n_endings, got[1].ending_entropy,
+            got[1].modal_count) == (5, 1, 0.0, 5)
+    expect = -(0.5 * math.log(0.5) + (1 / 3) * math.log(1 / 3) + (1 / 6) * math.log(1 / 6))
+    assert got[2].ending_entropy == round(expect, 6)
+    assert (got[2].n_orders, got[2].n_endings, got[2].modal_count) == (6, 3, 3)
