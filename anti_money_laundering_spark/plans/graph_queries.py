@@ -2103,7 +2103,12 @@ def reciprocal_transfer_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("back_cents"),
         F.col("ts").alias("back_ts"),
     )
-    rt = out.join(back, ["src", "dst"]).filter(
+    # both legs are full event scans — never broadcastable at 100 TB;
+    # the explicit merge hint keeps the 2-exchange SMJ shape
+    # deterministic at every SF instead of letting fixture-scale size
+    # estimates auto-broadcast one side (the stream_passthrough_pairs
+    # r9-advice pattern), so the plan-lint budget pin is exact
+    rt = out.hint("merge").join(back, ["src", "dst"]).filter(
         (F.col("back_ts") > F.col("out_ts"))
         & (
             F.col("back_ts")

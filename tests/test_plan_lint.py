@@ -149,6 +149,17 @@ EXCHANGE_BUDGET = {
     # a2 (second-pass distance agg) = 5; the k*dims centroid tables are
     # BroadcastExchanges, excluded by design.
     "kmeans_lloyd_assignments": 5,
+    # r10: the _R11_PLAN screens get budgets BEFORE their driver window
+    # (the r9 discipline). reciprocal carries an explicit merge hint
+    # (both legs event-scale — the stream_passthrough_pairs pattern) so
+    # its 2-exchange SMJ pin is exact; velocity's single user_id
+    # shuffle serves both RANGE windows and the re-aggregation; the
+    # other two are their (channel-window or count) shuffle + the
+    # keyed re-aggregation on a different key.
+    "reciprocal_transfer_alerts": 2,
+    "velocity_limit_breaches": 1,
+    "new_counterparty_rate": 2,
+    "amount_digit_entropy": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
