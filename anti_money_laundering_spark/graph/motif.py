@@ -110,13 +110,14 @@ def find_motif(
                 occurrences[v] = occurrences.get(v, 0) + 1
         chain_vars = {v for v, n in occurrences.items() if n >= 2}
         if chain_vars:
+            # Graph.degrees() is the ONE degree definition (G2): in+out
+            # with self-loops/parallel edges counted per edge row —
+            # reusing it keeps the guard's notion of "degree" from
+            # drifting against the public API's (review finding).
             hub_ids = (
-                graph.edges.select(F.col("src").alias("__hub_id"))
-                .unionAll(graph.edges.select(F.col("dst").alias("__hub_id")))
-                .groupBy("__hub_id")
-                .agg(F.count(F.lit(1)).alias("__deg"))
-                .filter(F.col("__deg") > F.lit(max_vertex_degree))
-                .select("__hub_id")
+                graph.degrees()
+                .filter(F.col("degree") > F.lit(max_vertex_degree))
+                .select(F.col("id").alias("__hub_id"))
                 .localCheckpoint(eager=False)
             )
 

@@ -1220,7 +1220,7 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, sum(c) AS total FROM counts GROUP BY 1
     )
     SELECT c.user_id,
-           round(-sum((c.c / t.total) * ln(c.c / t.total)), 6) AS type_entropy,
+           round(-sum((c.c / t.total) * ln(c.c / t.total)), 6) + 0.0 AS type_entropy,
            CAST(count(*) AS BIGINT) AS n_types
     FROM counts c JOIN totals t ON c.user_id = t.user_id
     GROUP BY c.user_id
@@ -1240,7 +1240,9 @@ def behavior_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("p", p)
         .groupBy("user_id")
         .agg(
-            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("type_entropy"),
+            # + 0.0: a single-type user's entropy is -0.0 before
+            # canonicalization — see amount_digit_entropy's docstring
+            (F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6) + 0.0).alias("type_entropy"),
             F.count(F.lit(1)).cast("long").alias("n_types"),
         )
     )
@@ -3270,7 +3272,7 @@ def new_counterparty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.o_custkey,
            CAST(t.n AS BIGINT) AS n_orders,
            CAST(t.n_distinct AS BIGINT) AS n_endings,
-           round(-sum((c.k / t.n) * ln(c.k / t.n)), 6) AS ending_entropy,
+           round(-sum((c.k / t.n) * ln(c.k / t.n)), 6) + 0.0 AS ending_entropy,
            CAST(max(c.k) AS BIGINT) AS modal_count
     FROM c JOIN t ON c.o_custkey = t.o_custkey
     WHERE t.n >= 5
@@ -3289,8 +3291,12 @@ def amount_digit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100); counts are integers, so every p = k/n is the same rational
     on both engines and the entropy is a sum of transcendentals —
     round(6) is boundary-safe (the r8 taxonomy: ln of a non-unit
-    rational is irrational; the p=1 single-ending case gives entropy
-    exactly -1*ln(1) = 0 with no rounding involved). Plan: one
+    rational is irrational). The p=1 single-ending case — the scripted
+    account this screen exists to flag — evaluates to NEGATIVE zero
+    (-1*ln(1) = -0.0), which DuckDB's round keeps but Spark's
+    BigDecimal round normalizes; the + 0.0 on both sides canonicalizes
+    the sign (the graph_modularity r8 lesson — the driver compare
+    distinguishes IEEE zero signs). Plan: one
     (custkey, digit-pair) count shuffle, per-customer totals as a
     window over the SAME key, one keyed re-aggregation — the
     behavior_entropy_users shuffle shape on the amount axis."""
@@ -3309,7 +3315,7 @@ def amount_digit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("long").alias("n_orders"),
             F.count(F.lit(1)).cast("long").alias("n_endings"),
-            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("ending_entropy"),
+            (F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6) + 0.0).alias("ending_entropy"),
             F.max("k").cast("long").alias("modal_count"),
         )
         .filter(F.col("n_orders") >= 5)

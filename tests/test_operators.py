@@ -1542,6 +1542,17 @@ def test_amount_digit_entropy_hand_case(spark):
     assert set(got) == {1, 2}
     assert (got[1].n_orders, got[1].n_endings, got[1].ending_entropy,
             got[1].modal_count) == (5, 1, 0.0, 5)
+    # the single-ending case is -1*ln(1) = NEGATIVE zero before the
+    # + 0.0 canonicalization; == cannot see the sign (0.0 == -0.0) but
+    # the driver's repr-based compare can (the graph_modularity r8
+    # lesson) — assert the sign bit on BOTH engines' formulations
+    assert math.copysign(1.0, got[1].ending_entropy) == 1.0
+    import duckdb as _duckdb
+
+    neg_zero = _duckdb.connect().execute(
+        "SELECT round(-sum(1.0 * ln(1.0)), 6) + 0.0"
+    ).fetchone()[0]
+    assert math.copysign(1.0, neg_zero) == 1.0
     expect = -(0.5 * math.log(0.5) + (1 / 3) * math.log(1 / 3) + (1 / 6) * math.log(1 / 6))
     assert got[2].ending_entropy == round(expect, 6)
     assert (got[2].n_orders, got[2].n_endings, got[2].modal_count) == (6, 3, 3)

@@ -154,7 +154,9 @@ def main() -> int:
     )
     assert (r.n_a, r.n_b) == (half, n_ks - half)
     assert r.sig_05 and r.ks_d > 0.01, "planted +5% shift must flag"
-    assert r.ks_num > 0
+    # ks_num is a VARCHAR-cast decimal since the r10 BIGINT-bound widen
+    # (feature_queries.ks_test_periods) — compare as int
+    assert int(r.ks_num) > 0
 
     # --- mann-whitney on the same drifted frame: 50M total is ~17x
     # past the OLD long effect-size identity ceiling (~3e6 total

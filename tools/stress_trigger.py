@@ -158,6 +158,11 @@ def run_live(
                 "wm_lag_wall_s": round(lag, 1) if lag is not None else None,
             }
         )
+    if not batches:
+        raise AssertionError(
+            f"{name}: no micro-batch processed any input rows — the file "
+            f"source never picked up the live feed (check the feeder/path)"
+        )
     lags = [b["wm_lag_wall_s"] for b in batches if b["wm_lag_wall_s"] is not None]
     total_rows = sum(b["rows"] for b in batches)
     total_s = sum(b["batch_s"] for b in batches)
