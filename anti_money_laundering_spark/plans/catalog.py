@@ -314,6 +314,9 @@ _R11_PLAN: tuple[str, ...] = (
     # per-account ending-digit entropy completing the amount-shape
     # family at the account grain (r10-new)
     "amount_digit_entropy",
+    # sorted-neighborhood blocking — the non-equi ER blocking strategy
+    # (Hernandez-Stolfo), distributed-rank formulation (r10-new)
+    "linkage_sorted_neighborhood",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -456,3 +456,117 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(W.partitionBy("entity_id")).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (r10): the classic ER blocking strategy
+# (Hernandez & Stolfo 1995) the equi-key rules above cannot express —
+# sort the corpus on a fuzzy-tolerant key and pair every record with its
+# w nearest neighbors in sort order. Equi-blocking misses a pair whose
+# blocking key itself carries the typo; the sorted window catches any
+# pair whose SORT key lands them within w positions.
+# ---------------------------------------------------------------------------
+
+#: Window width (each record pairs with the next w in sort order — the
+#: literature's w-1 overlap for a width-w sliding window). 3 keeps the
+#: candidate set at ~3n rows at any scale.
+_SN_WINDOW = 3
+
+
+@register(
+    "linkage_sorted_neighborhood",
+    tags=("E2", "OP", "W-ext"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey
+             ) - 1 AS idx
+      FROM customer
+    )
+    SELECT l.c_custkey AS uid_l, r.c_custkey AS uid_r,
+           CAST(r.idx - l.idx AS BIGINT) AS rank_gap,
+           CAST(r.cents - l.cents AS BIGINT) AS bal_gap_cents,
+           CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END
+             AS gamma_c_mktsegment
+    FROM ranked l JOIN ranked r
+      ON r.idx > l.idx AND r.idx <= l.idx + {_SN_WINDOW}
+    """,
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: customers sorted on exact
+    account-balance cents (custkey tiebreak), each paired with its
+    next w=3 neighbors in sort order, with the balance gap and a
+    segment gamma attached. The blocking complement to
+    ``linkage_blocked_pairs``: a record whose nation/segment field is
+    itself corrupted never meets its twin under equi-blocking, but
+    lands adjacent in balance order.
+
+    Scale posture: the global rank comes from ``sampling.dense_index``
+    (range-repartition + per-partition row_number + broadcast offsets)
+    — NOT a single-task ``row_number() OVER (ORDER BY ...)`` window,
+    the r5-verdict bottleneck the oracle side is allowed to keep
+    because DuckDB isn't the engine under test. Neighbor pairing is an
+    equi-join on the idx-div-w bucket (a pair within w positions
+    differs by <= 1 bucket, so the left side explodes to its own and
+    the next bucket — 2 rows in, never a theta join), exact rank
+    residual after. Total: one range shuffle (paid at the index
+    checkpoint) + the bucket SMJ's two side shuffles, candidate
+    volume w*n by construction.
+
+    Exactness: the sort key is exact integer (cents, custkey) — ties
+    fully broken, so idx is the same permutation on both engines and
+    every output column is an exact integer.
+    """
+    from anti_money_laundering_spark.sampling import dense_index
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    # composite total-order key: cents in [-10^5, 10^6] shifted
+    # nonneg, * 10^9 + custkey — exact in LONG while custkey < 10^9
+    # and |cents| < 10^7 (the TPC-H acctbal domain; at a wider domain
+    # widen to decimal)
+    keyed = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        cents.alias("cents"),
+        ((cents + F.lit(10_000_000)) * F.lit(1_000_000_000) + F.col("c_custkey")).alias(
+            "__sk"
+        ),
+    )
+    ranked = dense_index(keyed, "__sk", index_col="idx")
+    w = _SN_WINDOW
+    left = ranked.select(
+        F.col("c_custkey").alias("uid_l"),
+        F.col("c_mktsegment").alias("__seg_l"),
+        F.col("cents").alias("__cents_l"),
+        F.col("idx").alias("__idx_l"),
+        F.explode(
+            F.array((F.col("idx") / w).cast("long"), (F.col("idx") / w).cast("long") + 1)
+        ).alias("__bkt"),
+    )
+    right = ranked.select(
+        F.col("c_custkey").alias("uid_r"),
+        F.col("c_mktsegment").alias("__seg_r"),
+        F.col("cents").alias("__cents_r"),
+        F.col("idx").alias("__idx_r"),
+        (F.col("idx") / w).cast("long").alias("__bkt"),
+    )
+    # both sides are corpus-scale (n and 2n rows of the same ranked
+    # table) — never broadcastable at 100 TB; the explicit merge hint
+    # keeps the 2-exchange SMJ shape deterministic at every SF (the
+    # stream_passthrough_pairs pattern) so the plan-lint pin is exact
+    pairs = left.hint("merge").join(right, "__bkt").filter(
+        (F.col("__idx_r") > F.col("__idx_l"))
+        & (F.col("__idx_r") <= F.col("__idx_l") + w)
+    )
+    return pairs.select(
+        "uid_l",
+        "uid_r",
+        (F.col("__idx_r") - F.col("__idx_l")).cast("long").alias("rank_gap"),
+        (F.col("__cents_r") - F.col("__cents_l")).cast("long").alias("bal_gap_cents"),
+        F.when(F.col("__seg_l") == F.col("__seg_r"), 1).otherwise(0).alias(
+            "gamma_c_mktsegment"
+        ),
+    )

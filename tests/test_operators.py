@@ -1556,3 +1556,53 @@ def test_amount_digit_entropy_hand_case(spark):
     expect = -(0.5 * math.log(0.5) + (1 / 3) * math.log(1 / 3) + (1 / 6) * math.log(1 / 6))
     assert got[2].ending_entropy == round(expect, 6)
     assert (got[2].n_orders, got[2].n_endings, got[2].modal_count) == (6, 3, 3)
+
+
+def test_sorted_neighborhood_hand_case(spark):
+    """Hand-computed sorted-neighborhood blocking (out-of-family rule):
+    five customers sorted by exact cents with a TIE broken by custkey
+    — sorted order is [20 (bal 1.00), 10 (2.00, key 10 wins the tie),
+    30 (2.00), 50 (2.50), 40 (9.00)]; w=3 pairs each with its next
+    <= 3. The
+    near-balance pair (30, 10) sits in DIFFERENT nations — the pair
+    equi-blocking on nation can never produce, which is the point of
+    the strategy."""
+    import anti_money_laundering_spark.plans.linkage_queries as lq
+
+    cust = spark.createDataFrame(
+        [
+            (10, "BUILDING", 2.00, 1),
+            (20, "AUTOMOBILE", 1.00, 1),
+            (30, "BUILDING", 2.00, 2),
+            (40, "HOUSEHOLD", 9.00, 1),
+            (50, "AUTOMOBILE", 2.50, 2),
+        ],
+        "c_custkey long, c_mktsegment string, c_acctbal double, c_nationkey long",
+    )
+    orig = lq.load_table
+    lq.load_table = lambda spark, sf_dir, name: cust
+    try:
+        got = {
+            (r.uid_l, r.uid_r): r
+            for r in lq.linkage_sorted_neighborhood(spark, "x").collect()
+        }
+    finally:
+        lq.load_table = orig
+    # sorted: 20(100c) < 10(200c, key 10) < 30(200c, key 30) < 50(250c) < 40(900c)
+    expect = {
+        (20, 10): (1, 100, 0),
+        (20, 30): (2, 100, 0),
+        (20, 50): (3, 150, 1),
+        (10, 30): (1, 0, 1),
+        (10, 50): (2, 50, 0),
+        (10, 40): (3, 700, 0),
+        (30, 50): (1, 50, 0),
+        (30, 40): (2, 700, 0),
+        (50, 40): (1, 650, 0),
+    }
+    assert set(got) == set(expect)
+    for k, (gap, cents, seg) in expect.items():
+        r = got[k]
+        assert (r.rank_gap, r.bal_gap_cents, r.gamma_c_mktsegment) == (gap, cents, seg), k
+    # the cross-nation near-balance pair equi-blocking cannot see
+    assert (10, 30) in got

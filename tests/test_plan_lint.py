@@ -160,6 +160,11 @@ EXCHANGE_BUDGET = {
     "velocity_limit_breaches": 1,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
+    # sorted-neighborhood: the dense-index range shuffle is paid at the
+    # eager checkpoint (outside this plan); the final plan is the
+    # merge-hinted bucket SMJ (2 side shuffles) + the explode/window
+    # stitch = 4
+    "linkage_sorted_neighborhood": 4,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
