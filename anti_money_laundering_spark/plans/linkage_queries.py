@@ -512,46 +512,48 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs by <= 1 bucket, so the left side explodes to its own and
     the next bucket — 2 rows in, never a theta join), exact rank
     residual after. Total: one range shuffle (paid at the index
-    checkpoint) + the bucket SMJ's two side shuffles, candidate
-    volume w*n by construction.
+    checkpoint) + the bucket SMJ's two side shuffles; the ranked table
+    is lazily localCheckpointed so the index window computes once, not
+    once per join side. Candidate volume is w*n by construction.
 
-    Exactness: the sort key is exact integer (cents, custkey) — ties
-    fully broken, so idx is the same permutation on both engines and
-    every output column is an exact integer.
+    Exactness: the sort key is (cents, custkey) packed into a
+    decimal(38,0) — custkey gets a full 10^18 slot, so the packing is
+    exact at any realistic corpus size (a LONG slot of 10^9 would
+    silently corrupt the order past 10^9 customers — review finding);
+    ties fully broken, so idx is the same permutation on both engines
+    and every output column is an exact integer. Bucket ids use exact
+    integer `div`, never double division.
     """
     from anti_money_laundering_spark.sampling import dense_index
 
     cust = load_table(spark, sf_dir, "customer")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
-    # composite total-order key: cents in [-10^5, 10^6] shifted
-    # nonneg, * 10^9 + custkey — exact in LONG while custkey < 10^9
-    # and |cents| < 10^7 (the TPC-H acctbal domain; at a wider domain
-    # widen to decimal)
     keyed = cust.select(
         "c_custkey",
         "c_mktsegment",
         cents.alias("cents"),
-        ((cents + F.lit(10_000_000)) * F.lit(1_000_000_000) + F.col("c_custkey")).alias(
-            "__sk"
-        ),
+        (
+            (cents + F.lit(10_000_000)).cast("decimal(38,0)")
+            * F.lit(10**18).cast("decimal(38,0)")
+            + F.col("c_custkey").cast("decimal(38,0)")
+        ).alias("__sk"),
     )
-    ranked = dense_index(keyed, "__sk", index_col="idx")
+    ranked = dense_index(keyed, "__sk", index_col="idx").localCheckpoint(eager=False)
     w = _SN_WINDOW
+    bkt = F.expr(f"idx div {w}")
     left = ranked.select(
         F.col("c_custkey").alias("uid_l"),
         F.col("c_mktsegment").alias("__seg_l"),
         F.col("cents").alias("__cents_l"),
         F.col("idx").alias("__idx_l"),
-        F.explode(
-            F.array((F.col("idx") / w).cast("long"), (F.col("idx") / w).cast("long") + 1)
-        ).alias("__bkt"),
+        F.explode(F.array(bkt, bkt + 1)).alias("__bkt"),
     )
     right = ranked.select(
         F.col("c_custkey").alias("uid_r"),
         F.col("c_mktsegment").alias("__seg_r"),
         F.col("cents").alias("__cents_r"),
         F.col("idx").alias("__idx_r"),
-        (F.col("idx") / w).cast("long").alias("__bkt"),
+        bkt.alias("__bkt"),
     )
     # both sides are corpus-scale (n and 2n rows of the same ranked
     # table) — never broadcastable at 100 TB; the explicit merge hint

@@ -160,11 +160,12 @@ EXCHANGE_BUDGET = {
     "velocity_limit_breaches": 1,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
-    # sorted-neighborhood: the dense-index range shuffle is paid at the
-    # eager checkpoint (outside this plan); the final plan is the
-    # merge-hinted bucket SMJ (2 side shuffles) + the explode/window
-    # stitch = 4
-    "linkage_sorted_neighborhood": 4,
+    # sorted-neighborhood: the dense-index range shuffle + index window
+    # are paid at the (lazily) checkpointed ranked table, computed once
+    # for both join sides (review finding — was 4 with the window
+    # re-planned per side); the final plan is the merge-hinted bucket
+    # SMJ's 2 side shuffles
+    "linkage_sorted_neighborhood": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
