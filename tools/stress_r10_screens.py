@@ -267,8 +267,68 @@ def main() -> int:
     )
     assert len(script_rows) == n_script
     assert all(r.ending_entropy == 0.0 and r.n_endings == 1 for r in script_rows)
+
+    stress_sorted_neighborhood(spark, n_transfers)
     return 0
 
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def stress_sorted_neighborhood(spark, n_records: int) -> None:
+    """20M-record sorted-neighborhood pairing: the claim under test is
+    that the dense_index rank (range shuffle + per-partition windows)
+    + bucket SMJ stays near-linear — no single-task global window —
+    and that planted equi-blocking-invisible twins (same balance,
+    DIFFERENT nation, adjacent custkeys) land in the candidate set."""
+    import anti_money_laundering_spark.plans.linkage_queries as lq
+
+    h = F.abs(F.xxhash64("id", F.lit(10)))
+    base = spark.range(n_records).select(
+        (F.col("id") * 2).alias("c_custkey"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ("AUTOMOBILE", "BUILDING", "FURNITURE")]),
+            (h % 3 + 1).cast("int"),
+        ).alias("c_mktsegment"),
+        ((h % 99_000_000) / 100.0).alias("c_acctbal"),
+        (h % 25).alias("c_nationkey"),
+    )
+    n_twins = 10_000
+    # twin of record 2k: custkey 4k*? — use odd keys so twins never
+    # collide with base keys; SAME balance as a hash-chosen value,
+    # different nation => only the sorted window can catch the pair
+    twins = spark.range(n_twins).select(
+        (F.col("id") * 2 + 1).alias("c_custkey"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        ((F.abs(F.xxhash64((F.col("id") * 2), F.lit(10))) % 99_000_000) / 100.0).alias(
+            "c_acctbal"
+        ),
+        F.lit(99).alias("c_nationkey"),
+    )
+    cust = base.unionByName(twins)
+    orig = lq.load_table
+    lq.load_table = lambda _spark, _sf_dir, _t: cust
+    try:
+        t0 = time.perf_counter()
+        n_pairs = lq.linkage_sorted_neighborhood(spark, "stress").count()
+        wall = time.perf_counter() - t0
+        caught = (
+            lq.linkage_sorted_neighborhood(spark, "stress")
+            .filter((F.col("bal_gap_cents") == 0)
+                    & ((F.col("uid_l") % 2 == 1) | (F.col("uid_r") % 2 == 1)))
+            .count()
+        )
+    finally:
+        lq.load_table = orig
+    print(
+        f"sorted_neighborhood: {n_records + n_twins} records -> {n_pairs} "
+        f"candidate pairs in {wall:.1f}s (count-timed); planted same-balance "
+        f"cross-nation twins in candidates: {caught} (>= {n_twins} expected "
+        f"incl. organic same-cent collisions)"
+    )
+    assert n_pairs == 3 * (n_records + n_twins) - 6
+    # a twin is missed only if >= 3 ORGANIC records share its exact
+    # cent value AND all sort between it and its base (Poisson(~0.2)
+    # tail ~1e-3 per twin) — assert the 99% floor, not exact recall
+    assert caught >= int(n_twins * 0.99)
