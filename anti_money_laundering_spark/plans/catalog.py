@@ -317,6 +317,9 @@ _R11_PLAN: tuple[str, ...] = (
     # sorted-neighborhood blocking — the non-equi ER blocking strategy
     # (Hernandez-Stolfo), distributed-rank formulation (r10-new)
     "linkage_sorted_neighborhood",
+    # structural privacy audit: quasi-identifier equivalence-class
+    # histogram, the release gate after pattern PII scrubbing (r10-new)
+    "k_anonymity_profile",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -399,3 +399,66 @@ def _install_lang_trigram_oracle() -> None:
 
 
 _install_lang_trigram_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity profile (r10): the STRUCTURAL privacy audit that pairs with
+# the PII pattern scrub (curation.redact_pii) — regexes catch embedded
+# identifiers, but a record is also re-identifiable when its combination
+# of quasi-identifiers is (near-)unique in the released table. The
+# pre-release check for any training-data or analytics extract.
+# ---------------------------------------------------------------------------
+
+#: A record in an equivalence class smaller than this is counted at
+#: risk (the conventional k=5 release floor).
+_K_ANON_FLOOR = 5
+
+
+@register(
+    "k_anonymity_profile",
+    tags=("A-ext", "A1"),
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(class_size * count(*) AS BIGINT) AS n_records,
+           class_size < {_K_ANON_FLOOR} AS at_risk
+    FROM classes GROUP BY class_size
+    """,
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    (nation, segment, balance-bucket) quasi-identifier set: every
+    record in an equivalence class of size < 5 is re-identifiable by
+    an adversary who knows those three attributes (Sweeney's model) —
+    the release gate a training-data extract runs AFTER pattern-based
+    PII scrubbing (curation.redact_pii), because scrubbing embedded
+    identifiers does nothing about combination uniqueness. Output is
+    the class-size histogram (class_size, n_classes, n_records,
+    at_risk): the at-risk record mass is what a k=5 release policy
+    must generalize or suppress.
+
+    Exactness: equivalence classes are exact integer/string keys
+    (bucket = floor of an on-grid 2-decimal balance over 1000 — exact
+    in double well past the fixture domain); all outputs are integer
+    counts. Plan: one keyed aggregation (map-side partial) + one
+    re-aggregation on the bounded class-size key — at 100 TB the
+    histogram is at most max-class-size rows and the quasi-identifier
+    groupBy is the only corpus-scale shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        (F.col("class_size") * F.count(F.lit(1))).cast("long").alias("n_records"),
+        (F.col("class_size") < _K_ANON_FLOOR).alias("at_risk"),
+    )

@@ -1606,3 +1606,43 @@ def test_sorted_neighborhood_hand_case(spark):
         assert (r.rank_gap, r.bal_gap_cents, r.gamma_c_mktsegment) == (gap, cents, seg), k
     # the cross-nation near-balance pair equi-blocking cannot see
     assert (10, 30) in got
+
+
+def test_k_anonymity_hand_case(spark):
+    """Hand-computed k-anonymity histogram (out-of-family rule):
+    8 customers form classes of size 3, 2, 1, 1 and a 5th class of
+    size 5 would be over the floor — built so the bucket boundary
+    (999.99 vs 1000.00) splits a would-be class and a NEGATIVE
+    balance pins floor semantics (floor(-5/1000) = -1, not 0)."""
+    import anti_money_laundering_spark.plans.curation_queries as cq
+
+    rows = [
+        # class (1, AUTO, 0) x3
+        (1, 1, "AUTOMOBILE", 10.00),
+        (2, 1, "AUTOMOBILE", 500.00),
+        (3, 1, "AUTOMOBILE", 999.99),   # bucket 0 boundary edge
+        # class (1, AUTO, 1) x1 — the 1000.00 side of the boundary
+        (4, 1, "AUTOMOBILE", 1000.00),
+        # class (2, BUILDING, 0) x2
+        (5, 2, "BUILDING", 1.00),
+        (6, 2, "BUILDING", 2.00),
+        # class (3, FURNITURE, -1) x1 — negative-balance floor
+        (7, 3, "FURNITURE", -5.00),
+        # pad class (9, HOUSEHOLD, 0) x5 — NOT at risk at k=5
+        *[(10 + i, 9, "HOUSEHOLD", 50.00) for i in range(5)],
+    ]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    orig = cq.load_table
+    cq.load_table = lambda spark, sf_dir, name: cust
+    try:
+        got = {r.class_size: r for r in cq.k_anonymity_profile(spark, "x").collect()}
+    finally:
+        cq.load_table = orig
+    expect = {1: (2, 2, True), 2: (1, 2, True), 3: (1, 3, True), 5: (1, 5, False)}
+    assert set(got) == set(expect)
+    for k, (n_classes, n_records, at_risk) in expect.items():
+        assert (got[k].n_classes, got[k].n_records, got[k].at_risk) == (
+            n_classes, n_records, at_risk,
+        ), k
