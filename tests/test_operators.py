@@ -1610,8 +1610,8 @@ def test_sorted_neighborhood_hand_case(spark):
 
 def test_k_anonymity_hand_case(spark):
     """Hand-computed k-anonymity histogram (out-of-family rule):
-    8 customers form classes of size 3, 2, 1, 1 and a 5th class of
-    size 5 would be over the floor — built so the bucket boundary
+    7 customers form classes of size 3, 2, 1, 1 plus a 5-record pad
+    class over the floor — built so the bucket boundary
     (999.99 vs 1000.00) splits a would-be class and a NEGATIVE
     balance pins floor semantics (floor(-5/1000) = -1, not 0)."""
     import anti_money_laundering_spark.plans.curation_queries as cq

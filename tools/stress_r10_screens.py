@@ -272,10 +272,6 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
-
 def stress_sorted_neighborhood(spark, n_records: int) -> None:
     """20M-record sorted-neighborhood pairing: the claim under test is
     that the dense_index rank (range shuffle + per-partition windows)
@@ -310,15 +306,19 @@ def stress_sorted_neighborhood(spark, n_records: int) -> None:
     orig = lq.load_table
     lq.load_table = lambda _spark, _sf_dir, _t: cust
     try:
-        t0 = time.perf_counter()
-        n_pairs = lq.linkage_sorted_neighborhood(spark, "stress").count()
-        wall = time.perf_counter() - t0
-        caught = (
-            lq.linkage_sorted_neighborhood(spark, "stress")
-            .filter((F.col("bal_gap_cents") == 0)
-                    & ((F.col("uid_l") % 2 == 1) | (F.col("uid_r") % 2 == 1)))
-            .count()
+        # one plan, two actions: the lazy checkpoint materializes at the
+        # timed count and the twin filter reuses it (without it the 36 s
+        # rank+SMJ pipeline would execute twice — review finding)
+        cand = lq.linkage_sorted_neighborhood(spark, "stress").localCheckpoint(
+            eager=False
         )
+        t0 = time.perf_counter()
+        n_pairs = cand.count()
+        wall = time.perf_counter() - t0
+        caught = cand.filter(
+            (F.col("bal_gap_cents") == 0)
+            & ((F.col("uid_l") % 2 == 1) | (F.col("uid_r") % 2 == 1))
+        ).count()
     finally:
         lq.load_table = orig
     print(
@@ -332,3 +332,7 @@ def stress_sorted_neighborhood(spark, n_records: int) -> None:
     # cent value AND all sort between it and its base (Poisson(~0.2)
     # tail ~1e-3 per twin) — assert the 99% floor, not exact recall
     assert caught >= int(n_twins * 0.99)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
