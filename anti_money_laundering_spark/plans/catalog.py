@@ -320,6 +320,9 @@ _R11_PLAN: tuple[str, ...] = (
     # structural privacy audit: quasi-identifier equivalence-class
     # histogram, the release gate after pattern PII scrubbing (r10-new)
     "k_anonymity_profile",
+    # the companion criterion: sensitive-value diversity within each
+    # equivalence class (homogeneity-attack audit) (r10-new)
+    "l_diversity_profile",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

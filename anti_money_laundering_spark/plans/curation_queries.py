@@ -462,3 +462,70 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("class_size") * F.count(F.lit(1))).cast("long").alias("n_records"),
         (F.col("class_size") < _K_ANON_FLOOR).alias("at_risk"),
     )
+
+
+@register(
+    "l_diversity_profile",
+    tags=("A-ext", "A1", "W-ext"),
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(n) AS BIGINT) AS class_size,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(max(n) AS BIGINT) AS modal_count
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           ((2 * CAST(modal_count AS HUGEINT) * 1000000 + class_size)
+              // (2 * CAST(class_size AS HUGEINT))) / 1000000.0 AS modal_share,
+           l_distinct >= 3 AS diverse
+    FROM classes
+    """,
+)
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the k-anonymity companion (Machanavajjhala
+    et al.): under the (nation, segment) quasi-identifier set, how
+    many DISTINCT values of the sensitive attribute (balance bucket)
+    each equivalence class carries — a class can satisfy k-anonymity
+    with thousands of members and still leak the sensitive value if
+    they all share one bucket (the homogeneity attack). ``diverse``
+    flags distinct-l >= 3; ``modal_share`` is the best single-guess
+    success rate an attacker gets inside the class (the recursive
+    (c, l)-diversity intuition).
+
+    Exactness: classes and cells are exact integer/string keys; counts
+    are integers; modal_share uses the div-based round-half-up
+    identity in decimal/HUGEINT. Plan: one (quasi, sensitive) cell
+    aggregation (map-side partial, the only corpus-scale shuffle) +
+    one re-aggregation on the quasi key — the k_anonymity_profile
+    shuffle shape with the sensitive dimension folded into the
+    first key."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.max("n").cast("long").alias("modal_count"),
+    )
+    share = F.expr(
+        "(2 * cast(modal_count as decimal(38,0)) * 1000000 + class_size)"
+        " div (2 * cast(class_size as decimal(38,0)))"
+    ) / F.lit(1000000.0)
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_distinct",
+        share.alias("modal_share"),
+        (F.col("l_distinct") >= 3).alias("diverse"),
+    )

@@ -1646,3 +1646,49 @@ def test_k_anonymity_hand_case(spark):
         assert (got[k].n_classes, got[k].n_records, got[k].at_risk) == (
             n_classes, n_records, at_risk,
         ), k
+
+
+def test_l_diversity_hand_case(spark):
+    """Hand-computed l-diversity (out-of-family rule): class (1, AUTO)
+    has 4 members ALL in bucket 0 — k-anonymity-fine, l=1, modal 1.0,
+    the homogeneity attack this screen exists to flag; class (2,
+    BUILDING) spans 3 buckets over 4 members (l=3, diverse, modal
+    share round_half_up(2/4, 6) = 0.5); class (3, FURNITURE) has 2
+    members in 2 buckets (l=2, not diverse at l>=3)."""
+    import anti_money_laundering_spark.plans.curation_queries as cq
+
+    rows = [
+        (1, 1, "AUTOMOBILE", 10.00),
+        (2, 1, "AUTOMOBILE", 500.00),
+        (3, 1, "AUTOMOBILE", 900.00),
+        (4, 1, "AUTOMOBILE", 999.99),
+        (5, 2, "BUILDING", 100.00),
+        (6, 2, "BUILDING", 200.00),
+        (7, 2, "BUILDING", 1500.00),
+        (8, 2, "BUILDING", 2500.00),
+        (9, 3, "FURNITURE", 100.00),
+        (10, 3, "FURNITURE", 1100.00),
+    ]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    orig = cq.load_table
+    cq.load_table = lambda spark, sf_dir, name: cust
+    try:
+        got = {
+            (r.c_nationkey, r.c_mktsegment): r
+            for r in cq.l_diversity_profile(spark, "x").collect()
+        }
+    finally:
+        cq.load_table = orig
+    expect = {
+        (1, "AUTOMOBILE"): (4, 1, 1.0, False),
+        (2, "BUILDING"): (4, 3, 0.5, True),
+        (3, "FURNITURE"): (2, 2, 0.5, False),
+    }
+    assert set(got) == set(expect)
+    for k, (size, l, share, div) in expect.items():
+        r = got[k]
+        assert (r.class_size, r.l_distinct, r.modal_share, r.diverse) == (
+            size, l, share, div,
+        ), k

@@ -160,9 +160,10 @@ EXCHANGE_BUDGET = {
     "velocity_limit_breaches": 1,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
-    # k-anonymity: the quasi-identifier groupBy + the class-size
-    # histogram re-aggregation
+    # k-anonymity / l-diversity: the quasi-identifier(+sensitive)
+    # groupBy + the per-class re-aggregation
     "k_anonymity_profile": 2,
+    "l_diversity_profile": 2,
     # sorted-neighborhood: the dense-index range shuffle + index window
     # are paid at the (lazily) checkpointed ranked table, computed once
     # for both join sides (review finding — was 4 with the window
