@@ -323,6 +323,9 @@ _R11_PLAN: tuple[str, ...] = (
     # the companion criterion: sensitive-value diversity within each
     # equivalence class (homogeneity-attack audit) (r10-new)
     "l_diversity_profile",
+    # the trio's third leg: EMD of each class's sensitive distribution
+    # vs global over ordered buckets (skew-disclosure audit) (r10-new)
+    "t_closeness_profile",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -529,3 +529,149 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("modal_share"),
         (F.col("l_distinct") >= 3).alias("diverse"),
     )
+
+
+@register(
+    "t_closeness_profile",
+    tags=("A-ext", "W-ext", "J2"),
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS B FROM cells),
+    gl AS (SELECT b, CAST(sum(n) AS BIGINT) AS N_b FROM cells GROUP BY b),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cells),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS n_c
+      FROM cells GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n_c, g.b, g.N_b,
+             coalesce(x.n, 0) AS n_cb
+      FROM classes c CROSS JOIN gl g
+      LEFT JOIN cells x ON x.c_nationkey = c.c_nationkey
+                       AND x.c_mktsegment = c.c_mktsegment AND x.b = g.b
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n_c, b,
+             CAST(sum(n_cb) OVER w AS BIGINT) AS C_cb,
+             CAST(sum(N_b) OVER w AS BIGINT) AS G_b
+      FROM grid
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY b)
+    ),
+    scored AS (
+      SELECT c_nationkey, c_mktsegment,
+             any_value(n_c) AS class_size,
+             sum(abs(CAST(C_cb AS HUGEINT) * (SELECT N FROM tot)
+                     - CAST(G_b AS HUGEINT) * n_c)) AS num,
+             CAST(any_value(n_c) AS HUGEINT) * (SELECT N FROM tot)
+               * ((SELECT B FROM nb) - 1) AS den
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(class_size AS BIGINT) AS class_size,
+           ((2 * num * 1000000 + den) // (2 * den)) / 1000000.0 AS emd,
+           5 * num > den AS t_breach
+    FROM scored WHERE (SELECT B FROM nb) > 1
+    """,
+)
+def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness, completing the privacy-audit trio (Li, Li &
+    Venkatasubramanian): per (nation, segment) equivalence class, the
+    earth-mover's distance between the class's sensitive-attribute
+    distribution (balance buckets, ORDERED — EMD over an ordered
+    domain is the mean absolute cumulative-share gap) and the global
+    distribution. l-diversity counts distinct values but misses
+    skew-disclosure: a class can be l-diverse yet concentrated on the
+    distribution's tail, telling the attacker the member is (say)
+    high-balance. ``t_breach`` flags EMD > 0.2 (the paper's example
+    t); fixture EMD quantiles (p50/max): 0.30/0.52 at sf0.001,
+    0.10/0.33 at sf0.01, 0.03/0.07 at sf0.1 — classes converge to the
+    global distribution as they grow, so breaches thin out with SF
+    (all-false at sf0.1 is the correct reading, and the hash attests
+    the EMD values themselves).
+
+    Exactness: EMD = sum_b |C_cb*N - G_b*n_c| / (n_c*N*(B-1)) — an
+    integer quotient; the products run in decimal(38,0)/HUGEINT (LONG
+    wraps once n_c*N passes ~9.2e18, i.e. ~3e9-row classes), the
+    6-decimal output uses the div-based round-half-up identity, and
+    the breach flag compares 5*num > den in exact integers — no
+    float anywhere. Degenerate single-bucket domains (B=1: every
+    class trivially matches global, denominator 0) are excluded on
+    both engines. Plan: one corpus-scale (quasi, sensitive) cell
+    aggregation; everything after runs on dimension-sized frames —
+    the bucket list and 1-row totals attach via broadcast
+    nested-loop (the kendall 1-row-attach pattern), the dense
+    class x bucket grid is |classes| * B rows, and the cumulative
+    window partitions by class over <= B rows each."""
+    cells = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        # 5 downstream consumers (gl, tot, nb, classes, grid's left
+        # join) — one lazy checkpoint computes the scan+agg once
+        .localCheckpoint(eager=False)
+    )
+    gl = cells.groupBy("b").agg(F.sum("n").cast("long").alias("N_b"))
+    tot = cells.agg(F.sum("n").cast("long").alias("N"))
+    nb = cells.agg(F.count_distinct("b").cast("long").alias("B"))
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("n_c")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gl))
+        .join(cells, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "b",
+            "N_b",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_cb"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("c_nationkey", "c_mktsegment").orderBy("b")
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_c",
+        F.sum("n_cb").over(w).cast("long").alias("C_cb"),
+        F.sum("N_b").over(w).cast("long").alias("G_b"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("n_c").alias("class_size"),
+            F.sum(
+                F.abs(
+                    F.col("C_cb").cast("decimal(38,0)") * F.col("N")
+                    - F.col("G_b").cast("decimal(38,0)") * F.col("n_c")
+                )
+            ).alias("num"),
+            (
+                F.max(F.col("n_c").cast("decimal(38,0)"))
+                * F.max("N")
+                * (F.max("B") - 1)
+            ).alias("den"),
+            F.max("B").alias("__B"),
+        )
+        .filter(F.col("__B") > 1)
+    )
+    emd = F.expr("(2 * num * 1000000 + den) div (2 * den)") / F.lit(1000000.0)
+    return scored.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("long").alias("class_size"),
+        emd.alias("emd"),
+        (5 * F.col("num") > F.col("den")).alias("t_breach"),
+    )

@@ -1692,3 +1692,40 @@ def test_l_diversity_hand_case(spark):
         assert (r.class_size, r.l_distinct, r.modal_share, r.diverse) == (
             size, l, share, div,
         ), k
+
+
+def test_t_closeness_hand_case(spark):
+    """Hand-computed t-closeness (out-of-family rule): two buckets
+    (B=2, den = n_c*N), global split 6/6 over N=12. Class A sits all
+    in bucket 0: cum gap |4*12 - 6*4| = 24 at b0, 0 at b1 -> EMD
+    24/48 = 0.5, breach (5*24 > 48). Class B mirrors in bucket 1 —
+    same EMD by symmetry. Class C matches the global 50/50 split
+    exactly -> EMD 0.0, no breach."""
+    import anti_money_laundering_spark.plans.curation_queries as cq
+
+    rows = []
+    rows += [(i, 1, "AUTOMOBILE", 500.00) for i in range(4)]          # A: 4x b0
+    rows += [(10 + i, 2, "BUILDING", 1500.00) for i in range(4)]      # B: 4x b1
+    rows += [(20, 3, "FURNITURE", 500.00), (21, 3, "FURNITURE", 600.00),
+             (22, 3, "FURNITURE", 1500.00), (23, 3, "FURNITURE", 1600.00)]  # C: 2/2
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    orig = cq.load_table
+    cq.load_table = lambda spark, sf_dir, name: cust
+    try:
+        got = {
+            (r.c_nationkey, r.c_mktsegment): r
+            for r in cq.t_closeness_profile(spark, "x").collect()
+        }
+    finally:
+        cq.load_table = orig
+    expect = {
+        (1, "AUTOMOBILE"): (4, 0.5, True),
+        (2, "BUILDING"): (4, 0.5, True),
+        (3, "FURNITURE"): (4, 0.0, False),
+    }
+    assert set(got) == set(expect)
+    for k, (size, emd, breach) in expect.items():
+        r = got[k]
+        assert (r.class_size, r.emd, r.t_breach) == (size, emd, breach), k

@@ -164,6 +164,11 @@ EXCHANGE_BUDGET = {
     # groupBy + the per-class re-aggregation
     "k_anonymity_profile": 2,
     "l_diversity_profile": 2,
+    # t-closeness: everything past the (lazily checkpointed) cell agg
+    # runs on dimension-sized frames — gl/classes aggs, grid left
+    # join, class-window sort, final agg = 5 tiny exchanges; the one
+    # corpus-scale shuffle is the cell agg at checkpoint time
+    "t_closeness_profile": 5,
     # sorted-neighborhood: the dense-index range shuffle + index window
     # are paid at the (lazily) checkpointed ranked table, computed once
     # for both join sides (review finding — was 4 with the window
