@@ -466,7 +466,7 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l_diversity_profile",
-    tags=("A-ext", "A1", "W-ext"),
+    tags=("A-ext", "A1"),
     oracle="""
     WITH cells AS (
       SELECT c_nationkey, c_mktsegment,
