@@ -326,6 +326,9 @@ _R11_PLAN: tuple[str, ...] = (
     # the trio's third leg: EMD of each class's sensitive distribution
     # vs global over ordered buckets (skew-disclosure audit) (r10-new)
     "t_closeness_profile",
+    # the textbook CTR-evasion rule: shaved amounts aggregating past
+    # the reporting threshold inside a trailing day (r10-new)
+    "structuring_aggregation_alerts",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

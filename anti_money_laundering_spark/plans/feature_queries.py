@@ -3320,3 +3320,110 @@ def amount_digit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Smurfing-day aggregation screen (r10): the canonical CTR-evasion rule —
+# several JUST-UNDER-threshold deposits whose 24h AGGREGATE crosses the
+# reporting line. threshold_avoidance_scores reads the static share of
+# shaved amounts; velocity_limit_breaches reads all-transaction rate
+# limits; this composes both into the textbook alert: the shaved amounts
+# themselves, aggregating past the threshold inside one day.
+# ---------------------------------------------------------------------------
+
+#: The sub-threshold band is the same [90, 100) shaving band
+#: threshold_avoidance_scores pins (fixture p97+); an alert needs >= 2
+#: band transactions in a trailing 24h whose cents sum to >= 2x the
+#: 100-unit reporting threshold minus the shave (19000 cents) — probed
+#: 1 / 8 / 71 alerted users at sf0.001 / 0.01 / 0.1: selective at
+#: every SF, never empty.
+_SMURF_MIN_COUNT = 2
+_SMURF_MIN_CENTS = 19_000
+
+
+@register(
+    "structuring_aggregation_alerts",
+    tags=("W-ext", "A2", "A3"),
+    oracle=f"""
+    WITH band AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      -- plain-column predicate (not the computed-cents form): on the
+      -- 2-decimal grid value in [90, 100) == cents in [9000, 9999],
+      -- and only the plain form reaches the parquet reader's
+      -- PushedFilters on the engine side
+      WHERE value >= 90.0 AND value < 100.0
+    ),
+    roll AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS c24,
+             CAST(sum(cents) OVER w AS BIGINT) AS s24
+      FROM band
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_band_txns,
+           CAST(count(*) FILTER (c24 >= {_SMURF_MIN_COUNT}
+                                 AND s24 >= {_SMURF_MIN_CENTS}) AS BIGINT)
+             AS n_smurf_events,
+           CAST(max(c24) AS BIGINT) AS max_24h_band_count,
+           CAST(max(s24) AS BIGINT) AS max_24h_band_cents
+    FROM roll GROUP BY user_id
+    HAVING count(*) FILTER (c24 >= {_SMURF_MIN_COUNT}
+                            AND s24 >= {_SMURF_MIN_CENTS}) > 0
+    """,
+)
+def structuring_aggregation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook structuring alert (31 USC 5324's evasion shape):
+    users with >= 2 transactions shaved into the just-under-threshold
+    band whose trailing-24h BAND aggregate crosses ~2x the reporting
+    threshold — splitting one reportable movement into several
+    sub-threshold pieces inside a day. Surfaces each offender with
+    their band-transaction count and worst 24h window.
+
+    Exactness: the band predicate, counts and cent sums are exact
+    integers; the RANGE frame is anchored on exact integer
+    microseconds with a SINGLE order key (engines reject value-range
+    frames over composite orderings) — and that is already
+    deterministic: RANGE makes same-microsecond events mutual peers
+    by definition on both engines, regardless of tie order. Plan:
+    the band filter pushes into the scan (the screen reads ~3% of
+    events), then ONE user_id shuffle serves the rolling window and
+    the final aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    band = (
+        ev
+        # plain-column predicate so it reaches PushedFilters (a
+        # round(value*100) form would evaluate post-scan); exact-grid
+        # equivalent of cents in [9000, 9999]
+        .filter((F.col("value") >= 90.0) & (F.col("value") < 100.0))
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), cents.alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    roll = band.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("c24"),
+        F.sum("cents").over(w).alias("s24"),
+    )
+    smurf = F.when(
+        (F.col("c24") >= _SMURF_MIN_COUNT) & (F.col("s24") >= _SMURF_MIN_CENTS), 1
+    ).otherwise(0)
+    return (
+        roll.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_band_txns"),
+            F.sum(smurf).cast("long").alias("n_smurf_events"),
+            F.max("c24").cast("long").alias("max_24h_band_count"),
+            F.max("s24").cast("long").alias("max_24h_band_cents"),
+        )
+        .filter(F.col("n_smurf_events") > 0)
+    )

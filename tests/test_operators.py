@@ -1729,3 +1729,42 @@ def test_t_closeness_hand_case(spark):
     for k, (size, emd, breach) in expect.items():
         r = got[k]
         assert (r.class_size, r.emd, r.t_breach) == (size, emd, breach), k
+
+
+def test_structuring_aggregation_hand_case(spark):
+    """Hand-computed smurfing-day alert (out-of-family rule): user 1
+    shaves 95.00 + 96.00 at exactly 24h apart — the inclusive RANGE
+    edge makes them one window, sum 19100 >= 19000: alert with 1
+    smurf event. User 2's second shave lands one microsecond past the
+    24h edge — no alert, filtered out. User 3 has two shaves in one
+    hour summing 18000 (two at 90.00) — count passes, aggregate one
+    thousand cents short: no alert. User 4's big OVER-threshold
+    transfers (150.00) never enter the band at all."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    us1 = dt.timedelta(microseconds=1)
+    rows = [
+        (1, t0, 1, 95.00), (2, t0 + 24 * h, 1, 96.00),
+        (3, t0, 2, 95.00), (4, t0 + 24 * h + us1, 2, 96.00),
+        (5, t0, 3, 90.00), (6, t0 + 1 * h, 3, 90.00),
+        (7, t0, 4, 150.00), (8, t0 + 1 * h, 4, 150.00),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, None) for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {r.user_id: r for r in fq.structuring_aggregation_alerts(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1}
+    r = got[1]
+    assert (r.n_band_txns, r.n_smurf_events, r.max_24h_band_count,
+            r.max_24h_band_cents) == (2, 1, 2, 19100)

@@ -169,6 +169,9 @@ EXCHANGE_BUDGET = {
     # join, class-window sort, final agg = 5 tiny exchanges; the one
     # corpus-scale shuffle is the cell agg at checkpoint time
     "t_closeness_profile": 5,
+    # smurfing-day: band filter pushes into the scan; one user_id
+    # shuffle serves the rolling RANGE window and the re-aggregation
+    "structuring_aggregation_alerts": 1,
     # sorted-neighborhood: the dense-index range shuffle + index window
     # are paid at the (lazily) checkpointed ranked table, computed once
     # for both join sides (review finding — was 4 with the window
