@@ -78,20 +78,20 @@ DRIVER_WINDOW = 50
 #: count as prior evidence. This makes the suite time-stable (r6
 #: verdict item 2): it passes identically before and after the
 #: current round's driver artifact lands on disk.
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
-#: ROUND-10 ROTATION (r9 verdict item 1): the 8-query flagship keep
-#: core re-attests as always; the 10 ``_R10_PLAN`` screens (registered
-#: during r9, after its window froze) get their first driver rows —
-#: after which the 231-query catalog is FULLY driver-attested; and the
-#: remaining 32 slots continue the oldest-ledger-first rotation: the 11
-#: queries whose latest green row is still r4 (the r9 window re-rowed
-#: the other 12 of that cohort), then the alphabetically-first 21 of
-#: the 42 whose latest row is r5 (the remaining 21 are the r11 filler
-#: pool). Every rotated-out query stayed green in prior driver rounds
-#: AND passes the identical DuckDB compare in pytest
-#: (tests/test_catalog_oracle.py) and the committed sf0.1 audit
-#: (AUDIT_r9.json, 231/231 pass).
+#: ROUND-11 ROTATION (r10 verdict item 1): the 8-query flagship keep
+#: core re-attests as always; the 9 ``_R11_PLAN`` screens (registered
+#: during r10, after its window froze) get their first driver rows —
+#: after which the 240-query catalog is FULLY driver-attested; and the
+#: remaining 33 slots continue the oldest-ledger-first rotation: all 21
+#: queries whose latest green row is still r5 (the r10 window re-rowed
+#: the alphabetically-first 21 of that cohort), then the
+#: alphabetically-first 12 of the 42 whose latest row is r6 (the
+#: remaining 30 are the r12 filler pool). Every rotated-out query
+#: stayed green in prior driver rounds AND passes the identical DuckDB
+#: compare in pytest (tests/test_catalog_oracle.py) and the committed
+#: sf0.1 audit (240/240 pass at the r10 close tree).
 _WINDOW: tuple[str, ...] = (
     # --- keep core: 8 flagship canaries ------------------------------
     "sources_roundtrip",        # S2,S3,S4,S8,S9,S10
@@ -102,52 +102,52 @@ _WINDOW: tuple[str, ...] = (
     "linkage_entity_clusters",  # E4,G4
     "ann_lsh_topk",             # LLM,ann (recall-1.0 pin, exact oracle)
     "aml_alert_feed",           # G5,G4,G6,U2 (composite flagship)
-    # --- 10 first-time attestations: the committed _R10_PLAN ---------
-    "threshold_avoidance_scores",
-    "round_amount_bias_orders",
-    "passthrough_funds_alerts",
-    "periodic_transfer_patterns",
-    "ks_test_periods",
-    "behavior_shift_users",
-    "kendall_tau_qty_discount",
-    "runs_test_user_values",
-    "stream_passthrough_pairs",
-    "benford_first_digit_lineitem",
-    # --- 32 oldest-ledger re-attests ----------------------------------
-    # r4 remainder (11): the rest of that cohort re-rowed in r9
-    "motif_oneway_negated",
-    "motif_roundtrip_4cycle",
-    "multimodal_metadata",
-    "order_limit_top10",
-    "pack_sequences_docs",
-    "scd2_user_status",
-    "set_intersect_users",
-    "stream_tumbling_counts",
-    "struct_pack_expand",
-    "synthetic_source_scan",
-    "text_lang_id",
-    # r5 (alphabetically-first 21 of 42; remainder = r11 filler pool)
-    "ann_ivf_topk",
-    "asof_join_last_purchase",
-    "cohort_retention",
-    "corpus_training_manifest",
-    "date_trunc_daily",
-    "derived_translate_cast",
-    "event_cooccurrence",
-    "exists_correlated_suppliers",
-    "filter_project_null",
-    "formats_roundtrip",
-    "funnel_conversion",
-    "graph_degree_pruned",
-    "graph_degrees",
-    "graph_scc",
-    "grouping_sets_orders",
-    "json_extract_props",
-    "lateral_explode_props",
-    "linkage_blocked_pairs",
-    "linkage_em_params",
-    "linkage_relink_segment",
-    "ml_feature_pipeline",
+    # --- 9 first-time attestations: the committed _R11_PLAN ----------
+    "reciprocal_transfer_alerts",
+    "velocity_limit_breaches",
+    "new_counterparty_rate",
+    "amount_digit_entropy",
+    "linkage_sorted_neighborhood",
+    "k_anonymity_profile",
+    "l_diversity_profile",
+    "t_closeness_profile",
+    "structuring_aggregation_alerts",
+    # --- 33 oldest-ledger re-attests ----------------------------------
+    # r5 remainder (21): the rest of that cohort re-rowed in r10
+    "multimodal_classify",
+    "multimodal_frames",
+    "personalized_pagerank",
+    "pivot_segment_counts",
+    "range_join_clicks_after_purchase",
+    "regex_array_funcs",
+    "rolling_median_value",
+    "scalar_subquery_above_avg",
+    "self_join_pair_amounts",
+    "sql_cte_view_entry",
+    "stream_dedup_events",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "table_diff_orders",
+    "union_all_tagged",
+    "union_distinct_keys",
+    "unpivot_lineitem_measures",
+    "vocab_top_terms",
+    "window_decile_ranks",
+    "window_lag_lead_velocity",
+    "window_range_frame_1h",
+    # r6 (alphabetically-first 12 of 42; remainder = r12 filler pool)
+    "bigram_pmi_collocations",
+    "bm25_doc_scores",
+    "chunk_sliding_windows",
+    "corpus_datasheet",
+    "corpus_hash_sample",
+    "date_function_suite",
+    "decontam_near_dup",
+    "decontam_ngram_overlap",
+    "dedup_incremental_newdocs",
+    "doc_keywords",
+    "graph_adamic_adar",
+    "graph_clustering_coeff",
 )
 
 #: ROUND-7 COMPLETION SCHEDULE — retained verbatim from the r6 freeze
@@ -331,12 +331,24 @@ _R11_PLAN: tuple[str, ...] = (
     "structuring_aggregation_alerts",
 )
 
+#: ROUND-12 SCHEDULE: queries registered during r11 (after the r11
+#: window froze). Append every r11-new registration here or
+#: tests/test_catalog_window.py fails; keep <= ~10 at round close
+#: (r10 verdict item 7) so the r12 window isn't oversubscribed.
+_R12_PLAN: tuple[str, ...] = (
+    # fan-in through the motif compiler's super-hub guard — gives
+    # max_vertex_degree its first driver-attested (oracled) catalog
+    # row; the cap visibly binds at the driver SF (r10 verdict item 3)
+    "motif_fanin_capped",
+)
+
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,
     8: _R8_PLAN,
     9: _R9_PLAN,
     10: _R10_PLAN,
     11: _R11_PLAN,
+    12: _R12_PLAN,
 }
 
 #: EMPTY since r9: every catalog query now carries a DuckDB oracle.

@@ -106,6 +106,91 @@ def motif_fanin_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Degree cap for the guarded fan-in screen. Chosen against the flow
+#: graph's measured degree profile: at the driver's sf0.01 the middle
+#: accounts span degrees 1-19 (median 8), so 16 visibly BINDS — the
+#: capped result (1723 rows) differs from the uncapped screen's 2101 —
+#: while keeping the output non-empty for the oracle gate. At sf0.1
+#: the fixture's flow graph is a dense 150-vertex core (every fan-in
+#: middle exceeds degree 32) plus a sparse periphery that never
+#: converges, so the capped screen is LEGITIMATELY empty there —
+#: the same motif-family sparsity precedent as sf0.001 (FIXTURES.md
+#: §zero-row rule: only sf0.01 must be non-empty).
+_FANIN_DEGREE_CAP = 16
+
+
+@register(
+    "motif_fanin_capped",
+    tags=("G5", "J2", "J6", "G2"),
+    oracle=f"""
+    WITH edges AS ({FLOW_EDGES_SQL}),
+    deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+        ) GROUP BY id
+    )
+    SELECT e1.src AS a_id, e2.src AS b_id, e1.dst AS c_id, e3.dst AS g_id,
+           e1.txn_id AS t1, e2.txn_id AS t2, e3.txn_id AS t3,
+           round(e1.amount + e2.amount, 2) AS in_amount,
+           deg.degree AS c_degree
+    FROM edges e1
+    JOIN edges e2 ON e2.dst = e1.dst
+    JOIN edges e3 ON e3.src = e1.dst
+    JOIN deg ON deg.id = e1.dst
+    WHERE e1.src < e2.src AND e1.amount + e2.amount > 400.0
+      AND deg.degree <= {_FANIN_DEGREE_CAP}
+    """,
+)
+def motif_fanin_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fan-in structuring screen routed through the motif
+    compiler's super-hub guard (r10 verdict item 3): identical pattern
+    and thresholds to ``motif_fanin_structuring``, but matches through
+    middle accounts with flow-graph degree > ``_FANIN_DEGREE_CAP`` are
+    excluded STRUCTURALLY by ``find(max_vertex_degree=...)``
+    (graph/motif.py:70) — the positioning is MULE fan-in: a personal
+    account quietly receiving a handful of converging deposits and
+    forwarding, vs. the uncapped screen's full census that at 100 TB
+    pays the d_in*d_out hub term (measured: one 30k-degree hub adds
+    900M pairs, SCALE.md §motif). ``c_degree`` (the middle's in+out
+    degree, Graph.degrees() semantics: per edge row, self-loops twice)
+    is emitted so the driver hash attests the guard's own degree
+    arithmetic, not just the survivor set.
+
+    The oracle replays the guard in SQL — the UNION ALL degree count
+    is exactly Graph.degrees()'s explode formulation, and the degree
+    filter on the CHAIN vertex (c joins all three positive terms; the
+    endpoint variables a, b, g are deliberately uncapped, matching the
+    compiler's chain-only rule) — so the driver row attests the capped
+    semantics end-to-end, closing the r10 gap where max_vertex_degree
+    was unit-tested and stress-measured but never oracle-attested."""
+    g = flow_graph(spark, sf_dir)
+    m = g.find(
+        "(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)",
+        max_vertex_degree=_FANIN_DEGREE_CAP,
+    )
+    deg = g.degrees().select(
+        F.col("id").alias("__deg_id"), F.col("degree").alias("c_degree")
+    )
+    return (
+        m.filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("e1.amount") + F.col("e2.amount") > 400.0)
+        )
+        .join(deg, F.col("c.id") == F.col("__deg_id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("c.id").alias("c_id"),
+            F.col("g.id").alias("g_id"),
+            F.col("e1.txn_id").alias("t1"),
+            F.col("e2.txn_id").alias("t2"),
+            F.col("e3.txn_id").alias("t3"),
+            F.round(F.col("e1.amount") + F.col("e2.amount"), 2).alias("in_amount"),
+            F.col("c_degree"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # G5: motif cycle (round-tripping, 01:376-379).
 # ---------------------------------------------------------------------------
@@ -2035,17 +2120,33 @@ def periodic_transfer_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECIPROCAL_WINDOW_H = 48
 
+#: Per-directed-channel volume cap for the U-turn screen (r10 verdict
+#: item 2, mirroring the motif compiler's max_vertex_degree guard):
+#: the reciprocal join's per-channel term is v_out × v_back, and the
+#: r10 stress measured ~10M pairs/s — one 100k×100k settlement-account
+#: pair is 1e10 pairs (hours). 1000 bounds any channel pair at 1e6
+#: join rows (~0.1 s) while sitting ~150× above the fixture maximum
+#: (7 transfers/channel at sf0.1) and far above any plausible
+#: two-party wash cadence inside a 48 h window; a channel busier than
+#: that is a settlement rail, not a mule pair.
+_RECIPROCAL_CHANNEL_CAP = 1000
+
 
 @register(
     "reciprocal_transfer_alerts",
     tags=("OP", "range", "J3", "A2"),
     oracle=f"""
-    WITH e AS (
+    WITH e0 AS (
         SELECT user_id AS src,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
                event_id, ts,
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
+    ),
+    e AS (
+        SELECT src, dst, event_id, ts, cents FROM (
+            SELECT e0.*, count(*) OVER (PARTITION BY src, dst) AS cn FROM e0
+        ) WHERE cn <= {_RECIPROCAL_CHANNEL_CAP}
     ),
     rt AS (
         SELECT a.src, a.dst,
@@ -2066,7 +2167,9 @@ _RECIPROCAL_WINDOW_H = 48
     FROM rt GROUP BY src, dst
     """,
 )
-def reciprocal_transfer_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def reciprocal_transfer_alerts(
+    spark: SparkSession, sf_dir: str, channel_cap: int | None = None
+) -> DataFrame:
     """U-turn screen: for each directed channel src->dst, transfers
     answered by a RETURN transfer dst->src within 48 h — the
     round-trip/wash shape (money out and straight back builds fake
@@ -2078,29 +2181,55 @@ def reciprocal_transfer_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counterparty_concentration's n_reciprocal), both the time window
     and the amount band are per-pair conditions.
 
+    ``channel_cap`` is the per-channel volume guard knob (r10 verdict
+    item 2): ``None`` means the documented default
+    ``_RECIPROCAL_CHANNEL_CAP``; pass a large value (e.g. ``2**62``)
+    to study uncapped behavior off-catalog — see the guard note below.
+
     Exactness: cents and microsecond dwells are exact integers on both
     engines; totals are BIGINT cent sums divided by 100.0 (one
     correctly-rounded IEEE division). Scale posture: the match is an
     EQUI-join on the composite (dst, src)=(src, dst) key — channels,
     not a time-bucket theta join — so each side shuffles once on the
     channel key and the time/band residuals filter inside matched
-    channel groups; per-channel volume bounds the blowup (the hub
-    guard concern does not arise: a channel is a PAIR, already the
-    finest grain). Uses ALL events (no flow threshold): a wash leg
-    below the flow-graph sparsification cutoff is exactly what the
-    screen must not miss."""
+    channel groups. The per-channel term is QUADRATIC (v_out × v_back;
+    measured ~10M pairs/s, so one 100k×100k settlement-account pair is
+    1e10 pairs = hours — SCALE.md §r10-screens), so the screen carries
+    the same structural guard the motif compiler grew in r10
+    (graph/motif.py max_vertex_degree): directed channels with more
+    than ``channel_cap`` transfers are excluded from BOTH legs by a
+    pre-join count filter, bounding any channel pair at cap² join
+    rows. Recall contract: 1.0 for every round-trip whose two directed
+    channels each carry <= cap transfers; busier channels are
+    settlement/institutional rails, not two-party wash conduits — cap
+    or pre-aggregate those separately. The cap filter is one window
+    count over the SAME (src, dst) key the join shuffles on, so the
+    out leg's exchange is reused by the join. Uses ALL events (no flow
+    threshold): a wash leg below the flow-graph sparsification cutoff
+    is exactly what the screen must not miss."""
+    cap = _RECIPROCAL_CHANNEL_CAP if channel_cap is None else channel_cap
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    out = ev.select(
+    base = ev.select(
         F.col("user_id").alias("src"),
         F.get_json_object("props", "$.k").cast("long").alias("dst"),
-        cents.alias("out_cents"),
-        F.col("ts").alias("out_ts"),
+        cents.alias("cents"),
+        F.col("ts"),
     )
-    back = ev.select(
-        F.get_json_object("props", "$.k").cast("long").alias("src"),
-        F.col("user_id").alias("dst"),
-        cents.alias("back_cents"),
+    base = (
+        base.withColumn(
+            "__cn", F.count(F.lit(1)).over(Window.partitionBy("src", "dst"))
+        )
+        .filter(F.col("__cn") <= F.lit(cap))
+        .drop("__cn")
+    )
+    out = base.select(
+        "src", "dst", F.col("cents").alias("out_cents"), F.col("ts").alias("out_ts")
+    )
+    back = base.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("cents").alias("back_cents"),
         F.col("ts").alias("back_ts"),
     )
     # both legs are full event scans — never broadcastable at 100 TB;

@@ -1441,6 +1441,129 @@ def test_reciprocal_transfer_hand_case(spark):
     assert r.n_echo == 2
 
 
+def test_motif_fanin_capped_planted_mule_vs_hub(spark):
+    """Planted-graph case for the CATALOG capped fan-in screen (r10
+    verdict item 3): a quiet mule (account 100, degree 3) receives two
+    converging >140 deposits and forwards — it must survive with the
+    exact c_degree; a hub (account 200, degree 18 > cap 16) carries
+    the same shape at volume and every match through it must be
+    excluded structurally. The uncapped screen sees both."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(src, dst, val):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0, src, "transfer", val, '{"k": %d}' % dst))
+
+    # mule: 1->100 (200.50), 2->100 (250.00), 100->3 (300.00); deg=3
+    ev(1, 100, 200.50)
+    ev(2, 100, 250.00)
+    ev(100, 3, 300.00)
+    # hub: 10 in from 201..210 (250 each), 8 out to 211..218; deg=18
+    for s in range(201, 211):
+        ev(s, 200, 250.00)
+    for d in range(211, 219):
+        ev(200, d, 250.00)
+    evdf = spark.createDataFrame(
+        [(i, ts, u, t, v, p) for i, ts, u, t, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import anti_money_laundering_spark.plans.fixture_graphs as fg
+
+    orig = fg.load_table
+    fg.load_table = lambda spark, sf_dir, name: evdf
+    try:
+        capped = gq.motif_fanin_capped(spark, "x").collect()
+        uncapped = gq.motif_fanin_structuring(spark, "x").collect()
+    finally:
+        fg.load_table = orig
+    assert {(r.a_id, r.b_id, r.c_id, r.g_id) for r in capped} == {(1, 2, 100, 3)}
+    r = capped[0]
+    assert r.c_degree == 3
+    assert r.in_amount == 450.50
+    # the hub's 45 pair x 8 forward = 360 matches exist uncapped and
+    # are ALL structurally excluded by the guard
+    uncapped_keys = {(x.a_id, x.b_id, x.c_id, x.g_id) for x in uncapped}
+    assert (1, 2, 100, 3) in uncapped_keys
+    assert len(uncapped_keys) == 1 + 45 * 8
+
+
+def test_reciprocal_channel_cap_excludes_settlement_channel(spark):
+    """Planted-settlement-channel guard case (r10 verdict item 2): the
+    per-channel volume cap must exclude a high-volume channel pair
+    from BOTH legs structurally — mirroring the motif compiler's
+    max_vertex_degree semantics. Channel 1<->2 carries 4 transfers
+    each way (all echo round-trips); channel 3<->4 carries one wash
+    round-trip. With channel_cap=3 the settlement pair disappears and
+    the wash pair is untouched; with the cap above the volume the
+    settlement pair reports the full 4x4=16 quadratic term. Asymmetry
+    leg: channel 7->8 sends 4 outs but 8->7 returns only once — the
+    cap binds per DIRECTED channel, so the busy out leg is excluded
+    even though the return leg is quiet."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    eid = 0
+    # settlement channel: 4 out 1->2 at t0..t0+3m, 4 back 2->1 at +10m..
+    for i in range(4):
+        eid += 1
+        rows.append((eid, t0 + i * m, 1, 100.00, '{"k": 2}'))
+    for i in range(4):
+        eid += 1
+        rows.append((eid, t0 + (10 + i) * m, 2, 95.00, '{"k": 1}'))
+    # wash channel: 3->4 out, 4->3 back
+    eid += 1
+    rows.append((eid, t0, 3, 50.00, '{"k": 4}'))
+    eid += 1
+    rows.append((eid, t0 + 5 * m, 4, 45.00, '{"k": 3}'))
+    # asymmetric: 7->8 four outs (busy directed channel), 8->7 one back
+    for i in range(4):
+        eid += 1
+        rows.append((eid, t0 + i * m, 7, 10.00, '{"k": 8}'))
+    eid += 1
+    rows.append((eid, t0 + 30 * m, 8, 9.00, '{"k": 7}'))
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, p) for i, ts, u, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        capped = {
+            (r.src, r.dst): r
+            for r in gq.reciprocal_transfer_alerts(
+                spark, "x", channel_cap=3
+            ).collect()
+        }
+        open_ = {
+            (r.src, r.dst): r
+            for r in gq.reciprocal_transfer_alerts(spark, "x").collect()
+        }
+    finally:
+        gq.load_table = orig
+    # capped: only the wash pair survives; the 4-deep directed channels
+    # (1->2, 2->1, 7->8) are all structurally excluded
+    assert set(capped) == {(3, 4)}
+    assert capped[(3, 4)].n_roundtrips == 1
+    # default cap (1000) far above these volumes: full quadratic term
+    assert set(open_) == {(1, 2), (3, 4), (7, 8)}
+    assert open_[(1, 2)].n_roundtrips == 16
+    assert open_[(1, 2)].n_echo == 16
+    assert open_[(7, 8)].n_roundtrips == 4
+
+
 def test_velocity_limit_hand_case(spark):
     """Hand-computed velocity control: user 1 fires 3 events inside
     one hour — the third's trailing frame holds all 3 (the -1h edge is

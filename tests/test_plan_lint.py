@@ -103,6 +103,13 @@ def test_no_catalog_plan_contains_scale_antipatterns(spark, sf_dir):
 EXCHANGE_BUDGET = {
     "shared_attr_match": 2,
     "motif_fanin_structuring": 4,
+    # r11: the guarded fan-in adds the hub-id degree aggregation per
+    # positive term's anti-join feed (the guard's lazy checkpoint is
+    # un-materialized at explain time, so each of the 3 term feeds
+    # shows its own small hash(id) exchange) + the c_degree join's
+    # degree agg + its re-exchange = 5; all five are vertex-scale
+    # (<= |V| rows), not edge-scale
+    "motif_fanin_capped": 5,
     "ann_lsh_topk": 1,
     "dedup_minhash_near_dups": 0,
     "corpus_clean_pipeline": 3,
@@ -151,12 +158,15 @@ EXCHANGE_BUDGET = {
     "kmeans_lloyd_assignments": 5,
     # r10: the _R11_PLAN screens get budgets BEFORE their driver window
     # (the r9 discipline). reciprocal carries an explicit merge hint
-    # (both legs event-scale — the stream_passthrough_pairs pattern) so
-    # its 2-exchange SMJ pin is exact; velocity's single user_id
+    # (both legs event-scale — the stream_passthrough_pairs pattern);
+    # r11's channel-cap guard adds one window count per leg on the SAME
+    # (src, dst) key: the out leg's window exchange is REUSED by the
+    # join, the back leg pays its window exchange plus the re-exchange
+    # on the swapped key = 3 total; velocity's single user_id
     # shuffle serves both RANGE windows and the re-aggregation; the
     # other two are their (channel-window or count) shuffle + the
     # keyed re-aggregation on a different key.
-    "reciprocal_transfer_alerts": 2,
+    "reciprocal_transfer_alerts": 3,
     "velocity_limit_breaches": 1,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,

@@ -43,12 +43,12 @@ _BASE_US = 1_700_000_000 * 1_000_000
 _DAY_US = 86_400 * 1_000_000
 
 
-def _run(mod, spark, fn, table):
+def _run(mod, spark, fn, table, **kw):
     orig = mod.load_table
     mod.load_table = lambda _spark, _sf_dir, _t: table
     try:
         t0 = time.perf_counter()
-        rows = fn(spark, "stress").collect()
+        rows = fn(spark, "stress", **kw).collect()
         wall = time.perf_counter() - t0
     finally:
         mod.load_table = orig
@@ -142,11 +142,21 @@ def main() -> int:
             F.lit("transfer").alias("event_type"),
         )
         hot = hot_out.select(cols).unionByName(hot_back.select(cols))
-        rows, wall = _run(gq, spark, gq.reciprocal_transfer_alerts, hot)
+        # uncapped (cap lifted past the volume): the honest quadratic
+        rows, wall = _run(
+            gq, spark, gq.reciprocal_transfer_alerts, hot, channel_cap=2**62
+        )
         r = {(x.src, x.dst): x for x in rows}[(1, 2)]
+        # default cap (r11 guard): v=1000 sits AT the cap and stays;
+        # v=5000 is a settlement rail and must vanish structurally
+        rows_c, wall_c = _run(gq, spark, gq.reciprocal_transfer_alerts, hot)
+        capped_keys = {(x.src, x.dst) for x in rows_c}
+        expected = {(1, 2)} if v <= 1000 else set()
+        assert capped_keys == expected, (v, capped_keys)
         print(
             f"reciprocal hot-channel: {v} out x {v} back (one channel, one window) "
-            f"-> {r.n_roundtrips} pairs in {wall:.1f}s"
+            f"-> {r.n_roundtrips} pairs in {wall:.1f}s uncapped; "
+            f"default cap(1000) -> {len(rows_c)} channels in {wall_c:.1f}s"
         )
 
     # --- velocity: ~50 events/user over 30 days; users % 1000 == 0
