@@ -138,6 +138,17 @@ def candidate_pairs(
     ordered ``uid_l < uid_r`` so each unordered pair appears once, then
     de-duplicated across rules.
 
+    CONTRACT: ``unique_id`` must be unique per input row (the
+    dedupe_only contract). With a SINGLE blocking rule the cross-rule
+    dropDuplicates is ELIDED because uniqueness makes the
+    equi-self-join emit each (l, r) at most once — a caller that
+    passes duplicate ids gets duplicate pairs back rather than the
+    silently-deduped output multi-rule blocking would produce (r10
+    advice item 3). An id-uniqueness assertion is deliberately NOT
+    performed inline: it would cost a full distinct-count action at
+    plan-build time on every call; validate ids upstream (the catalog
+    fixtures' keys are primary keys by construction).
+
     Output columns: ``uid_l``, ``uid_r``, and ``<col>_l``/``<col>_r``
     for every compared column. The join is keyed on the blocking
     columns, so Catalyst shuffles each side once on those keys — the

@@ -31,6 +31,7 @@ __all__ = [
     "assign_split",
     "stratified_sample",
     "dense_index",
+    "dense_index_lazy",
     "negative_samples",
 ]
 
@@ -156,6 +157,18 @@ def dense_index(
     ``key`` must be non-null; ties get an arbitrary-but-consistent
     order within their partition (callers wanting a total order pass a
     unique key, as ``negative_samples`` does).
+
+    LAZY-CONSTRUCTION EXCEPTION (r10 advice item 1): this function is
+    EAGER by necessity — ``repartitionByRange`` runs its
+    boundary-sampling job the moment the plan is instantiated (even a
+    lazy ``localCheckpoint`` calls ``toRdd``, which prepares the
+    shuffle dependency and samples), and the offset collect is a real
+    action — so it is exempt from the repo-wide "plan builders never
+    execute a scan" rule. Callers that can name a FIXED bucket grid
+    over the key (any key with a known value range) should use
+    ``dense_index_lazy`` instead, which is fully lazy and
+    sampling-free; this eager variant remains for arbitrary keys with
+    unknown distributions (``negative_samples``' doc ids).
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -177,6 +190,57 @@ def dense_index(
     return parted.withColumn(
         index_col, (F.row_number().over(within) - 1 + offset_expr).cast("long")
     ).drop("__pid")
+
+
+def dense_index_lazy(
+    df: DataFrame,
+    key: str,
+    bucket: "F.Column",
+    index_col: str = "__idx",
+) -> DataFrame:
+    """Fully LAZY distributed dense 0-based index in ``key`` order —
+    the same values as ``dense_index`` but with zero plan-construction
+    side effects (r10 advice item 1: no boundary-sampling job, no
+    eager localCheckpoint, no driver collect), at the price of the
+    caller naming the partitioning: ``bucket`` must be an integer
+    Column that is MONOTONE in ``key`` (k1 <= k2 implies bucket(k1) <=
+    bucket(k2)) — a fixed-width grid over a known value range, e.g.
+    ``F.expr("cents div 32768")``. Fixed grids beat sampled boundaries
+    for determinism (the r7 psi-binning lesson) and need no job to
+    compute; their cost is skew exposure: one overloaded bucket = one
+    heavy window partition, so pick a width that bounds rows/bucket at
+    the target scale.
+
+    Shape: ``row_number() OVER (PARTITION BY bucket ORDER BY key)``
+    (parallel windows, one per bucket) + the bucket's global offset,
+    where offsets are a running total over the per-bucket counts — a
+    #buckets-row frame whose single-partition cumsum window is
+    trivially small — broadcast-joined back on the bucket id. Same
+    tie semantics as ``dense_index``: pass a unique key for a total
+    order.
+    """
+    keyed = df.withColumn("__dibkt", bucket.cast("long"))
+    counts = keyed.groupBy("__dibkt").agg(F.count(F.lit(1)).alias("__din"))
+    # running offset = rows in all STRICTLY SMALLER buckets; the window
+    # runs over one partition of #buckets rows — bounded by the grid,
+    # not the data
+    w_off = (
+        Window.orderBy("__dibkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__dibkt",
+        F.coalesce(F.sum("__din").over(w_off), F.lit(0)).alias("__dioff"),
+    )
+    w_in = Window.partitionBy("__dibkt").orderBy(key)
+    return (
+        keyed.join(F.broadcast(offsets), "__dibkt")
+        .withColumn(
+            index_col,
+            (F.row_number().over(w_in) - 1 + F.col("__dioff")).cast("long"),
+        )
+        .drop("__dibkt", "__dioff")
+    )
 
 
 def negative_samples(

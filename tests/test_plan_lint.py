@@ -182,12 +182,18 @@ EXCHANGE_BUDGET = {
     # smurfing-day: band filter pushes into the scan; one user_id
     # shuffle serves the rolling RANGE window and the re-aggregation
     "structuring_aggregation_alerts": 1,
-    # sorted-neighborhood: the dense-index range shuffle + index window
-    # are paid at the (lazily) checkpointed ranked table, computed once
-    # for both join sides (review finding — was 4 with the window
-    # re-planned per side); the final plan is the merge-hinted bucket
-    # SMJ's 2 side shuffles
-    "linkage_sorted_neighborhood": 2,
+    # sorted-neighborhood (r11: fully-lazy dense_index_lazy — r10
+    # advice item 1): the checkpoint is gone (an AQE lazy checkpoint
+    # executes upstream stages at plan-construction), so each join
+    # branch carries its own copy of the index subtree: per branch the
+    # grid count-agg + the offsets SinglePartition cumsum + the
+    # in-bucket window exchange = 3, x2 branches, + the merge-hinted
+    # bucket SMJ's 2 side shuffles = 8 STATIC exchanges. Runtime
+    # recomputation is byte-deterministic (fixed grid — no boundary
+    # sampling), and the former 2-exchange shape is recoverable by
+    # persisting the ranked table in a deployment; the pin records the
+    # honest static count.
+    "linkage_sorted_neighborhood": 8,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

@@ -126,6 +126,44 @@ def test_dense_index_matches_global_row_number(spark, sf_dir):
     assert again == want
 
 
+def test_dense_index_lazy_matches_global_row_number(spark, sf_dir):
+    # r10 advice item 1: the fully-lazy fixed-grid variant must produce
+    # the EXACT global rank, run ZERO jobs at plan construction, and be
+    # stable under recomputation (no boundary sampling).
+    from pyspark.sql.window import Window
+
+    from anti_money_laundering_spark.sampling import dense_index_lazy
+    from anti_money_laundering_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.count()  # warm the scan memo so the job counter isolates construction
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    # a deliberately skew-uneven grid (doc_id div 7) still ranks exactly
+    lazy = dense_index_lazy(docs, "doc_id", F.expr("doc_id div 7"))
+    lazy._jdf.queryExecution().executedPlan()
+    assert len(sc.statusTracker().getJobIdsForGroup(None)) == before, (
+        "dense_index_lazy must not execute jobs at plan construction"
+    )
+    got = {(r["doc_id"], r["__idx"]) for r in lazy.collect()}
+    want = {
+        (r["doc_id"], r["__idx"])
+        for r in docs.select(
+            "doc_id", (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("__idx")
+        ).collect()
+    }
+    assert got == want
+    # byte-deterministic on recomputation — the property that lets
+    # callers skip the checkpoint the eager variant needs
+    again = {
+        (r["doc_id"], r["__idx"])
+        for r in dense_index_lazy(
+            docs.repartition(13), "doc_id", F.expr("doc_id div 7")
+        ).collect()
+    }
+    assert again == want
+
+
 def test_dense_index_plan_has_no_single_task_window(spark, sf_dir):
     # The whole point: no Exchange SinglePartition anywhere in the plan
     # (a global window would plan one), and the windows that remain are
