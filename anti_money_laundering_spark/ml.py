@@ -79,7 +79,12 @@ def exact_kmeans_assignments(
     single cluster). A 100 TB corpus at 64 dims is ~2e11 rows TOTAL,
     inside the bound even if one cluster swallowed everything; for
     wider regimes, raise the cast to decimal(38,0) on the term before
-    squaring and accept DECIMAL(38) saturation semantics.
+    squaring and accept DECIMAL(38) saturation semantics. A LONG
+    fast path for the squared term was evaluated and CLOSED as
+    unviable (r10 verdict item 6, SCALE.md §kmeans-decimal-premium):
+    the LONG-safe region is n <= sqrt(2^63/dims)/(2B*scale) ~ 95 rows
+    per cluster — empty in practice — so the ~2.5x decimal premium on
+    the pass-2 stage is the accepted, final price of exactness.
 
     Plan: the scaled-dims table is localCheckpointed once (three
     consumers), the k*dim seed/centroid tables broadcast (bounded at

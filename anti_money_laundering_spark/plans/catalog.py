@@ -340,6 +340,11 @@ _R12_PLAN: tuple[str, ...] = (
     # max_vertex_degree its first driver-attested (oracled) catalog
     # row; the cap visibly binds at the driver SF (r10 verdict item 3)
     "motif_fanin_capped",
+    # event-grain streaming twin of the velocity control — the
+    # always-on face of velocity_limit_breaches (r10 verdict item 5);
+    # batch face = the same RANGE frames with a per-event filter,
+    # stream face = applyInPandasWithState with a bounded 24h buffer
+    "stream_velocity_breaches",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -168,6 +168,10 @@ EXCHANGE_BUDGET = {
     # keyed re-aggregation on a different key.
     "reciprocal_transfer_alerts": 3,
     "velocity_limit_breaches": 1,
+    # r11: the velocity control's streaming twin — same single user_id
+    # shuffle serving both RANGE frames; the breach filter is a per-row
+    # predicate on the window outputs, no re-aggregation
+    "stream_velocity_breaches": 1,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
     # k-anonymity / l-diversity: the quasi-identifier(+sensitive)

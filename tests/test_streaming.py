@@ -515,3 +515,89 @@ def test_stream_passthrough_pairs_parity(spark, sf_dir, replay_dir):
     )
     cols = ["mid", "in_event", "out_event"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stream_velocity_breaches_parity(spark, sf_dir, replay_dir):
+    """The velocity control's streaming face replayed over 4
+    micro-batches must equal its batch face: per-user 24h state
+    buffer, binary-searched trailing frames, breach-event emission.
+    The replay is globally ts-ordered, satisfying the operator's
+    ordered-arrival contract; the fixture has no (user, ts) ties."""
+    from anti_money_laundering_spark.plans.catalog import get_catalog
+    from anti_money_laundering_spark.streaming import velocity_breach_stream
+
+    batch = get_catalog()["stream_velocity_breaches"].fn(spark, sf_dir)
+    stream = velocity_breach_stream(read_events_stream(spark, replay_dir))
+    got = run_stream_to_memory(stream, "t_velocity", output_mode="update")
+    cols = ["user_id", "event_id", "count_1h", "sum_24h_cents", "count_breach", "sum_breach"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stream_velocity_hand_case(spark):
+    """Hand-computed velocity twin (out-of-family rule): user 1 fires
+    3 events where the third sits EXACTLY 1h after the first — the
+    trailing frame's lower bound is inclusive, so count_1h = 3 flags;
+    user 2 moves 300.00 then 220.01 exactly 24h later — the inclusive
+    24h frame sums to 52001 cents, one cent over the strict limit;
+    user 3 reaches exactly 52000 and must NOT flag (the > is strict).
+    Events arrive across TWO micro-batches splitting user 1's burst,
+    so the state buffer (not just same-batch rows) carries the frame.
+    """
+    import datetime as dt
+    import tempfile
+
+    from anti_money_laundering_spark.streaming import velocity_breach_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # (event_id, ts, user, value)
+        (1, t0, 1, 10.00),
+        (2, t0 + dt.timedelta(minutes=30), 1, 10.00),
+        (3, t0 + h, 1, 10.00),              # exactly +1h: inclusive -> c1h=3
+        (4, t0, 2, 300.00),
+        (5, t0 + 24 * h, 2, 220.01),        # 52001 cents: breach
+        (6, t0, 3, 300.00),
+        (7, t0 + 24 * h, 3, 220.00),        # 52000 exactly: NO breach
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(i, ts, u, "transfer", v, "{}") for i, ts, u, v in rs], schema
+        )
+
+    # batch face
+    got = {
+        r.event_id: r
+        for r in velocity_breach_stream(mkdf(rows)).collect()
+    }
+    assert set(got) == {3, 5}
+    assert (got[3].count_1h, got[3].count_breach, got[3].sum_breach) == (3, True, False)
+    assert (got[5].sum_24h_cents, got[5].sum_breach, got[5].count_breach) == (
+        52001,
+        True,
+        False,
+    )
+    # stream face: batch 1 = events at t0/t0+30m, batch 2 = the rest —
+    # user 1's frame spans the micro-batch boundary via the state buffer
+    tmp = tempfile.mkdtemp(prefix="velocity_hand_")
+    early = [r for r in rows if r[1] <= t0 + dt.timedelta(minutes=30)]
+    late = [r for r in rows if r[1] > t0 + dt.timedelta(minutes=30)]
+    for part in (early, late):
+        mkdf(part).withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(
+            1
+        ).write.mode("append").parquet(tmp)
+    stream = velocity_breach_stream(read_events_stream(spark, tmp))
+    sgot = {
+        r.event_id: r
+        for r in run_stream_to_memory(
+            stream, "t_velocity_hand", output_mode="update"
+        ).collect()
+    }
+    assert set(sgot) == {3, 5}
+    assert (sgot[3].count_1h, sgot[3].sum_24h_cents) == (3, 3000)
+    assert (sgot[5].sum_24h_cents, sgot[5].sum_breach) == (52001, True)

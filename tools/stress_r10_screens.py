@@ -9,7 +9,9 @@ stress_screens.py pattern) so the measured plan is the shipped plan:
   is near-linear; planted ping-pong channels must surface in n_echo.
   A second phase plants ONE pathological channel with V transfers each
   way (a settlement-account pair) to measure the per-channel v_out ×
-  v_back term honestly, the way SCALE.md §motif isolated the hub term.
+  v_back term honestly, the way SCALE.md §motif isolated the hub term
+  — and (r11) runs the same channel through the DEFAULT channel_cap
+  guard, asserting at-cap volumes survive and past-cap volumes vanish.
 - velocity_limit_breaches over N events / U users: one user_id shuffle
   serves both RANGE frames + the re-aggregation; per-user cost linear
   in activity. Planted burst users (20 events in one hour) must flag.
