@@ -97,8 +97,13 @@ def find_motif(
 
     # --- super-hub guard: ids with in+out degree > cap (small: <=
     # 2|E|/cap rows), anti-joined against each term's edge feed on the
-    # CHAIN variables only. Lazy-checkpointed so the degree shuffle
-    # runs once, not per term; broadcast by size at join time.
+    # CHAIN variables only; broadcast by size at join time. NO
+    # localCheckpoint (r11 review finding): under AQE even a lazy
+    # checkpoint's toRdd executes the upstream stages, so a guarded
+    # query could never be plan-built silently (the repo-wide plan-
+    # builder rule); degrees() is deterministic on recomputation, the
+    # per-term subtrees are identical and vertex-scale, and runtime
+    # stage reuse dedups what it can.
     hub_ids: DataFrame | None = None
     chain_vars: set[str] = set()
     if max_vertex_degree is not None:
@@ -118,7 +123,6 @@ def find_motif(
                 graph.degrees()
                 .filter(F.col("degree") > F.lit(max_vertex_degree))
                 .select(F.col("id").alias("__hub_id"))
-                .localCheckpoint(eager=False)
             )
 
     named_order: list[str] = []  # output column order (first appearance)

@@ -218,9 +218,22 @@ def dense_index_lazy(
     trivially small — broadcast-joined back on the bucket id. Same
     tie semantics as ``dense_index``: pass a unique key for a total
     order.
+
+    CONTRACT: ``key`` and ``bucket`` must be non-null (the same
+    non-null rule as the eager variant). Rows whose bucket evaluates
+    NULL are DROPPED (the inner offset join can't match them) — and
+    the NULL group is excluded from the running total defensively, so
+    a contract-violating input loses its null rows without also
+    shifting every real row's rank (review finding: NULLs sort first
+    in the cumsum window, which would have offset the whole index by
+    the null count).
     """
     keyed = df.withColumn("__dibkt", bucket.cast("long"))
-    counts = keyed.groupBy("__dibkt").agg(F.count(F.lit(1)).alias("__din"))
+    counts = (
+        keyed.filter(F.col("__dibkt").isNotNull())
+        .groupBy("__dibkt")
+        .agg(F.count(F.lit(1)).alias("__din"))
+    )
     # running offset = rows in all STRICTLY SMALLER buckets; the window
     # runs over one partition of #buckets rows — bounded by the grid,
     # not the data

@@ -273,7 +273,7 @@ _VEL_H24_US = 86_400_000_000
 
 
 def velocity_breach_stream(
-    events: DataFrame, max_1h: int = 3, max_24h_cents: int = 52_000
+    events: DataFrame, max_1h: int, max_24h_cents: int
 ) -> DataFrame:
     """Streaming twin of the rolling velocity-limit control
     (``velocity_limit_breaches``, r10 verdict item 5): every event
@@ -281,7 +281,10 @@ def velocity_breach_stream(
     VOLUME against fixed limits, and breaching EVENTS emit as they
     happen — the always-on face of the control a monitoring
     deployment runs, vs the batch screen's per-user retrospective
-    rollup.
+    rollup. The limits are REQUIRED parameters (no defaults — a
+    default here would be a hard-coded copy of the batch screen's
+    tuned constants, the r9 FLOW_THRESHOLD lesson); the catalog face
+    passes ``feature_queries._VELOCITY_MAX_*``.
 
     Output: one row per breaching event — ``(user_id, event_id,
     count_1h, sum_24h_cents, count_breach, sum_breach)``. Both frames

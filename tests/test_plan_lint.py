@@ -103,13 +103,15 @@ def test_no_catalog_plan_contains_scale_antipatterns(spark, sf_dir):
 EXCHANGE_BUDGET = {
     "shared_attr_match": 2,
     "motif_fanin_structuring": 4,
-    # r11: the guarded fan-in adds the hub-id degree aggregation per
-    # positive term's anti-join feed (the guard's lazy checkpoint is
-    # un-materialized at explain time, so each of the 3 term feeds
-    # shows its own small hash(id) exchange) + the c_degree join's
-    # degree agg + its re-exchange = 5; all five are vertex-scale
-    # (<= |V| rows), not edge-scale
-    "motif_fanin_capped": 5,
+    # r11: the guarded fan-in's hub anti-join feeds each inline their
+    # own copy of the degree-agg subtree (the guard is checkpoint-free
+    # so a guarded plan builds with ZERO side effects — review
+    # finding; the former lazy checkpoint collapsed the static count
+    # to 5 but executed the degree stages at plan-construction under
+    # AQE) + the c_degree join's degree agg + its re-exchange = 8
+    # static exchanges, ALL vertex-scale (<= |V| rows), not
+    # edge-scale; runtime stage reuse dedups identical feeds
+    "motif_fanin_capped": 8,
     "ann_lsh_topk": 1,
     "dedup_minhash_near_dups": 0,
     "corpus_clean_pipeline": 3,

@@ -526,8 +526,17 @@ def test_stream_velocity_breaches_parity(spark, sf_dir, replay_dir):
     from anti_money_laundering_spark.plans.catalog import get_catalog
     from anti_money_laundering_spark.streaming import velocity_breach_stream
 
+    from anti_money_laundering_spark.plans.feature_queries import (
+        _VELOCITY_MAX_1H,
+        _VELOCITY_MAX_24H_CENTS,
+    )
+
     batch = get_catalog()["stream_velocity_breaches"].fn(spark, sf_dir)
-    stream = velocity_breach_stream(read_events_stream(spark, replay_dir))
+    stream = velocity_breach_stream(
+        read_events_stream(spark, replay_dir),
+        max_1h=_VELOCITY_MAX_1H,
+        max_24h_cents=_VELOCITY_MAX_24H_CENTS,
+    )
     got = run_stream_to_memory(stream, "t_velocity", output_mode="update")
     cols = ["user_id", "event_id", "count_1h", "sum_24h_cents", "count_breach", "sum_breach"]
     assert _rows(got, cols) == _rows(batch, cols)
@@ -570,10 +579,14 @@ def test_stream_velocity_hand_case(spark):
             [(i, ts, u, "transfer", v, "{}") for i, ts, u, v in rs], schema
         )
 
-    # batch face
+    # batch face — the limits are the TEST's pinned parameters (the
+    # hand arithmetic below depends on exactly 3 / 52000), passed
+    # explicitly since the operator deliberately has no defaults
     got = {
         r.event_id: r
-        for r in velocity_breach_stream(mkdf(rows)).collect()
+        for r in velocity_breach_stream(
+            mkdf(rows), max_1h=3, max_24h_cents=52_000
+        ).collect()
     }
     assert set(got) == {3, 5}
     assert (got[3].count_1h, got[3].count_breach, got[3].sum_breach) == (3, True, False)
@@ -591,7 +604,9 @@ def test_stream_velocity_hand_case(spark):
         mkdf(part).withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(
             1
         ).write.mode("append").parquet(tmp)
-    stream = velocity_breach_stream(read_events_stream(spark, tmp))
+    stream = velocity_breach_stream(
+        read_events_stream(spark, tmp), max_1h=3, max_24h_cents=52_000
+    )
     sgot = {
         r.event_id: r
         for r in run_stream_to_memory(

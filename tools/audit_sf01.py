@@ -98,25 +98,26 @@ def main() -> int:
         memo_before = _memo_keys()
         try:
             n = compare(q.fn(spark, sf), con, q.oracle, timings=tm)
-            wall = round(time.time() - t0, 1)
-            warmed = sorted(f for f, _ in (_memo_keys() - memo_before))
-            row = {"pass": True, "rows": n, "wall_s": wall, **tm}
-            if warmed:
-                row["cold"] = True
-                row["warmed_memos"] = warmed
-            results[name] = row
-            print(
-                f"PASS {name} rows={n} {wall}s {tm}"
-                + (f" COLD(warmed: {','.join(warmed)})" if warmed else ""),
-                flush=True,
-            )
+            row = {"pass": True, "rows": n, "wall_s": round(time.time() - t0, 1), **tm}
         except Exception as ex:  # noqa: BLE001 — the audit must continue past failures
-            wall = round(time.time() - t0, 1)
             fails.append(name)
-            results[name] = {"pass": False, "rows": None, "wall_s": wall,
-                             "err": str(ex)[:300]}
-            print(f"FAIL {name} {wall}s :: {str(ex)[:300]}", flush=True)
+            row = {"pass": False, "rows": None, "wall_s": round(time.time() - t0, 1),
+                   "err": str(ex)[:300]}
             traceback.print_exc(limit=1)
+        # cold marking applies to BOTH outcomes: a FAILING first family
+        # member still paid the memo materialization, and without the
+        # flag its inflated wall_s is exactly the misattribution this
+        # instrumentation exists to prevent (review finding)
+        warmed = sorted({f for f, _ in (_memo_keys() - memo_before)})
+        if warmed:
+            row["cold"] = True
+            row["warmed_memos"] = warmed
+        results[name] = row
+        tag = f" COLD(warmed: {','.join(warmed)})" if warmed else ""
+        if row["pass"]:
+            print(f"PASS {name} rows={row['rows']} {row['wall_s']}s {tm}{tag}", flush=True)
+        else:
+            print(f"FAIL {name} {row['wall_s']}s :: {row['err']}{tag}", flush=True)
     if args.out:
         merged: dict[str, dict] = {}
         if only is not None and os.path.exists(args.out):

@@ -149,16 +149,18 @@ def main() -> int:
             gq, spark, gq.reciprocal_transfer_alerts, hot, channel_cap=2**62
         )
         r = {(x.src, x.dst): x for x in rows}[(1, 2)]
-        # default cap (r11 guard): v=1000 sits AT the cap and stays;
-        # v=5000 is a settlement rail and must vanish structurally
+        # default cap (r11 guard): an at-cap volume stays; a past-cap
+        # settlement rail must vanish structurally. Read the cap from
+        # the module so a retune can't silently skew the assertion.
+        cap = gq._RECIPROCAL_CHANNEL_CAP
         rows_c, wall_c = _run(gq, spark, gq.reciprocal_transfer_alerts, hot)
         capped_keys = {(x.src, x.dst) for x in rows_c}
-        expected = {(1, 2)} if v <= 1000 else set()
-        assert capped_keys == expected, (v, capped_keys)
+        expected = {(1, 2)} if v <= cap else set()
+        assert capped_keys == expected, (v, cap, capped_keys)
         print(
             f"reciprocal hot-channel: {v} out x {v} back (one channel, one window) "
             f"-> {r.n_roundtrips} pairs in {wall:.1f}s uncapped; "
-            f"default cap(1000) -> {len(rows_c)} channels in {wall_c:.1f}s"
+            f"default cap({cap}) -> {len(rows_c)} channels in {wall_c:.1f}s"
         )
 
     # --- velocity: ~50 events/user over 30 days; users % 1000 == 0
