@@ -345,6 +345,10 @@ _R12_PLAN: tuple[str, ...] = (
     # batch face = the same RANGE frames with a per-event filter,
     # stream face = applyInPandasWithState with a bounded 24h buffer
     "stream_velocity_breaches",
+    # cross-entity peer-group anomaly (leave-one-out segment stats,
+    # exact-integer 2-sigma test) — the peer complement of
+    # zscore_outlier_orders' self-history baseline (r11-new)
+    "peer_group_deviation",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

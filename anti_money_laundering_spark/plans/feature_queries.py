@@ -3427,3 +3427,110 @@ def structuring_aggregation_alerts(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("n_smurf_events") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Peer-group deviation (r11): an account's TOTAL against the distribution of
+# its segment PEERS — the cross-entity complement of zscore_outlier_orders'
+# self-history baseline (a customer whose spend is unremarkable against its
+# own past can still be 5 sigma outside its peer group, the classic
+# peer-group-analysis AML control).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peer_group_deviation",
+    tags=("J1", "A2", "A3"),
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, c_mktsegment AS seg,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS tc
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT seg, CAST(sum(tc) AS HUGEINT) AS s_sum,
+             sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT)) AS s_sq,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM t GROUP BY 1
+    )
+    SELECT t.o_custkey AS custkey, t.seg,
+           CAST(t.tc AS BIGINT) AS total_cents,
+           CAST(s.n - 1 AS BIGINT) AS n_peers,
+           CAST(t.tc AS HUGEINT) * s.n > s.s_sum AS above
+    FROM t JOIN s USING (seg)
+    WHERE s.n >= 3
+      AND (CAST(t.tc AS HUGEINT) * s.n - s.s_sum)
+          * (CAST(t.tc AS HUGEINT) * s.n - s.s_sum) * (s.n - 2)
+        > 4 * (s.n - 1)
+          * ((s.n - 1) * (s.s_sq - CAST(t.tc AS HUGEINT) * CAST(t.tc AS HUGEINT))
+             - (s.s_sum - t.tc) * (s.s_sum - t.tc))
+    """,
+)
+def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-group anomaly screen: customers whose lifetime order total
+    sits more than 2 sigma from their market segment's peer
+    distribution, peers = the segment's OTHER customers (leave-one-out
+    mean and sample variance, so a whale cannot hide inside statistics
+    it dominates). ``above`` separates over-spenders (placement-scale
+    flow) from under-spenders. Peer sets are customers WITH orders
+    (inner join — a dormant account has no spend to deviate).
+
+    Exactness: the 2-sigma test never forms a float — with integer
+    cent totals tc, segment sums S = sum(tc), Q = sum(tc^2), n, the
+    LOO deviation d = (tc*n - S)/(n-1) and LOO sample variance
+    v = [(n-1)(Q - tc^2) - (S - tc)^2] / ((n-1)^2 (n-2)) satisfy
+    d^2 > 4v  <=>  (tc*n - S)^2 (n-2) > 4(n-1)[(n-1)(Q - tc^2) -
+    (S - tc)^2], an exact integer comparison in decimal(38,0) /
+    HUGEINT on the two engines (the r9 widening convention). Bound
+    (documented per that convention, loud under ANSI): the cubic term
+    needs (max_tc * n)^2 * n <= 10^38 — at max_tc = 1e10 cents that is
+    ~1e6 customers per segment, which is also the statistical honesty
+    limit: a billion-account "segment" is not a peer group; stratify
+    finer (region x segment x size-band) rather than widen the
+    decimals.
+
+    Plan: orders ⋈ customer is a corpus-x-corpus equi-join
+    (merge-hinted — never broadcastable at 100 TB); the per-customer
+    aggregate rides the join's custkey partitioning (no extra
+    exchange); the 5-row segment-stats aggregate is one tiny shuffle
+    broadcast back. The stats branch re-derives the totals subtree
+    (checkpoint-free plan-builder rule; runtime stage reuse dedups
+    identical feeds)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    t = (
+        orders.hint("merge")
+        .join(cust, "o_custkey")
+        .groupBy("o_custkey", "seg")
+        .agg(F.sum("cents").alias("tc"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = t.groupBy("seg").agg(
+        dec(F.sum("tc")).alias("s_sum"),
+        F.sum(dec(F.col("tc")) * dec(F.col("tc"))).alias("s_sq"),
+        dec(F.count(F.lit(1))).alias("n"),
+    )
+    j = t.join(F.broadcast(s), "seg").filter(F.col("n") >= 3)
+    a = dec(F.col("tc")) * F.col("n") - F.col("s_sum")
+    lhs = a * a * (F.col("n") - 2)
+    rhs = (
+        F.lit(4)
+        * (F.col("n") - 1)
+        * (
+            (F.col("n") - 1) * (F.col("s_sq") - dec(F.col("tc")) * dec(F.col("tc")))
+            - (F.col("s_sum") - dec(F.col("tc")))
+            * (F.col("s_sum") - dec(F.col("tc")))
+        )
+    )
+    return j.filter(lhs > rhs).select(
+        F.col("o_custkey").alias("custkey"),
+        "seg",
+        F.col("tc").cast("long").alias("total_cents"),
+        (F.col("n") - 1).cast("long").alias("n_peers"),
+        (a > 0).alias("above"),
+    )

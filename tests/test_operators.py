@@ -1441,7 +1441,64 @@ def test_reciprocal_transfer_hand_case(spark):
     assert r.n_echo == 2
 
 
-def test_motif_fanin_capped_planted_mule_vs_hub(spark):
+def test_peer_group_deviation_matches_numpy_loo(spark):
+    """Out-of-family replay (r8 rule — oracle symmetry can't catch a
+    formula bug both engines share): a planted segment where numpy
+    computes each customer's leave-one-out mean and sample variance
+    directly, and the screen's integer cross-multiplied 2-sigma test
+    must flag exactly the numpy-flagged set. Segment A holds a whale
+    (500.00 among ~1.00 peers) that only flags under LOO stats — its
+    own mass would hide it in plain segment stats; segment B is
+    2-customer (n < 3, excluded); segment C is uniform (no flags)."""
+    import numpy as np
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    seg_totals = {
+        "A": [100, 110, 90, 105, 50000],  # cents; the whale is 500.00
+        "B": [100, 90000],
+        "C": [200, 200, 200, 200],
+    }
+    orders, cust, ck = [], [], 0
+    for seg, totals in seg_totals.items():
+        for t in totals:
+            ck += 1
+            cust.append((ck, seg))
+            # split each total into two orders to exercise the rollup
+            orders.append((ck, t // 2))
+            orders.append((ck, t - t // 2))
+    odf = spark.createDataFrame(
+        [(c, v / 100.0) for c, v in orders], "o_custkey long, o_totalprice double"
+    )
+    cdf = spark.createDataFrame(cust, "c_custkey long, c_mktsegment string")
+
+    def fake_load(spark, sf_dir, name):
+        return {"orders": odf, "customer": cdf}[name]
+
+    orig = fq.load_table
+    fq.load_table = fake_load
+    try:
+        got = {r.custkey: r for r in fq.peer_group_deviation(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+
+    # numpy replay of the LOO 2-sigma test
+    expect = {}
+    ck = 0
+    for seg, totals in seg_totals.items():
+        arr = np.array(totals, dtype=np.float64)
+        for i, t in enumerate(totals):
+            ck += 1
+            if len(totals) < 3:
+                continue
+            peers = np.delete(arr, i)
+            d = t - peers.mean()
+            if d * d > 4 * peers.var(ddof=1):
+                expect[ck] = (seg, t, len(totals) - 1, d > 0)
+    assert {k: (r.seg, r.total_cents, r.n_peers, r.above) for k, r in got.items()} == expect
+    # the whale flags high, and at least one tiny peer flags... verify
+    # the planted shape explicitly: whale custkey 5 is above
+    assert got[5].above and got[5].total_cents == 50000
     """Planted-graph case for the CATALOG capped fan-in screen (r10
     verdict item 3): a quiet mule (account 100, degree 3) receives two
     converging >140 deposits and forwards — it must survive with the

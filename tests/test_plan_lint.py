@@ -174,6 +174,13 @@ EXCHANGE_BUDGET = {
     # shuffle serving both RANGE frames; the breach filter is a per-row
     # predicate on the window outputs, no re-aggregation
     "stream_velocity_breaches": 1,
+    # r11: peer-group LOO deviation — the merge-hinted orders⋈customer
+    # SMJ (2) rides its custkey partitioning into the per-customer agg
+    # (no extra exchange), the 5-row segment-stats agg is 1 tiny
+    # shuffle, and the stats branch re-derives the totals subtree
+    # (checkpoint-free rule): 2 more = 5 static; the stats join back
+    # is an explicit broadcast
+    "peer_group_deviation": 5,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
     # k-anonymity / l-diversity: the quasi-identifier(+sensitive)
