@@ -273,7 +273,11 @@ _VEL_H24_US = 86_400_000_000
 
 
 def velocity_breach_stream(
-    events: DataFrame, max_1h: int, max_24h_cents: int
+    events: DataFrame,
+    max_1h: int,
+    max_24h_cents: int,
+    h1_us: int = _VEL_H1_US,
+    h24_us: int = _VEL_H24_US,
 ) -> DataFrame:
     """Streaming twin of the rolling velocity-limit control
     (``velocity_limit_breaches``, r10 verdict item 5): every event
@@ -284,7 +288,11 @@ def velocity_breach_stream(
     rollup. The limits are REQUIRED parameters (no defaults — a
     default here would be a hard-coded copy of the batch screen's
     tuned constants, the r9 FLOW_THRESHOLD lesson); the catalog face
-    passes ``feature_queries._VELOCITY_MAX_*``.
+    passes ``feature_queries._VELOCITY_MAX_*``. ``h1_us``/``h24_us``
+    are the control horizons in exact microseconds (default: the
+    literal 1 h / 24 h) — a deployment knob, and what lets
+    tools/stress_trigger.py prove state eviction at wall-clock speed
+    with seconds-scale horizons.
 
     Output: one row per breaching event — ``(user_id, event_id,
     count_1h, sum_24h_cents, count_breach, sum_breach)``. Both frames
@@ -317,12 +325,12 @@ def velocity_breach_stream(
         w1h = (
             Window.partitionBy("user_id")
             .orderBy(us)
-            .rangeBetween(-_VEL_H1_US, Window.currentRow)
+            .rangeBetween(-h1_us, Window.currentRow)
         )
         w24 = (
             Window.partitionBy("user_id")
             .orderBy(us)
-            .rangeBetween(-_VEL_H24_US, Window.currentRow)
+            .rangeBetween(-h24_us, Window.currentRow)
         )
         v = events.select(
             "user_id",
@@ -369,8 +377,8 @@ def velocity_breach_stream(
         prefix = np.concatenate([[0], np.cumsum(s_cents)])
         ev_us = new["us"].to_numpy(np.int64)
         hi = np.searchsorted(s_us, ev_us, side="right")
-        lo1 = np.searchsorted(s_us, ev_us - _VEL_H1_US, side="left")
-        lo24 = np.searchsorted(s_us, ev_us - _VEL_H24_US, side="left")
+        lo1 = np.searchsorted(s_us, ev_us - h1_us, side="left")
+        lo24 = np.searchsorted(s_us, ev_us - h24_us, side="left")
         c1h = hi - lo1
         s24 = prefix[hi] - prefix[lo24]
         cb = c1h >= max_1h
@@ -378,7 +386,7 @@ def velocity_breach_stream(
         breach = cb | sb
         # evict: future events are >= max_us (ordered-arrival contract),
         # so only the trailing 24h relative to max_us can still matter
-        keep = s_us >= (s_us[-1] - _VEL_H24_US)
+        keep = s_us >= (s_us[-1] - h24_us)
         state.update((s_us[keep].tolist(), s_cents[keep].tolist()))
         yield pd.DataFrame(
             {

@@ -62,15 +62,21 @@ from anti_money_laundering_spark.streaming import (  # noqa: E402
 _FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
 
 
-def _write_file(path: str, idx: int, rows: int) -> None:
+def _write_file(path: str, idx: int, rows: int, fixed_users: int | None = None) -> None:
     """One live file: half 'out' transfers at t_now, half 'in' at
     t_now+1s with the SAME per-pair user_id (the passthrough match),
     user population rotated per file (idx * 10^7 offset) so sessions
-    close once the gap passes."""
+    close once the gap passes. ``fixed_users`` instead REUSES a stable
+    population of that size across files (the velocity phase needs
+    repeat activity per user so trailing frames accumulate and state
+    eviction is observable)."""
     now_us = int(time.time() * 1_000_000)
     n_pairs = rows // 2
     pair = np.arange(n_pairs, dtype=np.int64)
-    users = idx * 10_000_000 + pair
+    if fixed_users is not None:
+        users = pair % fixed_users
+    else:
+        users = idx * 10_000_000 + pair
     jitter = (pair * 37) % 1_000_000  # spread inside the second, deterministic
     out_ts = (now_us + jitter) * 1000  # nanos-as-long, matches EVENTS_RAW_SCHEMA
     in_ts = (now_us + 1_000_000 + jitter) * 1000
@@ -93,11 +99,20 @@ def _write_file(path: str, idx: int, rows: int) -> None:
     os.rename(tmp, path)  # atomic: the source never lists a partial file
 
 
-def _feeder(data_dir: str, n_files: int, rows: int, interval_s: float, stop: threading.Event):
+def _feeder(
+    data_dir: str,
+    n_files: int,
+    rows: int,
+    interval_s: float,
+    stop: threading.Event,
+    fixed_users: int | None = None,
+):
     for i in range(n_files):
         if stop.is_set():
             return
-        _write_file(os.path.join(data_dir, f"live-{i:05d}.parquet"), i, rows)
+        _write_file(
+            os.path.join(data_dir, f"live-{i:05d}.parquet"), i, rows, fixed_users
+        )
         time.sleep(interval_s)
 
 
@@ -109,20 +124,23 @@ def run_live(
     n_files: int,
     feed_interval_s: float,
     trigger_s: float = 2.0,
+    output_mode: str = "append",
+    fixed_users: int | None = None,
 ) -> dict:
     data = os.path.join(scratch, f"feed_{name}")
     os.makedirs(data)
     # one seed file so the stream has a schema'd non-empty listing
-    _write_file(os.path.join(data, "live-seed.parquet"), 999, rows_per_file)
+    _write_file(os.path.join(data, "live-seed.parquet"), 999, rows_per_file, fixed_users)
     stop = threading.Event()
     feeder = threading.Thread(
-        target=_feeder, args=(data, n_files, rows_per_file, feed_interval_s, stop)
+        target=_feeder,
+        args=(data, n_files, rows_per_file, feed_interval_s, stop, fixed_users),
     )
     q = (
         make_stream(data)
         .writeStream.format("noop")
         .option("checkpointLocation", os.path.join(scratch, f"ck_{name}"))
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(processingTime=f"{trigger_s} seconds")
         .start()
     )
@@ -210,8 +228,37 @@ def main() -> int:
             )
             return j.select("l_user_id", "l_ts", "r_ts", "l_value", "r_value")
 
+        def mk_velocity(data):
+            from anti_money_laundering_spark.streaming import velocity_breach_stream
+
+            ev = read_events_stream(spark, data, max_files_per_trigger=10)
+            # wall-clock-scale horizons (10 s count frame / 45 s sum
+            # frame) so buffer eviction happens DURING the run; limits
+            # sized to the feed (each user sees ~rows/fixed_users
+            # events per file) so some events breach and rows flow
+            return velocity_breach_stream(
+                ev,
+                max_1h=8,
+                max_24h_cents=2_000_000,
+                h1_us=10_000_000,
+                h24_us=45_000_000,
+            )
+
         run_live("sessionize", mk_sessionize, scratch, rows_per_file, n_files, feed_interval_s)
         run_live("passthrough", mk_passthrough, scratch, rows_per_file, n_files, feed_interval_s)
+        # velocity: python-state operator — per-trigger cost is per
+        # ACTIVE KEY (pandas group dispatch), so the knob under test is
+        # the live-user population, held fixed at 10k across files
+        run_live(
+            "velocity",
+            mk_velocity,
+            scratch,
+            rows_per_file,
+            n_files,
+            feed_interval_s,
+            output_mode="update",
+            fixed_users=10_000,
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return 0
