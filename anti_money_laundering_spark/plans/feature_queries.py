@@ -3479,7 +3479,7 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the 2-sigma test never forms a float — with integer
     cent totals tc, segment sums S = sum(tc), Q = sum(tc^2), n, the
     LOO deviation d = (tc*n - S)/(n-1) and LOO sample variance
-    v = [(n-1)(Q - tc^2) - (S - tc)^2] / ((n-1)^2 (n-2)) satisfy
+    v = [(n-1)(Q - tc^2) - (S - tc)^2] / ((n-1)(n-2)) satisfy
     d^2 > 4v  <=>  (tc*n - S)^2 (n-2) > 4(n-1)[(n-1)(Q - tc^2) -
     (S - tc)^2], an exact integer comparison in decimal(38,0) /
     HUGEINT on the two engines (the r9 widening convention). Bound

@@ -319,6 +319,16 @@ def velocity_breach_stream(
     fixture has no (user, ts) ties at any SF (probed), and same-batch
     ties count each other symmetrically, matching RANGE-peer
     semantics."""
+    if h1_us > h24_us:
+        # the stream face evicts per-user buffers to max_ts - h24_us,
+        # so a count horizon longer than the sum horizon would
+        # silently undercount count_1h across micro-batches (stream
+        # only — the batch face stays exact): a parity break, refused
+        # loudly (review finding)
+        raise ValueError(
+            f"count horizon h1_us={h1_us} exceeds buffer horizon "
+            f"h24_us={h24_us}; eviction would break stream/batch parity"
+        )
     cents_col = F.round(F.col("value") * 100).cast("long")
     if not events.isStreaming:
         us = F.unix_micros(F.col("ts"))

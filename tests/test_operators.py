@@ -1499,6 +1499,9 @@ def test_peer_group_deviation_matches_numpy_loo(spark):
     # the whale flags high, and at least one tiny peer flags... verify
     # the planted shape explicitly: whale custkey 5 is above
     assert got[5].above and got[5].total_cents == 50000
+
+
+def test_motif_fanin_capped_planted_mule_vs_hub(spark):
     """Planted-graph case for the CATALOG capped fan-in screen (r10
     verdict item 3): a quiet mule (account 100, degree 3) receives two
     converging >140 deposits and forwards — it must survive with the
