@@ -349,6 +349,9 @@ _R12_PLAN: tuple[str, ...] = (
     # exact-integer 2-sigma test) — the peer complement of
     # zscore_outlier_orders' self-history baseline (r11-new)
     "peer_group_deviation",
+    # strictly-increasing spend-escalation runs — the VALUE-space
+    # complement of longest_streak_users' type-space runs (r11-new)
+    "amount_ramp_runs",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -3534,3 +3534,109 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - 1).cast("long").alias("n_peers"),
         (a > 0).alias("above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Amount ramp-up runs (r11): strictly-increasing spend escalation — the
+# VALUE-space complement of longest_streak_users' TYPE-space runs. A mule
+# being "tested" ramps amounts monotonically (small probe, then escalate);
+# organic spend wiggles. Gaps-and-islands on the comparison-to-predecessor
+# break flag, exact cents end-to-end.
+# ---------------------------------------------------------------------------
+
+#: Minimum strictly-increasing run length to surface. Probed against the
+#: fixture (runs >= 5: 5 / 65 / 640 customers at the three SFs; max
+#: observed run = 7) — selective at every SF without going empty.
+_RAMP_MIN_RUN = 5
+
+
+@register(
+    "amount_ramp_runs",
+    tags=("W-ext", "A-ext"),
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey AS c,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    runs AS (
+      SELECT c, rn, cents,
+             CASE WHEN cents > lag(cents) OVER (PARTITION BY c ORDER BY rn)
+                  THEN 0 ELSE 1 END AS brk
+      FROM o
+    ),
+    grp AS (
+      SELECT c, rn, cents,
+             sum(brk) OVER (PARTITION BY c ORDER BY rn) AS g
+      FROM runs
+    ),
+    lens AS (
+      SELECT c, g, CAST(count(*) AS BIGINT) AS run_len,
+             CAST(min(cents) AS BIGINT) AS start_cents,
+             CAST(max(cents) AS BIGINT) AS peak_cents
+      FROM grp GROUP BY c, g
+    ),
+    best AS (
+      SELECT c, run_len, start_cents, peak_cents,
+             row_number() OVER (PARTITION BY c ORDER BY run_len DESC, g ASC)
+                 AS rk
+      FROM lens
+    )
+    SELECT c AS custkey, run_len AS longest_run, start_cents, peak_cents,
+           peak_cents - start_cents AS ramp_cents
+    FROM best WHERE rk = 1 AND run_len >= {_RAMP_MIN_RUN}
+    """,
+)
+def amount_ramp_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-escalation screen: customers whose order history contains
+    a strictly-increasing run of >= _RAMP_MIN_RUN (5) consecutive order
+    amounts (date order, orderkey tiebreak) — the ramp-up signature of
+    an account being probed then exploited, invisible to level-based
+    screens because every amount can sit inside the customer's normal
+    range. Emits the longest run (ties broken toward the EARLIEST run
+    via the island id) with its exact start/peak cents and the ramp
+    height.
+
+    Within a run min(cents)=first and max(cents)=last BY CONSTRUCTION
+    (strict monotonicity), so start/peak need no positional extras.
+    Exactness: cents are exact integers; run identity is the
+    gaps-and-islands running sum of an integer break flag over a fully
+    tie-broken order — the same permutation on both engines. Plan: ONE
+    custkey shuffle serves the seq window, the break lag, the island
+    cumsum, the per-island aggregate (groupBy (c, g) rides the same
+    partitioning) and the top-1 window; no second exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    # alias BEFORE any window: a rename between two same-key windows
+    # breaks Catalyst's partitioning reuse and costs a second exchange
+    # (measured; the alias-first form plans one)
+    base = orders.select(
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w_seq = Window.partitionBy("c").orderBy("o_orderdate", "o_orderkey")
+    o = base.select("c", "cents", F.row_number().over(w_seq).alias("rn"))
+    w_rn = Window.partitionBy("c").orderBy("rn")
+    brk = F.when(F.col("cents") > F.lag("cents").over(w_rn), 0).otherwise(1)
+    grp = o.withColumn("g", F.sum(brk).over(w_rn))
+    lens = grp.groupBy("c", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("cents").cast("long").alias("start_cents"),
+        F.max("cents").cast("long").alias("peak_cents"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("c").orderBy(F.col("run_len").desc(), F.col("g").asc())
+    )
+    best = lens.withColumn("rk", rk).filter(
+        (F.col("rk") == 1) & (F.col("run_len") >= _RAMP_MIN_RUN)
+    )
+    return best.select(
+        F.col("c").alias("custkey"),
+        F.col("run_len").alias("longest_run"),
+        "start_cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("start_cents")).alias("ramp_cents"),
+    )

@@ -1501,6 +1501,54 @@ def test_peer_group_deviation_matches_numpy_loo(spark):
     assert got[5].above and got[5].total_cents == 50000
 
 
+def test_amount_ramp_runs_hand_case(spark):
+    """Hand-planted escalation runs (out-of-family rule): customer 1
+    ramps 6 strictly-increasing amounts (flags, run=6, exact
+    start/peak); customer 2 ramps 10..14 then DROPS to 5 (the drop
+    breaks the run) and ramps 5..9 — two length-5 runs, the TIE broken
+    toward the EARLIEST island (start 10.00, peak 14.00, not 5.00);
+    customer 3 ramps only 4 (below the floor, absent); customer 4
+    alternates (absent)."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []  # (orderkey, custkey, date, price)
+    ok = 0
+
+    def order(c, day, price):
+        nonlocal ok
+        ok += 1
+        rows.append((ok, c, d0 + dt.timedelta(days=day), price))
+
+    # cust 1: 6-run, dates ascending but keys interleaved with cust 4
+    for day, p in enumerate([5.00, 6.00, 7.50, 8.00, 9.99, 12.00]):
+        order(1, day, p)
+        order(4, day, 10.00 if day % 2 == 0 else 1.00)  # alternator
+    # cust 2: 10..14 ramp, drop to 5 (break), 5..9 ramp — two 5-runs
+    for day, p in enumerate([10.0, 11.0, 12.0, 13.0, 14.0, 5.0, 6.0, 7.0, 8.0, 9.0]):
+        order(2, day, p)
+    # cust 3: 4-run only
+    for day, p in enumerate([1.0, 2.0, 3.0, 4.0]):
+        order(3, day, p)
+    odf = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: odf
+    try:
+        got = {r.custkey: r for r in fq.amount_ramp_runs(spark, "x").collect()}
+    finally:
+        fq.load_table = orig
+    assert set(got) == {1, 2}
+    assert (got[1].longest_run, got[1].start_cents, got[1].peak_cents, got[1].ramp_cents) == (
+        6, 500, 1200, 700,
+    )
+    # two 5-runs for cust 2: the tie breaks toward the EARLIEST island
+    assert (got[2].longest_run, got[2].start_cents, got[2].peak_cents) == (5, 1000, 1400)
+
+
 def test_motif_fanin_capped_planted_mule_vs_hub(spark):
     """Planted-graph case for the CATALOG capped fan-in screen (r10
     verdict item 3): a quiet mule (account 100, degree 3) receives two

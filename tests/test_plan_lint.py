@@ -181,6 +181,10 @@ EXCHANGE_BUDGET = {
     # (checkpoint-free rule): 2 more = 5 static; the stats join back
     # is an explicit broadcast
     "peer_group_deviation": 5,
+    # r11: ramp runs — ONE custkey shuffle serves the seq window, the
+    # break lag, the island cumsum, the per-island agg and the top-1
+    # window (alias-first keeps the partitioning reusable)
+    "amount_ramp_runs": 1,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
     # k-anonymity / l-diversity: the quasi-identifier(+sensitive)

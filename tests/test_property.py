@@ -875,6 +875,30 @@ def test_dense_index_equals_sorted_enumerate(spark, keys, parts):
     assert got == want
 
 
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=80, unique=True),
+    width=st.integers(1, 50),
+)
+@settings(**SETTINGS)
+def test_dense_index_lazy_equals_sorted_enumerate(spark, keys, width):
+    # r11: the lazy fixed-grid variant must produce the identical dense
+    # rank for ANY monotone bucket width (including width 1 = one
+    # bucket per key and widths that lump everything into few buckets)
+    import pyspark.sql.functions as F
+
+    from anti_money_laundering_spark.sampling import dense_index_lazy
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["__idx"]
+        for r in dense_index_lazy(
+            df.repartition(3), "k", F.expr(f"(k + 1000) div {width}")
+        ).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
 # --- repeated spans vs brute-force k-gram oracle ----------------------------
 
 
