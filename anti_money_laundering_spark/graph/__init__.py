@@ -92,8 +92,18 @@ class Graph:
     def connected_components(self, max_iter: int = 100, stats: dict | None = None) -> DataFrame:
         return connected_components(self, max_iter=max_iter, stats=stats)
 
-    def find(self, pattern: str, max_vertex_degree: int | None = None) -> DataFrame:
-        return find_motif(self, pattern, max_vertex_degree=max_vertex_degree)
+    def find(
+        self,
+        pattern: str,
+        max_vertex_degree: int | None = None,
+        cache_hub_ids: bool = True,
+    ) -> DataFrame:
+        return find_motif(
+            self,
+            pattern,
+            max_vertex_degree=max_vertex_degree,
+            cache_hub_ids=cache_hub_ids,
+        )
 
     def bfs(self, from_expr, to_expr, max_path_length: int = 10, edge_filter=None) -> DataFrame:
         return bfs(self, from_expr, to_expr, max_path_length=max_path_length, edge_filter=edge_filter)

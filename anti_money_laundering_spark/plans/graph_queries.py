@@ -164,9 +164,18 @@ def motif_fanin_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics end-to-end, closing the r10 gap where max_vertex_degree
     was unit-tested and stress-measured but never oracle-attested."""
     g = flow_graph(spark, sf_dir)
+    # cache_hub_ids=False: the CATALOG face must plan deterministically
+    # — a persisted hub table from an earlier execution would be
+    # cache-swapped into later builds of the same plan and shift the
+    # static exchange count under the plan-lint ratchet (observed:
+    # order-dependent suite failure). The cost is per-term degree
+    # recomputation, negligible at fixture scale; a deployment guarding
+    # one big graph repeatedly should use the cached default via
+    # Graph.find directly.
     m = g.find(
         "(a)-[e1]->(c); (b)-[e2]->(c); (c)-[e3]->(g)",
         max_vertex_degree=_FANIN_DEGREE_CAP,
+        cache_hub_ids=False,
     )
     deg = g.degrees().select(
         F.col("id").alias("__deg_id"), F.col("degree").alias("c_degree")

@@ -11,11 +11,13 @@ stress_screens.py pattern) so the measured plan is the shipped plan:
   multiplied 2-sigma test must survive segment sizes of C/5 customers
   (the documented (max_tc*n)^2*n <= 1e38 bound).
 - amount_ramp_runs over N orders / C customers: one custkey shuffle,
-  four window passes on the same sort. Planted ramp customers (a
-  12-step strictly-increasing ladder inside otherwise organic noise)
-  must surface with longest_run >= 12; organic flags are the
-  birthday-ish mass of chance 5-runs (P ~ 1/5! per window) — reported
-  as calibration, not asserted away.
+  four window passes on the same sort. Planted ramp customers have
+  their ENTIRE (~N/C-order) history replaced by one strictly-
+  increasing cent ladder, so the asserted recovery is
+  longest_run >= (N/C)/2 — a full-history plant, not a short ladder
+  inside noise. Organic flags are the combinatorial mass of chance
+  5-runs in iid amounts (P(any) ~ 1 - e^(-(k-4)/120) ~ 32% at k=50
+  orders) — reported as calibration, not asserted away.
 
 Results go to SCALE.md §r11-screens.
 
