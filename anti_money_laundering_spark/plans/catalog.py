@@ -352,6 +352,9 @@ _R12_PLAN: tuple[str, ...] = (
     # strictly-increasing spend-escalation runs — the VALUE-space
     # complement of longest_streak_users' type-space runs (r11-new)
     "amount_ramp_runs",
+    # embedding-QC: per-label centroid outliers via the exact-kmeans
+    # (n*x - s)^2 integer distance ranking (r11-new)
+    "embedding_label_outliers",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -1836,3 +1836,105 @@ def winnow_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("gram_hash").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QC (r11): per-label centroid outliers — the training-data
+# hygiene pass that catches mislabeled / corrupted vectors BEFORE they
+# poison a classifier or an IVF quantizer. Reuses the exact-kmeans
+# (n*x - s)^2 machinery: the distance ranking never forms a float.
+# ---------------------------------------------------------------------------
+
+#: Outliers surfaced per label. 3 x 10 labels = 30 rows at every SF.
+_EMB_OUTLIER_K = 3
+
+
+@register(
+    "embedding_label_outliers",
+    tags=("LLM", "ml"),
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, label, CAST(t.i AS INT) AS d,
+             CAST(round(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS xi
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, d, CAST(sum(xi) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM dims GROUP BY label, d
+    ),
+    dsq AS (
+      SELECT dims.vec_id, dims.label, max(cent.n) AS n,
+             sum((cent.n * dims.xi - cent.s) * (cent.n * dims.xi - cent.s))
+                 AS d2n2
+      FROM dims JOIN cent ON dims.label = cent.label AND dims.d = cent.d
+      GROUP BY dims.vec_id, dims.label
+    )
+    SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+           CAST(n AS BIGINT) AS n_label,
+           CAST(d2n2 AS VARCHAR) AS d2n2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY d2n2 DESC, vec_id ASC) AS rk
+      FROM dsq
+    ) WHERE rk <= {_EMB_OUTLIER_K}
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QC: the top-3 vectors per label FARTHEST from
+    their label's centroid — the mislabeled/corrupted-vector screen a
+    training pipeline runs before fitting anything on the embedding
+    column (a vector sitting in the wrong label's cluster poisons
+    classifiers and IVF coarse quantizers alike).
+
+    Exactness (the exact-kmeans pass-2 pattern, ml.py): coordinates
+    become integers via round(x * 1e6); the squared distance to the
+    label centroid is compared as n^2*d^2 = sum_d (n*x_d - s_d)^2 in
+    decimal(38,0)/HUGEINT — n is constant within a label, so the
+    n^2-scaled ranking equals the distance ranking and no float (or
+    sqrt) ever forms; ties break on vec_id. ``d2n2`` is emitted as a
+    VARCHAR-cast decimal (the ks_num precedent — exact digits, no
+    driver-canonicalizer decimal asymmetry). Bound: same as kmeans —
+    sum_d (n*x_d - s_d)^2 <= 1e38 means n <= 1e19/(2B*1e6*sqrt(dims))
+    ~ 3e11 vectors per label at B=2, dims=64.
+
+    Plan: one posexplode scan; the (label, d) centroid table is
+    labels*dims rows at ANY corpus size (640 here — broadcast); one
+    keyed aggregation per vector; the top-k window partitions by
+    label over the per-vector frame. No all-pairs anywhere."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "__x"),
+    ).select(
+        "vec_id", "label", "d",
+        F.round(F.col("__x") * 1_000_000).cast("long").alias("xi"),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.sum("xi").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    term = (F.col("n") * F.col("xi") - F.col("s")).cast("decimal(38,0)")
+    dsq = (
+        dims.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.max("n").alias("n"), F.sum(term * term).alias("d2n2"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.col("d2n2").desc(), F.col("vec_id").asc())
+    )
+    return (
+        dsq.withColumn("rk", rk)
+        .filter(F.col("rk") <= _EMB_OUTLIER_K)
+        .select(
+            "label",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.col("n").cast("long").alias("n_label"),
+            F.col("d2n2").cast("string").alias("d2n2"),
+        )
+    )

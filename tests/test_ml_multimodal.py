@@ -420,3 +420,62 @@ def test_copurchase_matches_bruteforce_reference(spark):
     # hub-only pairs (e.g. customers 20, 21 who share ONLY part 1) must
     # not appear: the cap removed the part before the pair join
     assert all(a < 8 and b < 8 for a, b in got)
+
+
+def test_embedding_label_outliers_matches_numpy(spark):
+    """Out-of-family replay (r8 rule): numpy computes each planted
+    vector's exact n^2 * squared-distance to its label centroid with
+    python ints and ranks per label; the catalog screen's
+    decimal-integer formulation must produce the identical top-3 with
+    identical exact d2n2 digits. Label 0 plants one far outlier (all
+    coords shifted +2.0); label 1 is a tight cluster whose ranking is
+    decided by sub-ulp coordinate noise — exactly where a float
+    formulation could disagree."""
+    import numpy as np
+
+    import anti_money_laundering_spark.plans.llm_queries as lq
+
+    rng = [
+        # label 0: 5 vectors near origin + one shifted by +2
+        *[(i, 0, [0.001 * i + 0.01 * d for d in range(8)]) for i in range(5)],
+        (5, 0, [2.0 + 0.01 * d for d in range(8)]),
+        # label 1: 6 nearly-identical vectors
+        *[(10 + i, 1, [0.5 + 1e-6 * i * (d + 1) for d in range(8)]) for i in range(6)],
+    ]
+    emb = spark.createDataFrame(
+        [(vid, [float(x) for x in xs], lab) for vid, lab, xs in rng],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = lq.load_table
+    lq.load_table = lambda spark, sf_dir, name: emb
+    try:
+        got = [
+            (r.label, r.rk, r.vec_id, r.n_label, r.d2n2)
+            for r in lq.embedding_label_outliers(spark, "x")
+            .orderBy("label", "rk")
+            .collect()
+        ]
+    finally:
+        lq.load_table = orig
+
+    # numpy/int replay: float32 cast first (the screen reads FLOAT),
+    # then exact integer arithmetic
+    by_label: dict[int, list[tuple[int, list[int]]]] = {}
+    for vid, lab, xs in rng:
+        xi = [round(float(np.float32(x)) * 1_000_000) for x in xs]
+        by_label.setdefault(lab, []).append((vid, xi))
+    expect = []
+    for lab, vecs in sorted(by_label.items()):
+        n = len(vecs)
+        s = [sum(v[1][d] for v in vecs) for d in range(8)]
+        scored = sorted(
+            (
+                (-sum((n * xi[d] - s[d]) ** 2 for d in range(8)), vid)
+                for vid, xi in vecs
+            )
+        )
+        for rk, (neg, vid) in enumerate(scored[:3], start=1):
+            expect.append((lab, rk, vid, n, str(-neg)))
+    assert got == expect
+    # the planted far vector is label 0's rank-1 outlier
+    assert got[0][2] == 5

@@ -185,6 +185,10 @@ EXCHANGE_BUDGET = {
     # break lag, the island cumsum, the per-island agg and the top-1
     # window (alias-first keeps the partitioning reusable)
     "amount_ramp_runs": 1,
+    # r11: embedding outliers — the (label, d) centroid agg (1 tiny
+    # shuffle, broadcast back), the per-vector distance agg, and the
+    # per-label top-k window = 3
+    "embedding_label_outliers": 3,
     "new_counterparty_rate": 2,
     "amount_digit_entropy": 2,
     # k-anonymity / l-diversity: the quasi-identifier(+sensitive)
