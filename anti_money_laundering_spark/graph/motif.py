@@ -97,7 +97,12 @@ def find_motif(
     persist for callers that guard MANY distinct graphs in one session
     (each persist is a session-lifetime cache entry); the trade is one
     degree recomputation per positive term (measured +2.7 s at
-    10M edges / 30k hub)."""
+    10M edges / 30k hub) — and it additionally assumes the edge
+    lineage is RERUN-DETERMINISTIC: without the cache each term's
+    anti-join recomputes the hub set independently, so a
+    non-deterministic edge source (sample(), limit, a live read) could
+    filter different terms against different hub snapshots within one
+    action (review finding). The cached default pins one snapshot."""
     terms = _parse(pattern)
     edge_cols = graph.edges.columns
     vertex_cols = graph.vertices.columns

@@ -1899,10 +1899,25 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_d (n*x_d - s_d)^2 <= 1e38 means n <= 1e19/(2B*1e6*sqrt(dims))
     ~ 3e11 vectors per label at B=2, dims=64.
 
-    Plan: one posexplode scan; the (label, d) centroid table is
-    labels*dims rows at ANY corpus size (640 here — broadcast); one
-    keyed aggregation per vector; the top-k window partitions by
-    label over the per-vector frame. No all-pairs anywhere."""
+    PRECONDITION (review finding): every embedding must have the SAME
+    dimension count — n is counted per (label, d), so a RAGGED vector
+    (a truncated array) would make later dims' n diverge from the
+    per-term scaling and silently invalidate the n^2-factored ranking
+    on BOTH engines at once (the shared-semantic-bug class oracle
+    parity cannot catch). Fixed dims is the embedding column's schema
+    contract; this screen catches corrupted VALUES — corrupted SHAPES
+    are a one-line dq_expectations length rule upstream.
+
+    Plan: one posexplode scan feeding the centroid branch and the
+    probe branch; the (label, d) centroid table is labels*dims rows at
+    ANY corpus size (640 here — broadcast); one keyed aggregation per
+    vector; the top-k window partitions by label over the per-vector
+    frame. No all-pairs anywhere. The dims subtree is DELIBERATELY not
+    checkpointed across its two consumers: materializing the exploded
+    table stores dims-times the source rows, which costs more than the
+    second columnar parquet scan it would save (the kmeans checkpoint
+    precedent has 3+ consumers AND iterative reuse; here the centroid
+    branch collapses to 640 rows map-side immediately)."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

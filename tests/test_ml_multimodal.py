@@ -428,19 +428,27 @@ def test_embedding_label_outliers_matches_numpy(spark):
     python ints and ranks per label; the catalog screen's
     decimal-integer formulation must produce the identical top-3 with
     identical exact d2n2 digits. Label 0 plants one far outlier (all
-    coords shifted +2.0); label 1 is a tight cluster whose ranking is
-    decided by sub-ulp coordinate noise — exactly where a float
-    formulation could disagree."""
+    coords shifted +2.0) and includes 0.0078125 coordinates — an odd
+    multiple of 2^-7 whose 1e6 scaling lands EXACTLY on .5, where
+    HALF_UP (both engines) and python's banker's round() diverge (the
+    r8 rule: replays must round half-away); label 1 is six vectors
+    whose coordinates differ by <5e-7 — IDENTICAL after integer
+    scaling, so every d2n2 ties and the ranking is decided purely by
+    the vec_id tiebreak."""
     import numpy as np
 
     import anti_money_laundering_spark.plans.llm_queries as lq
 
     rng = [
-        # label 0: 5 vectors near origin + one shifted by +2
-        *[(i, 0, [0.001 * i + 0.01 * d for d in range(8)]) for i in range(5)],
+        # label 0: 5 vectors near origin (coord 0 = the .5-scaling tie
+        # value) + one shifted by +2
+        *[
+            (i, 0, [0.0078125 if d == 0 else 0.001 * i + 0.01 * d for d in range(8)])
+            for i in range(5)
+        ],
         (5, 0, [2.0 + 0.01 * d for d in range(8)]),
-        # label 1: 6 nearly-identical vectors
-        *[(10 + i, 1, [0.5 + 1e-6 * i * (d + 1) for d in range(8)]) for i in range(6)],
+        # label 1: 6 vectors identical at integer scale (deltas < 5e-7)
+        *[(10 + i, 1, [0.5 + 1e-8 * i * (d + 1) for d in range(8)]) for i in range(6)],
     ]
     emb = spark.createDataFrame(
         [(vid, [float(x) for x in xs], lab) for vid, lab, xs in rng],
@@ -459,10 +467,18 @@ def test_embedding_label_outliers_matches_numpy(spark):
         lq.load_table = orig
 
     # numpy/int replay: float32 cast first (the screen reads FLOAT),
-    # then exact integer arithmetic
+    # then exact integer arithmetic. Rounding must be HALF-AWAY like
+    # Spark F.round / DuckDB round — python round() is banker's and
+    # the planted 0.0078125 scales to exactly 7812.5 (r8 rule; the
+    # kmeans replay above defines the same helper).
+    import math
+
+    def half_away(v: float) -> int:
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
     by_label: dict[int, list[tuple[int, list[int]]]] = {}
     for vid, lab, xs in rng:
-        xi = [round(float(np.float32(x)) * 1_000_000) for x in xs]
+        xi = [half_away(float(np.float32(x)) * 1_000_000) for x in xs]
         by_label.setdefault(lab, []).append((vid, xi))
     expect = []
     for lab, vecs in sorted(by_label.items()):
@@ -479,3 +495,7 @@ def test_embedding_label_outliers_matches_numpy(spark):
     assert got == expect
     # the planted far vector is label 0's rank-1 outlier
     assert got[0][2] == 5
+    # label 1's distances all TIE at integer scale — prove the tie
+    # regime is actually exercised and broken by vec_id (10, 11, 12)
+    lab1 = [(r[2], r[4]) for r in got if r[0] == 1]
+    assert len({d for _, d in lab1}) == 1 and [v for v, _ in lab1] == [10, 11, 12]
