@@ -108,6 +108,43 @@ def main() -> int:
     )
     t_km = time.perf_counter() - t0
     print(f"kmeans: corpus={n_vectors} dim=64 k=8 cluster_sizes={sizes} ({t_km:.1f}s)")
+
+    # --- embedding-QC label outliers (r11): 10x the kmeans corpus, 10
+    # labels, 64 dims, exact catalog formulation via the load_table
+    # swap. Plants 30 far vectors (coords shifted +3.0 — organic coords
+    # live in [-1, 1)) spread over the labels; EVERY planted id must
+    # occupy a top-3 slot for its label (3 per label x 10 labels).
+    import anti_money_laundering_spark.plans.llm_queries as lq
+
+    n_out = 10 * n_vectors
+    planted = F.col("vec_id") < 30
+    dim64p = F.array(
+        *[
+            F.when(planted, F.lit(3.0) + (F.pmod(F.xxhash64("id", F.lit(f"p{i}")), 100) / 100.0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(f"e{i}")), 2000) / 1000.0 - 1.0)
+            .cast("float")
+            for i in range(64)
+        ]
+    )
+    embq = spark.range(n_out).select(
+        F.col("id").alias("vec_id"),
+        dim64p.alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+    orig = lq.load_table
+    lq.load_table = lambda _spark, _sf_dir, _t: embq
+    try:
+        t0 = time.perf_counter()
+        rows = lq.embedding_label_outliers(spark, "stress").collect()
+        t_eo = time.perf_counter() - t0
+    finally:
+        lq.load_table = orig
+    got_planted = sorted(r.vec_id for r in rows if r.vec_id < 30)
+    print(
+        f"embedding_outliers: corpus={n_out} dim=64 labels=10 -> {len(rows)} rows "
+        f"({t_eo:.1f}s); planted far vectors in top-3 slots: {len(got_planted)}/30"
+    )
+    assert got_planted == list(range(30)), got_planted
     return 0
 
 
