@@ -78,20 +78,20 @@ DRIVER_WINDOW = 50
 #: count as prior evidence. This makes the suite time-stable (r6
 #: verdict item 2): it passes identically before and after the
 #: current round's driver artifact lands on disk.
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
-#: ROUND-11 ROTATION (r10 verdict item 1): the 8-query flagship keep
-#: core re-attests as always; the 9 ``_R11_PLAN`` screens (registered
-#: during r10, after its window froze) get their first driver rows —
-#: after which the 240-query catalog is FULLY driver-attested; and the
-#: remaining 33 slots continue the oldest-ledger-first rotation: all 21
-#: queries whose latest green row is still r5 (the r10 window re-rowed
-#: the alphabetically-first 21 of that cohort), then the
-#: alphabetically-first 12 of the 42 whose latest row is r6 (the
-#: remaining 30 are the r12 filler pool). Every rotated-out query
+#: ROUND-12 ROTATION (r11 verdict item 1): the 8-query flagship keep
+#: core re-attests as always; the 5 ``_R12_PLAN`` screens (registered
+#: during r11, after its window froze) get their first driver rows —
+#: after which the 245-query catalog is FULLY driver-attested; and the
+#: remaining 37 slots continue the oldest-ledger-first rotation: all 30
+#: queries whose latest green row is still r6 (the r11 window re-rowed
+#: the alphabetically-first 12 of that cohort), then the
+#: alphabetically-first 7 of the 35 whose latest row is r7 (the
+#: remaining 28 are the r13 filler pool). Every rotated-out query
 #: stayed green in prior driver rounds AND passes the identical DuckDB
 #: compare in pytest (tests/test_catalog_oracle.py) and the committed
-#: sf0.1 audit (240/240 pass at the r10 close tree).
+#: sf0.1 audit (245/245 pass at the r11 close tree).
 _WINDOW: tuple[str, ...] = (
     # --- keep core: 8 flagship canaries ------------------------------
     "sources_roundtrip",        # S2,S3,S4,S8,S9,S10
@@ -102,52 +102,52 @@ _WINDOW: tuple[str, ...] = (
     "linkage_entity_clusters",  # E4,G4
     "ann_lsh_topk",             # LLM,ann (recall-1.0 pin, exact oracle)
     "aml_alert_feed",           # G5,G4,G6,U2 (composite flagship)
-    # --- 9 first-time attestations: the committed _R11_PLAN ----------
-    "reciprocal_transfer_alerts",
-    "velocity_limit_breaches",
-    "new_counterparty_rate",
-    "amount_digit_entropy",
-    "linkage_sorted_neighborhood",
-    "k_anonymity_profile",
-    "l_diversity_profile",
-    "t_closeness_profile",
-    "structuring_aggregation_alerts",
-    # --- 33 oldest-ledger re-attests ----------------------------------
-    # r5 remainder (21): the rest of that cohort re-rowed in r10
-    "multimodal_classify",
-    "multimodal_frames",
-    "personalized_pagerank",
-    "pivot_segment_counts",
-    "range_join_clicks_after_purchase",
-    "regex_array_funcs",
-    "rolling_median_value",
-    "scalar_subquery_above_avg",
-    "self_join_pair_amounts",
-    "sql_cte_view_entry",
-    "stream_dedup_events",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "table_diff_orders",
-    "union_all_tagged",
-    "union_distinct_keys",
-    "unpivot_lineitem_measures",
-    "vocab_top_terms",
-    "window_decile_ranks",
-    "window_lag_lead_velocity",
-    "window_range_frame_1h",
-    # r6 (alphabetically-first 12 of 42; remainder = r12 filler pool)
-    "bigram_pmi_collocations",
-    "bm25_doc_scores",
-    "chunk_sliding_windows",
-    "corpus_datasheet",
-    "corpus_hash_sample",
-    "date_function_suite",
-    "decontam_near_dup",
-    "decontam_ngram_overlap",
-    "dedup_incremental_newdocs",
-    "doc_keywords",
-    "graph_adamic_adar",
-    "graph_clustering_coeff",
+    # --- 5 first-time attestations: the committed _R12_PLAN ----------
+    "motif_fanin_capped",
+    "stream_velocity_breaches",
+    "peer_group_deviation",
+    "amount_ramp_runs",
+    "embedding_label_outliers",
+    # --- 37 oldest-ledger re-attests ----------------------------------
+    # r6 remainder (30): the rest of that cohort re-rowed in r11
+    "graph_degree_assortativity",
+    "graph_harmonic_centrality",
+    "graph_label_propagation",
+    "graph_neighbor_jaccard",
+    "graph_net_flow",
+    "graph_random_walks",
+    "graph_reciprocity",
+    "graph_shortest_paths",
+    "hard_negatives_ann",
+    "incremental_revenue_merge",
+    "kfold_assign_docs",
+    "linkage_jw_scores",
+    "map_function_suite",
+    "negative_samples_docs",
+    "per_source_doc_cap",
+    "quality_rule_screen",
+    "rebalance_target_mix",
+    "rebalance_uniform_mix",
+    "repetition_scores_docs",
+    "shard_manifest_docs",
+    "stream_event_transitions",
+    "stream_interval_join_outer",
+    "stream_sliding_values",
+    "text_length_quantiles",
+    "tfidf_exact_pairs",
+    "variant_extract_props",
+    "versioned_evolution_roundtrip",
+    "versioned_table_roundtrip",
+    "weighted_sample_orders",
+    "xml_roundtrip_props",
+    # r7 (alphabetically-first 7 of 35; remainder = r13 filler pool)
+    "ann_quantized_topk",
+    "approx_distinct_parts",
+    "approx_quantiles_prices",
+    "asof_nearest_purchase",
+    "behavior_entropy_users",
+    "benford_digit_scores",
+    "bucketed_join_segments",
 )
 
 #: ROUND-7 COMPLETION SCHEDULE — retained verbatim from the r6 freeze
@@ -357,6 +357,12 @@ _R12_PLAN: tuple[str, ...] = (
     "embedding_label_outliers",
 )
 
+#: ROUND-13 SCHEDULE: queries registered during r12 (after the r12
+#: window froze). Append every r12-new registration here or
+#: tests/test_catalog_window.py fails; keep <= ~10 at round close
+#: (r11 verdict item 6) so the r13 window isn't oversubscribed.
+_R13_PLAN: tuple[str, ...] = ()
+
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,
     8: _R8_PLAN,
@@ -364,6 +370,7 @@ _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     10: _R10_PLAN,
     11: _R11_PLAN,
     12: _R12_PLAN,
+    13: _R13_PLAN,
 }
 
 #: EMPTY since r9: every catalog query now carries a DuckDB oracle.

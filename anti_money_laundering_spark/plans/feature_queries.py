@@ -3514,7 +3514,33 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.sum("tc")).alias("s_sum"),
         F.sum(dec(F.col("tc")) * dec(F.col("tc"))).alias("s_sq"),
         dec(F.count(F.lit(1))).alias("n"),
+        F.max("tc").alias("__s_max"),
     )
+    # explicit segment-size guard (r11 advice item 4): the cubic term
+    # needs (max_tc * n)^2 * n <= 10^38 — under ANSI an overflow fails
+    # loudly anyway, but with ANSI off it wraps to NULL and the row
+    # silently vanishes. The check runs in double over the tiny
+    # segment-stats frame with a 10x margin (9.9e37) that dwarfs
+    # double's 1e-16 relative error; a predicate (not an unused
+    # column) so Catalyst can't prune it away.
+    guard_ok = (
+        F.pow(F.col("__s_max").cast("double") * F.col("n").cast("double"), F.lit(2.0))
+        * F.col("n").cast("double")
+        <= F.lit(9.9e37)
+    )
+    s = s.filter(
+        F.when(guard_ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "peer_group_deviation: segment exceeds the decimal(38,0) "
+                        "bound (max_tc*n)^2*n <= 1e38 — stratify finer; seg="
+                    ),
+                    F.col("seg"),
+                )
+            ).cast("boolean")
+        )
+    ).drop("__s_max")
     j = t.join(F.broadcast(s), "seg").filter(F.col("n") >= 3)
     a = dec(F.col("tc")) * F.col("n") - F.col("s_sum")
     lhs = a * a * (F.col("n") - 2)

@@ -2217,6 +2217,12 @@ def reciprocal_transfer_alerts(
     threshold): a wash leg below the flow-graph sparsification cutoff
     is exactly what the screen must not miss."""
     cap = _RECIPROCAL_CHANNEL_CAP if channel_cap is None else channel_cap
+    if cap < 1:
+        # a cap below 1 excludes every channel — a silently-empty
+        # screen, never what a caller meant (r11 advice item 3;
+        # mirrors velocity_breach_stream's loud h1_us > h24_us
+        # precondition)
+        raise ValueError(f"channel_cap must be >= 1, got {cap}")
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select(

@@ -503,7 +503,9 @@ _SN_BUCKET_CENTS = 32768
       ON r.idx > l.idx AND r.idx <= l.idx + {_SN_WINDOW}
     """,
 )
-def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+def linkage_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str, cache_ranked: bool = False
+) -> DataFrame:
     """Sorted-neighborhood candidate pairs: customers sorted on exact
     account-balance cents (custkey tiebreak), each paired with its
     next w=3 neighbors in sort order, with the balance gap and a
@@ -572,6 +574,20 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cheap per-bucket row_number replays per side
     grid = F.expr(f"(cents + 10000000) div {_SN_BUCKET_CENTS}")
     ranked = dense_index_lazy(keyed, "__sk", grid, index_col="idx")
+    if cache_ranked:
+        # the hub guard's r11 answer, applied here (r11 verdict item
+        # 2): persist() is LAZY — zero jobs at plan construction —
+        # and at first action both join branches read one
+        # InMemoryTableScan instead of re-deriving the corpus-scale
+        # index subtree. Measured at the 20M stress
+        # (tools/stress_r10_screens.py; SCALE.md
+        # §sorted-neighborhood-cache-trade): the recompute premium
+        # the default pays is real but modest, and persist leaves a
+        # session-lifetime CacheManager entry per call — wrong for
+        # the catalog's build-many-plans usage, right for a
+        # deployment that reuses the rank. Default stays False so the
+        # catalog plan keeps zero cached state.
+        ranked = ranked.persist()
     w = _SN_WINDOW
     bkt = F.expr(f"idx div {w}")
     left = ranked.select(

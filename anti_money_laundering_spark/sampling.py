@@ -220,15 +220,27 @@ def dense_index_lazy(
     order.
 
     CONTRACT: ``key`` and ``bucket`` must be non-null (the same
-    non-null rule as the eager variant). Rows whose bucket evaluates
-    NULL are DROPPED (the inner offset join can't match them) — and
-    the NULL group is excluded from the running total defensively, so
-    a contract-violating input loses its null rows without also
-    shifting every real row's rank (review finding: NULLs sort first
-    in the cumsum window, which would have offset the whole index by
-    the null count).
+    non-null rule as the eager variant). A row whose bucket evaluates
+    NULL RAISES at execution time (r11 advice item 2: the inner
+    offset join would otherwise silently drop it — the eager variant
+    RETAINS contract-violating rows, so a caller migrating between
+    variants could silently lose rows; a loud error beats both). The
+    check is one codegen'd null test per row; the NULL group is
+    additionally excluded from the running total defensively so a
+    partially-evaluated stage can't shift real rows' ranks.
     """
-    keyed = df.withColumn("__dibkt", bucket.cast("long"))
+    bkt_long = bucket.cast("long")
+    keyed = df.withColumn(
+        "__dibkt",
+        F.when(bkt_long.isNotNull(), bkt_long).otherwise(
+            F.raise_error(
+                F.lit(
+                    "dense_index_lazy: bucket expression evaluated NULL — "
+                    "key/bucket must be non-null (see docstring contract)"
+                )
+            )
+        ),
+    )
     counts = (
         keyed.filter(F.col("__dibkt").isNotNull())
         .groupBy("__dibkt")

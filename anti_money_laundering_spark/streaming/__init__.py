@@ -278,6 +278,8 @@ def velocity_breach_stream(
     max_24h_cents: int,
     h1_us: int = _VEL_H1_US,
     h24_us: int = _VEL_H24_US,
+    evict_idle_keys: bool = False,
+    late_tolerance: str = "0 seconds",
 ) -> DataFrame:
     """Streaming twin of the rolling velocity-limit control
     (``velocity_limit_breaches``, r10 verdict item 5): every event
@@ -318,7 +320,29 @@ def velocity_breach_stream(
     emission); a row later than the buffer horizon undercounts. The
     fixture has no (user, ts) ties at any SF (probed), and same-batch
     ties count each other symmetrically, matching RANGE-peer
-    semantics."""
+    semantics.
+
+    State-cardinality contract (r11 advice item 1): per-key state is
+    bounded (the trailing 24 h buffer), but the default keeps a state
+    ENTRY per user forever — total state grows with distinct-user
+    cardinality, so an always-on deployment with rotating user ids
+    leaks entries. Pass ``evict_idle_keys=True`` to drop a key once
+    the EVENT-TIME watermark passes its last seen ts + ``h24_us``: at
+    that point no in-watermark future event's 24 h frame can overlap
+    the dropped buffer, so counters stay exact — output is
+    IDENTICAL to the default on any in-order replay, only the state
+    entry goes away. Implemented as ``EventTimeTimeout`` (per-key
+    timeout timestamp = max seen ts + h24), which is deterministic
+    under replay and terminates availableNow runs — NOT
+    ``ProcessingTimeTimeout``, which (measured on this Spark) keeps
+    an availableNow query alive in "cleaning up state" batches until
+    the wall-clock timeout fires. Eviction requires a watermark, so
+    it also buys the watermark's late-row contract:
+    ``late_tolerance`` (default "0 seconds" — the ordered-arrival
+    contract makes anything more a choice, not a need) is the
+    lateness beyond which Spark drops input rows entirely, replacing
+    the default's softer "late row gets its own counters" behavior.
+    """
     if h1_us > h24_us:
         # the stream face evicts per-user buffers to max_ts - h24_us,
         # so a count horizon longer than the sum horizon would
@@ -367,11 +391,37 @@ def velocity_breach_stream(
         "count_breach boolean, sum_breach boolean"
     )
     state_schema = "us array<long>, cents array<long>"
-    prepared = events.select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), cents_col.alias("cents")
+    src = (
+        events.withWatermark("ts", late_tolerance) if evict_idle_keys else events
+    )
+    # eviction keeps the watermark-carrying ts column in the grouped
+    # frame (EventTimeTimeout requires it to survive projection); the
+    # update fn reads only us/cents/event_id either way
+    ts_cols = ["ts"] if evict_idle_keys else []
+    prepared = src.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        cents_col.alias("cents"),
+        *ts_cols,
     )
 
     def update(key, pdf_iter, state):
+        if evict_idle_keys and state.hasTimedOut:
+            # idle key: its whole buffer is older than idle_timeout
+            # (>= h24), so no future ordered arrival can need it
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": np.empty(0, dtype=np.int64),
+                    "event_id": np.empty(0, dtype=np.int64),
+                    "count_1h": np.empty(0, dtype=np.int64),
+                    "sum_24h_cents": np.empty(0, dtype=np.int64),
+                    "count_breach": np.empty(0, dtype=bool),
+                    "sum_breach": np.empty(0, dtype=bool),
+                }
+            )
+            return
         if state.exists:
             st_us, st_cents = state.get
             buf_us = np.asarray(st_us, dtype=np.int64)
@@ -398,6 +448,13 @@ def velocity_breach_stream(
         # so only the trailing 24h relative to max_us can still matter
         keep = s_us >= (s_us[-1] - h24_us)
         state.update((s_us[keep].tolist(), s_cents[keep].tolist()))
+        if evict_idle_keys:
+            # drop the key once the watermark passes last_ts + h24:
+            # past that point no in-watermark event's frame can reach
+            # the buffer. +1ms so the timestamp is strictly above the
+            # watermark even when a row arrives exactly at it (Spark
+            # rejects timeout <= watermark).
+            state.setTimeoutTimestamp(int(s_us[-1]) // 1000 + h24_us // 1000 + 1)
         yield pd.DataFrame(
             {
                 "user_id": np.full(int(breach.sum()), key[0], dtype=np.int64),
@@ -409,8 +466,13 @@ def velocity_breach_stream(
             }
         )
 
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if evict_idle_keys
+        else GroupStateTimeout.NoTimeout
+    )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout_conf
     )
 
 

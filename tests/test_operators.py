@@ -1672,6 +1672,18 @@ def test_reciprocal_channel_cap_excludes_settlement_channel(spark):
     assert open_[(7, 8)].n_roundtrips == 4
 
 
+def test_reciprocal_channel_cap_rejects_nonpositive(spark):
+    # r11 advice item 3: cap <= 0 excludes EVERY channel — a silently
+    # empty screen; refuse loudly like the stream twin's horizon check.
+    import pytest
+
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="channel_cap"):
+            gq.reciprocal_transfer_alerts(spark, "x", channel_cap=bad)
+
+
 def test_velocity_limit_hand_case(spark):
     """Hand-computed velocity control: user 1 fires 3 events inside
     one hour — the third's trailing frame holds all 3 (the -1h edge is

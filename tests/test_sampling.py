@@ -164,6 +164,25 @@ def test_dense_index_lazy_matches_global_row_number(spark, sf_dir):
     assert again == want
 
 
+def test_dense_index_lazy_null_bucket_raises(spark):
+    # r11 advice item 2: a NULL bucket must fail LOUDLY at execution,
+    # not silently drop the row (the eager variant RETAINS such rows,
+    # so a silent drop here would make variant migration lossy).
+    import pytest
+
+    from anti_money_laundering_spark.sampling import dense_index_lazy
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    bad = F.when(F.col("k") == 7, F.lit(None).cast("long")).otherwise(
+        F.expr("k div 3")
+    )
+    with pytest.raises(Exception, match="dense_index_lazy"):
+        dense_index_lazy(df, "k", bad).collect()
+    # and the non-null path is unaffected
+    ok = dense_index_lazy(df.filter("k <> 7"), "k", F.expr("k div 3"))
+    assert [r["__idx"] for r in ok.orderBy("k").collect()] == list(range(9))
+
+
 def test_dense_index_plan_has_no_single_task_window(spark, sf_dir):
     # The whole point: no Exchange SinglePartition anywhere in the plan
     # (a global window would plan one), and the windows that remain are

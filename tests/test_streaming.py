@@ -616,3 +616,62 @@ def test_stream_velocity_hand_case(spark):
     assert set(sgot) == {3, 5}
     assert (sgot[3].count_1h, sgot[3].sum_24h_cents) == (3, 3000)
     assert (sgot[5].sum_24h_cents, sgot[5].sum_breach) == (52001, True)
+
+
+def test_stream_velocity_evict_idle_keys(spark, replay_dir):
+    """r11 advice item 1: idle-key state eviction. With
+    ``evict_idle_keys=True`` (EventTimeTimeout: a key drops once the
+    watermark passes its last ts + 24h) the replay emits the SAME
+    breach set as the unbounded default — eviction only ever discards
+    buffers no in-watermark event's frame can reach — while total
+    state entries shrink to the users active within 24h of the
+    watermark instead of every user ever seen. (ProcessingTimeTimeout
+    was measured to keep availableNow replays alive until the
+    wall-clock timeout — the event-time form is the deployable one.)
+    """
+    from anti_money_laundering_spark.plans.feature_queries import (
+        _VELOCITY_MAX_1H,
+        _VELOCITY_MAX_24H_CENTS,
+    )
+    from anti_money_laundering_spark.streaming import velocity_breach_stream
+
+    base = run_stream_to_memory(
+        velocity_breach_stream(
+            read_events_stream(spark, replay_dir),
+            max_1h=_VELOCITY_MAX_1H,
+            max_24h_cents=_VELOCITY_MAX_24H_CENTS,
+        ),
+        "t_velocity_nt",
+        output_mode="update",
+    )
+    q = (
+        velocity_breach_stream(
+            read_events_stream(spark, replay_dir),
+            max_1h=_VELOCITY_MAX_1H,
+            max_24h_cents=_VELOCITY_MAX_24H_CENTS,
+            evict_idle_keys=True,
+        )
+        .writeStream.format("memory")
+        .queryName("t_velocity_ev")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    evicted_state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    timed = spark.table("t_velocity_ev")
+    cols = [
+        "user_id",
+        "event_id",
+        "count_1h",
+        "sum_24h_cents",
+        "count_breach",
+        "sum_breach",
+    ]
+    assert _rows(timed, cols) == _rows(base, cols)
+    # the fixture spans weeks of event time, so most users' last
+    # activity sits > 24h before the final watermark — eviction must
+    # have actually removed entries (vs the default, which keeps one
+    # entry per user ever seen)
+    n_users = spark.read.parquet(replay_dir).select("user_id").distinct().count()
+    assert evicted_state_rows < n_users

@@ -320,6 +320,17 @@ def stress_sorted_neighborhood(spark, n_records: int) -> None:
     orig = lq.load_table
     lq.load_table = lambda _spark, _sf_dir, _t: cust
     try:
+        # the r12 duplicated-subtree A/B (r11 verdict item 2): the
+        # checkpoint-free default re-derives the index subtree per
+        # join branch; cache_ranked=True persists the ranked frame
+        # lazily so both branches read one InMemoryTableScan. Time
+        # both at the same 20M input and print the premium.
+        t0 = time.perf_counter()
+        n_pairs_cached = lq.linkage_sorted_neighborhood(
+            spark, "stress", cache_ranked=True
+        ).count()
+        wall_cached = time.perf_counter() - t0
+        spark.catalog.clearCache()
         # one plan, two actions: the lazy checkpoint materializes at the
         # timed count and the twin filter reuses it (without it the 36 s
         # rank+SMJ pipeline would execute twice — review finding)
@@ -335,9 +346,12 @@ def stress_sorted_neighborhood(spark, n_records: int) -> None:
         ).count()
     finally:
         lq.load_table = orig
+    assert n_pairs_cached == n_pairs
     print(
         f"sorted_neighborhood: {n_records + n_twins} records -> {n_pairs} "
-        f"candidate pairs in {wall:.1f}s (count-timed); planted same-balance "
+        f"candidate pairs in {wall:.1f}s (count-timed; recompute default) vs "
+        f"{wall_cached:.1f}s with cache_ranked=True — recompute premium "
+        f"{wall / max(wall_cached, 1e-9):.2f}x; planted same-balance "
         f"cross-nation twins in candidates: {caught} (>= {n_twins} expected "
         f"incl. organic same-cent collisions)"
     )
