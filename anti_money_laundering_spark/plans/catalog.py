@@ -361,7 +361,18 @@ _R12_PLAN: tuple[str, ...] = (
 #: window froze). Append every r12-new registration here or
 #: tests/test_catalog_window.py fails; keep <= ~10 at round close
 #: (r11 verdict item 6) so the r13 window isn't oversubscribed.
-_R13_PLAN: tuple[str, ...] = ()
+_R13_PLAN: tuple[str, ...] = (
+    # cross-account same-amount coordination — the smurfing-ring grain
+    # every per-account screen normalizes away (r12-new)
+    "coordinated_amount_clusters",
+    # TBML over/under-invoicing vs the same part's other trades,
+    # exact-integer LOO extremes (r12-new)
+    "trade_mispricing_alerts",
+    # near-dup pairs a naive i.i.d. doc split would leak across the
+    # train/eval boundary — the measurement face of corpus_train_split
+    # (r12-new)
+    "split_leakage_audit",
+)
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,

@@ -3666,3 +3666,209 @@ def amount_ramp_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_cents",
         (F.col("peak_cents") - F.col("start_cents")).alias("ramp_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Coordinated-amount clusters (r12): many DISTINCT senders moving the
+# IDENTICAL amount on the same day — the cross-account coordination
+# signature of an organized smurfing ring. The per-account screens
+# (structuring_aggregation_alerts, amount_digit_entropy) are blind to
+# it by construction: each mule's own history looks unremarkable.
+# ---------------------------------------------------------------------------
+
+#: Minimum distinct senders sharing one (amount, day) cell. Fixture
+#: probe (FIXTURES.md threshold rule): max senders per cell = 2/3/7 at
+#: sf0.001/0.01/0.1 and >=3 flags 0/3/1691 cells — legitimately empty
+#: at sf0.001 (too few events for organic collisions), non-empty from
+#: the driver SF up.
+_COORD_MIN_SENDERS = 3
+
+
+@register(
+    "coordinated_amount_clusters",
+    tags=("A1", "A3", "A-ext"),
+    oracle=f"""
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_senders,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * CAST(round(value * 100) AS BIGINT) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(DISTINCT user_id) >= {_COORD_MIN_SENDERS}
+    """,
+)
+def coordinated_amount_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smurfing-ring coordination screen: (exact cent amount, UTC day)
+    cells where at least ``_COORD_MIN_SENDERS`` DISTINCT accounts each
+    moved that identical amount — scripted mule networks reuse one
+    configured amount, and the cross-account view is the only screen
+    grain that sees it (every per-account screen normalizes it away).
+
+    Exactness: cents are on-grid 2-decimal amounts; the day is emitted
+    as an ISO string on both engines (the r5 date-column rule);
+    total_cents = n_events * cents is exact BIGINT (bounded by events
+    per cell — millions of same-cell events would need decimal
+    widening, see the _dec19 convention). Scale posture: ONE composite
+    shuffle on (cents, day) — the distinct-sender count rides Spark's
+    two-phase distinct aggregate on the same key (partial counts
+    map-side), so the plan is a textbook keyed aggregation with no
+    join, no window, no skew exposure beyond a genuinely-hot cell
+    (which IS the alert)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.select(cents.alias("cents"), day.alias("day"), "user_id")
+        .groupBy("cents", "day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_senders"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_senders") >= _COORD_MIN_SENDERS)
+        .select(
+            "cents",
+            "day",
+            "n_senders",
+            "n_events",
+            (F.col("n_events") * F.col("cents")).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trade-mispricing screen (r12): a lineitem priced far outside the SAME
+# part's other trades — the over/under-invoicing signature of
+# trade-based money laundering (value moves in the INVOICE, not the
+# transfer, so transfer-graph screens never see it). Leave-one-out
+# extremes keep a single mispriced trade from hiding itself: the flag
+# compares each trade against the most extreme of the part's OTHER
+# trades.
+# ---------------------------------------------------------------------------
+
+#: Peer-set floor and the flag ratio. Probe (FIXTURES.md threshold
+#: rule): with n >= 4 peers, unit >= 2x the LOO max flags
+#: 79/754/7625 of 6k/60k/600k lineitems at the three SFs (~1.3%) —
+#: non-empty everywhere, rare enough to be an alert.
+_TBML_MIN_TRADES = 4
+_TBML_RATIO = 2
+
+
+@register(
+    "trade_mispricing_alerts",
+    tags=("W-ext", "A-ext", "F5"),
+    oracle=f"""
+    WITH u AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST((2 * CAST(round(l_extendedprice * 100) AS HUGEINT) * 1000000
+                   + CAST(l_quantity AS HUGEINT))
+                  // (2 * CAST(l_quantity AS HUGEINT)) AS BIGINT) AS um
+      FROM lineitem
+    ),
+    w1 AS (
+      SELECT *, count(*) OVER (PARTITION BY l_partkey) AS n,
+             max(um) OVER (PARTITION BY l_partkey) AS mx1,
+             min(um) OVER (PARTITION BY l_partkey) AS mn1
+      FROM u
+    ),
+    w2 AS (
+      SELECT *,
+             sum(CASE WHEN um = mx1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_partkey) AS nmx,
+             sum(CASE WHEN um = mn1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_partkey) AS nmn,
+             max(CASE WHEN um < mx1 THEN um END)
+               OVER (PARTITION BY l_partkey) AS mx2,
+             min(CASE WHEN um > mn1 THEN um END)
+               OVER (PARTITION BY l_partkey) AS mn2
+      FROM w1
+    ),
+    loo AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, um, n,
+             CASE WHEN um = mx1 AND nmx = 1 THEN mx2 ELSE mx1 END AS loo_max,
+             CASE WHEN um = mn1 AND nmn = 1 THEN mn2 ELSE mn1 END AS loo_min
+      FROM w2 WHERE n >= {_TBML_MIN_TRADES}
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           um AS unit_micro, CAST(n AS BIGINT) AS n_trades,
+           CASE WHEN um >= {_TBML_RATIO} * loo_max THEN 'over' ELSE 'under' END
+             AS side,
+           CASE WHEN um >= {_TBML_RATIO} * loo_max THEN loo_max ELSE loo_min END
+             AS loo_bound
+    FROM loo
+    WHERE um >= {_TBML_RATIO} * loo_max OR {_TBML_RATIO} * um <= loo_min
+    """,
+)
+def trade_mispricing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-based-ML mispricing screen: lineitems whose unit price is
+    >= 2x the maximum (over-invoicing) or <= half the minimum
+    (under-invoicing) of the SAME part's OTHER trades, with a peer set
+    of at least ``_TBML_MIN_TRADES``. TBML moves value through the
+    invoice — an importer overpaying 3x ships value out with zero
+    anomalous transfers — so the screen's grain is the trade document,
+    not the account.
+
+    Exactness: unit price is exact half-up-rounded integer micro-cents
+    via the r8 div identity ``(2*e_cents*10^6 + q) div (2q)`` widened
+    to decimal(38,0)/HUGEINT (r9 convention; the BIGINT output cast is
+    safe — unit_micro <= max extendedprice in micro-cents << 2^63),
+    so every comparison is integer-exact on both engines. The LOO
+    extremes use the two-extremes trick: a trade AT the unique max
+    compares against the second max (a mispriced trade cannot hide by
+    BEING the extreme); ties at the extreme compare against the
+    extreme itself and structurally cannot flag (um >= 2*um is
+    impossible for positive prices). Scale posture: ONE shuffle —
+    every window partitions by l_partkey, and the two chained window
+    layers (extremes, then tie-aware runners-up) reuse that single
+    exchange; no join, no self-join, skew bounded by trades-per-part.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    um = F.expr(
+        "cast((2 * cast(round(l_extendedprice * 100) as decimal(19,0))"
+        " * 1000000 + cast(l_quantity as decimal(19,0)))"
+        " div (2 * cast(l_quantity as decimal(19,0))) as long)"
+    )
+    u = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", um.alias("um")
+    )
+    wp = Window.partitionBy("l_partkey")
+    w1 = u.select(
+        "*",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.max("um").over(wp).alias("mx1"),
+        F.min("um").over(wp).alias("mn1"),
+    )
+    w2 = w1.select(
+        "*",
+        F.sum(F.when(F.col("um") == F.col("mx1"), 1).otherwise(0)).over(wp).alias("nmx"),
+        F.sum(F.when(F.col("um") == F.col("mn1"), 1).otherwise(0)).over(wp).alias("nmn"),
+        F.max(F.when(F.col("um") < F.col("mx1"), F.col("um"))).over(wp).alias("mx2"),
+        F.min(F.when(F.col("um") > F.col("mn1"), F.col("um"))).over(wp).alias("mn2"),
+    )
+    loo_max = F.when(
+        (F.col("um") == F.col("mx1")) & (F.col("nmx") == 1), F.col("mx2")
+    ).otherwise(F.col("mx1"))
+    loo_min = F.when(
+        (F.col("um") == F.col("mn1")) & (F.col("nmn") == 1), F.col("mn2")
+    ).otherwise(F.col("mn1"))
+    loo = w2.filter(F.col("n") >= _TBML_MIN_TRADES).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "um",
+        F.col("n").cast("long").alias("n_trades"),
+        loo_max.alias("loo_max"),
+        loo_min.alias("loo_min"),
+    )
+    over = F.col("um") >= F.lit(_TBML_RATIO) * F.col("loo_max")
+    under = F.lit(_TBML_RATIO) * F.col("um") <= F.col("loo_min")
+    return loo.filter(over | under).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("um").alias("unit_micro"),
+        "n_trades",
+        F.when(over, "over").otherwise("under").alias("side"),
+        F.when(over, F.col("loo_max")).otherwise(F.col("loo_min")).alias("loo_bound"),
+    )

@@ -575,18 +575,20 @@ def linkage_sorted_neighborhood(
     grid = F.expr(f"(cents + 10000000) div {_SN_BUCKET_CENTS}")
     ranked = dense_index_lazy(keyed, "__sk", grid, index_col="idx")
     if cache_ranked:
-        # the hub guard's r11 answer, applied here (r11 verdict item
+        # the hub guard's r11 answer, offered here (r11 verdict item
         # 2): persist() is LAZY — zero jobs at plan construction —
         # and at first action both join branches read one
         # InMemoryTableScan instead of re-deriving the corpus-scale
-        # index subtree. Measured at the 20M stress
-        # (tools/stress_r10_screens.py; SCALE.md
-        # §sorted-neighborhood-cache-trade): the recompute premium
-        # the default pays is real but modest, and persist leaves a
-        # session-lifetime CacheManager entry per call — wrong for
-        # the catalog's build-many-plans usage, right for a
-        # deployment that reuses the rank. Default stays False so the
-        # catalog plan keeps zero cached state.
+        # index subtree. MEASURED SLOWER at 20M records (SCALE.md
+        # §sorted-neighborhood-cache-trade: recompute 22.9/8.9 s vs
+        # persist 26.0/13.5 s, order-controlled warm pairs): unlike
+        # the hub guard's VERTEX-scale hub table, the ranked frame is
+        # corpus-scale, so materializing it costs more than replaying
+        # the codegen'd scan+window subtree, and persist additionally
+        # leaves a session-lifetime CacheManager entry. Default False
+        # (recompute) is therefore FINAL for one-shot plans; pass
+        # True only when MANY plans reuse the same rank in one
+        # session (amortizes the one materialization).
         ranked = ranked.persist()
     w = _SN_WINDOW
     bkt = F.expr(f"idx div {w}")

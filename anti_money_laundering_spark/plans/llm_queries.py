@@ -772,6 +772,65 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_audit",
+    tags=("LLM", "dedup", "sample"),
+    # Same recall-1.0 justification as dedup_minhash_near_dups (the
+    # pinned LSH pair set equals exact trigram Jaccard >= 0.7); the
+    # audit is a codegen'd split predicate over it, and the naive
+    # split replays exactly via the shared md5-bucket arithmetic.
+    oracle=f"""
+    WITH {_duck_trigram_jaccard_ctes(0.7)},
+    sp AS (
+      SELECT id_a, id_b, jaccard,
+             CASE WHEN {_duck_hash_bucket("id_a", "split-v1", 10000)} < 8000
+                  THEN 'train'
+                  WHEN {_duck_hash_bucket("id_a", "split-v1", 10000)} < 9000
+                  THEN 'val' ELSE 'test' END AS split_a,
+             CASE WHEN {_duck_hash_bucket("id_b", "split-v1", 10000)} < 8000
+                  THEN 'train'
+                  WHEN {_duck_hash_bucket("id_b", "split-v1", 10000)} < 9000
+                  THEN 'val' ELSE 'test' END AS split_b
+      FROM jp
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard, split_a, split_b
+    FROM sp WHERE split_a <> split_b
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: the near-dup pairs a NAIVE i.i.d. document
+    split (hash of doc_id — what ``corpus_train_split`` deliberately
+    does NOT do) would place on OPPOSITE sides of the train/eval
+    boundary, leaking training content into evaluation. This is the
+    measurement face of the cluster-keyed split's design argument:
+    run it before trusting any eval built on a row-level split, and
+    its row count is the leak size the cluster-keyed split reduces to
+    zero by construction.
+
+    Scale posture: the verified pair set is the shared LSH+verify
+    memo (banded candidates only — never all-pairs) and the split
+    labels are one codegen'd md5 expression per side, so the audit
+    adds ZERO shuffles on top of the pair table. Same salt/weights as
+    ``corpus_train_split`` so the two queries describe the same
+    hypothetical deployment."""
+    from anti_money_laundering_spark.sampling import assign_split
+
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split_a = assign_split(F.col("id_a"), weights, salt="split-v1")
+    split_b = assign_split(F.col("id_b"), weights, salt="split-v1")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            split_a.alias("split_a"),
+            split_b.alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
+@register(
     "corpus_hash_sample",
     tags=("LLM", "text", "sample"),
     oracle=f"""
@@ -1852,6 +1911,11 @@ _EMB_OUTLIER_K = 3
 @register(
     "embedding_label_outliers",
     tags=("LLM", "ml"),
+    # r12: bench floor for the posexplode-over-dims plan family (r11
+    # verdict item 4) — the heaviest new shape since kmeans (dims x
+    # rows amplification); without a per-round floor a regression
+    # would only surface in the 75-minute sf0.1 audit
+    headline=True,
     oracle=f"""
     WITH dims AS (
       SELECT vec_id, label, CAST(t.i AS INT) AS d,

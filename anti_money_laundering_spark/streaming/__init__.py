@@ -342,6 +342,20 @@ def velocity_breach_stream(
     contract makes anything more a choice, not a need) is the
     lateness beyond which Spark drops input rows entirely, replacing
     the default's softer "late row gets its own counters" behavior.
+
+    Capacity rule (r11 verdict item 3; measured curve in SCALE.md
+    §trigger-mode-velocity-at-100k-1M): the per-trigger cost is ~1.3 s
+    fixed + ~70 us per ACTIVE key on 32 cores (pandas group dispatch
+    dominates; per-event work is ~free — 4x events per key measured
+    +27% wall). A deployment keeps up iff active_keys_per_trigger x
+    70 us < trigger_interval x n_32core_executor_groups. Levers, in
+    order: (1) COARSEN the trigger — more events per key per batch at
+    near-zero marginal cost; (2) scale OUT — state shuffles on
+    user_id, so throughput is linear in executors; (3) past ~10M
+    active keys per node, split the population across parallel
+    queries or move to transformWithState when available. Pair with
+    ``evict_idle_keys=True`` so rotating populations don't accumulate
+    dead state entries.
     """
     if h1_us > h24_us:
         # the stream face evicts per-user buffers to max_ts - h24_us,

@@ -2011,3 +2011,99 @@ def test_structuring_aggregation_hand_case(spark):
     r = got[1]
     assert (r.n_band_txns, r.n_smurf_events, r.max_24h_band_count,
             r.max_24h_band_cents) == (2, 1, 2, 19100)
+
+
+def test_coordinated_amount_clusters_hand_case(spark):
+    """Hand-computed coordination screen: 3 distinct users moving the
+    identical 950.00 on one day flag (n_senders=3, n_events=4 — one
+    user repeats, distinct still 3); 2 users at 500.00 don't; 1 user
+    firing 300.00 five times doesn't (distinct=1); and 3 users at
+    720.00 SPLIT ACROSS two days (2 + 1) don't — the cell is
+    (amount, day), not amount alone."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    d1 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    d2 = dt.datetime(2024, 3, 2, 9, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, d1, 101, 950.00), (2, d1 + h, 102, 950.00),
+        (3, d1 + 2 * h, 103, 950.00), (4, d1 + 3 * h, 101, 950.00),
+        (5, d1, 201, 500.00), (6, d1 + h, 202, 500.00),
+        (7, d1, 301, 300.00), (8, d1 + h, 301, 300.00),
+        (9, d1 + 2 * h, 301, 300.00), (10, d1 + 3 * h, 301, 300.00),
+        (11, d1 + 4 * h, 301, 300.00),
+        (12, d1, 401, 720.00), (13, d1 + h, 402, 720.00),
+        (14, d2, 403, 720.00),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, None) for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {
+            (r.cents, r.day): r
+            for r in fq.coordinated_amount_clusters(spark, "x").collect()
+        }
+    finally:
+        fq.load_table = orig
+    assert set(got) == {(95000, "2024-03-01")}
+    r = got[(95000, "2024-03-01")]
+    assert (r.n_senders, r.n_events, r.total_cents) == (3, 4, 380000)
+
+
+def test_trade_mispricing_hand_case(spark):
+    """Hand-computed TBML screen (out-of-family rule). Part 1: three
+    trades at 10.00/unit and one at 25.00/unit — the 25 is >= 2x the
+    LOO max (10) and flags 'over'; the 10s see loo_max=25 and never
+    flag. Part 2: three at 20.00/unit and one at 4.00/unit (8.00 for
+    qty 2 — the div identity's exact path) — 2*4 <= 20 flags 'under'.
+    Part 3: TWO trades at the same inflated price above two cheap
+    ones — ties at the extreme compare against the extreme itself and
+    structurally cannot flag (coordinated pairs hide each other; the
+    documented LOO semantics). Part 4: n=3 < min trades — excluded
+    even with a 10x outlier. Rounding: qty 3 at 10.00 gives
+    um = round_half_up(1e9 / 3) = 333333333, exact on the div
+    identity."""
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    rows = [
+        # (orderkey, linenumber, partkey, qty, extendedprice)
+        (1, 1, 1, 1.0, 10.00), (1, 2, 1, 1.0, 10.00),
+        (2, 1, 1, 3.0, 30.00), (2, 2, 1, 1.0, 25.00),
+        (3, 1, 2, 1.0, 20.00), (3, 2, 2, 1.0, 20.00),
+        (4, 1, 2, 1.0, 20.00), (4, 2, 2, 2.0, 8.00),
+        (5, 1, 3, 1.0, 10.00), (5, 2, 3, 1.0, 10.00),
+        (6, 1, 3, 1.0, 50.00), (6, 2, 3, 1.0, 50.00),
+        (7, 1, 4, 1.0, 10.00), (7, 2, 4, 1.0, 10.00),
+        (8, 1, 4, 1.0, 100.00),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_quantity double, l_extendedprice double",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: li
+    try:
+        got = {
+            (r.l_orderkey, r.l_linenumber): r
+            for r in fq.trade_mispricing_alerts(spark, "x").collect()
+        }
+    finally:
+        fq.load_table = orig
+    assert set(got) == {(2, 2), (4, 2)}
+    over = got[(2, 2)]
+    # 25.00/unit vs LOO max 10.00/unit (qty-3 trade = 333333333 exact)
+    assert (over.side, over.unit_micro, over.loo_bound, over.n_trades) == (
+        "over", 2_500_000_000, 1_000_000_000, 4
+    )
+    under = got[(4, 2)]
+    # 4.00/unit vs LOO min 20.00/unit
+    assert (under.side, under.unit_micro, under.loo_bound) == (
+        "under", 400_000_000, 2_000_000_000
+    )

@@ -211,10 +211,28 @@ EXCHANGE_BUDGET = {
     # in-bucket window exchange = 3, x2 branches, + the merge-hinted
     # bucket SMJ's 2 side shuffles = 8 STATIC exchanges. Runtime
     # recomputation is byte-deterministic (fixed grid — no boundary
-    # sampling), and the former 2-exchange shape is recoverable by
-    # persisting the ranked table in a deployment; the pin records the
-    # honest static count.
+    # sampling) and MEASURED FASTER than the persist alternative at
+    # 20M records (r12, SCALE.md §sorted-neighborhood-cache-trade:
+    # recompute 22.9/8.9 s vs cache_ranked=True 26.0/13.5 s in
+    # order-controlled warm pairs — materializing the corpus-scale
+    # ranked frame costs more than replaying its codegen subtree), so
+    # the 8-exchange recompute shape is FINAL; cache_ranked=True
+    # remains for sessions reusing one rank across many plans.
     "linkage_sorted_neighborhood": 8,
+    # r12 headline promotion (r11 verdict item 4 — the
+    # posexplode-over-dims family's bench floor): labels x dims
+    # centroid agg + per-label ranking window + the final per-vector
+    # re-agg = 3 exchanges, dims-amplified but never all-pairs
+    "embedding_label_outliers": 3,
+    # r12-new screens (pinned BEFORE their r13 driver window, per the
+    # r10 rule). coordinated: the two-phase distinct-sender aggregate
+    # over one (cents, day) key = 2. mispricing: every window
+    # partitions by l_partkey — both chained layers ride ONE exchange.
+    # split_leakage: a codegen'd md5 predicate over the checkpointed
+    # verified-pairs memo = 0.
+    "coordinated_amount_clusters": 2,
+    "trade_mispricing_alerts": 1,
+    "split_leakage_audit": 0,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

@@ -499,3 +499,36 @@ def test_tfidf_hashed_cosines_stay_off_rounding_boundaries(spark, sf_dir):
     # wiggle condition (a) permits)
     margin = min(abs((abs(c) * 1e6) % 1.0 - 0.5) for c in cosines)
     assert margin > 1e-3, f"a cosine sits {margin * 1e-6} from a round(6) boundary"
+
+
+def test_split_leakage_audit_python_md5_replay(spark, sf_dir):
+    """Out-of-family check for split_leakage_audit: recompute the
+    naive doc_id split in pure python (hashlib md5 — independent of
+    both engines' md5/conv expressions) and assert (a) every audited
+    pair's split labels match the python replay and genuinely differ,
+    and (b) COMPLETENESS — every verified near-dup pair whose python
+    splits differ is in the audit output (the filter drops nothing it
+    shouldn't)."""
+    import hashlib
+
+    from anti_money_laundering_spark.plans.catalog import get_catalog
+    from anti_money_laundering_spark.plans.llm_queries import _shared_verified_pairs
+
+    def py_split(doc_id: int) -> str:
+        b = int(hashlib.md5(f"split-v1{doc_id}".encode()).hexdigest()[:8], 16) % 10000
+        return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+    got = {
+        (r.id_a, r.id_b): (r.split_a, r.split_b)
+        for r in get_catalog()["split_leakage_audit"].fn(spark, sf_dir).collect()
+    }
+    for (a, b), (sa, sb) in got.items():
+        assert sa == py_split(a) and sb == py_split(b), (a, b)
+        assert sa != sb
+    all_pairs = [
+        (r.id_a, r.id_b)
+        for r in _shared_verified_pairs(spark, sf_dir).select("id_a", "id_b").collect()
+    ]
+    want = {(a, b) for a, b in all_pairs if py_split(a) != py_split(b)}
+    assert set(got) == want
+    assert want, "fixture must produce at least one leaking pair"
