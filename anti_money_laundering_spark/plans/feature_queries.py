@@ -3520,8 +3520,10 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs (max_tc * n)^2 * n <= 10^38 — under ANSI an overflow fails
     # loudly anyway, but with ANSI off it wraps to NULL and the row
     # silently vanishes. The check runs in double over the tiny
-    # segment-stats frame with a 10x margin (9.9e37) that dwarfs
-    # double's 1e-16 relative error; a predicate (not an unused
+    # segment-stats frame at 9.9e37 — ~1% below the decimal(38,0)
+    # ceiling, which is all the margin the check needs (it only has
+    # to dwarf double's ~1e-16 relative error; do NOT "spend" this
+    # headroom by relaxing the threshold). A predicate (not an unused
     # column) so Catalyst can't prune it away.
     guard_ok = (
         F.pow(F.col("__s_max").cast("double") * F.col("n").cast("double"), F.lit(2.0))

@@ -726,6 +726,28 @@ def _duck_hash_bucket(key_sql: str, salt: str, buckets: int) -> str:
     )
 
 
+#: THE corpus split: salt + weights shared by corpus_train_split (the
+#: leakage-free cluster-keyed assignment) and split_leakage_audit (the
+#: naive-row-split audit of the SAME hypothetical deployment) — both
+#: python faces and every oracle CASE derive from these constants, so
+#: retuning the ratios cannot silently desynchronize the two queries
+#: (review finding).
+_SPLIT_SALT = "split-v1"
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_BUCKETS = 10_000
+
+
+def _duck_split_case(key_sql: str) -> str:
+    """DuckDB replay of sampling.assign_split over _SPLIT_WEIGHTS."""
+    bucket = _duck_hash_bucket(key_sql, _SPLIT_SALT, _SPLIT_BUCKETS)
+    names = list(_SPLIT_WEIGHTS)
+    acc, arms = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        arms.append(f"WHEN {bucket} < {int(acc * _SPLIT_BUCKETS)} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
 @register(
     "corpus_train_split",
     tags=("LLM", "text", "dedup", "sample"),
@@ -736,11 +758,7 @@ def _duck_hash_bucket(key_sql: str, salt: str, buckets: int) -> str:
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     )
     SELECT doc_id, cluster_key,
-           CASE WHEN {_duck_hash_bucket("cluster_key", "split-v1", 10000)} < 8000
-                THEN 'train'
-                WHEN {_duck_hash_bucket("cluster_key", "split-v1", 10000)} < 9000
-                THEN 'val'
-                ELSE 'test' END AS split
+           {_duck_split_case("cluster_key")} AS split
     FROM keyed
     """,
 )
@@ -766,7 +784,7 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "split",
-            assign_split("cluster_key", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split-v1"),
+            assign_split("cluster_key", _SPLIT_WEIGHTS, salt=_SPLIT_SALT),
         )
     )
 
@@ -782,14 +800,8 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_duck_trigram_jaccard_ctes(0.7)},
     sp AS (
       SELECT id_a, id_b, jaccard,
-             CASE WHEN {_duck_hash_bucket("id_a", "split-v1", 10000)} < 8000
-                  THEN 'train'
-                  WHEN {_duck_hash_bucket("id_a", "split-v1", 10000)} < 9000
-                  THEN 'val' ELSE 'test' END AS split_a,
-             CASE WHEN {_duck_hash_bucket("id_b", "split-v1", 10000)} < 8000
-                  THEN 'train'
-                  WHEN {_duck_hash_bucket("id_b", "split-v1", 10000)} < 9000
-                  THEN 'val' ELSE 'test' END AS split_b
+             {_duck_split_case("id_a")} AS split_a,
+             {_duck_split_case("id_b")} AS split_b
       FROM jp
     )
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard, split_a, split_b
@@ -815,9 +827,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anti_money_laundering_spark.sampling import assign_split
 
     pairs = _shared_verified_pairs(spark, sf_dir)
-    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
-    split_a = assign_split(F.col("id_a"), weights, salt="split-v1")
-    split_b = assign_split(F.col("id_b"), weights, salt="split-v1")
+    split_a = assign_split(F.col("id_a"), _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    split_b = assign_split(F.col("id_b"), _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
     return (
         pairs.select(
             "id_a",

@@ -422,19 +422,12 @@ def velocity_breach_stream(
 
     def update(key, pdf_iter, state):
         if evict_idle_keys and state.hasTimedOut:
-            # idle key: its whole buffer is older than idle_timeout
-            # (>= h24), so no future ordered arrival can need it
+            # idle key: the watermark has passed its last ts + h24,
+            # so no in-watermark arrival can need the buffer. An
+            # empty generator is a valid (and schema-proof) empty
+            # result — no hand-built empty frame to keep in sync
+            # with out_schema (review finding)
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": np.empty(0, dtype=np.int64),
-                    "event_id": np.empty(0, dtype=np.int64),
-                    "count_1h": np.empty(0, dtype=np.int64),
-                    "sum_24h_cents": np.empty(0, dtype=np.int64),
-                    "count_breach": np.empty(0, dtype=bool),
-                    "sum_breach": np.empty(0, dtype=bool),
-                }
-            )
             return
         if state.exists:
             st_us, st_cents = state.get

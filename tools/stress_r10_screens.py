@@ -323,8 +323,12 @@ def stress_sorted_neighborhood(spark, n_records: int) -> None:
         # the r12 duplicated-subtree A/B (r11 verdict item 2): the
         # checkpoint-free default re-derives the index subtree per
         # join branch; cache_ranked=True persists the ranked frame
-        # lazily so both branches read one InMemoryTableScan. Time
-        # both at the same 20M input and print the premium.
+        # lazily so both branches read one InMemoryTableScan. One
+        # UNTIMED warmup pass first so neither timed variant absorbs
+        # JVM/codegen warmup (review finding: the cold-first ordering
+        # overstated the persist penalty ~2x vs order-controlled
+        # pairs), then time both at the same 20M input.
+        lq.linkage_sorted_neighborhood(spark, "stress").count()
         t0 = time.perf_counter()
         n_pairs_cached = lq.linkage_sorted_neighborhood(
             spark, "stress", cache_ranked=True
