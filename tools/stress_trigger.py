@@ -259,6 +259,40 @@ def main() -> int:
             output_mode="update",
             fixed_users=10_000,
         )
+
+        def mk_velocity_evict(data):
+            from anti_money_laundering_spark.streaming import velocity_breach_stream
+
+            ev = read_events_stream(spark, data, max_files_per_trigger=10)
+            return velocity_breach_stream(
+                ev,
+                max_1h=8,
+                max_24h_cents=2_000_000,
+                h1_us=5_000_000,
+                h24_us=20_000_000,
+                evict_idle_keys=True,
+            )
+
+        # velocity_evict: the r12 state-cardinality answer under the
+        # live regime — population ROTATES per file (the default
+        # idx*1e7 offset), so without eviction state grows with every
+        # user ever seen; with evict_idle_keys the EventTimeTimeout
+        # drops keys idle past the 20 s buffer horizon, so
+        # last_state_rows must land FAR below the cumulative rotated
+        # population. Files are 1/10 the main phases' size: the point
+        # is state-cardinality behavior, and per-key dispatch cost
+        # (the key-count curve, SCALE.md) would otherwise make batches
+        # so slow the run ends before any key is idle past the
+        # horizon — the first live run's lesson.
+        run_live(
+            "velocity_evict",
+            mk_velocity_evict,
+            scratch,
+            max(2_000, rows_per_file // 10),
+            n_files,
+            feed_interval_s,
+            output_mode="update",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return 0
