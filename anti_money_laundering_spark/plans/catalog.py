@@ -372,6 +372,9 @@ _R13_PLAN: tuple[str, ...] = (
     # train/eval boundary — the measurement face of corpus_train_split
     # (r12-new)
     "split_leakage_audit",
+    # streaming twin of the coordination screen — the chained
+    # stateful dedup -> windowed-agg shape (r12-new)
+    "stream_coordinated_amounts",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

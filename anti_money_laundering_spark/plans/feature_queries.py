@@ -3691,7 +3691,7 @@ _COORD_MIN_SENDERS = 3
     tags=("A1", "A3", "A-ext"),
     oracle=f"""
     SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           strftime(ts, '%Y-%m-%d') AS day,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_senders,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(*) * CAST(round(value * 100) AS BIGINT) AS BIGINT)
@@ -3720,7 +3720,9 @@ def coordinated_amount_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which IS the alert)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    # day-granularity format discards sub-day components — no
+    # date_trunc needed (UTC session TZ on both engines)
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
     return (
         ev.select(cents.alias("cents"), day.alias("day"), "user_id")
         .groupBy("cents", "day")

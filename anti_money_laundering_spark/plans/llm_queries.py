@@ -738,13 +738,18 @@ _SPLIT_BUCKETS = 10_000
 
 
 def _duck_split_case(key_sql: str) -> str:
-    """DuckDB replay of sampling.assign_split over _SPLIT_WEIGHTS."""
+    """DuckDB replay of sampling.assign_split over _SPLIT_WEIGHTS —
+    boundary cutoffs come from the SAME sampling.split_thresholds the
+    Spark face uses, so even the float-accumulation rounding cannot
+    diverge between the engines (review finding)."""
+    from anti_money_laundering_spark.sampling import split_thresholds
+
     bucket = _duck_hash_bucket(key_sql, _SPLIT_SALT, _SPLIT_BUCKETS)
     names = list(_SPLIT_WEIGHTS)
-    acc, arms = 0.0, []
-    for name in names[:-1]:
-        acc += _SPLIT_WEIGHTS[name]
-        arms.append(f"WHEN {bucket} < {int(acc * _SPLIT_BUCKETS)} THEN '{name}'")
+    arms = [
+        f"WHEN {bucket} < {cut} THEN '{name}'"
+        for name, cut in zip(names[:-1], split_thresholds(_SPLIT_WEIGHTS, _SPLIT_BUCKETS))
+    ]
     return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
 
 

@@ -382,3 +382,49 @@ def stream_velocity_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return velocity_breach_stream(
         ev, max_1h=_VELOCITY_MAX_1H, max_24h_cents=_VELOCITY_MAX_24H_CENTS
     )
+
+
+from anti_money_laundering_spark.plans.feature_queries import (  # noqa: E402
+    _COORD_MIN_SENDERS,
+)
+
+
+@register(
+    "stream_coordinated_amounts",
+    tags=("STR", "A-ext"),
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             strftime(ts, '%Y-%m-%d') AS day
+      FROM events
+    )
+    SELECT cents, day, CAST(count(*) AS BIGINT) AS n_senders
+    FROM d GROUP BY 1, 2
+    HAVING count(*) >= {_COORD_MIN_SENDERS}
+    """,
+)
+def stream_coordinated_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the STREAMING smurfing-coordination screen
+    (streaming.coordinated_amounts_stream): the
+    ``coordinated_amount_clusters`` cells re-expressed so each (exact
+    amount, UTC day) cell emits once, as its day's window closes — on
+    a stream this is the chained-stateful shape
+    (dropDuplicatesWithinWatermark over (user, cents, day) feeding a
+    tumbling 1-day window count in append mode); on batch input the
+    identical semantics reduce to distinct + keyed aggregate. The
+    sender floor is imported from the batch screen (no hard-coded
+    copy — the r9 FLOW_THRESHOLD lesson). Replay parity over 4
+    micro-batches: tests/test_streaming.py::
+    test_stream_coordinated_amounts_parity (emitted windows only —
+    append mode holds a day's cell until the watermark passes its
+    end, the documented alerting delay of exact-distinct streaming).
+
+    Exactness: cents are on-grid integers, the day an ISO string on
+    both engines, n_senders an exact distinct count. Plan: distinct
+    (one composite-key exchange) + the (cents, day) re-aggregation
+    riding a second — both keyed, no join, no python state."""
+    ev = load_table(spark, sf_dir, "events")
+    from anti_money_laundering_spark.streaming import coordinated_amounts_stream
+
+    return coordinated_amounts_stream(ev, min_senders=_COORD_MIN_SENDERS)

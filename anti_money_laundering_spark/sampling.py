@@ -75,19 +75,31 @@ def assign_split(
     Pass a near-dup ``cluster_id`` as ``key`` for leakage-free splits
     (the whole cluster shares one bucket, hence one split)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"split weights must sum to 1, got {total}")
     bucket = hash_bucket(key, buckets, salt)
     expr: Column | None = None
-    acc = 0.0
     names = list(weights)
-    for name in names[:-1]:
-        acc += weights[name]
-        cond = bucket < int(acc * buckets)
+    for name, cut in zip(names[:-1], split_thresholds(weights, buckets)):
+        cond = bucket < cut
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def split_thresholds(weights: dict[str, float], buckets: int) -> list[int]:
+    """The cumulative bucket cutoffs behind ``assign_split`` — one per
+    split name EXCEPT the last (which takes the remainder). Extracted
+    so SQL oracle builders replay the exact same boundary arithmetic
+    (including the float accumulation + int truncation) instead of
+    duplicating the loop — a one-sided rounding change would otherwise
+    shift bucket-boundary rows in one engine only (review finding)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    cuts, acc = [], 0.0
+    for name in list(weights)[:-1]:
+        acc += weights[name]
+        cuts.append(int(acc * buckets))
+    return cuts
 
 
 def stratified_sample(

@@ -217,6 +217,64 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return events.dropDuplicates(["event_id"])
 
 
+def coordinated_amounts_stream(
+    events: DataFrame,
+    min_senders: int,
+    late_tolerance: str = "25 hours",
+) -> DataFrame:
+    """Streaming twin of the smurfing-ring coordination screen
+    (``coordinated_amount_clusters``): (exact cent amount, UTC day)
+    cells where at least ``min_senders`` DISTINCT accounts moved that
+    identical amount, emitted as each day's window closes — the
+    always-on face of the cross-account screen. Output (both faces):
+    ``(cents, day, n_senders)``.
+
+    On a STREAM this is the chained-stateful-operator shape Spark
+    3.5+ unlocked: ``dropDuplicatesWithinWatermark`` over
+    (user, cents, day) makes senders distinct (state evicted by the
+    watermark — bounded, unlike plain dropDuplicates whose key omits
+    the event-time column), feeding a tumbling 1-day event-time
+    window count in APPEND mode (a day's cell emits exactly once,
+    when the watermark passes the window end). Exactness contract:
+    same-day duplicates are at most 24 h apart, so ``late_tolerance``
+    must cover a day (default 25 h) or a sender repeating the same
+    amount across an evicted gap double-counts; the cost is that a
+    day's alerts emit ~``late_tolerance`` after the day ends — the
+    structural alerting delay of exact-distinct streaming (shrink it
+    by shrinking the window, not the tolerance). On BATCH input the
+    same semantics reduce to the distinct + keyed aggregate.
+
+    Scale posture: two keyed stateful ops, both partitioned by
+    amount-bearing composite keys (dedup on (user, cents, day), agg
+    on (day-window, cents)) — no join, no python state; dedup state
+    is bounded by one tolerance-window of distinct (user, amount,
+    day) triples, agg state by the open windows' live cells."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    if not events.isStreaming:
+        return (
+            events.select(cents.alias("cents"), day.alias("day"), "user_id")
+            .dropDuplicates(["user_id", "cents", "day"])
+            .groupBy("cents", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_senders"))
+            .filter(F.col("n_senders") >= min_senders)
+        )
+    keyed = events.withWatermark("ts", late_tolerance).select(
+        "ts", cents.alias("cents"), day.alias("day"), "user_id"
+    )
+    dedup = keyed.dropDuplicatesWithinWatermark(["user_id", "cents", "day"])
+    return (
+        dedup.groupBy(F.window("ts", "1 day"), "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_senders"))
+        .filter(F.col("n_senders") >= min_senders)
+        .select(
+            "cents",
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "n_senders",
+        )
+    )
+
+
 def stateful_user_totals(events: DataFrame, alert_threshold: float = 1000.0) -> DataFrame:
     """Custom stateful operator: running per-user totals with an alert
     flag once the cumulative value crosses ``alert_threshold`` — the

@@ -233,6 +233,9 @@ EXCHANGE_BUDGET = {
     "coordinated_amount_clusters": 2,
     "trade_mispricing_alerts": 1,
     "split_leakage_audit": 0,
+    # batch face of the chained-stateful streaming twin: distinct on
+    # (user, cents, day) + the (cents, day) re-agg = 2 keyed exchanges
+    "stream_coordinated_amounts": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

@@ -675,3 +675,81 @@ def test_stream_velocity_evict_idle_keys(spark, replay_dir):
     # entry per user ever seen)
     n_users = spark.read.parquet(replay_dir).select("user_id").distinct().count()
     assert evicted_state_rows < n_users
+
+
+def test_stream_coordinated_amounts_parity(spark, sf_dir, replay_dir):
+    """The coordination screen's streaming face (chained
+    dropDuplicatesWithinWatermark -> tumbling-day window count, append
+    mode) replayed over 4 micro-batches must equal its batch face for
+    every EMITTED window — append mode holds a day's cell until the
+    watermark (max ts - 25h) passes the window end, so the last ~2
+    days of event time legitimately stay open; the compare excludes
+    them on the batch side (the twin's documented delta)."""
+    import datetime as dt
+
+    from anti_money_laundering_spark.plans.catalog import get_catalog
+    from anti_money_laundering_spark.streaming import coordinated_amounts_stream
+    from anti_money_laundering_spark.plans.feature_queries import _COORD_MIN_SENDERS
+
+    batch = get_catalog()["stream_coordinated_amounts"].fn(spark, sf_dir)
+    stream = coordinated_amounts_stream(
+        read_events_stream(spark, replay_dir), min_senders=_COORD_MIN_SENDERS
+    )
+    got = run_stream_to_memory(stream, "t_coord_amounts", output_mode="append")
+    max_ts = spark.read.parquet(replay_dir).agg(F.max("ts")).collect()[0][0]
+    # emitted = window end (day start + 1 day) <= watermark (max - 25h);
+    # replay ts are nanos-as-long
+    wm = max_ts / 1000 - 25 * 3_600_000_000  # microseconds
+    horizon = dt.datetime.utcfromtimestamp(wm / 1e6) - dt.timedelta(days=1)
+    closed = batch.filter(F.col("day") <= horizon.strftime("%Y-%m-%d"))
+    cols = ["cents", "day", "n_senders"]
+    assert _rows(got, cols) == _rows(closed, cols)
+
+
+def test_stream_coordinated_amounts_hand_case(spark):
+    """Hand case for the chained-stateful twin: 3 distinct users at
+    950.00 on day 1 flag; a 4th SAME-user repeat must not raise the
+    count (the dedup leg); 2 users at 500.00 don't flag; 3 users at
+    720.00 split 2/1 across midnight don't (calendar-day cell). A
+    far-future sentinel advances the watermark so day-1 windows emit.
+    Events arrive across TWO micro-batches splitting the ring, so the
+    dedup/window state (not same-batch rows) carries the cell."""
+    import datetime as dt
+    import tempfile
+
+    from anti_money_laundering_spark.streaming import coordinated_amounts_stream
+
+    d1 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    d2 = dt.datetime(2024, 3, 2, 0, 30, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, d1, 101, 950.00), (2, d1 + h, 102, 950.00),
+        (3, d1 + 2 * h, 103, 950.00), (4, d1 + 3 * h, 101, 950.00),
+        (5, d1, 201, 500.00), (6, d1 + h, 202, 500.00),
+        (7, d1 + 13 * h, 401, 720.00), (8, d1 + 14 * h, 402, 720.00),
+        (9, d2, 403, 720.00),
+        (10, d1 + dt.timedelta(days=30), 999, 1.00),  # watermark sentinel
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    tmp = tempfile.mkdtemp(prefix="coord_hand_")
+    early = [r for r in rows if r[0] <= 4]
+    late = [r for r in rows if r[0] > 4]
+    for part in (early, late):
+        spark.createDataFrame(
+            [(i, ts, u, "transfer", v, "{}") for i, ts, u, v in part], schema
+        ).withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+    stream = coordinated_amounts_stream(
+        read_events_stream(spark, tmp), min_senders=3
+    )
+    got = {
+        (r.cents, r.day): r.n_senders
+        for r in run_stream_to_memory(
+            stream, "t_coord_hand", output_mode="append"
+        ).collect()
+    }
+    assert got == {(95000, "2024-03-01"): 3}
