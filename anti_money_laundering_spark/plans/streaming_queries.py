@@ -9,8 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from anti_money_laundering_spark.plans.catalog import register
+from anti_money_laundering_spark.plans.feature_queries import _COORD_MIN_SENDERS
 from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.streaming import (
+    coordinated_amounts_stream,
     enrich_events_static,
     session_event_stats,
     sliding_event_values,
@@ -384,11 +386,6 @@ def stream_velocity_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from anti_money_laundering_spark.plans.feature_queries import (  # noqa: E402
-    _COORD_MIN_SENDERS,
-)
-
-
 @register(
     "stream_coordinated_amounts",
     tags=("STR", "A-ext"),
@@ -425,6 +422,4 @@ def stream_coordinated_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one composite-key exchange) + the (cents, day) re-aggregation
     riding a second — both keyed, no join, no python state."""
     ev = load_table(spark, sf_dir, "events")
-    from anti_money_laundering_spark.streaming import coordinated_amounts_stream
-
     return coordinated_amounts_stream(ev, min_senders=_COORD_MIN_SENDERS)

@@ -29,9 +29,14 @@ __all__ = [
     "session_event_stats",
     "interval_join_streams",
     "dedup_events_stream",
+    "coordinated_amounts_stream",
+    "enrich_events_static",
+    "merge_stream_sink",
+    "stateful_event_transitions",
     "stateful_user_totals",
     "stateful_user_totals_v2",
     "transform_with_state_available",
+    "velocity_breach_stream",
     "run_stream_to_memory",
 ]
 

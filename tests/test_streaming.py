@@ -719,8 +719,12 @@ def test_stream_coordinated_amounts_hand_case(spark):
 
     from anti_money_laundering_spark.streaming import coordinated_amounts_stream
 
-    d1 = dt.datetime(2024, 3, 1, 9, 0, 0)
-    d2 = dt.datetime(2024, 3, 2, 0, 30, 0)
+    # tz-AWARE instants: naive datetimes go through the driver
+    # machine's OS timezone in createDataFrame, which would shift the
+    # asserted UTC day strings on a non-UTC machine (review finding)
+    utc = dt.timezone.utc
+    d1 = dt.datetime(2024, 3, 1, 9, 0, 0, tzinfo=utc)
+    d2 = dt.datetime(2024, 3, 2, 0, 30, 0, tzinfo=utc)
     h = dt.timedelta(hours=1)
     rows = [
         (1, d1, 101, 950.00), (2, d1 + h, 102, 950.00),
