@@ -407,11 +407,14 @@ def velocity_breach_stream(
     the default's softer "late row gets its own counters" behavior.
 
     Capacity rule (r11 verdict item 3; measured curve in SCALE.md
-    §trigger-mode-velocity-at-100k-1M): the per-trigger cost is ~1.3 s
-    fixed + ~70 us per ACTIVE key on 32 cores (pandas group dispatch
-    dominates; per-event work is ~free — 4x events per key measured
-    +27% wall). A deployment keeps up iff active_keys_per_trigger x
-    70 us < trigger_interval x n_32core_executor_groups. Levers, in
+    §trigger-mode-velocity-at-100k-1M, extended to 2M keys): the
+    per-trigger cost is ~1.3 s fixed + 57-91 us per ACTIVE key on 32
+    cores (pandas group dispatch dominates, marginal cost drifting up
+    slowly with total state entries — no cliff through 2M; per-event
+    work is ~free: 4x events per key measured +27% wall at 200k keys
+    and ~0% at 2M). A deployment keeps up iff
+    active_keys_per_trigger x ~70-90 us < trigger_interval x
+    n_32core_executor_groups. Levers, in
     order: (1) COARSEN the trigger — more events per key per batch at
     near-zero marginal cost; (2) scale OUT — state shuffles on
     user_id, so throughput is linear in executors; (3) past ~10M
