@@ -38,6 +38,7 @@ __all__ = [
     "transform_with_state_available",
     "velocity_breach_stream",
     "run_stream_to_memory",
+    "write_events_replay",
 ]
 
 #: Schema of the fixture events parquet as WRITTEN (ts is parquet
@@ -547,6 +548,34 @@ def velocity_breach_stream(
     return prepared.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout_conf
     )
+
+
+def write_events_replay(
+    events: DataFrame, n_files: int = 4, path: str | None = None
+) -> str:
+    """THE replay-dir builder (the parity-test harness' other half,
+    shared by tests and examples so the load-bearing physical-layout
+    detail lives once — review finding): splits an events frame into
+    ``n_files`` time-ordered parquet files so ``read_events_stream``
+    replays it as that many micro-batches, writing ``ts`` back to the
+    fixture's nanos-as-long raw layout (``unix_micros(ts) * 1000``)
+    exactly as ``EVENTS_RAW_SCHEMA`` expects. Time ordering makes the
+    watermark advance monotonically — the ordered-arrival contract the
+    stateful operators' exactness notes assume."""
+    import tempfile
+
+    out = path or tempfile.mkdtemp(prefix="events_replay_")
+    ordered = events.orderBy("ts")
+    rows = ordered.collect()
+    chunk = (len(rows) + n_files - 1) // n_files
+    spark = events.sparkSession
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ordered.schema).withColumn(
+                "ts", F.expr("unix_micros(ts) * 1000")
+            ).coalesce(1).write.mode("append").parquet(out)
+    return out
 
 
 def run_stream_to_memory(

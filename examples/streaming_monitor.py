@@ -1,10 +1,12 @@
-"""Always-on AML monitoring: the streaming face of the engine's alert
-screens run as concurrent Structured Streaming queries over one
-replayed event feed — the deployment shape a transaction-monitoring
-team actually operates (the batch faces of the same operators are the
-retrospective screens in examples/reference_workflow.py).
+"""Always-on AML monitoring: the streaming faces of the engine's alert
+screens over one replayed event feed — the deployment shape a
+transaction-monitoring team operates (the batch faces of the same
+operators are the retrospective screens in
+examples/reference_workflow.py).
 
-Queries started (each an independent checkpointed stream):
+Screens replayed (each drained to completion in turn with
+``availableNow`` into a memory sink — the demo harness; see the
+production notes below):
 - velocity breaches — applyInPandasWithState per-event rolling limits
   (count-1h / sum-24h), with ``evict_idle_keys=True`` so state is
   bounded by the ACTIVE population, not every account ever seen
@@ -14,23 +16,30 @@ Queries started (each an independent checkpointed stream):
   (dropDuplicatesWithinWatermark -> tumbling-day window count): cells
   of >= 3 distinct senders moving one identical amount in one day,
   emitted as each day's window closes.
-- pass-through pairs — the stream-stream interval join: inflows echoed
-  back out of the same account within the match horizon at 80-100% of
-  the amount.
+- pass-through pairs — the REAL funnel-account composition
+  (plans/streaming_queries.py::stream_passthrough_pairs' stream face):
+  inflow leg keyed on the beneficiary (props ``$.k``), outflow leg on
+  the sender, matched within 48 h at 80-100% of the inflow amount via
+  the watermarked stream-stream interval join.
 - stateful running totals — the cumulative per-account accumulator
   with its alert threshold.
 
+Production notes (this script is a sequential REPLAY demo, not the
+deployed shape): run each screen as its OWN continuous query — swap
+the file source for Kafka, give every query a distinct durable
+``option("checkpointLocation", ...)``, a table/Kafka sink instead of
+memory, and a ``processingTime`` trigger sized per DEPLOY.md; do NOT
+``awaitTermination()`` one query before starting the next (a
+continuous source never terminates — start all, then await the
+session).
+
 Run: python examples/streaming_monitor.py [sf_dir]
-(replays the fixture events as 4 time-ordered micro-batch files into
-in-memory sinks, then prints each screen's alert count — swap the
-file source for Kafka and the memory sinks for tables in production).
 """
 
 from __future__ import annotations
 
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,6 +50,7 @@ from anti_money_laundering_spark.plans.feature_queries import (  # noqa: E402
     _VELOCITY_MAX_1H,
     _VELOCITY_MAX_24H_CENTS,
 )
+from anti_money_laundering_spark.plans.fixture_graphs import FLOW_THRESHOLD  # noqa: E402
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 from anti_money_laundering_spark.sources import load_table  # noqa: E402
 from anti_money_laundering_spark.streaming import (  # noqa: E402
@@ -50,29 +60,30 @@ from anti_money_laundering_spark.streaming import (  # noqa: E402
     run_stream_to_memory,
     stateful_user_totals,
     velocity_breach_stream,
+    write_events_replay,
 )
 
 
-def make_replay_dir(spark, sf_dir: str) -> str:
-    """The fixture events split into 4 time-ordered files so each
-    screen replays as 4 micro-batches (production: a Kafka topic)."""
-    ev = load_table(spark, sf_dir, "events").orderBy("ts")
-    tmp = tempfile.mkdtemp(prefix="monitor_feed_")
-    rows = ev.collect()
-    chunk = (len(rows) + 3) // 4
-    for i in range(4):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if part:
-            spark.createDataFrame(part, ev.schema).withColumn(
-                "ts", F.expr("unix_micros(ts) * 1000")
-            ).coalesce(1).write.mode("append").parquet(tmp)
-    return tmp
+def passthrough_leg(df, inflow: bool):
+    """One face of the funnel screen: events above the flow threshold,
+    keyed on the middle account — the beneficiary (props $.k) for
+    inflows, the sender for outflows."""
+    df = df.filter(F.col("value") > FLOW_THRESHOLD)
+    cents = F.round(F.col("value") * 100).cast("long")
+    mid = (
+        F.get_json_object("props", "$.k").cast("long")
+        if inflow
+        else F.col("user_id")
+    )
+    return df.select(mid.alias("mid"), "event_id", cents.alias("cents"), "ts")
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="aml_streaming_monitor")
-    feed = make_replay_dir(spark, sf_dir)
+    # the fixture events as 4 time-ordered micro-batch files
+    # (production: a Kafka topic)
+    feed = write_events_replay(load_table(spark, sf_dir, "events"))
 
     velocity = run_stream_to_memory(
         velocity_breach_stream(
@@ -97,13 +108,20 @@ def main() -> int:
 
     passthrough = run_stream_to_memory(
         interval_join_streams(
-            read_events_stream(spark, feed).filter("event_type = 'purchase'"),
-            read_events_stream(spark, feed).filter("event_type = 'click'"),
+            passthrough_leg(read_events_stream(spark, feed), inflow=True),
+            passthrough_leg(read_events_stream(spark, feed), inflow=False),
+            key="mid",
+            upper="48 hours",
+            watermark="49 hours",
+        ).filter(
+            (F.col("l_event_id") != F.col("r_event_id"))
+            & (F.col("r_cents") * 10 >= F.col("l_cents") * 8)
+            & (F.col("r_cents") * 10 <= F.col("l_cents") * 10)
         ),
         "mon_passthrough",
         output_mode="append",
     )
-    print(f"interval_join_pairs: {passthrough.count()} pairs")
+    print(f"passthrough_pairs: {passthrough.count()} in/out echo pairs")
 
     totals = run_stream_to_memory(
         stateful_user_totals(read_events_stream(spark, feed)),

@@ -25,23 +25,12 @@ from anti_money_laundering_spark.streaming import (
 @pytest.fixture(scope="module")
 def replay_dir(spark, sf_dir):
     """The fixture events split into 4 files so the stream runs as 4
-    micro-batches (time-ordered so the watermark advances forward)."""
-    ev = load_table(spark, sf_dir, "events").orderBy("ts")
-    tmp = tempfile.mkdtemp(prefix="events_replay_")
-    n = ev.count()
-    chunk = (n + 3) // 4
-    rows = ev.collect()
-    for i in range(4):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if not part:
-            continue
-        pdf = spark.createDataFrame(part, ev.schema)
-        # one file per chunk, nanos restored as long so the stream
-        # source sees the same physical layout as the fixture
-        pdf.withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
-            "append"
-        ).parquet(tmp)
-    return tmp
+    micro-batches (time-ordered so the watermark advances forward) —
+    via the shared library harness so the nanos-restore layout detail
+    lives once (streaming.write_events_replay)."""
+    from anti_money_laundering_spark.streaming import write_events_replay
+
+    return write_events_replay(load_table(spark, sf_dir, "events"), n_files=4)
 
 
 def _rows(df, keys):
