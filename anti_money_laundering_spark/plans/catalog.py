@@ -78,20 +78,20 @@ DRIVER_WINDOW = 50
 #: count as prior evidence. This makes the suite time-stable (r6
 #: verdict item 2): it passes identically before and after the
 #: current round's driver artifact lands on disk.
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
-#: ROUND-12 ROTATION (r11 verdict item 1): the 8-query flagship keep
-#: core re-attests as always; the 5 ``_R12_PLAN`` screens (registered
-#: during r11, after its window froze) get their first driver rows —
-#: after which the 245-query catalog is FULLY driver-attested; and the
-#: remaining 37 slots continue the oldest-ledger-first rotation: all 30
-#: queries whose latest green row is still r6 (the r11 window re-rowed
-#: the alphabetically-first 12 of that cohort), then the
-#: alphabetically-first 7 of the 35 whose latest row is r7 (the
-#: remaining 28 are the r13 filler pool). Every rotated-out query
+#: ROUND-13 ROTATION (r12 verdict item 1): the 8-query flagship keep
+#: core re-attests as always; the 4 ``_R13_PLAN`` screens (registered
+#: during r12, after its window froze) get their first driver rows —
+#: after which the 249-query catalog is FULLY driver-attested again;
+#: and the remaining 38 slots continue the oldest-ledger-first
+#: rotation: all 28 queries whose latest green row is still r7 (the
+#: r12 window re-rowed the alphabetically-first 7 of that cohort),
+#: then the alphabetically-first 10 of the 41 whose latest row is r8
+#: (the remaining 31 are the r14 filler pool). Every rotated-out query
 #: stayed green in prior driver rounds AND passes the identical DuckDB
 #: compare in pytest (tests/test_catalog_oracle.py) and the committed
-#: sf0.1 audit (245/245 pass at the r11 close tree).
+#: sf0.1 audit (249/249 pass at the r12 close tree).
 _WINDOW: tuple[str, ...] = (
     # --- keep core: 8 flagship canaries ------------------------------
     "sources_roundtrip",        # S2,S3,S4,S8,S9,S10
@@ -102,52 +102,52 @@ _WINDOW: tuple[str, ...] = (
     "linkage_entity_clusters",  # E4,G4
     "ann_lsh_topk",             # LLM,ann (recall-1.0 pin, exact oracle)
     "aml_alert_feed",           # G5,G4,G6,U2 (composite flagship)
-    # --- 5 first-time attestations: the committed _R12_PLAN ----------
-    "motif_fanin_capped",
-    "stream_velocity_breaches",
-    "peer_group_deviation",
-    "amount_ramp_runs",
-    "embedding_label_outliers",
-    # --- 37 oldest-ledger re-attests ----------------------------------
-    # r6 remainder (30): the rest of that cohort re-rowed in r11
-    "graph_degree_assortativity",
-    "graph_harmonic_centrality",
-    "graph_label_propagation",
-    "graph_neighbor_jaccard",
-    "graph_net_flow",
-    "graph_random_walks",
-    "graph_reciprocity",
-    "graph_shortest_paths",
-    "hard_negatives_ann",
-    "incremental_revenue_merge",
-    "kfold_assign_docs",
-    "linkage_jw_scores",
-    "map_function_suite",
-    "negative_samples_docs",
-    "per_source_doc_cap",
-    "quality_rule_screen",
-    "rebalance_target_mix",
-    "rebalance_uniform_mix",
-    "repetition_scores_docs",
-    "shard_manifest_docs",
-    "stream_event_transitions",
-    "stream_interval_join_outer",
-    "stream_sliding_values",
-    "text_length_quantiles",
-    "tfidf_exact_pairs",
-    "variant_extract_props",
-    "versioned_evolution_roundtrip",
-    "versioned_table_roundtrip",
-    "weighted_sample_orders",
-    "xml_roundtrip_props",
-    # r7 (alphabetically-first 7 of 35; remainder = r13 filler pool)
-    "ann_quantized_topk",
-    "approx_distinct_parts",
-    "approx_quantiles_prices",
-    "asof_nearest_purchase",
-    "behavior_entropy_users",
-    "benford_digit_scores",
-    "bucketed_join_segments",
+    # --- 4 first-time attestations: the committed _R13_PLAN ----------
+    "coordinated_amount_clusters",
+    "trade_mispricing_alerts",
+    "split_leakage_audit",
+    "stream_coordinated_amounts",
+    # --- 38 oldest-ledger re-attests ----------------------------------
+    # r7 remainder (28): the rest of that cohort re-rowed in r12
+    "burstiness_daily_users",
+    "chi2_type_weekday",
+    "corpus_clean_pipeline",
+    "corpus_despan_clean",
+    "counterparty_concentration",
+    "cumulative_distinct_users",
+    "daily_revenue_growth",
+    "dedup_minhash_near_dups",
+    "dedup_repeated_spans",
+    "dedup_simhash_candidates",
+    "dominant_event_type",
+    "dormant_activation_alerts",
+    "event_transition_matrix",
+    "ewma_event_values",
+    "gini_order_values",
+    "histogram_equi_height",
+    "linkage_match_weights",
+    "longest_streak_users",
+    "mad_outlier_values",
+    "peak_concurrent_windows",
+    "pregel_trust_averaging",
+    "profile_orders",
+    "resample_daily_gapfill",
+    "sessionize_events",
+    "trend_slope_per_user",
+    "winsorized_value_stats",
+    "zorder_layout_keys",
+    "zscore_outlier_orders",
+    # r8 (alphabetically-first 10 of 41; remainder = r14 filler pool)
+    "acf_daily_values",
+    "attribution_touchpoints",
+    "bloom_prefilter_revenue",
+    "bpe_pair_counts",
+    "connected_components",
+    "cusum_changepoints",
+    "decimal_money_totals",
+    "fuzzy_name_pairs",
+    "graph_betweenness",
+    "graph_densest_peel",
 )
 
 #: ROUND-7 COMPLETION SCHEDULE — retained verbatim from the r6 freeze
@@ -377,6 +377,12 @@ _R13_PLAN: tuple[str, ...] = (
     "stream_coordinated_amounts",
 )
 
+#: ROUND-14 SCHEDULE: queries registered during r13 (after the r13
+#: window froze). Append every r13-new registration here or
+#: tests/test_catalog_window.py fails; keep <= ~10 at round close
+#: (r12 verdict item 6) so the r14 window isn't oversubscribed.
+_R14_PLAN: tuple[str, ...] = ()
+
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,
     8: _R8_PLAN,
@@ -385,6 +391,7 @@ _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     11: _R11_PLAN,
     12: _R12_PLAN,
     13: _R13_PLAN,
+    14: _R14_PLAN,
 }
 
 #: EMPTY since r9: every catalog query now carries a DuckDB oracle.
