@@ -381,7 +381,12 @@ _R13_PLAN: tuple[str, ...] = (
 #: window froze). Append every r13-new registration here or
 #: tests/test_catalog_window.py fails; keep <= ~10 at round close
 #: (r12 verdict item 6) so the r14 window isn't oversubscribed.
-_R14_PLAN: tuple[str, ...] = ()
+_R14_PLAN: tuple[str, ...] = (
+    # sliding-window (two offset 24h grids) coordination variant —
+    # closes the calendar-boundary evasion the r12 50M stress exposed
+    # (r12 verdict item 2)
+    "coordinated_sliding_windows",
+)
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {
     7: _R7_PLAN,

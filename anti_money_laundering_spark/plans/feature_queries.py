@@ -3514,13 +3514,16 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.sum("tc")).alias("s_sum"),
         F.sum(dec(F.col("tc")) * dec(F.col("tc"))).alias("s_sq"),
         dec(F.count(F.lit(1))).alias("n"),
-        F.max("tc").alias("__s_max"),
+        F.max(F.abs(F.col("tc"))).alias("__s_max"),
     )
     # explicit segment-size guard (r11 advice item 4): the cubic term
-    # needs (max_tc * n)^2 * n <= 10^38 — under ANSI an overflow fails
+    # needs (max|tc| * n)^2 * n <= 10^38 — under ANSI an overflow fails
     # loudly anyway, but with ANSI off it wraps to NULL and the row
-    # silently vanishes. The check runs in double over the tiny
-    # segment-stats frame at 9.9e37 — ~1% below the decimal(38,0)
+    # silently vanishes. max of |tc|, not tc (r12 advice item 2): a
+    # feed containing refunds/negative totals must bound |tc*n - s_sum|
+    # by magnitude, or a large-negative total could pass the guard
+    # while the bracket overflows. The check runs in double over the
+    # tiny segment-stats frame at 9.9e37 — ~1% below the decimal(38,0)
     # ceiling, which is all the margin the check needs (it only has
     # to dwarf double's ~1e-16 relative error; do NOT "spend" this
     # headroom by relaxing the threshold). A predicate (not an unused
@@ -3734,6 +3737,104 @@ def coordinated_amount_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cents",
             "day",
+            "n_senders",
+            "n_events",
+            (F.col("n_events") * F.col("cents")).cast("long").alias("total_cents"),
+        )
+    )
+
+
+#: Microseconds per day / half-day for the offset-grid windows below.
+_DAY_US = 86_400_000_000
+_HALF_DAY_US = 43_200_000_000
+
+
+@register(
+    "coordinated_sliding_windows",
+    tags=("A1", "A3", "A-ext"),
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us, user_id
+      FROM events
+    ),
+    g AS (
+      SELECT cents, us - us % {_DAY_US} AS win_us, user_id FROM e
+      UNION ALL
+      SELECT cents, us - (us - {_HALF_DAY_US}) % {_DAY_US} AS win_us, user_id
+      FROM e
+    ),
+    c AS (
+      SELECT cents, win_us,
+             count(DISTINCT user_id) AS n_senders,
+             count(*) AS n_events
+      FROM g GROUP BY 1, 2
+    )
+    SELECT cents,
+           strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M') AS win_start,
+           CAST(n_senders AS BIGINT) AS n_senders,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_events * cents AS BIGINT) AS total_cents
+    FROM c
+    WHERE n_senders >= {_COORD_MIN_SENDERS}
+    """,
+)
+def coordinated_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-robust coordination screen: the sliding-window variant
+    of ``coordinated_amount_clusters`` that closes the calendar-seam
+    evasion its own 50M stress exposed (SCALE.md §r12-screens: a ring
+    spread hourly across midnight splits 2/10 across calendar-day
+    cells, so an adversary who times around known window boundaries
+    beats the day grid).
+
+    Formulation: every event lands in TWO 24h windows — the calendar
+    day (starts 00:00 UTC) and the noon-offset day (starts 12:00 UTC)
+    — and each (exact cent amount, window) cell is screened for
+    ``_COORD_MIN_SENDERS`` distinct senders, exactly like the base
+    screen. Detection guarantee: the union of the two grids has a
+    boundary only every 12h, and a burst spanning <= 12h crosses at
+    most ONE combined boundary — i.e. at most one grid's boundary — so
+    it lies WHOLE inside some window of the other grid and is counted
+    at full strength. A ring must stretch itself past 12h (losing the
+    burst shape the screen targets) to straddle both grids. A ring
+    fully inside one calendar day flags in both grids (two rows, same
+    senders) — duplicate alert cells for the same ring are expected
+    output, not a bug; the alert consumer clusters by (cents, senders).
+
+    Exactness: window starts are integer-microsecond arithmetic
+    (``unix_micros``/``epoch_us``, the r7 exact-µs rule — ``%`` on
+    nonnegative longs agrees across engines) emitted as ISO-minute
+    strings; cents/total_cents as in the base screen. Scale posture:
+    the explode doubles rows, then ONE composite shuffle on
+    (cents, win_us) with the distinct-sender count riding the
+    two-phase distinct aggregate — 2x the base screen's shuffle bytes,
+    still no join, no window function, and skew lands only on cells
+    that ARE the alerts. Reference stake: generalizes the structuring
+    alert of 01_aml_network_analysis.py:308-322 across accounts
+    without its fixed-calendar seam."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(cents.alias("cents"), us.alias("us"), "user_id")
+    win_a = F.col("us") - F.col("us") % F.lit(_DAY_US)
+    win_b = F.col("us") - (F.col("us") - F.lit(_HALF_DAY_US)) % F.lit(_DAY_US)
+    return (
+        e.select(
+            "cents",
+            "user_id",
+            F.explode(F.array(win_a, win_b)).alias("win_us"),
+        )
+        .groupBy("cents", "win_us")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_senders"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_senders") >= _COORD_MIN_SENDERS)
+        .select(
+            "cents",
+            F.date_format(
+                F.timestamp_micros(F.col("win_us")), "yyyy-MM-dd HH:mm"
+            ).alias("win_start"),
             "n_senders",
             "n_events",
             (F.col("n_events") * F.col("cents")).cast("long").alias("total_cents"),

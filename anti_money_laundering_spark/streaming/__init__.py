@@ -561,20 +561,30 @@ def write_events_replay(
     fixture's nanos-as-long raw layout (``unix_micros(ts) * 1000``)
     exactly as ``EVENTS_RAW_SCHEMA`` expects. Time ordering makes the
     watermark advance monotonically — the ordered-arrival contract the
-    stateful operators' exactness notes assume."""
+    stateful operators' exactness notes assume.
+
+    HARNESS-ONLY, fixture-scale by design: the frame is collected to
+    the driver so the chunk writes land as SEQUENTIAL jobs with
+    strictly ascending file mtimes — the ordering FileStreamSource
+    replays; a single distributed ``repartitionByRange`` write would
+    give every part file the same mtime and an undefined replay order.
+    Don't pass corpus-scale frames. The ts conversion to long happens
+    IN-PLAN before collect so no datetime object crosses the Python
+    boundary (naive-datetime round-trips shift events in a DST
+    fall-back hour on a non-UTC driver)."""
     import tempfile
 
     out = path or tempfile.mkdtemp(prefix="events_replay_")
-    ordered = events.orderBy("ts")
+    ordered = events.withColumn("ts", F.expr("unix_micros(ts) * 1000")).orderBy("ts")
     rows = ordered.collect()
     chunk = (len(rows) + n_files - 1) // n_files
     spark = events.sparkSession
     for i in range(n_files):
         part = rows[i * chunk : (i + 1) * chunk]
         if part:
-            spark.createDataFrame(part, ordered.schema).withColumn(
-                "ts", F.expr("unix_micros(ts) * 1000")
-            ).coalesce(1).write.mode("append").parquet(out)
+            spark.createDataFrame(part, ordered.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(out)
     return out
 
 

@@ -2056,6 +2056,72 @@ def test_coordinated_amount_clusters_hand_case(spark):
     assert (r.n_senders, r.n_events, r.total_cents) == (3, 4, 380000)
 
 
+def test_coordinated_sliding_windows_hand_case(spark):
+    """Hand-computed sliding-grid screen (out-of-family rule), pinning
+    the exact evasion case the r12 50M stress exposed: a 3-sender ring
+    at 880.00 firing 23:00 / 23:30 / 00:30 UTC STRADDLES midnight — the
+    calendar grid splits it 2+1 (base screen silent, asserted here) but
+    the noon-offset window [03-01 12:00, 03-02 12:00) holds it whole
+    and flags n_senders=3. A ring fully inside one morning flags in
+    BOTH grids (two rows — documented duplicate-cell semantics). A ring
+    STRETCHED past the 12h guarantee (11:00 / 18:00 / next-day 01:00
+    spans 14h, crossing both a noon and a midnight boundary) evades
+    both grids — the structural limit the docstring states. tz-aware
+    UTC instants per the r12 createDataFrame-timezone lesson."""
+    import datetime as dt
+
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    utc = dt.timezone.utc
+    t = lambda d, hh, mm=0: dt.datetime(2024, 3, d, hh, mm, tzinfo=utc)  # noqa: E731
+    rows = [
+        # midnight-straddling ring, span 1.5h — the evasion case
+        (1, t(1, 23), 101, 880.00),
+        (2, t(1, 23, 30), 102, 880.00),
+        (3, t(2, 0, 30), 103, 880.00),
+        # fully-inside-day ring — flags in both grids
+        (4, t(1, 9), 201, 950.00),
+        (5, t(1, 10), 202, 950.00),
+        (6, t(1, 11), 203, 950.00),
+        # only 2 distinct senders — never flags
+        (7, t(1, 9), 301, 500.00),
+        (8, t(1, 10), 302, 500.00),
+        # 14h-span ring crossing noon AND midnight — evades both grids
+        (9, t(1, 11), 401, 640.00),
+        (10, t(1, 18), 402, 640.00),
+        (11, t(2, 1), 403, 640.00),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "transfer", v, None) for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        base = {
+            (r.cents, r.day)
+            for r in fq.coordinated_amount_clusters(spark, "x").collect()
+        }
+        got = {
+            (r.cents, r.win_start): r
+            for r in fq.coordinated_sliding_windows(spark, "x").collect()
+        }
+    finally:
+        fq.load_table = orig
+    # the base calendar screen sees ONLY the fully-inside-day ring
+    assert base == {(95000, "2024-03-01")}
+    assert set(got) == {
+        (88000, "2024-03-01 12:00"),   # the midnight ring, caught whole
+        (95000, "2024-03-01 00:00"),   # inside-day ring, calendar grid
+        (95000, "2024-02-29 12:00"),   # inside-day ring, offset grid
+    }
+    r = got[(88000, "2024-03-01 12:00")]
+    assert (r.n_senders, r.n_events, r.total_cents) == (3, 3, 264000)
+    for k in ((95000, "2024-03-01 00:00"), (95000, "2024-02-29 12:00")):
+        assert (got[k].n_senders, got[k].n_events) == (3, 3)
+
+
 def test_trade_mispricing_hand_case(spark):
     """Hand-computed TBML screen (out-of-family rule). Part 1: three
     trades at 10.00/unit and one at 25.00/unit — the 25 is >= 2x the

@@ -236,6 +236,11 @@ EXCHANGE_BUDGET = {
     # batch face of the chained-stateful streaming twin: distinct on
     # (user, cents, day) + the (cents, day) re-agg = 2 keyed exchanges
     "stream_coordinated_amounts": 2,
+    # r13-new (pinned BEFORE its r14 driver window): the sliding
+    # two-grid variant explodes each event into both 24h windows, then
+    # rides the SAME two-phase distinct-sender aggregate as the base
+    # screen — 2 keyed exchanges, 2x rows, no join
+    "coordinated_sliding_windows": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

@@ -687,12 +687,26 @@ def test_stream_coordinated_amounts_parity(spark, sf_dir, replay_dir):
     got = run_stream_to_memory(stream, "t_coord_amounts", output_mode="append")
     max_ts = spark.read.parquet(replay_dir).agg(F.max("ts")).collect()[0][0]
     # emitted = window end (day start + 1 day) <= watermark (max - 25h);
-    # replay ts are nanos-as-long
-    wm = max_ts / 1000 - 25 * 3_600_000_000  # microseconds
+    # replay ts are nanos-as-long. Minus 1s (r12 advice item 4): if the
+    # watermark ever lands EXACTLY on a midnight, whether Spark emits
+    # the window ending there depends on its strict-vs-non-strict
+    # eviction comparison — exclude boundary-exact windows on both
+    # sides so a fixture max-ts change can't flake the compare.
+    wm = max_ts // 1000 - 25 * 3_600_000_000 - 1_000_000  # microseconds
     horizon = dt.datetime.utcfromtimestamp(wm / 1e6) - dt.timedelta(days=1)
-    closed = batch.filter(F.col("day") <= horizon.strftime("%Y-%m-%d"))
+    day_cut = horizon.strftime("%Y-%m-%d")
+    closed = batch.filter(F.col("day") <= day_cut)
+    # the same cut on the STREAM side: a window whose end falls inside
+    # (wm-1s, wm] is dropped from the compare whether or not Spark
+    # emitted it, so the test is deterministic under either comparison
+    emitted = got.filter(F.col("day") <= day_cut)
     cols = ["cents", "day", "n_senders"]
-    assert _rows(got, cols) == _rows(closed, cols)
+    assert _rows(emitted, cols) == _rows(closed, cols)
+    # and nothing PAST the horizon may have been emitted and then cut
+    # silently — rows dropped by the cut can only be cells of the ONE
+    # boundary-exact day (several cents cells may share it)
+    cut_days = got.filter(F.col("day") > day_cut).select("day").distinct().count()
+    assert cut_days <= 1
 
 
 def test_stream_coordinated_amounts_hand_case(spark):
