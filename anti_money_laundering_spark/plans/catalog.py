@@ -386,6 +386,10 @@ _R14_PLAN: tuple[str, ...] = (
     # closes the calendar-boundary evasion the r12 50M stress exposed
     # (r12 verdict item 2)
     "coordinated_sliding_windows",
+    # its streaming twin (chained stateful dedup -> 12h-grid window
+    # finalization over both offset grids) — the always-on face of the
+    # seam fix
+    "stream_coordinated_sliding",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

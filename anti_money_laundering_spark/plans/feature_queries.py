@@ -3751,6 +3751,7 @@ _HALF_DAY_US = 43_200_000_000
 
 @register(
     "coordinated_sliding_windows",
+    headline=True,  # r13: bench floor for the 2x-row sliding-grid shape
     tags=("A1", "A3", "A-ext"),
     oracle=f"""
     WITH e AS (

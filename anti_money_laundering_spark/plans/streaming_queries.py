@@ -13,6 +13,7 @@ from anti_money_laundering_spark.plans.feature_queries import _COORD_MIN_SENDERS
 from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.streaming import (
     coordinated_amounts_stream,
+    coordinated_sliding_stream,
     enrich_events_static,
     session_event_stats,
     sliding_event_values,
@@ -423,3 +424,56 @@ def stream_coordinated_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     riding a second — both keyed, no join, no python state."""
     ev = load_table(spark, sf_dir, "events")
     return coordinated_amounts_stream(ev, min_senders=_COORD_MIN_SENDERS)
+
+
+@register(
+    "stream_coordinated_sliding",
+    tags=("STR", "A-ext"),
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us, user_id
+      FROM events
+    ),
+    g AS (
+      SELECT DISTINCT user_id, cents, us - us % 86400000000 AS win_us FROM e
+      UNION
+      SELECT DISTINCT user_id, cents,
+             us - (us - 43200000000) % 86400000000 AS win_us
+      FROM e
+    )
+    SELECT cents,
+           strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M') AS win_start,
+           CAST(count(*) AS BIGINT) AS n_senders
+    FROM g GROUP BY 1, 2
+    HAVING count(*) >= {_COORD_MIN_SENDERS}
+    """,
+)
+def stream_coordinated_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the STREAMING sliding-grid coordination screen
+    (streaming.coordinated_sliding_stream): the
+    ``coordinated_sliding_windows`` cells re-expressed so each (exact
+    amount, 24h window) cell emits once as its window closes — on a
+    stream this is the chained-stateful shape over the TWO offset day
+    grids (explode into both window starts, watermark on the
+    window-start instant, dropDuplicatesWithinWatermark over
+    (user, cents, win), tumbling 12h finalization in append mode);
+    on batch input the identical semantics reduce to explode +
+    distinct + keyed aggregate. Together with
+    ``stream_coordinated_amounts`` this closes the calendar-seam
+    evasion on the ALWAYS-ON face too — a ring timed across midnight
+    is counted whole in the noon-grid window (hand case in
+    tests/test_streaming.py). Replay parity over 4 micro-batches:
+    tests/test_streaming.py::test_stream_coordinated_sliding_parity
+    (emitted windows only — append mode holds a cell until the
+    watermark passes its end; the 49h delay = 24h window span + the
+    day twin's 25h tolerance, the documented alerting-delay price of
+    seam robustness).
+
+    Exactness: window starts are integer-microsecond grid points
+    emitted as ISO-minute strings on both engines; n_senders an exact
+    distinct count. Plan: explode (2x rows) + distinct on
+    (user, cents, win) + the (cents, win) re-aggregation — two keyed
+    exchanges, no join, no python state."""
+    ev = load_table(spark, sf_dir, "events")
+    return coordinated_sliding_stream(ev, min_senders=_COORD_MIN_SENDERS)

@@ -30,6 +30,7 @@ __all__ = [
     "interval_join_streams",
     "dedup_events_stream",
     "coordinated_amounts_stream",
+    "coordinated_sliding_stream",
     "enrich_events_static",
     "merge_stream_sink",
     "stateful_event_transitions",
@@ -276,6 +277,87 @@ def coordinated_amounts_stream(
         .select(
             "cents",
             F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "n_senders",
+        )
+    )
+
+
+#: microseconds per day / half-day for the sliding coordination twin
+_DAY_US = 86_400_000_000
+_HALF_DAY_US = 43_200_000_000
+
+
+def coordinated_sliding_stream(
+    events: DataFrame,
+    min_senders: int,
+    watermark_delay: str = "49 hours",
+) -> DataFrame:
+    """Streaming twin of the boundary-robust coordination screen
+    (``coordinated_sliding_windows``): distinct senders per (exact
+    cent amount, 24h window) over TWO offset day grids (calendar and
+    noon-start), so a burst spanning <= 12h is counted at full
+    strength in some window no matter where midnight falls — the
+    always-on face of the calendar-seam fix. Output (both faces):
+    ``(cents, win_start, n_senders)``.
+
+    Stream shape: each event is exploded into its two window-start
+    instants ``win_ts`` (exact grid points, 12h lattice), the
+    WATERMARK rides ``win_ts`` (not ts — the aggregation's
+    finalization clock must be the column it windows on), senders are
+    made distinct by ``dropDuplicatesWithinWatermark`` over
+    (user, cents, win_us), and a tumbling 12h window on ``win_ts``
+    (each 12h bucket holds exactly one grid point) counts them in
+    APPEND mode. ``watermark_delay`` must cover the 24h window SPAN
+    (duplicates of a (user, cents, window) triple arrive while ts is
+    inside [start, start+24h), and their win_ts equals the start —
+    24h before the last of them) PLUS the tolerated lateness: the
+    49h default = 24h span + the day twin's 25h tolerance. A
+    window's alert therefore emits ~37h after its data completes —
+    the sliding variant's structural alerting delay (vs the day
+    twin's 25h; the price of seam robustness is one extra window
+    span). Event times before 1970-01-01T12:00 UTC are out of
+    contract (the noon-grid modulo would mis-bucket them).
+
+    On BATCH input the identical semantics reduce to explode +
+    distinct + keyed aggregate. Scale posture: the explode doubles
+    rows, then two keyed stateful ops on amount-bearing composite
+    keys (dedup on (user, cents, win), agg on (win, cents)) — no
+    join, no python state; dedup state is bounded by one
+    watermark-window of distinct (user, amount, window) triples."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    us = F.unix_micros(F.col("ts"))
+    win_a = us - us % F.lit(_DAY_US)
+    win_b = us - (us - F.lit(_HALF_DAY_US)) % F.lit(_DAY_US)
+    exploded = events.select(
+        cents.alias("cents"),
+        "user_id",
+        F.explode(F.array(win_a, win_b)).alias("win_us"),
+    ).withColumn("win_ts", F.timestamp_micros(F.col("win_us")))
+    win_start = F.date_format(F.col("win_ts"), "yyyy-MM-dd HH:mm")
+    if not events.isStreaming:
+        return (
+            exploded.dropDuplicates(["user_id", "cents", "win_us"])
+            .groupBy("cents", "win_us")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_senders"))
+            .filter(F.col("n_senders") >= min_senders)
+            .select(
+                "cents",
+                F.date_format(
+                    F.timestamp_micros(F.col("win_us")), "yyyy-MM-dd HH:mm"
+                ).alias("win_start"),
+                "n_senders",
+            )
+        )
+    dedup = exploded.withWatermark("win_ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["user_id", "cents", "win_us"]
+    )
+    return (
+        dedup.groupBy(F.window("win_ts", "12 hours"), "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_senders"))
+        .filter(F.col("n_senders") >= min_senders)
+        .select(
+            "cents",
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
             "n_senders",
         )
     )

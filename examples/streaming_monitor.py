@@ -31,7 +31,12 @@ the file source for Kafka, give every query a distinct durable
 memory, and a ``processingTime`` trigger sized per DEPLOY.md; do NOT
 ``awaitTermination()`` one query before starting the next (a
 continuous source never terminates — start all, then await the
-session).
+session). The concurrent shape is EXECUTED AND MEASURED by
+``tools/stress_concurrent_monitor.py`` (FAIR pools, separate durable
+checkpoints, processingTime triggers): all four screens drain in
+0.48x the serial wall at 1.16-1.92x per-screen batch inflation with
+byte-identical outputs — numbers in SCALE.md §concurrent-monitor,
+sizing rule in DEPLOY.md §Streaming.
 
 Run: python examples/streaming_monitor.py [sf_dir]
 """

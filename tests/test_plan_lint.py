@@ -241,6 +241,9 @@ EXCHANGE_BUDGET = {
     # rides the SAME two-phase distinct-sender aggregate as the base
     # screen — 2 keyed exchanges, 2x rows, no join
     "coordinated_sliding_windows": 2,
+    # its streaming twin's batch face: explode + distinct on
+    # (user, cents, win) + the (cents, win) re-agg = 2 keyed exchanges
+    "stream_coordinated_sliding": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

@@ -760,3 +760,107 @@ def test_stream_coordinated_amounts_hand_case(spark):
         ).collect()
     }
     assert got == {(95000, "2024-03-01"): 3}
+
+
+def test_stream_coordinated_sliding_parity(spark, sf_dir, replay_dir):
+    """The sliding-grid coordination screen's streaming face (explode
+    into both offset 24h grids -> watermark on the window-start
+    instant -> dropDuplicatesWithinWatermark -> tumbling 12h
+    finalization, append mode) replayed over 4 micro-batches must
+    equal its batch face for every EMITTED window. A window [s, s+24h)
+    emits once the watermark (max win_ts - 49h) passes its 12h
+    finalization bucket's end (s + 12h); the compare excludes
+    boundary-exact windows on BOTH sides (the r12 advice-item rule)."""
+    import datetime as dt
+
+    from anti_money_laundering_spark.plans.catalog import get_catalog
+    from anti_money_laundering_spark.plans.feature_queries import _COORD_MIN_SENDERS
+    from anti_money_laundering_spark.streaming import coordinated_sliding_stream
+
+    batch = get_catalog()["stream_coordinated_sliding"].fn(spark, sf_dir)
+    stream = coordinated_sliding_stream(
+        read_events_stream(spark, replay_dir), min_senders=_COORD_MIN_SENDERS
+    )
+    got = run_stream_to_memory(stream, "t_coord_sliding", output_mode="append")
+    max_ts = spark.read.parquet(replay_dir).agg(F.max("ts")).collect()[0][0]
+    us = max_ts // 1000  # replay ts are nanos-as-long
+    half = 43_200_000_000
+    # the largest window-start instant any event generates is max ts
+    # floored to the 12h lattice; wm = that - 49h, minus 1s epsilon so
+    # a wm landing exactly on a bucket end can't flake the compare
+    wm = (us - us % half) - 49 * 3_600_000_000 - 1_000_000
+    # emitted: finalization-bucket end (win + 12h) <= wm
+    cut_us = wm - 12 * 3_600_000_000
+    cut = dt.datetime.utcfromtimestamp(cut_us / 1e6).strftime("%Y-%m-%d %H:%M")
+    closed = batch.filter(F.col("win_start") <= cut)
+    emitted = got.filter(F.col("win_start") <= cut)
+    cols = ["cents", "win_start", "n_senders"]
+    assert _rows(emitted, cols) == _rows(closed, cols)
+    # rows dropped by the cut can only be cells of the ONE
+    # boundary-exact window start
+    cut_wins = (
+        got.filter(F.col("win_start") > cut).select("win_start").distinct().count()
+    )
+    assert cut_wins <= 1
+
+
+def test_stream_coordinated_sliding_hand_case(spark):
+    """Hand case for the sliding twin, pinning the seam fix on the
+    always-on face: a 3-sender ring at 880.00 firing 23:00 / 23:30 /
+    00:30 UTC straddles midnight — the day twin's cells never reach 3,
+    but the noon-offset window [03-01 12:00, 03-02 12:00) emits
+    n_senders=3. An inside-day ring at 950.00 emits in BOTH grids (the
+    documented duplicate-cell semantics), and a same-user repeat in a
+    LATER micro-batch must not raise its count (cross-batch dedup
+    state). 2 senders at 500.00 never emit. tz-aware instants."""
+    import datetime as dt
+    import tempfile
+
+    from anti_money_laundering_spark.streaming import coordinated_sliding_stream
+
+    utc = dt.timezone.utc
+    t = lambda d, hh, mm=0: dt.datetime(2024, 3, d, hh, mm, tzinfo=utc)  # noqa: E731
+    rows = [
+        # midnight-straddling ring (batch 1: the pre-midnight legs)
+        (1, t(1, 23), 101, 880.00),
+        (2, t(1, 23, 30), 102, 880.00),
+        # inside-day ring (batch 1)
+        (4, t(1, 9), 201, 950.00),
+        (5, t(1, 10), 202, 950.00),
+        (6, t(1, 11), 203, 950.00),
+        # 2-sender pair — never emits
+        (7, t(1, 9), 301, 500.00),
+        (8, t(1, 10), 302, 500.00),
+        # batch 2: the ring's post-midnight leg, a same-user SAME-window
+        # repeat of the inside-day ring (11:30 shares both its windows;
+        # in-watermark out-of-order arrival), and the sentinel
+        (3, t(2, 0, 30), 103, 880.00),
+        (9, t(1, 11, 30), 201, 950.00),
+        (10, t(1, 9) + dt.timedelta(days=30), 999, 1.00),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    tmp = tempfile.mkdtemp(prefix="coord_sliding_hand_")
+    batch2 = {3, 9, 10}
+    for part in ([r for r in rows if r[0] not in batch2], [r for r in rows if r[0] in batch2]):
+        spark.createDataFrame(
+            [(i, ts, u, "transfer", v, "{}") for i, ts, u, v in part], schema
+        ).withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+    stream = coordinated_sliding_stream(
+        read_events_stream(spark, tmp), min_senders=3
+    )
+    got = {
+        (r.cents, r.win_start): r.n_senders
+        for r in run_stream_to_memory(
+            stream, "t_coord_sliding_hand", output_mode="append"
+        ).collect()
+    }
+    assert got == {
+        (88000, "2024-03-01 12:00"): 3,
+        (95000, "2024-03-01 00:00"): 3,
+        (95000, "2024-02-29 12:00"): 3,
+    }
