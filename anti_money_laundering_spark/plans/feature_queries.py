@@ -3483,12 +3483,14 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d^2 > 4v  <=>  (tc*n - S)^2 (n-2) > 4(n-1)[(n-1)(Q - tc^2) -
     (S - tc)^2], an exact integer comparison in decimal(38,0) /
     HUGEINT on the two engines (the r9 widening convention). Bound
-    (documented per that convention, loud under ANSI): the cubic term
-    needs (max_tc * n)^2 * n <= 10^38 — at max_tc = 1e10 cents that is
-    ~1e6 customers per segment, which is also the statistical honesty
-    limit: a billion-account "segment" is not a peer group; stratify
-    finer (region x segment x size-band) rather than widen the
-    decimals.
+    (documented per that convention, loud under ANSI): with totals of
+    EITHER sign, |tc*n - S| <= 2*max|tc|*n and the rhs bracket is
+    bounded by (n+1)^2*max|tc|^2, so every term stays inside
+    decimal(38,0) iff (2*max|tc|*(n+1))^2 * (n+1) <= 10^38 — at
+    max|tc| = 1e10 cents that is ~2.9e5 customers per segment, which
+    is also the statistical honesty limit: a near-million-account
+    "segment" is not a peer group; stratify finer (region x segment x
+    size-band) rather than widen the decimals.
 
     Plan: orders ⋈ customer is a corpus-x-corpus equi-join
     (merge-hinted — never broadcastable at 100 TB); the per-customer
@@ -3516,21 +3518,25 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.count(F.lit(1))).alias("n"),
         F.max(F.abs(F.col("tc"))).alias("__s_max"),
     )
-    # explicit segment-size guard (r11 advice item 4): the cubic term
-    # needs (max|tc| * n)^2 * n <= 10^38 — under ANSI an overflow fails
-    # loudly anyway, but with ANSI off it wraps to NULL and the row
-    # silently vanishes. max of |tc|, not tc (r12 advice item 2): a
-    # feed containing refunds/negative totals must bound |tc*n - s_sum|
-    # by magnitude, or a large-negative total could pass the guard
-    # while the bracket overflows. The check runs in double over the
-    # tiny segment-stats frame at 9.9e37 — ~1% below the decimal(38,0)
-    # ceiling, which is all the margin the check needs (it only has
-    # to dwarf double's ~1e-16 relative error; do NOT "spend" this
-    # headroom by relaxing the threshold). A predicate (not an unused
-    # column) so Catalyst can't prune it away.
+    # explicit segment-size guard (r11 advice item 4): under ANSI an
+    # overflow fails loudly anyway, but with ANSI off it wraps to NULL
+    # and the row silently vanishes. max of |tc|, not tc (r12 advice
+    # item 2): a feed containing refunds/negative totals must bound
+    # |tc*n - s_sum| by magnitude. The bound carries the mixed-sign
+    # factor 2 and the (n+1) slack (r13 review finding — the bare
+    # (max*n)^2*n form was ~4x too loose): |a| <= 2*max|tc|*n makes
+    # lhs = a^2*(n-2) <= 4*max^2*n^3, and the rhs bracket's
+    # (s_sum - tc)^2 term reaches ((n+1)*max)^2, so the unified safe
+    # ceiling is 4*((n+1)*max)^2*(n+1) = (2*max*(n+1))^2*(n+1). The
+    # check runs in double over the tiny segment-stats frame at
+    # 9.9e37 — ~1% below the decimal(38,0) ceiling, which is all the
+    # margin the check needs (it only has to dwarf double's ~1e-16
+    # relative error; do NOT "spend" this headroom by relaxing the
+    # threshold). A predicate (not an unused column) so Catalyst
+    # can't prune it away.
+    n1 = F.col("n").cast("double") + F.lit(1.0)
     guard_ok = (
-        F.pow(F.col("__s_max").cast("double") * F.col("n").cast("double"), F.lit(2.0))
-        * F.col("n").cast("double")
+        F.pow(F.lit(2.0) * F.col("__s_max").cast("double") * n1, F.lit(2.0)) * n1
         <= F.lit(9.9e37)
     )
     s = s.filter(
@@ -3539,7 +3545,8 @@ def peer_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(
                     F.lit(
                         "peer_group_deviation: segment exceeds the decimal(38,0) "
-                        "bound (max_tc*n)^2*n <= 1e38 — stratify finer; seg="
+                        "bound (2*max|tc|*(n+1))^2*(n+1) <= 1e38 — stratify "
+                        "finer; seg="
                     ),
                     F.col("seg"),
                 )
@@ -3744,9 +3751,14 @@ def coordinated_amount_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Microseconds per day / half-day for the offset-grid windows below.
-_DAY_US = 86_400_000_000
-_HALF_DAY_US = 43_200_000_000
+#: Microseconds per day / half-day for the offset-grid windows below —
+#: imported from the streaming façade (the canonical home) so the batch
+#: screen, its oracle f-string, and the streaming twin can never drift
+#: onto different grids (r13 review finding).
+from anti_money_laundering_spark.streaming import (  # noqa: E402
+    _DAY_US,
+    _HALF_DAY_US,
+)
 
 
 @register(

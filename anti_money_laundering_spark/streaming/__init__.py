@@ -333,7 +333,6 @@ def coordinated_sliding_stream(
         "user_id",
         F.explode(F.array(win_a, win_b)).alias("win_us"),
     ).withColumn("win_ts", F.timestamp_micros(F.col("win_us")))
-    win_start = F.date_format(F.col("win_ts"), "yyyy-MM-dd HH:mm")
     if not events.isStreaming:
         return (
             exploded.dropDuplicates(["user_id", "cents", "win_us"])
@@ -496,7 +495,7 @@ def velocity_breach_stream(
     slowly with total state entries — no cliff through 2M; per-event
     work is ~free: 4x events per key measured +27% wall at 200k keys
     and ~0% at 2M). A deployment keeps up iff
-    active_keys_per_trigger x ~70-90 us < trigger_interval x
+    active_keys_per_trigger x ~70-105 us < trigger_interval x
     n_32core_executor_groups. Levers, in
     order: (1) COARSEN the trigger — more events per key per batch at
     near-zero marginal cost; (2) scale OUT — state shuffles on

@@ -6,18 +6,21 @@ state-store maintenance growth — but by inference, not measurement.
 This tool reads the engine's own per-batch state-operator metrics so
 the cause is stated from instrumentation:
 
-- durationMs.addBatch (the whole batch incl. python dispatch) vs the
-  state store's own commitTimeMs / allUpdatesTimeMs / allRemovalsTimeMs,
+- durationMs.addBatch (batch WALL, incl. python dispatch) vs the
+  state store's own commitTimeMs / allUpdatesTimeMs / allRemovalsTimeMs
+  — NB these are TASK-TIME SUMS across all state-store partitions
+  (32 here), a different clock domain than the wall: they exceed the
+  batch wall when stores commit in parallel, so they are reported
+  per-key both raw and per-store-partition-normalized
+  (wall-equivalent at full parallelism) and must never be subtracted from addBatch,
 - memoryUsedBytes + numRowsTotal (bytes/key), and the HDFS provider's
-  customMetrics (loadedMapCacheHit/Miss, stateOnCurrentVersionSizeBytes,
-  providerLoadedMapSizeBytes) — the versioned-map copy costs that grow
-  with TOTAL entries,
-- per-key µs split: total vs state-commit vs the non-state remainder
-  (python group dispatch + Arrow), at each K.
+  customMetrics (loadedMapCacheHit/Miss, stateOnCurrentVersionSizeBytes)
+  — the versioned-map copy costs that grow with TOTAL entries.
 
-If the per-key NON-state remainder is flat while the state components
-grow, the maintenance attribution stands; if the remainder itself
-grows, the attribution was wrong and SCALE.md must say so.
+Attribution test: if the per-key state task-time (updates+commit)
+GROWS from 200k to 2M by about the same margin as the per-key wall
+drift (57 -> 91 µs/key), the maintenance attribution stands; if it is
+flat, the growth is in the python/Arrow path and SCALE.md must say so.
 
 Second question: does the RocksDB provider flatten the tail? The tool
 probes whether RocksDBStateStoreProvider loads in this container
@@ -31,6 +34,12 @@ timestamps inside the 24h horizon; batch 0 = warmup, excluded).
 Results go to SCALE.md §trigger-mode (tail attribution paragraph).
 
 Usage: python tools/profile_velocity_state.py [K1,K2,...] [E] [n_files]
+       [hdfs|rocksdb|both]
+
+JVM-warmup control: the FIRST phase of a fresh JVM pays JIT/Arrow
+warmup well past batch 0 (measured: a cold-first 200k phase reads
+~1.5x its warm same-JVM reading) — lead the K list with a small
+throwaway K (e.g. 20000) and read the curve from the later phases.
 """
 
 from __future__ import annotations
@@ -109,6 +118,7 @@ def profile(spark, keys: int, events_per_key: int, n_files: int,
         steady = rows[1:] or rows
         med = lambda k: statistics.median(r[k] for r in steady)  # noqa: E731
         per_key = lambda s: round(s * 1e6 / keys, 1)  # noqa: E731
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         out = {
             "provider": "rocksdb" if provider else "hdfs",
             "keys": keys,
@@ -117,13 +127,14 @@ def profile(spark, keys: int, events_per_key: int, n_files: int,
             "median_commit_s": round(med("commit_s"), 2),
             "median_updates_s": round(med("updates_s"), 2),
             "median_removals_s": round(med("removals_s"), 2),
-            "us_per_key_total": per_key(med("add_batch_s")),
-            "us_per_key_state": per_key(
+            "us_per_key_wall": per_key(med("add_batch_s")),
+            # state columns are task-time sums over all store
+            # partitions — a different clock domain than the wall
+            "us_per_key_state_tasktime": per_key(
                 med("commit_s") + med("updates_s") + med("removals_s")
             ),
-            "us_per_key_nonstate": per_key(
-                med("add_batch_s")
-                - med("commit_s") - med("updates_s") - med("removals_s")
+            "us_per_key_state_per_part": per_key(
+                (med("commit_s") + med("updates_s") + med("removals_s")) / n_parts
             ),
             "state_rows": steady[-1]["state_rows"],
             "mem_mb": steady[-1]["mem_mb"],
@@ -160,10 +171,13 @@ def main() -> int:
     )
     e = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    which = sys.argv[4] if len(sys.argv) > 4 else "both"
     spark = get_spark(app_name="velocity_state_profile", shuffle_partitions=32)
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
-    results = [profile(spark, k, e, n_files, provider=None) for k in ks]
-    if rocksdb_loads(spark):
+    results = []
+    if which in ("hdfs", "both"):
+        results += [profile(spark, k, e, n_files, provider=None) for k in ks]
+    if which in ("rocksdb", "both") and rocksdb_loads(spark):
         results += [profile(spark, k, e, n_files, provider=_ROCKSDB) for k in ks]
     print("PROFILE " + json.dumps(results), flush=True)
     return 0

@@ -82,7 +82,10 @@ def write_feed(spark, n_events: int, n_files: int, out: str) -> None:
         hk = F.abs(F.xxhash64("id", F.lit(7)))
         df = spark.range(lo, hi).select(
             F.col("id").alias("event_id"),
-            ((F.lit(_BASE_US) + (F.col("id") * _SPAN_US / n_events).cast("long"))
+            # float form, not id * _SPAN_US: the int64 product overflows
+            # (ANSI crash) past ~1.8e7 events — the sibling stress
+            # tools' convention
+            ((F.lit(_BASE_US) + (F.col("id") * (_SPAN_US / n_events)).cast("long"))
              * 1000).alias("ts"),
             (hu % _USERS).alias("user_id"),
             F.lit("transfer").alias("event_type"),
@@ -169,6 +172,9 @@ def _drain(queries: dict, n_files: int, timeout_s: float = 1800.0) -> float:
         for name, q in queries.items():
             if name in done:
                 continue
+            exc = q.exception()
+            if exc is not None:
+                raise RuntimeError(f"query {name} failed: {exc}") from exc
             lp = q.lastProgress
             if lp and lp["batchId"] >= n_files and lp["numInputRows"] == 0:
                 done.add(name)
@@ -228,6 +234,11 @@ def main() -> int:
     spark = get_spark(
         app_name="concurrent_monitor_stress",
         extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    # _metrics reads recentProgress; the default retention (100) would
+    # silently drop the earliest batches of a run with n_files > ~100
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(max(400, 2 * n_files + 50))
     )
     feed = tempfile.mkdtemp(prefix="monitor_feed_")
     try:
