@@ -12,6 +12,8 @@ from anti_money_laundering_spark.plans.catalog import register
 from anti_money_laundering_spark.plans.feature_queries import _COORD_MIN_SENDERS
 from anti_money_laundering_spark.sources import load_table
 from anti_money_laundering_spark.streaming import (
+    _DAY_US,
+    _HALF_DAY_US,
     coordinated_amounts_stream,
     coordinated_sliding_stream,
     enrich_events_static,
@@ -436,10 +438,10 @@ def stream_coordinated_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     g AS (
-      SELECT DISTINCT user_id, cents, us - us % 86400000000 AS win_us FROM e
+      SELECT DISTINCT user_id, cents, us - us % {_DAY_US} AS win_us FROM e
       UNION
       SELECT DISTINCT user_id, cents,
-             us - (us - 43200000000) % 86400000000 AS win_us
+             us - (us - {_HALF_DAY_US}) % {_DAY_US} AS win_us
       FROM e
     )
     SELECT cents,

@@ -10,7 +10,7 @@ production notes below):
 - velocity breaches — applyInPandasWithState per-event rolling limits
   (count-1h / sum-24h), with ``evict_idle_keys=True`` so state is
   bounded by the ACTIVE population, not every account ever seen
-  (DEPLOY.md §Streaming capacity rule: ~70-90 us per active key per
+  (DEPLOY.md §Streaming capacity rule: ~70-105 us per active key per
   trigger on 32 cores, measured to 2M keys in SCALE.md).
 - coordination cells — the chained stateful shape
   (dropDuplicatesWithinWatermark -> tumbling-day window count): cells
@@ -33,10 +33,10 @@ memory, and a ``processingTime`` trigger sized per DEPLOY.md; do NOT
 continuous source never terminates — start all, then await the
 session). The concurrent shape is EXECUTED AND MEASURED by
 ``tools/stress_concurrent_monitor.py`` (FAIR pools, separate durable
-checkpoints, processingTime triggers): all four screens drain in
-0.48x the serial wall at 1.16-1.92x per-screen batch inflation with
-byte-identical outputs — numbers in SCALE.md §concurrent-monitor,
-sizing rule in DEPLOY.md §Streaming.
+checkpoints, processingTime triggers, warmup-controlled): all four
+screens drain in 0.75x the serial wall at 1.9-3.0x per-screen batch
+inflation with identical per-screen output row counts — numbers in
+SCALE.md §concurrent-monitor, sizing rule in DEPLOY.md §Streaming.
 
 Run: python examples/streaming_monitor.py [sf_dir]
 """

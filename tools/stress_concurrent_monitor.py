@@ -11,7 +11,12 @@ sequential-replay example cannot show (r12 verdict item 3).
 Method: one synthetic feed (N events over 6 days, F time-ordered
 parquet files written as SEQUENTIAL jobs so FileStreamSource replays
 them in order; ~7% of values above FLOW_THRESHOLD so the
-stream-stream join leg carries realistic selectivity), then each mode:
+stream-stream join leg carries realistic selectivity), then an
+UNTIMED warmup pass (all four screens over a small feed, so
+JIT/Arrow/python-worker warmup lands in neither measured mode — a
+fresh JVM's first phase reads ~1.5x its warm self, and a cold-first
+sequential mode would inflate the concurrency speedup), then each
+mode:
 
 - sequential: start screen, drain (every file batch processed and one
   empty batch ran), stop; next screen. Per-screen clean-room cost.
@@ -50,7 +55,6 @@ from anti_money_laundering_spark.plans.feature_queries import (  # noqa: E402
     _VELOCITY_MAX_1H,
     _VELOCITY_MAX_24H_CENTS,
 )
-from anti_money_laundering_spark.plans.fixture_graphs import FLOW_THRESHOLD  # noqa: E402
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 from anti_money_laundering_spark.streaming import (  # noqa: E402
     coordinated_amounts_stream,
@@ -97,15 +101,10 @@ def write_feed(spark, n_events: int, n_files: int, out: str) -> None:
         df.coalesce(1).write.mode("append").parquet(out)
 
 
-def _passthrough_leg(df, inflow: bool):
-    df = df.filter(F.col("value") > FLOW_THRESHOLD)
-    cents = F.round(F.col("value") * 100).cast("long")
-    mid = (
-        F.get_json_object("props", "$.k").cast("long")
-        if inflow
-        else F.col("user_id")
-    )
-    return df.select(mid.alias("mid"), "event_id", cents.alias("cents"), "ts")
+# the measured screens must be THE example's screens — import, don't
+# copy, the funnel-leg builder so a parameter change there can't leave
+# this tool silently measuring a different composition (r13 review)
+from examples.streaming_monitor import passthrough_leg as _passthrough_leg  # noqa: E402
 
 
 def screen_builders(spark, feed: str):
@@ -241,11 +240,23 @@ def main() -> int:
         "spark.sql.streaming.numRecentProgressUpdates", str(max(400, 2 * n_files + 50))
     )
     feed = tempfile.mkdtemp(prefix="monitor_feed_")
+    warm_feed = tempfile.mkdtemp(prefix="monitor_warm_")
     try:
         t0 = time.perf_counter()
         write_feed(spark, n_events, n_files, feed)
         print(f"feed: {n_events} events / {n_files} files in "
               f"{time.perf_counter() - t0:.1f}s at {feed}")
+
+        # UNTIMED warmup: run every screen once over a small feed so
+        # JIT/Arrow/python-worker warmup lands in neither measured
+        # mode — a fresh JVM's first phase reads ~1.5x its warm self
+        # (tools/profile_velocity_state.py), and sequential-first
+        # ordering would otherwise inflate the concurrency speedup
+        # (r13 review finding)
+        t0 = time.perf_counter()
+        write_feed(spark, max(20_000, n_events // 20), 2, warm_feed)
+        run_mode(spark, warm_feed, 2, concurrent=False)
+        print(f"warmup pass (untimed): {time.perf_counter() - t0:.1f}s")
 
         seq = run_mode(spark, feed, n_files, concurrent=False)
         con = run_mode(spark, feed, n_files, concurrent=True)
@@ -266,6 +277,7 @@ def main() -> int:
         print("\nJSON:", json.dumps({"sequential": seq, "concurrent": con}))
     finally:
         shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(warm_feed, ignore_errors=True)
     return 0
 
 
