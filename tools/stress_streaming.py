@@ -7,7 +7,7 @@ engine's own StreamingQueryProgress feed: events/s per batch and
 overall, stateful-operator state rows (growth vs bounded), and
 watermark lag behind max event time at each batch.
 
-Two queries, run one after the other over the same files:
+Three queries, run one after the other over the same files:
 - sessionize  — session_window + watermark (session_event_stats, the
   stream_session_stats catalog shape). State = open sessions; must
   stay ~bounded at (active users in the watermark horizon), not grow
@@ -16,6 +16,12 @@ Two queries, run one after the other over the same files:
   (dedup_events_stream). State = event ids inside the horizon; the
   watermark MUST evict: unbounded growth here is the classic 100 TB
   streaming killer (state ∝ all-time events).
+- coord_sliding (r13) — the sliding-grid coordination twin
+  (coordinated_sliding_stream): a 2x explode into two offset 24h
+  grids feeding chained dedup -> tumbling-12h finalization. State
+  (summed over BOTH chained operators) = dedup'd (user, cents, win)
+  triples inside the 49h horizon + open (win, cents) agg cells; must
+  stay horizon-bounded, not cumulative.
 
 Event-time design: 20M events spread over ~40 days (one file ≈ one
 half-day of event time, written time-ordered via repartitionByRange on
@@ -42,6 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 from anti_money_laundering_spark.streaming import (  # noqa: E402
+    coordinated_sliding_stream,
     dedup_events_stream,
     read_events_stream,
     session_event_stats,
@@ -105,7 +112,11 @@ def run_query(name: str, stream_df, checkpoint: str) -> dict:
     for p in prog:
         if p.get("numInputRows", 0) == 0:
             continue
-        state = p.get("stateOperators") or [{}]
+        ops = p.get("stateOperators") or [{}]
+        state = [{
+            "numRowsTotal": sum(o.get("numRowsTotal") or 0 for o in ops),
+            "memoryUsedBytes": sum(o.get("memoryUsedBytes") or 0 for o in ops),
+        }]  # chained stateful queries (coord_sliding) carry 2 operators
         wm = p.get("eventTime", {}).get("watermark")
         mx = p.get("eventTime", {}).get("max")
         lag_s = None
@@ -176,6 +187,20 @@ def main() -> int:
         ev2 = read_events_stream(spark, data, max_files_per_trigger=1)
         dd = dedup_events_stream(ev2, watermark="1 hour")
         run_query("dedup", dd, os.path.join(scratch, "ck_dedup"))
+
+        # r13: the sliding-grid coordination twin — the chained
+        # dedup->window shape with a 2x explode in front. State =
+        # dedup'd (user, cents, win) triples inside the 49h horizon
+        # PLUS open (win, cents) agg cells; must stay bounded at a few
+        # horizon-days of triples, not grow with total events replayed
+        # (state_rows here sums BOTH chained operators).
+        ev3 = read_events_stream(spark, data, max_files_per_trigger=1)
+        cs = coordinated_sliding_stream(ev3, min_senders=3)
+        res = run_query("coord_sliding", cs, os.path.join(scratch, "ck_coord"))
+        assert res["max_state_rows"] < 2 * n_events * 0.5, (
+            "sliding-coordination state must be horizon-bounded, not "
+            "cumulative over the replay"
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return 0
