@@ -23,6 +23,11 @@ production notes below):
   the watermarked stream-stream interval join.
 - stateful running totals — the cumulative per-account accumulator
   with its alert threshold.
+- sliding coordination cells (r13) — the boundary-robust twin
+  (coordinated_sliding_stream): the same ring screen over TWO offset
+  24h grids, so a ring timed across midnight is counted whole (the
+  calendar-seam fix; 12h-burst detection guarantee in the operator
+  docstring).
 
 Production notes (this script is a sequential REPLAY demo, not the
 deployed shape): run each screen as its OWN continuous query — swap
@@ -60,6 +65,7 @@ from anti_money_laundering_spark.session import get_spark  # noqa: E402
 from anti_money_laundering_spark.sources import load_table  # noqa: E402
 from anti_money_laundering_spark.streaming import (  # noqa: E402
     coordinated_amounts_stream,
+    coordinated_sliding_stream,
     interval_join_streams,
     read_events_stream,
     run_stream_to_memory,
@@ -135,6 +141,15 @@ def main() -> int:
     )
     alerts = totals.filter("alert").select("user_id").distinct().count()
     print(f"cumulative_total_alerts: {alerts} accounts over threshold")
+
+    sliding = run_stream_to_memory(
+        coordinated_sliding_stream(
+            read_events_stream(spark, feed), min_senders=_COORD_MIN_SENDERS
+        ),
+        "mon_coord_sliding",
+        output_mode="append",
+    )
+    print(f"sliding_coordination_cells (closed windows): {sliding.count()} cells")
     return 0
 
 
