@@ -390,6 +390,15 @@ _R14_PLAN: tuple[str, ...] = (
     # finalization over both offset grids) — the always-on face of the
     # seam fix
     "stream_coordinated_sliding",
+    # TBML geographic corridor concentration — first catalog use of the
+    # nation dimension on BOTH trade sides (r13-new)
+    "corridor_concentration_alerts",
+    # time-respecting follow-the-money reachability (bounded-hop
+    # earliest-arrival BFS; static BFS can't answer it) (r13-new)
+    "funds_tracing_alerts",
+    # dedup-threshold calibration curve over the shared pair memo
+    # (r13-new)
+    "dedup_similarity_histogram",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

@@ -3990,3 +3990,113 @@ def trade_mispricing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(over, "over").otherwise("under").alias("side"),
         F.when(over, F.col("loo_max")).otherwise(F.col("loo_min")).alias("loo_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geographic corridor concentration (TBML risk screen)
+# ---------------------------------------------------------------------------
+
+#: Alert when corridor_cents * n_corridors * DEN >= NUM * grand_cents,
+#: i.e. the corridor carries more than NUM/DEN (= 1.25x) the mean
+#: corridor's value. 5/4 sits between the corridor-share p50 and max at
+#: every SF (FIXTURES.md threshold rule: 60/250, 183/625, 47/625
+#: corridors alert at sf0.001 / 0.01 / 0.1 — both classes populated).
+_CORRIDOR_NUM = 5
+_CORRIDOR_DEN = 4
+
+
+@register(
+    "corridor_concentration_alerts",
+    tags=("J-ext", "A-ext"),
+    oracle=f"""
+    WITH f AS (
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    ),
+    cor AS (
+      SELECT cust_nation, supp_nation,
+             sum(cents) AS tot, count(*) AS n_txns
+      FROM f GROUP BY 1, 2
+    ),
+    g AS (SELECT count(*) AS nc, sum(tot) AS gt FROM cor)
+    SELECT cust_nation, supp_nation,
+           CAST(tot AS BIGINT) AS corridor_cents,
+           CAST(n_txns AS BIGINT) AS n_txns
+    FROM cor, g
+    WHERE tot * nc * {_CORRIDOR_DEN} >= gt * {_CORRIDOR_NUM}
+    """,
+)
+def corridor_concentration_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-corridor concentration screen (TBML geographic risk): the
+    (customer nation -> supplier nation) corridors carrying more than
+    1.25x the mean corridor's trade value. Over-concentrated corridors
+    are where trade-based laundering reviews start (mirror trades and
+    mispriced flows cluster on a route before they show per-invoice);
+    this is the geographic complement of ``trade_mispricing_alerts``'s
+    per-part screen, and the first catalog use of the nation dimension
+    on BOTH sides of the trade.
+
+    Exactness: cents are on-grid 2-decimal amounts; the concentration
+    predicate is pure integer arithmetic — corridor_total *
+    n_corridors * 4 >= 5 * grand_total — computed in decimal
+    (HUGEINT on the DuckDB side) so no division and no float share
+    ever appears. Widths: corridor sums ride the _dec19 convention
+    (decimal(29,0)); n_corridors <= 625 forever (25 nations squared)
+    so its decimal(4,0) cast never truncates; the grand total is
+    re-cast to decimal(30,0) before *5 so every product stays inside
+    decimal(38,0) with zero precision-loss rounding.
+
+    Scale posture: the star join shuffles the two FACT tables on their
+    join keys (lineitem x orders on orderkey, then custkey / suppkey)
+    while both nation copies broadcast; the corridor aggregate is 625
+    cells max, and the grand total is a 1-row aggregate broadcast back
+    — never a driver round-trip. Skew lands on genuinely-hot
+    corridors, which are exactly the rows the screen exists to
+    surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    flows = (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+    )
+    cor = flows.groupBy("cust_nation", "supp_nation").agg(
+        F.sum(_dec19("cents")).alias("tot"),  # decimal(29,0)
+        F.count(F.lit(1)).cast("long").alias("n_txns"),
+    )
+    g = cor.agg(
+        F.count(F.lit(1)).cast("decimal(4,0)").alias("nc"),
+        F.sum("tot").cast("decimal(30,0)").alias("gt"),
+    )
+    return (
+        cor.crossJoin(F.broadcast(g))
+        .filter(
+            F.col("tot") * F.col("nc") * F.lit(_CORRIDOR_DEN)
+            >= F.col("gt") * F.lit(_CORRIDOR_NUM)
+        )
+        .select(
+            "cust_nation",
+            "supp_nation",
+            F.col("tot").cast("long").alias("corridor_cents"),
+            "n_txns",
+        )
+    )

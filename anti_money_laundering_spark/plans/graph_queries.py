@@ -2270,3 +2270,134 @@ def reciprocal_transfer_alerts(
         F.min(dwell).cast("long").alias("min_dwell_us"),
         F.sum(F.when(echo, 1).otherwise(0)).cast("long").alias("n_echo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-respecting funds tracing (follow-the-money reachability)
+# ---------------------------------------------------------------------------
+
+#: Trace seeds = accounts that sent any single transfer above this
+#: amount (the "large movement worth tracing" trigger): 10 / 103 /
+#: 1038 seed accounts at sf0.001 / 0.01 / 0.1 (~1% of users —
+#: FIXTURES.md threshold rule; the flow-edge band value > 140 then
+#: keeps every hop sparse).
+_TRACE_SEED_MIN = 200.0
+
+#: Bounded tracing horizon. Three hops covers the placement ->
+#: layering -> integration shape investigators chase first; deeper
+#: tracing is a rerun with the reached set as new seeds.
+_TRACE_MAX_HOPS = 3
+
+
+@register(
+    "funds_tracing_alerts",
+    tags=("G-ext", "J-ext"),
+    # Oracle is the independent FULL-ENUMERATION formulation: every
+    # time-respecting path of <= 3 hops, then min(hop)/min(us) per
+    # (seed, node). The Spark side prunes each hop level to its
+    # earliest arrival; the two agree because within a fixed hop count
+    # k the minimal-arrival path dominates — any edge usable after
+    # some exactly-k-hop arrival (e.us > arr) is also usable after the
+    # minimal one (e.us > arr >= min_arr), and extending the minimizer
+    # is itself a valid exactly-(k+1)-hop path. (Pruning across
+    # DIFFERENT hop counts would be wrong: a later 1-hop arrival and
+    # an earlier 2-hop arrival both matter — which is why levels are
+    # kept exact-k, never best-so-far.)
+    oracle=f"""
+    WITH e AS ({FLOW_EDGES_SQL.replace("value AS amount,", "")}),
+    s AS (
+      SELECT DISTINCT user_id AS seed FROM events
+      WHERE value > {_TRACE_SEED_MIN}
+    ),
+    h1 AS (
+      SELECT s.seed, e.dst AS node, epoch_us(e.ts) AS us
+      FROM s JOIN e ON e.src = s.seed
+    ),
+    h2 AS (
+      SELECT h1.seed, e.dst AS node, epoch_us(e.ts) AS us
+      FROM h1 JOIN e ON e.src = h1.node AND epoch_us(e.ts) > h1.us
+    ),
+    h3 AS (
+      SELECT h2.seed, e.dst AS node, epoch_us(e.ts) AS us
+      FROM h2 JOIN e ON e.src = h2.node AND epoch_us(e.ts) > h2.us
+    ),
+    u AS (
+      SELECT seed, node, 1 AS hop, us FROM h1
+      UNION ALL SELECT seed, node, 2, us FROM h2
+      UNION ALL SELECT seed, node, 3, us FROM h3
+    )
+    SELECT seed, node,
+           CAST(min(hop) AS INTEGER) AS min_hops,
+           CAST(min(us) AS BIGINT) AS first_us
+    FROM u GROUP BY seed, node
+    """,
+)
+def funds_tracing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-the-money tracing: every account reachable from a
+    large-transfer seed account through a TIME-RESPECTING chain of
+    flow transfers within 3 hops — each hop strictly after the
+    arrival that funded it, the constraint that separates "money
+    could actually have moved here" from static connectivity
+    (``graph_bfs_paths`` answers the static question; a reversed-time
+    hop traces nothing). Emits (seed, reached account, minimum hops,
+    earliest possible arrival) — the investigator's expansion
+    frontier after a flagged movement.
+
+    Exactness: hop arithmetic is exact integer microseconds
+    (unix_micros / epoch_us); min_hops and first_us are integer mins.
+
+    Scale posture: distributed time-respecting BFS — each hop level k
+    keeps ONE row per (seed, node): the earliest arrival over
+    exactly-k-hop paths (min-aggregate after the hop join, the
+    admissible pruning proved in the oracle comment), so frontiers
+    never carry per-path blowup; the hop join shuffles on the frontier
+    node key against the flow-edge table (value-band filter pushed to
+    the scan) and the horizon is a hard 3-hop bound. Deeper traces
+    re-seed from the output rather than unbounding the join chain."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        F.unix_micros("ts").alias("us"),
+    )
+    seeds = (
+        ev.filter(F.col("value") > _TRACE_SEED_MIN)
+        .select(F.col("user_id").alias("seed"))
+        .distinct()
+    )
+    levels = []
+    frontier = (
+        edges.join(seeds, edges.src == seeds.seed)
+        .groupBy("seed", F.col("dst").alias("node"))
+        .agg(F.min("us").alias("us"))
+    )
+    levels.append(frontier.select("seed", "node", F.lit(1).alias("hop"), "us"))
+    for hop in range(2, _TRACE_MAX_HOPS + 1):
+        # fresh column names per level: the frontier's lineage includes
+        # the edge frame, so the self-join must disambiguate explicitly
+        fr = frontier.select(
+            F.col("seed").alias("f_seed"),
+            F.col("node").alias("f_node"),
+            F.col("us").alias("f_us"),
+        )
+        ek = edges.select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("us").alias("e_us"),
+        )
+        frontier = (
+            fr.join(
+                ek,
+                (F.col("e_src") == F.col("f_node")) & (F.col("e_us") > F.col("f_us")),
+            )
+            .groupBy(F.col("f_seed").alias("seed"), F.col("e_dst").alias("node"))
+            .agg(F.min("e_us").alias("us"))
+        )
+        levels.append(frontier.select("seed", "node", F.lit(hop).alias("hop"), "us"))
+    u = levels[0]
+    for lv in levels[1:]:
+        u = u.unionByName(lv)
+    return u.groupBy("seed", "node").agg(
+        F.min("hop").alias("min_hops"),
+        F.min("us").cast("long").alias("first_us"),
+    )

@@ -447,6 +447,61 @@ def dedup_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_similarity_histogram",
+    tags=("LLM", "dedup", "A-ext"),
+    # Same recall-1.0 justification as dedup_minhash_near_dups; the
+    # histogram is a pure banding aggregate over the exact pair set.
+    # Banding applies floor AFTER round(jaccard, 6) on BOTH engines so
+    # the band key is derived from the same value the other pair
+    # queries already hash-attest (raw-double floor could disagree
+    # with the rounded value near a band edge).
+    oracle=f"""
+    WITH {_duck_trigram_jaccard_ctes(0.7)},
+    b AS (
+      SELECT CAST(floor(round(jaccard, 6) * 20) * 5 AS INTEGER) AS band_pct,
+             count(*) AS n_pairs
+      FROM jp GROUP BY 1
+    )
+    SELECT band_pct, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY band_pct DESC) AS BIGINT)
+             AS n_at_or_above
+    FROM b
+    """,
+)
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration curve: verified near-dup pairs
+    bucketed into 5-point Jaccard bands, with the cumulative
+    pairs-at-or-above count per band — the number the curator actually
+    reads when picking a merge threshold ("how many pairs would a 0.8
+    cutoff merge vs 0.9?"). Produced from the shared LSH+verify pair
+    memo, so the curve covers the bands above the pipeline's 0.7
+    operating floor; re-sweeping lower floors is a rerun of the memo
+    at a lower threshold, not a different query.
+
+    Scale posture: one tiny aggregate over the memoized pair table
+    (zero extra shuffles on the corpus itself) and a <= 7-row window
+    for the cumulative sum — the single-partition window is on the
+    BAND table, never the data."""
+    from pyspark.sql.window import Window
+
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    band = (F.floor(F.round("jaccard", 6) * 20) * 5).cast("int")
+    h = (
+        pairs.select(band.alias("band_pct"))
+        .groupBy("band_pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("band_pct").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return h.select(
+        "band_pct",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_at_or_above"),
+    )
+
+
+@register(
     "decontam_near_dup",
     tags=("LLM", "dedup"),
     # Same recall-1.0 justification as dedup_minhash_near_dups; the

@@ -2173,3 +2173,116 @@ def test_trade_mispricing_hand_case(spark):
     assert (under.side, under.unit_micro, under.loo_bound) == (
         "under", 400_000_000, 2_000_000_000
     )
+
+
+def test_corridor_concentration_hand_case(spark):
+    """Hand-computed corridor screen: two corridors — (ALPHA -> ALPHA)
+    carrying 1000.00 and (ALPHA -> BETA) carrying 100.00. Mean corridor
+    = 550.00; the 1.25x-mean alert line is 687.50, so exactly the
+    domestic corridor flags, with its cents and txn count exact."""
+    import anti_money_laundering_spark.plans.feature_queries as fq
+
+    nation = spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    customer = spark.createDataFrame(
+        [(10, "c10", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    supplier = spark.createDataFrame(
+        [(20, "s20", 0, 0.0), (21, "s21", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(100, 10, "O", 1100.0, t0, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (100, 1, 20, 1, 1.0, 600.00, 0.0, 0.0, "N", "O", t0),
+            (100, 1, 20, 2, 1.0, 400.00, 0.0, 0.0, "N", "O", t0),
+            (100, 1, 21, 3, 1.0, 100.00, 0.0, 0.0, "N", "O", t0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    tables = {
+        "nation": nation, "customer": customer, "supplier": supplier,
+        "orders": orders, "lineitem": lineitem,
+    }
+    orig = fq.load_table
+    fq.load_table = lambda spark, sf_dir, name: tables[name]
+    try:
+        got = {
+            (r.cust_nation, r.supp_nation): r
+            for r in fq.corridor_concentration_alerts(spark, "x").collect()
+        }
+    finally:
+        fq.load_table = orig
+    assert set(got) == {("ALPHA", "ALPHA")}
+    r = got[("ALPHA", "ALPHA")]
+    assert (r.corridor_cents, r.n_txns) == (100000, 2)
+
+
+def test_funds_tracing_hand_case(spark):
+    """Hand-computed time-respecting tracing, pinning the cross-hop
+    pruning trap the implementation's exact-level design avoids: seed 1
+    reaches account 2 BOTH directly (1 hop, arriving t=10) and through
+    account 4 (2 hops, arriving t=6). The onward edge 2 -> 5 fires at
+    t=8 — usable only from the EARLY 2-hop arrival, so 5's true
+    min_hops is 3. A best-so-far prune (arr=6 tagged hop 1) would
+    claim min_hops=2. Also pins: strict time ordering (3's onward edge
+    at exactly its arrival instant traces nothing) and that first_us
+    is the earliest arrival over <= 3 hops regardless of which hop
+    count achieved it (node 2: min_hops=1 but first_us from the 2-hop
+    path)."""
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    def us(s):
+        return int(t(s).timestamp()) * 1_000_000
+
+    # (event_id, ts, src_user, value, dst_in_props) — value > 140 makes
+    # a flow edge; value > 200 makes the sender a trace seed.
+    rows = [
+        (1, t(10), 1, 250.00, 2),   # seed-qualifying AND edge 1->2 @10
+        (2, t(5), 1, 150.00, 4),    # edge 1->4 @5
+        (3, t(6), 4, 150.00, 2),    # edge 4->2 @6  (2-hop early arrival)
+        (4, t(8), 2, 150.00, 5),    # edge 2->5 @8  (needs arrival < 8)
+        (5, t(20), 1, 150.00, 3),   # edge 1->3 @20
+        (6, t(20), 3, 150.00, 8),   # edge 3->8 @20 == arrival: unusable
+        (7, t(1), 6, 150.00, 7),    # disconnected from any seed
+        (8, t(2), 9, 130.00, 1),    # sub-band: not a flow edge at all
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, ts, u, "transfer", v, '{"k": %d}' % k)
+            for i, ts, u, v, k in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {
+            (r.seed, r.node): r
+            for r in gq.funds_tracing_alerts(spark, "x").collect()
+        }
+    finally:
+        gq.load_table = orig
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (1, 5)}
+    assert (got[(1, 2)].min_hops, got[(1, 2)].first_us) == (1, us(6))
+    assert (got[(1, 3)].min_hops, got[(1, 3)].first_us) == (1, us(20))
+    assert (got[(1, 4)].min_hops, got[(1, 4)].first_us) == (1, us(5))
+    assert (got[(1, 5)].min_hops, got[(1, 5)].first_us) == (3, us(8))

@@ -244,6 +244,23 @@ EXCHANGE_BUDGET = {
     # its streaming twin's batch face: explode + distinct on
     # (user, cents, win) + the (cents, win) re-agg = 2 keyed exchanges
     "stream_coordinated_sliding": 2,
+    # r13-new (pinned BEFORE their r14 driver window). corridor: at the
+    # pin fixture AQE broadcasts every dimension-side of the star join,
+    # leaving the orderkey fact shuffle + the 625-cell corridor agg +
+    # the 1-row grand-total agg = 3 (at corpus scale the custkey /
+    # suppkey joins shuffle too — explicit broadcasts are only on the
+    # 25-row nation copies, so the budget stays a fixture pin, not a
+    # scale claim). tracing: 3 exact-hop levels, each = frontier-join
+    # shuffle-agg, with the union branches recomputing their level
+    # prefix (1+2+3 level joins; seeds distinct agg x3 union branches
+    # and the hop aggs land at 9 static exchanges — bounded by the
+    # hard 3-hop horizon, and the duplicated-subtree recompute is the
+    # shape the r12 sorted-neighborhood A/B measured FASTER than
+    # persisting at 20M rows). histogram: the memoized pair table's
+    # band agg + the <= 7-row cumulative window = 2.
+    "corridor_concentration_alerts": 3,
+    "funds_tracing_alerts": 9,
+    "dedup_similarity_histogram": 2,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

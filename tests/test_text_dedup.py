@@ -532,3 +532,35 @@ def test_split_leakage_audit_python_md5_replay(spark, sf_dir):
     want = {(a, b) for a, b in all_pairs if py_split(a) != py_split(b)}
     assert set(got) == want
     assert want, "fixture must produce at least one leaking pair"
+
+
+def test_similarity_histogram_hand_case(spark):
+    """Hand-computed calibration curve over a planted pair set,
+    pinning the round-before-floor band rule: a raw jaccard of
+    0.74999999 rounds to 0.75 at 6 dp and must land in the 75 band
+    (raw-double floor would put it in 70); 0.7449999 stays at 70.
+    Cumulative counts are at-or-above per 5-point band."""
+    import anti_money_laundering_spark.plans.llm_queries as lq
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.70),
+            (3, 4, 0.7449999),
+            (5, 6, 0.74999999),  # round(.,6) = 0.75 -> band 75
+            (7, 8, 0.83),
+            (9, 10, 1.0),
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    orig = lq._shared_verified_pairs
+    lq._shared_verified_pairs = lambda spark, sf_dir: pairs
+    try:
+        got = {
+            r.band_pct: r
+            for r in lq.dedup_similarity_histogram(spark, "x").collect()
+        }
+    finally:
+        lq._shared_verified_pairs = orig
+    assert {b: (got[b].n_pairs, got[b].n_at_or_above) for b in got} == {
+        70: (2, 5), 75: (1, 3), 80: (1, 2), 100: (1, 1),
+    }
