@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Stress the two r13-new AML screens at 100-1000x fixture scale with
+the EXACT catalog formulations (load_table swap, the stress_screens.py
+pattern):
+
+- corridor_concentration_alerts over 50M lineitems / 10M orders / 1M
+  customers / 100k suppliers / 25 nations: a planted hot corridor
+  (nation 7 -> nation 13, ~2x its uniform share) must flag; the
+  organic alert count under a UNIFORM trade mix is reported as
+  calibration (uniform corridors hug the mean, so the 1.25x line
+  should stay quiet or nearly so).
+- funds_tracing_alerts over 50M events / 500k users (~6.6% flow-edge
+  band, matching the fixture's sparsity): 5k planted seed accounts
+  whose onward reach rides organic noise edges, plus one planted
+  3-hop layering chain through mule accounts that only the planted
+  edges touch — its (1, 2, 3)-hop rows and exact first arrivals are
+  asserted; per-seed reach stats are reported as the frontier-growth
+  calibration (the scale question for a 3-hop trace is frontier
+  fan-out, not edge count).
+
+Noise dimensions use INDEPENDENT hashes (the r12 generator-
+independence lesson). Each screen gets one untimed warmup pass before
+its recorded wall (the r13 measurement-ordering lesson); results go
+to SCALE.md §r13-corridor-tracing.
+
+Usage: python tools/stress_r13b_screens.py [n_lineitems] [n_events]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import anti_money_laundering_spark.plans.feature_queries as fq  # noqa: E402
+import anti_money_laundering_spark.plans.graph_queries as gq  # noqa: E402
+from anti_money_laundering_spark.session import get_spark  # noqa: E402
+from tools.stress_r12_screens import _BASE_US  # noqa: E402
+
+_N_CUST = 1_000_000
+_N_SUPP = 100_000
+_N_NATIONS = 25
+_HOT_CUST_NATION = 7
+_HOT_SUPP_NATION = 13
+
+
+def _run_tables(module, spark, fn, tables, warmup=True):
+    orig = module.load_table
+    module.load_table = lambda _spark, _sf_dir, t: tables[t]
+    try:
+        if warmup:
+            fn(spark, "stress").collect()
+        t0 = time.perf_counter()
+        rows = fn(spark, "stress").collect()
+        return rows, time.perf_counter() - t0
+    finally:
+        module.load_table = orig
+
+
+def _corridor_tables(spark, n_lineitems: int):
+    nation = spark.range(_N_NATIONS).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+        F.lit(0).alias("n_regionkey"),
+    )
+    customer = spark.range(_N_CUST).select(
+        F.col("id").alias("c_custkey"),
+        (F.col("id") % _N_NATIONS).cast("int").alias("c_nationkey"),
+    )
+    supplier = spark.range(_N_SUPP).select(
+        F.col("id").alias("s_suppkey"),
+        (F.col("id") % _N_NATIONS).cast("int").alias("s_nationkey"),
+    )
+    n_orders = n_lineitems // 5
+    ho = F.abs(F.xxhash64("id", F.lit(3)))
+    orders = spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        (ho % _N_CUST).alias("o_custkey"),
+    )
+    hl = F.abs(F.xxhash64("id", F.lit(4)))
+    hp = F.abs(F.xxhash64("id", F.lit(5)))
+    noise_li = spark.range(n_lineitems).select(
+        (F.col("id") % n_orders).alias("l_orderkey"),
+        (hl % _N_SUPP).alias("l_suppkey"),
+        ((hp % 100_000) / 100.0 + 1.0).alias("l_extendedprice"),
+    )
+    # planted hot corridor: customers fixed in nation 7 order from
+    # suppliers fixed in nation 13 at the same price law — ~2% extra
+    # rows into ONE of 625 corridors ~ 13x its uniform share
+    n_hot = max(n_lineitems // 50, 1)
+    hh = F.abs(F.xxhash64("id", F.lit(6)))
+    hot_orders = spark.range(n_orders, n_orders + n_hot // 5 + 1).select(
+        F.col("id").alias("o_orderkey"),
+        ((F.abs(F.xxhash64("id", F.lit(7))) % (_N_CUST // _N_NATIONS))
+         * _N_NATIONS + _HOT_CUST_NATION).alias("o_custkey"),
+    )
+    hot_li = spark.range(n_hot).select(
+        (n_orders + F.col("id") % (n_hot // 5 + 1)).alias("l_orderkey"),
+        ((hh % (_N_SUPP // _N_NATIONS)) * _N_NATIONS + _HOT_SUPP_NATION
+         ).alias("l_suppkey"),
+        ((F.abs(F.xxhash64("id", F.lit(8))) % 100_000) / 100.0 + 1.0
+         ).alias("l_extendedprice"),
+    )
+    return {
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "orders": orders.unionByName(hot_orders),
+        "lineitem": noise_li.unionByName(hot_li),
+    }
+
+
+def stress_corridor(spark, n_lineitems: int) -> None:
+    tables = _corridor_tables(spark, n_lineitems)
+    rows, wall = _run_tables(fq, spark, fq.corridor_concentration_alerts, tables)
+    hot_name_c = f"NATION_{_HOT_CUST_NATION}"
+    hot_name_s = f"NATION_{_HOT_SUPP_NATION}"
+    hot = [r for r in rows if (r.cust_nation, r.supp_nation) == (hot_name_c, hot_name_s)]
+    organic = len(rows) - len(hot)
+    print(
+        f"corridor: {n_lineitems + n_lineitems // 50} lineitems / "
+        f"{_N_CUST} customers / {_N_SUPP} suppliers / 625 corridors; "
+        f"planted 2%-of-rows corridor ({hot_name_c} -> {hot_name_s}) "
+        f"{'FLAGGED' if hot else 'MISSED'} "
+        f"(cents={hot[0].corridor_cents if hot else 0}, "
+        f"n_txns={hot[0].n_txns if hot else 0}); organic alerts under "
+        f"the uniform mix: {organic}; wall {wall:.1f}s (warm)"
+    )
+    assert hot, rows[:5]
+
+
+def _tracing_events(spark, n_events: int):
+    # noise: value 1..150 => ~6.6% above the 140 flow band (matches
+    # fixture sparsity), NO organic seed (cap < 200); independent
+    # user / counterparty / value hashes
+    hu = F.abs(F.xxhash64("id", F.lit(11)))
+    hk = F.abs(F.xxhash64("id", F.lit(12)))
+    hv = F.abs(F.xxhash64("id", F.lit(13)))
+    span_us = 30 * 86_400_000_000
+    noise = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            f"timestamp_micros(cast({_BASE_US} + id * ({span_us} / {n_events}) as long))"
+        ).alias("ts"),
+        (hu % 500_000).alias("user_id"),
+        ((hv % 14_900) / 100.0 + 1.0).alias("value"),
+        F.concat(F.lit('{"k": '), (hk % 500_000), F.lit("}")).alias("props"),
+    )
+    # 5k planted seed accounts (ids 900_000+): one >200 transfer each
+    # into a random organic user — their 2+/3-hop reach rides noise
+    seeds = spark.range(5_000).select(
+        (F.lit(8_000_000_000) + F.col("id")).alias("event_id"),
+        F.expr(
+            f"timestamp_micros(cast({_BASE_US} + id * 1000000 as long))"
+        ).alias("ts"),
+        (F.lit(900_000) + F.col("id")).alias("user_id"),
+        F.lit(250.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), F.abs(F.xxhash64("id", F.lit(14))) % 500_000, F.lit("}")
+        ).alias("props"),
+    )
+    # one planted 3-hop layering chain through mule-only accounts:
+    # 990000 -(300)-> 995001 -(150)-> 995002 -(150)-> 995003, 1h apart
+    t0 = _BASE_US + 10 * 86_400_000_000
+    h_us = 3_600_000_000
+    chain = spark.createDataFrame(
+        [
+            (9_100_000_001, t0, 990_000, 300.0, '{"k": 995001}'),
+            (9_100_000_002, t0 + h_us, 995_001, 150.0, '{"k": 995002}'),
+            (9_100_000_003, t0 + 2 * h_us, 995_002, 150.0, '{"k": 995003}'),
+        ],
+        "event_id long, ts_us long, user_id long, value double, props string",
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(ts_us)").alias("ts"),
+        "user_id",
+        "value",
+        "props",
+    )
+    return noise.unionByName(seeds).unionByName(chain), t0, h_us
+
+
+def stress_tracing(spark, n_events: int) -> None:
+    ev, t0, h_us = _tracing_events(spark, n_events)
+    rows, wall = _run_tables(
+        gq, spark, gq.funds_tracing_alerts, {"events": ev}
+    )
+    chain = {r.node: r for r in rows if r.seed == 990_000}
+    by_seed: dict[int, int] = {}
+    for r in rows:
+        by_seed[r.seed] = by_seed.get(r.seed, 0) + 1
+    reach = sorted(by_seed.values())
+    n_seeds = len(reach)
+    print(
+        f"tracing: {n_events} events / 500k users / ~6.6% flow band; "
+        f"{n_seeds} seeds traced, output {len(rows)} (seed, node) rows; "
+        f"per-seed 3-hop reach p50/p95/max = "
+        f"{reach[n_seeds // 2]}/{reach[int(n_seeds * 0.95)]}/{reach[-1]}; "
+        f"planted chain hops = "
+        f"{[chain.get(n) and chain[n].min_hops for n in (995_001, 995_002, 995_003)]}; "
+        f"wall {wall:.1f}s (warm)"
+    )
+    assert (chain[995_001].min_hops, chain[995_001].first_us) == (1, t0)
+    assert (chain[995_002].min_hops, chain[995_002].first_us) == (2, t0 + h_us)
+    assert (chain[995_003].min_hops, chain[995_003].first_us) == (3, t0 + 2 * h_us)
+
+
+def main() -> int:
+    n_lineitems = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+    spark = get_spark(app_name="r13b_screen_stress", shuffle_partitions=64)
+    stress_corridor(spark, n_lineitems)
+    stress_tracing(spark, n_events)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
