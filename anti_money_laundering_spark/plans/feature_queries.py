@@ -4007,6 +4007,7 @@ _CORRIDOR_DEN = 4
 
 @register(
     "corridor_concentration_alerts",
+    headline=True,  # r13: bench floor for the new screen
     tags=("J-ext", "A-ext"),
     oracle=f"""
     WITH f AS (

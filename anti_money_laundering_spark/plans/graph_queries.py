@@ -2291,6 +2291,7 @@ _TRACE_MAX_HOPS = 3
 
 @register(
     "funds_tracing_alerts",
+    headline=True,  # r13: bench floor for the new screen
     tags=("G-ext", "J-ext"),
     # Oracle is the independent FULL-ENUMERATION formulation: every
     # time-respecting path of <= 3 hops, then min(hop)/min(us) per
@@ -2332,7 +2333,9 @@ _TRACE_MAX_HOPS = 3
     FROM u GROUP BY seed, node
     """,
 )
-def funds_tracing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funds_tracing_alerts(
+    spark: SparkSession, sf_dir: str, persist_levels: bool = False
+) -> DataFrame:
     """Follow-the-money tracing: every account reachable from a
     large-transfer seed account through a TIME-RESPECTING chain of
     flow transfers within 3 hops — each hop strictly after the
@@ -2353,7 +2356,23 @@ def funds_tracing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     never carry per-path blowup; the hop join shuffles on the frontier
     node key against the flow-edge table (value-band filter pushed to
     the scan) and the horizon is a hard 3-hop bound. Deeper traces
-    re-seed from the output rather than unbounding the join chain."""
+    re-seed from the output rather than unbounding the join chain.
+
+    ``persist_levels=True`` lazily caches levels 1-2 so the union's
+    later branches reuse instead of recomputing their level prefix
+    (1+2+3 hop joins -> 3). The A/B (order-controlled warm pairs,
+    SCALE.md §r13-corridor-tracing) found a measured CROSSOVER: at
+    50M events persist wins every pair (median 6.8 s vs 8.5 s — the
+    small-shared-frame side of the r12 cache-trade rule), but at
+    fixture scale it is ~2.2x SLOWER (1.82 s vs 0.82 s at sf0.1:
+    materializing each level splits one fused DAG into sequential
+    jobs, and the per-job scheduling floor dominates small inputs).
+    Recompute stays the default — correct at every scale and fastest
+    where the catalog runs — and deployments tracing >~1M flow edges
+    should pass ``persist_levels=True``. The lazy persist adds zero
+    jobs at plan construction (the r11 hub-guard precedent); cached
+    levels are MEMORY_AND_DISK, (seed, node)-grain tiny, and linger
+    for the session like the hub table."""
     ev = load_table(spark, sf_dir, "events")
     edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
         F.col("user_id").alias("src"),
@@ -2371,6 +2390,8 @@ def funds_tracing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seed", F.col("dst").alias("node"))
         .agg(F.min("us").alias("us"))
     )
+    if persist_levels:
+        frontier = frontier.persist()
     levels.append(frontier.select("seed", "node", F.lit(1).alias("hop"), "us"))
     for hop in range(2, _TRACE_MAX_HOPS + 1):
         # fresh column names per level: the frontier's lineage includes
@@ -2393,6 +2414,8 @@ def funds_tracing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("f_seed").alias("seed"), F.col("e_dst").alias("node"))
             .agg(F.min("e_us").alias("us"))
         )
+        if persist_levels and hop < _TRACE_MAX_HOPS:
+            frontier = frontier.persist()
         levels.append(frontier.select("seed", "node", F.lit(hop).alias("hop"), "us"))
     u = levels[0]
     for lv in levels[1:]:

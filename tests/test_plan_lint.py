@@ -253,11 +253,15 @@ EXCHANGE_BUDGET = {
     # scale claim). tracing: 3 exact-hop levels, each = frontier-join
     # shuffle-agg, with the union branches recomputing their level
     # prefix (1+2+3 level joins; seeds distinct agg x3 union branches
-    # and the hop aggs land at 9 static exchanges — bounded by the
-    # hard 3-hop horizon, and the duplicated-subtree recompute is the
-    # shape the r12 sorted-neighborhood A/B measured FASTER than
-    # persisting at 20M rows). histogram: the memoized pair table's
-    # band agg + the <= 7-row cumulative window = 2.
+    # and the hop aggs land at 9 static exchanges). The recompute-vs-
+    # persist_levels A/B measured a CROSSOVER (SCALE.md
+    # §r13-corridor-tracing): persist wins at 50M (6.8 vs 8.5 s) but
+    # loses 2.2x at fixture scale to per-job scheduling floors, so the
+    # catalog default stays recompute and the pin stays 9 (the persist
+    # variant's static text count is 10 — InMemoryRelation definitions
+    # embed their child plans' exchanges in toString).
+    # histogram: the memoized pair table's band agg + the <= 7-row
+    # cumulative window = 2.
     "corridor_concentration_alerts": 3,
     "funds_tracing_alerts": 9,
     "dedup_similarity_histogram": 2,

@@ -209,12 +209,52 @@ def stress_tracing(spark, n_events: int) -> None:
     assert (chain[995_003].min_hops, chain[995_003].first_us) == (3, t0 + 2 * h_us)
 
 
+def stress_tracing_ab(spark, n_events: int) -> None:
+    """Order-controlled A/B of the level-prefix recompute (default)
+    vs persist_levels=True, per the r12 cache-trade protocol: one
+    untimed warmup of BOTH modes first, then alternating timed pairs;
+    cache cleared after every persist run so no pair contaminates the
+    next."""
+    ev, _t0, _h = _tracing_events(spark, n_events)
+    orig = gq.load_table
+    gq.load_table = lambda _spark, _sf_dir, _t: ev
+
+    def run(persist: bool) -> float:
+        t0 = time.perf_counter()
+        n = gq.funds_tracing_alerts(spark, "stress", persist_levels=persist).count()
+        wall = time.perf_counter() - t0
+        if persist:
+            spark.catalog.clearCache()
+        assert n > 0
+        return wall
+
+    try:
+        run(False), run(True)  # untimed warmup of BOTH paths
+        pairs = [(run(False), run(True)) for _ in range(3)]
+    finally:
+        gq.load_table = orig
+    rec = sorted(p[0] for p in pairs)[1]
+    per = sorted(p[1] for p in pairs)[1]
+    print(
+        f"tracing-ab: {n_events} events; recompute median "
+        f"{rec:.1f}s vs persist_levels {per:.1f}s over 3 warm "
+        f"alternating pairs ({['%.1f/%.1f' % p for p in pairs]})"
+    )
+
+
 def main() -> int:
     n_lineitems = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
     spark = get_spark(app_name="r13b_screen_stress", shuffle_partitions=64)
-    stress_corridor(spark, n_lineitems)
-    stress_tracing(spark, n_events)
+    phases = sys.argv[3].split(",") if len(sys.argv) > 3 else [
+        "corridor", "tracing", "tracing_ab",
+    ]
+    if "corridor" in phases:
+        stress_corridor(spark, n_lineitems)
+    if "tracing" in phases:
+        stress_tracing(spark, n_events)
+    if "tracing_ab" in phases:
+        stress_tracing_ab(spark, n_events)
     return 0
 
 
