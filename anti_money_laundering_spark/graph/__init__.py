@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anti_money_laundering_spark.graph.algorithms import (
+    temporal_reachability,
     betweenness,
     bfs,
     densest_subgraph_peel,
@@ -198,6 +199,7 @@ __all__ = [
     "risk_propagation",
     "shortest_paths",
     "strongly_connected_components",
+    "temporal_reachability",
     "triangle_count",
     "weighted_sssp",
 ]

@@ -41,6 +41,7 @@ __all__ = [
     "hits",
     "weighted_sssp",
     "densest_subgraph_peel",
+    "temporal_reachability",
 ]
 
 
@@ -1033,3 +1034,75 @@ def densest_subgraph_peel(
             .localCheckpoint(eager=False)
         )
     return rows
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    persist_levels: bool = False,
+) -> DataFrame:
+    """Time-respecting bounded-hop reachability (follow-the-money):
+    every node reachable from a seed through a chain of edges in which
+    each hop's timestamp is STRICTLY after the arrival that funded it.
+    ``edges`` must carry ``src``, ``dst`` and an integer event-time
+    column ``us``; ``seeds`` carries ``seed``. Returns one row per
+    (seed, node) with ``min_hops`` (fewest hops over time-respecting
+    paths) and ``first_us`` (earliest possible arrival within
+    ``max_hops`` hops).
+
+    Each hop level k is pruned to the EARLIEST arrival over
+    exactly-k-hop paths — admissible because within a fixed hop count
+    the minimal-arrival path dominates (any edge usable after some
+    exactly-k-hop arrival is also usable after the minimal one, and
+    extending the minimizer is itself a valid exactly-(k+1)-hop path).
+    Pruning across DIFFERENT hop counts would be wrong (a later 1-hop
+    arrival and an earlier 2-hop arrival both matter), which is why
+    levels stay exact-k. Frontiers therefore hold one row per
+    (seed, node) — never per-path blowup.
+
+    ``persist_levels``: see the measured crossover in
+    plans/graph_queries.funds_tracing_alerts (recompute wins at small
+    scale via fused scheduling; persist wins past ~1M edges)."""
+    if max_hops < 1:
+        raise ValueError(f"temporal_reachability: max_hops must be >= 1, got {max_hops}")
+    levels = []
+    frontier = (
+        edges.join(seeds, edges.src == seeds.seed)
+        .groupBy("seed", F.col("dst").alias("node"))
+        .agg(F.min("us").alias("us"))
+    )
+    if persist_levels:
+        frontier = frontier.persist()
+    levels.append(frontier.select("seed", "node", F.lit(1).alias("hop"), "us"))
+    for hop in range(2, max_hops + 1):
+        # fresh column names per level: the frontier's lineage includes
+        # the edge frame, so the self-join must disambiguate explicitly
+        fr = frontier.select(
+            F.col("seed").alias("f_seed"),
+            F.col("node").alias("f_node"),
+            F.col("us").alias("f_us"),
+        )
+        ek = edges.select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("us").alias("e_us"),
+        )
+        frontier = (
+            fr.join(
+                ek,
+                (F.col("e_src") == F.col("f_node")) & (F.col("e_us") > F.col("f_us")),
+            )
+            .groupBy(F.col("f_seed").alias("seed"), F.col("e_dst").alias("node"))
+            .agg(F.min("e_us").alias("us"))
+        )
+        if persist_levels and hop < max_hops:
+            frontier = frontier.persist()
+        levels.append(frontier.select("seed", "node", F.lit(hop).alias("hop"), "us"))
+    u = levels[0]
+    for lv in levels[1:]:
+        u = u.unionByName(lv)
+    return u.groupBy("seed", "node").agg(
+        F.min("hop").alias("min_hops"),
+        F.min("us").cast("long").alias("first_us"),
+    )

@@ -2373,6 +2373,8 @@ def funds_tracing_alerts(
     jobs at plan construction (the r11 hub-guard precedent); cached
     levels are MEMORY_AND_DISK, (seed, node)-grain tiny, and linger
     for the session like the hub table."""
+    from anti_money_laundering_spark.graph import temporal_reachability
+
     ev = load_table(spark, sf_dir, "events")
     edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
         F.col("user_id").alias("src"),
@@ -2384,43 +2386,6 @@ def funds_tracing_alerts(
         .select(F.col("user_id").alias("seed"))
         .distinct()
     )
-    levels = []
-    frontier = (
-        edges.join(seeds, edges.src == seeds.seed)
-        .groupBy("seed", F.col("dst").alias("node"))
-        .agg(F.min("us").alias("us"))
-    )
-    if persist_levels:
-        frontier = frontier.persist()
-    levels.append(frontier.select("seed", "node", F.lit(1).alias("hop"), "us"))
-    for hop in range(2, _TRACE_MAX_HOPS + 1):
-        # fresh column names per level: the frontier's lineage includes
-        # the edge frame, so the self-join must disambiguate explicitly
-        fr = frontier.select(
-            F.col("seed").alias("f_seed"),
-            F.col("node").alias("f_node"),
-            F.col("us").alias("f_us"),
-        )
-        ek = edges.select(
-            F.col("src").alias("e_src"),
-            F.col("dst").alias("e_dst"),
-            F.col("us").alias("e_us"),
-        )
-        frontier = (
-            fr.join(
-                ek,
-                (F.col("e_src") == F.col("f_node")) & (F.col("e_us") > F.col("f_us")),
-            )
-            .groupBy(F.col("f_seed").alias("seed"), F.col("e_dst").alias("node"))
-            .agg(F.min("e_us").alias("us"))
-        )
-        if persist_levels and hop < _TRACE_MAX_HOPS:
-            frontier = frontier.persist()
-        levels.append(frontier.select("seed", "node", F.lit(hop).alias("hop"), "us"))
-    u = levels[0]
-    for lv in levels[1:]:
-        u = u.unionByName(lv)
-    return u.groupBy("seed", "node").agg(
-        F.min("hop").alias("min_hops"),
-        F.min("us").cast("long").alias("first_us"),
+    return temporal_reachability(
+        edges, seeds, max_hops=_TRACE_MAX_HOPS, persist_levels=persist_levels
     )

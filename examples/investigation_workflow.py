@@ -1,0 +1,107 @@
+"""Investigator triage workflow: what an AML analyst runs AFTER the
+alert fires — the expand-and-contextualize loop the screens feed
+(the screens themselves are the retrospective surface in
+examples/reference_workflow.py and the always-on surface in
+examples/streaming_monitor.py).
+
+Stages (each a plain library/catalog composition — no new operators):
+1. case seeds — accounts flagged by the fan-in structuring motif
+   (the reference's own alert grain, 01_aml_network_analysis.py
+   structuring levels) plus any account that moved a single large
+   transfer (the tracing screen's seed rule).
+2. follow the money — ``graph.temporal_reachability`` from the case
+   seeds over the flow graph: every account the funds COULD have
+   reached within 3 time-respecting hops, with min hops and earliest
+   arrival (static connectivity would overstate reach — a hop before
+   the money arrived traces nothing).
+3. context join — which reached accounts are THEMSELVES flagged
+   funnels (pass-through screen), so the analyst sees onward-routing
+   risk inside the traced perimeter.
+4. corridor context — the trade-book geographic screen
+   (corridor_concentration_alerts) for the entity's TBML review tab.
+
+Run: python examples/investigation_workflow.py [sf_dir]
+(defaults to /root/testdata/sf0.001; prints one row-count line per
+stage, exits 0 on success). The onward-funnel intersection is
+legitimately empty at sf0.001 (10 seeds, sparse graph); sf0.01 traces
+124 seeds to 2,637 accounts of which 767 are pass-through flagged.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from anti_money_laundering_spark.graph import temporal_reachability  # noqa: E402
+from anti_money_laundering_spark.plans.catalog import get_catalog  # noqa: E402
+from anti_money_laundering_spark.plans.fixture_graphs import (  # noqa: E402
+    FLOW_THRESHOLD,
+)
+from anti_money_laundering_spark.session import get_spark  # noqa: E402
+from anti_money_laundering_spark.sources import load_table  # noqa: E402
+
+#: Single-transfer size that makes an account a tracing seed on its
+#: own — the same trigger as funds_tracing_alerts' _TRACE_SEED_MIN.
+LARGE_TRANSFER_MIN = 200.0
+
+
+def run_stages(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Execute the four triage stages; returns per-stage row counts."""
+    catalog = get_catalog()
+
+    # 1. case seeds: fan-in motif middles + large-transfer senders.
+    motif = catalog["motif_fanin_structuring"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    large = (
+        ev.filter(F.col("value") > LARGE_TRANSFER_MIN)
+        .select(F.col("user_id").alias("seed"))
+    )
+    seeds = (
+        motif.select(F.col("c_id").alias("seed")).unionByName(large).distinct()
+    )
+
+    # 2. follow the money: 3-hop time-respecting reach over flow edges.
+    edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        F.unix_micros("ts").alias("us"),
+    )
+    reach = temporal_reachability(edges, seeds, max_hops=3)
+
+    # 3. context: traced accounts that are flagged funnels themselves.
+    funnels = catalog["passthrough_funds_alerts"].fn(spark, sf_dir)
+    hot = reach.join(
+        funnels.select(F.col("mid").alias("node"), "n_passthrough"), "node"
+    )
+
+    # 4. TBML tab: the corridor screen over the trade book.
+    corridors = catalog["corridor_concentration_alerts"].fn(spark, sf_dir)
+
+    return {
+        "case_seeds": seeds.count(),
+        "traced_reach": reach.count(),
+        "onward_funnels": hot.count(),
+        "corridor_alerts": corridors.count(),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="investigation_workflow")
+    counts = run_stages(spark, sf_dir)
+    print(f"case_seeds: {counts['case_seeds']} accounts (motif middles + large movers)")
+    print(f"traced_reach: {counts['traced_reach']} (seed, account) rows within 3 hops")
+    print(f"onward_funnels: {counts['onward_funnels']} traced accounts are pass-through flagged")
+    print(f"corridor_alerts: {counts['corridor_alerts']} over-concentrated trade corridors")
+    assert counts["case_seeds"] > 0 and counts["traced_reach"] > 0
+    assert counts["corridor_alerts"] > 0
+    print("investigation workflow OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1040,3 +1040,31 @@ def test_densest_peel_matches_python_simulation(spark):
         assert best_rho >= (15 / 6) / (1 + 1)  # clique density within approx factor
     with pytest.raises(ValueError, match="eps"):
         densest_subgraph_peel(Graph(verts, edges), eps=0.0)
+
+
+def test_temporal_reachability_library_surface(spark):
+    """Direct library contract for graph.temporal_reachability:
+    max_hops validation and the 1-hop degenerate case (only direct
+    edges, earliest arrival per (seed, node) across duplicates)."""
+    import pytest as _pytest
+
+    from anti_money_laundering_spark.graph import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2, 100), (1, 2, 50), (2, 3, 200)], "src long, dst long, us long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    with _pytest.raises(ValueError, match="max_hops"):
+        temporal_reachability(edges, seeds, max_hops=0)
+    got = {
+        (r.seed, r.node): r
+        for r in temporal_reachability(edges, seeds, max_hops=1).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert (got[(1, 2)].min_hops, got[(1, 2)].first_us) == (1, 50)
+    # 2 hops picks up the onward edge strictly after the arrival
+    got2 = {
+        (r.seed, r.node): r
+        for r in temporal_reachability(edges, seeds, max_hops=2).collect()
+    }
+    assert (got2[(1, 3)].min_hops, got2[(1, 3)].first_us) == (2, 200)

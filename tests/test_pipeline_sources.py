@@ -307,6 +307,20 @@ def test_corpus_pipeline_example_runs(spark, sf_dir):
         assert df.count() > 0, name
 
 
+def test_investigation_workflow_example_runs(spark, sf_dir):
+    """The triage face: seeds -> time-respecting trace -> funnel
+    context -> corridor tab, each stage non-empty where the fixture
+    supports it (the onward-funnel intersection is legitimately empty
+    at sf0.001 — documented in the example's docstring)."""
+    import examples.investigation_workflow as iw
+
+    counts = iw.run_stages(spark, sf_dir)
+    assert counts["case_seeds"] > 0
+    assert counts["traced_reach"] > 0
+    assert counts["corridor_alerts"] > 0
+    assert counts["onward_funnels"] >= 0
+
+
 def test_synthetic_source_partition_planning(spark):
     """The custom DataSource plans real input splits: N requested
     partitions -> N scan partitions -> identical rows regardless of
