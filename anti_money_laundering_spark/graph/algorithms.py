@@ -1072,7 +1072,10 @@ def temporal_reachability(
         .groupBy("seed", F.col("dst").alias("node"))
         .agg(F.min("us").alias("us"))
     )
-    if persist_levels:
+    if persist_levels and max_hops > 1:
+        # the final level has a single consumer — caching it would be
+        # pure overhead, so every persist is guarded by "more levels
+        # will re-read this frontier"
         frontier = frontier.persist()
     levels.append(frontier.select("seed", "node", F.lit(1).alias("hop"), "us"))
     for hop in range(2, max_hops + 1):

@@ -2305,7 +2305,7 @@ _TRACE_MAX_HOPS = 3
     # an earlier 2-hop arrival both matter — which is why levels are
     # kept exact-k, never best-so-far.)
     oracle=f"""
-    WITH e AS ({FLOW_EDGES_SQL.replace("value AS amount,", "")}),
+    WITH e AS ({FLOW_EDGES_SQL}),
     s AS (
       SELECT DISTINCT user_id AS seed FROM events
       WHERE value > {_TRACE_SEED_MIN}

@@ -38,37 +38,36 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from anti_money_laundering_spark.graph import temporal_reachability  # noqa: E402
 from anti_money_laundering_spark.plans.catalog import get_catalog  # noqa: E402
-from anti_money_laundering_spark.plans.fixture_graphs import (  # noqa: E402
-    FLOW_THRESHOLD,
+from anti_money_laundering_spark.plans.fixture_graphs import flow_graph  # noqa: E402
+from anti_money_laundering_spark.plans.graph_queries import (  # noqa: E402
+    _TRACE_SEED_MIN,
 )
 from anti_money_laundering_spark.session import get_spark  # noqa: E402
 from anti_money_laundering_spark.sources import load_table  # noqa: E402
-
-#: Single-transfer size that makes an account a tracing seed on its
-#: own — the same trigger as funds_tracing_alerts' _TRACE_SEED_MIN.
-LARGE_TRANSFER_MIN = 200.0
 
 
 def run_stages(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """Execute the four triage stages; returns per-stage row counts."""
     catalog = get_catalog()
 
-    # 1. case seeds: fan-in motif middles + large-transfer senders.
+    # 1. case seeds: fan-in motif middles + large-transfer senders
+    # (the SAME trigger constant as funds_tracing_alerts — imported,
+    # not restated, so the example cannot drift from the screen).
     motif = catalog["motif_fanin_structuring"].fn(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     large = (
-        ev.filter(F.col("value") > LARGE_TRANSFER_MIN)
+        ev.filter(F.col("value") > _TRACE_SEED_MIN)
         .select(F.col("user_id").alias("seed"))
     )
     seeds = (
         motif.select(F.col("c_id").alias("seed")).unionByName(large).distinct()
     )
 
-    # 2. follow the money: 3-hop time-respecting reach over flow edges.
-    edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
-        F.col("user_id").alias("src"),
-        F.get_json_object("props", "$.k").cast("long").alias("dst"),
-        F.unix_micros("ts").alias("us"),
+    # 2. follow the money: 3-hop time-respecting reach over the SHARED
+    # flow graph (fixture_graphs.flow_graph — the same edge derivation
+    # every flow screen uses), with event time as integer micros.
+    edges = flow_graph(spark, sf_dir).edges.select(
+        "src", "dst", F.unix_micros("ts").alias("us")
     )
     reach = temporal_reachability(edges, seeds, max_hops=3)
 

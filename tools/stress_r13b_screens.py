@@ -5,7 +5,8 @@ pattern):
 
 - corridor_concentration_alerts over 50M lineitems / 10M orders / 1M
   customers / 100k suppliers / 25 nations: a planted hot corridor
-  (nation 7 -> nation 13, ~2x its uniform share) must flag; the
+  (nation 7 -> nation 13: ~2% of all rows into one of 625 cells,
+  ~13x its uniform share) must flag; the
   organic alert count under a UNIFORM trade mix is reported as
   calibration (uniform corridors hug the mean, so the 1.25x line
   should stay quiet or nearly so).
