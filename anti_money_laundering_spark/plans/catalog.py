@@ -399,6 +399,9 @@ _R14_PLAN: tuple[str, ...] = (
     # dedup-threshold calibration curve over the shared pair memo
     # (r13-new)
     "dedup_similarity_histogram",
+    # sanctions/PEP-style watchlist fuzzy name screening — asymmetric
+    # list-vs-base via the SymSpell deletion join (r13-new)
+    "watchlist_screen_hits",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

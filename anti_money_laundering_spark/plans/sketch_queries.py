@@ -197,6 +197,61 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "watchlist_screen_hits",
+    tags=("OP", "J-ext", "E2"),
+    # Cartesian-with-prefilter oracle is fixture-legal (the list side
+    # is ~0.5% of customers); the Spark side must never run it.
+    oracle="""
+    SELECT w.c_custkey AS list_id, w.c_name AS list_name,
+           c.c_custkey AS cust_id, c.c_name AS cust_name,
+           CAST(levenshtein(w.c_name, c.c_name) AS INTEGER) AS dist
+    FROM customer w JOIN customer c
+      ON abs(length(w.c_name) - length(c.c_name)) <= 1
+     AND levenshtein(w.c_name, c.c_name) <= 1
+    WHERE w.c_custkey % 199 = 0
+    """,
+)
+def watchlist_screen_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watchlist name screening (the sanctions/PEP check every AML
+    program runs): the FULL customer base screened against a watchlist
+    at edit distance <= 1 — exact hits (dist 0: the listed entity IS a
+    customer) and fuzzy hits (dist 1: the one-character variations a
+    transliteration or deliberate typo produces). The watchlist is a
+    deterministic ~0.5% slice (c_custkey % 199 == 0) standing in for
+    an external sanctions feed; 1 / 8 / 76 list entries produce
+    20 / 219 / 2,738 hits at sf0.001 / 0.01 / 0.1 (FIXTURES.md
+    threshold rule — fuzzy hits dominate at every SF).
+
+    Distinct from ``fuzzy_name_pairs`` (the symmetric same-segment
+    dedup pair-join): screening is ASYMMETRIC probe-vs-list with no
+    blocking key (a sanctions check must not block on segment), keeps
+    self-matches (a listed entity appearing as a customer is the
+    primary hit), and reports per-(list entry, customer) rows.
+
+    Scale posture: the same SymSpell deletion-neighborhood equi-join
+    (operators.edit_distance_join) — the tiny list side explodes to
+    ~(L+1) variants per entry and broadcast-joins the probe side's
+    variants; the exact levenshtein verify runs on candidates only,
+    never the |list| x |customers| cartesian the oracle is allowed at
+    fixture scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("name")
+    )
+    watch = cust.filter(F.col("c_custkey") % 199 == 0).select(
+        F.col("c_custkey").alias("list_id"), "name"
+    )
+    probe = cust.select(F.col("c_custkey").alias("cust_id"), "name")
+    out = edit_distance_join(watch, probe, on="name", max_distance=1)
+    return out.select(
+        "list_id",
+        F.col("name_l").alias("list_name"),
+        "cust_id",
+        F.col("name_r").alias("cust_name"),
+        "dist",
+    )
+
+
+@register(
     "bloom_prefilter_revenue",
     tags=("OP", "J4", "A-ext"),
     oracle="""

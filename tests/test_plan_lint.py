@@ -265,6 +265,11 @@ EXCHANGE_BUDGET = {
     "corridor_concentration_alerts": 3,
     "funds_tracing_alerts": 9,
     "dedup_similarity_histogram": 2,
+    # watchlist screening: both sides' deletion-variant explodes meet
+    # on an equi-join (candidate agg + the two variant-side exchanges
+    # = 3 at the pin fixture; the list side auto-broadcasts past its
+    # threshold only at larger SFs — never a cartesian)
+    "watchlist_screen_hits": 3,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the

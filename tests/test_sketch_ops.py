@@ -365,3 +365,37 @@ def test_bloom_filter_rejects_wide_bitmap_at_build_time(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="broadcast-join probe"):
         bloom_filter(df, ["k"], num_bits=_LITERAL_BLOOM_BITS * 2)
+
+
+def test_watchlist_screen_hand_case(spark):
+    """Hand-computed watchlist screen: listed entity 'ACME LLC'
+    (custkey 398 = 2*199, on-list by the modulo rule) hits ITSELF
+    (dist 0 — the listed entity is a customer, the primary sanctions
+    hit) and the typo variant 'ACME LLC.' (dist 1); 'ACME INC'
+    (dist 2) and an unrelated name do not hit; a near-identical pair
+    of UNLISTED customers produces no row — the screen is
+    list-vs-base, not a dedup pair join."""
+    import anti_money_laundering_spark.plans.sketch_queries as sq
+
+    cust = spark.createDataFrame(
+        [
+            (398, "ACME LLC", 0, 0.0, "BUILDING"),     # listed
+            (5, "ACME LLC.", 0, 0.0, "BUILDING"),      # dist 1 hit
+            (6, "ACME INC", 0, 0.0, "BUILDING"),       # dist 2: no hit
+            (7, "ZENITH BANK", 0, 0.0, "BUILDING"),    # unrelated
+            (8, "ORBIT FUND", 0, 0.0, "BUILDING"),     # unlisted near-pair
+            (9, "ORBIT FUNDS", 0, 0.0, "BUILDING"),    # unlisted near-pair
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orig = sq.load_table
+    sq.load_table = lambda spark, sf_dir, name: cust
+    try:
+        got = {
+            (r.list_id, r.cust_id): r.dist
+            for r in sq.watchlist_screen_hits(spark, "x").collect()
+        }
+    finally:
+        sq.load_table = orig
+    assert got == {(398, 398): 0, (398, 5): 1}
