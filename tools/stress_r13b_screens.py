@@ -210,6 +210,46 @@ def stress_tracing(spark, n_events: int) -> None:
     assert (chain[995_003].min_hops, chain[995_003].first_us) == (3, t0 + 2 * h_us)
 
 
+def stress_watchlist(spark, n_customers: int) -> None:
+    """Stress the SymSpell deletion-neighborhood screening join
+    list-vs-base: n_customers synthetic digit-string names probed
+    against a 0.5% watchlist. Digit-string names are an ADVERSARIALLY
+    dense edit-distance space (every name has dozens of distance-1
+    neighbors), so hit volume and candidate pressure are far above
+    realistic name data — an upper-bound stress, not a calibration.
+    A planted typo pair pins recall at scale."""
+    import anti_money_laundering_spark.plans.sketch_queries as sq
+
+    base = spark.range(n_customers).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("ENTITY "), F.col("id") + 10_000_000).alias("c_name"),
+    )
+    planted = spark.createDataFrame(
+        [
+            (n_customers * 2 * 199, "ZZQ HOLDING CO"),     # listed
+            (n_customers * 2 + 1, "ZZQ HOLDINGS CO"),      # dist-1 typo
+            (n_customers * 2 + 2, "ZZQ TRADING CO"),       # dist>1: miss
+        ],
+        "c_custkey long, c_name string",
+    )
+    cust = base.unionByName(planted)
+    rows, wall = _run_tables(
+        sq, spark, sq.watchlist_screen_hits, {"customer": cust}
+    )
+    listed = n_customers * 2 * 199
+    plant_hits = sorted(
+        (r.cust_id, r.dist) for r in rows if r.list_id == listed
+    )
+    n_list = n_customers // 199 + 1
+    print(
+        f"watchlist: {n_customers + 3} names / {n_list} listed; "
+        f"{len(rows)} hits in {wall:.1f}s (warm; digit-string name "
+        f"space — dozens of d1 neighbors per name, an upper-bound "
+        f"load); planted listed entity hits: {plant_hits}"
+    )
+    assert plant_hits == [(n_customers * 2 + 1, 1), (listed, 0)], plant_hits
+
+
 def stress_tracing_ab(spark, n_events: int) -> None:
     """Order-controlled A/B of the level-prefix recompute (default)
     vs persist_levels=True, per the r12 cache-trade protocol: one
@@ -248,7 +288,7 @@ def main() -> int:
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
     spark = get_spark(app_name="r13b_screen_stress", shuffle_partitions=64)
     phases = sys.argv[3].split(",") if len(sys.argv) > 3 else [
-        "corridor", "tracing", "tracing_ab",
+        "corridor", "tracing", "tracing_ab", "watchlist",
     ]
     if "corridor" in phases:
         stress_corridor(spark, n_lineitems)
@@ -256,6 +296,8 @@ def main() -> int:
         stress_tracing(spark, n_events)
     if "tracing_ab" in phases:
         stress_tracing_ab(spark, n_events)
+    if "watchlist" in phases:
+        stress_watchlist(spark, n_events // 5)
     return 0
 
 
