@@ -1041,6 +1041,7 @@ def temporal_reachability(
     seeds: DataFrame,
     max_hops: int = 3,
     persist_levels: bool = False,
+    aggregate: bool = True,
 ) -> DataFrame:
     """Time-respecting bounded-hop reachability (follow-the-money):
     every node reachable from a seed through a chain of edges in which
@@ -1063,7 +1064,14 @@ def temporal_reachability(
 
     ``persist_levels``: see the measured crossover in
     plans/graph_queries.funds_tracing_alerts (recompute wins at small
-    scale via fused scheduling; persist wins past ~1M edges)."""
+    scale via fused scheduling; persist wins past ~1M edges).
+
+    ``aggregate=False`` returns the raw exact-hop levels
+    (seed, node, hop, us) — one row per (seed, node, hop) with the
+    earliest arrival over exactly-``hop``-hop paths — for consumers
+    that need per-hop structure (e.g. round-trip detection must see a
+    hop-2 return even when a hop-1 self-edge exists, which the
+    min_hops aggregate would mask)."""
     if max_hops < 1:
         raise ValueError(f"temporal_reachability: max_hops must be >= 1, got {max_hops}")
     levels = []
@@ -1105,6 +1113,8 @@ def temporal_reachability(
     u = levels[0]
     for lv in levels[1:]:
         u = u.unionByName(lv)
+    if not aggregate:
+        return u
     return u.groupBy("seed", "node").agg(
         F.min("hop").alias("min_hops"),
         F.min("us").cast("long").alias("first_us"),

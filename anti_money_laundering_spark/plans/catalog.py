@@ -402,6 +402,10 @@ _R14_PLAN: tuple[str, ...] = (
     # sanctions/PEP-style watchlist fuzzy name screening — asymmetric
     # list-vs-base via the SymSpell deletion join (r13-new)
     "watchlist_screen_hits",
+    # carousel detection: funds returning to their originator through
+    # 1-2 intermediaries on a time-respecting chain — the per-hop face
+    # of temporal_reachability (r13-new)
+    "funds_roundtrip_alerts",
 )
 
 _COMPLETION_PLANS: dict[int, tuple[str, ...]] = {

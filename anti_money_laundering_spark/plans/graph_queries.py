@@ -2375,6 +2375,15 @@ def funds_tracing_alerts(
     for the session like the hub table."""
     from anti_money_laundering_spark.graph import temporal_reachability
 
+    edges, seeds = _flow_trace_inputs(spark, sf_dir)
+    return temporal_reachability(
+        edges, seeds, max_hops=_TRACE_MAX_HOPS, persist_levels=persist_levels
+    )
+
+
+def _flow_trace_inputs(spark: SparkSession, sf_dir: str):
+    """(edges, seeds) shared by the tracing and round-trip screens —
+    one derivation so the two faces cannot drift."""
     ev = load_table(spark, sf_dir, "events")
     edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
         F.col("user_id").alias("src"),
@@ -2386,6 +2395,73 @@ def funds_tracing_alerts(
         .select(F.col("user_id").alias("seed"))
         .distinct()
     )
-    return temporal_reachability(
-        edges, seeds, max_hops=_TRACE_MAX_HOPS, persist_levels=persist_levels
+    return edges, seeds
+
+
+@register(
+    "funds_roundtrip_alerts",
+    tags=("G-ext", "J-ext"),
+    # Same full-enumeration oracle family as funds_tracing_alerts,
+    # restricted to node == seed at hop >= 2 (a hop-1 "return" is a
+    # self-edge event, not a round trip). Legitimately EMPTY at
+    # sf0.001 (no 2-3-hop returns in the tiny graph — the documented
+    # small-graph class); 9 / 10 seeds flag at sf0.01 / 0.1.
+    oracle=f"""
+    WITH e AS ({FLOW_EDGES_SQL}),
+    s AS (
+      SELECT DISTINCT user_id AS seed FROM events
+      WHERE value > {_TRACE_SEED_MIN}
+    ),
+    h1 AS (
+      SELECT s.seed, e.dst AS node, epoch_us(e.ts) AS us
+      FROM s JOIN e ON e.src = s.seed
+    ),
+    h2 AS (
+      SELECT h1.seed, e.dst AS node, epoch_us(e.ts) AS us
+      FROM h1 JOIN e ON e.src = h1.node AND epoch_us(e.ts) > h1.us
+    ),
+    h3 AS (
+      SELECT h2.seed, e.dst AS node, epoch_us(e.ts) AS us
+      FROM h2 JOIN e ON e.src = h2.node AND epoch_us(e.ts) > h2.us
+    ),
+    u AS (
+      SELECT seed, node, 2 AS hop, us FROM h2
+      UNION ALL SELECT seed, node, 3, us FROM h3
+    )
+    SELECT seed,
+           CAST(min(hop) AS INTEGER) AS return_hops,
+           CAST(min(us) AS BIGINT) AS first_return_us
+    FROM u WHERE node = seed GROUP BY seed
+    """,
+)
+def funds_roundtrip_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-tripping (carousel) screen: seed accounts whose large
+    movement can RETURN to them through 1-2 intermediaries on a
+    time-respecting chain — money that comes back to its originator
+    is the classic layering loop (``reciprocal_transfer_alerts``
+    catches the direct A<->B echo; this catches the laundered loop
+    A->B->..->A that the pairwise screen structurally cannot). Emits
+    (seed, fewest return hops, earliest possible return time).
+
+    Built on ``temporal_reachability(aggregate=False)``: the raw
+    exact-hop levels filtered to node == seed at hop >= 2 — the
+    min_hops aggregate would mask a genuine 2-hop return behind a
+    hop-1 self-edge event, so the per-hop view is load-bearing, not a
+    convenience. Scale posture: identical to the tracing screen (the
+    same bounded level joins; the final filter is a codegen'd
+    node == seed predicate on level output, so the only added cost
+    over tracing is the per-seed aggregate)."""
+    from anti_money_laundering_spark.graph import temporal_reachability
+
+    edges, seeds = _flow_trace_inputs(spark, sf_dir)
+    lv = temporal_reachability(
+        edges, seeds, max_hops=_TRACE_MAX_HOPS, aggregate=False
+    )
+    return (
+        lv.filter((F.col("node") == F.col("seed")) & (F.col("hop") >= 2))
+        .groupBy("seed")
+        .agg(
+            F.min("hop").alias("return_hops"),
+            F.min("us").cast("long").alias("first_return_us"),
+        )
     )

@@ -2286,3 +2286,48 @@ def test_funds_tracing_hand_case(spark):
     assert (got[(1, 3)].min_hops, got[(1, 3)].first_us) == (1, us(20))
     assert (got[(1, 4)].min_hops, got[(1, 4)].first_us) == (1, us(5))
     assert (got[(1, 5)].min_hops, got[(1, 5)].first_us) == (3, us(8))
+
+
+def test_funds_roundtrip_hand_case(spark):
+    """Hand-computed round-trip screen, pinning the hop-1 self-edge
+    mask trap the aggregate=False formulation exists for: seed 1 has a
+    SELF-EDGE at t=5 (hop-1 "return" — a self-payment event, not a
+    round trip) AND a genuine 2-hop loop 1 -> 2 -> 1 closing at t=20;
+    it must flag with return_hops=2 (a min_hops aggregate would have
+    collapsed the self-edge and the loop into min_hops=1 and the
+    hop >= 2 filter would wrongly drop the seed). Seed 7 has ONLY a
+    self-edge and must not flag."""
+    import anti_money_laundering_spark.plans.graph_queries as gq
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    def us(s):
+        return int(t(s).timestamp()) * 1_000_000
+
+    rows = [
+        (1, t(5), 1, 150.00, 1),    # self-edge 1->1 @5 (hop-1, not a loop)
+        (2, t(10), 1, 250.00, 2),   # seed event AND edge 1->2 @10
+        (3, t(20), 2, 150.00, 1),   # 2->1 @20: genuine 2-hop return
+        (4, t(1), 7, 250.00, 7),    # seed 7: ONLY a self-edge
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, ts, u, "transfer", v, '{"k": %d}' % k)
+            for i, ts, u, v, k in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = gq.load_table
+    gq.load_table = lambda spark, sf_dir, name: ev
+    try:
+        got = {
+            r.seed: r for r in gq.funds_roundtrip_alerts(spark, "x").collect()
+        }
+    finally:
+        gq.load_table = orig
+    assert set(got) == {1}
+    assert (got[1].return_hops, got[1].first_return_us) == (2, us(20))

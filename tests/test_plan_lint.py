@@ -270,6 +270,11 @@ EXCHANGE_BUDGET = {
     # = 3 at the pin fixture; the list side auto-broadcasts past its
     # threshold only at larger SFs — never a cartesian)
     "watchlist_screen_hits": 3,
+    # round-trip face of the tracing levels: the same 1+2+3 recompute
+    # shape minus the final (seed, node) re-agg (the per-seed return
+    # agg replaces it), with the hop-2-branch seed filter folding one
+    # level-1 agg into its join = 8
+    "funds_roundtrip_alerts": 8,
 }
 
 #: Budgets are pinned at this fixture (NOT the sf_dir fixture: the
