@@ -17,7 +17,10 @@ Stages (each a plain library/catalog composition — no new operators):
 3. context join — which reached accounts are THEMSELVES flagged
    funnels (pass-through screen), so the analyst sees onward-routing
    risk inside the traced perimeter.
-4. corridor context — the trade-book geographic screen
+4. carousel check — funds_roundtrip_alerts: seeds whose movement can
+   RETURN to them through intermediaries (the loop the pairwise
+   reciprocal screen cannot see).
+5. corridor context — the trade-book geographic screen
    (corridor_concentration_alerts) for the entity's TBML review tab.
 
 Run: python examples/investigation_workflow.py [sf_dir]
@@ -77,13 +80,18 @@ def run_stages(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         funnels.select(F.col("mid").alias("node"), "n_passthrough"), "node"
     )
 
-    # 4. TBML tab: the corridor screen over the trade book.
+    # 4. carousel check: which case accounts' funds can RETURN to them
+    # (the round-trip face of the same levels the trace computed).
+    loops = catalog["funds_roundtrip_alerts"].fn(spark, sf_dir)
+
+    # 5. TBML tab: the corridor screen over the trade book.
     corridors = catalog["corridor_concentration_alerts"].fn(spark, sf_dir)
 
     return {
         "case_seeds": seeds.count(),
         "traced_reach": reach.count(),
         "onward_funnels": hot.count(),
+        "roundtrip_seeds": loops.count(),
         "corridor_alerts": corridors.count(),
     }
 
@@ -95,6 +103,7 @@ def main() -> int:
     print(f"case_seeds: {counts['case_seeds']} accounts (motif middles + large movers)")
     print(f"traced_reach: {counts['traced_reach']} (seed, account) rows within 3 hops")
     print(f"onward_funnels: {counts['onward_funnels']} traced accounts are pass-through flagged")
+    print(f"roundtrip_seeds: {counts['roundtrip_seeds']} seeds whose funds can return to them")
     print(f"corridor_alerts: {counts['corridor_alerts']} over-concentrated trade corridors")
     assert counts["case_seeds"] > 0 and counts["traced_reach"] > 0
     assert counts["corridor_alerts"] > 0
