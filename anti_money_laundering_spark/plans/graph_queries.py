@@ -2383,15 +2383,18 @@ def funds_tracing_alerts(
 
 def _flow_trace_inputs(spark: SparkSession, sf_dir: str):
     """(edges, seeds) shared by the tracing and round-trip screens —
-    one derivation so the two faces cannot drift."""
-    ev = load_table(spark, sf_dir, "events")
-    edges = ev.filter(F.col("value") > FLOW_THRESHOLD).select(
-        F.col("user_id").alias("src"),
-        F.get_json_object("props", "$.k").cast("long").alias("dst"),
-        F.unix_micros("ts").alias("us"),
+    edges come from the SAME fixture_graphs.flow_graph derivation
+    every other flow screen uses (review finding: a parallel inline
+    projection here would silently diverge if the flow-edge rule ever
+    changes), with event time as integer micros."""
+    from anti_money_laundering_spark.plans.fixture_graphs import flow_graph
+
+    edges = flow_graph(spark, sf_dir).edges.select(
+        "src", "dst", F.unix_micros("ts").alias("us")
     )
     seeds = (
-        ev.filter(F.col("value") > _TRACE_SEED_MIN)
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > _TRACE_SEED_MIN)
         .select(F.col("user_id").alias("seed"))
         .distinct()
     )

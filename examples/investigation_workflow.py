@@ -17,9 +17,12 @@ Stages (each a plain library/catalog composition — no new operators):
 3. context join — which reached accounts are THEMSELVES flagged
    funnels (pass-through screen), so the analyst sees onward-routing
    risk inside the traced perimeter.
-4. carousel check — funds_roundtrip_alerts: seeds whose movement can
-   RETURN to them through intermediaries (the loop the pairwise
-   reciprocal screen cannot see).
+4. carousel check — the round-trip filter over the SAME case seeds
+   (raw temporal_reachability levels, node == seed at hop >= 2): case
+   accounts whose movement can RETURN to them through intermediaries
+   (the loop the pairwise reciprocal screen cannot see; the catalog's
+   funds_roundtrip_alerts is the standalone screen form over
+   large-mover seeds).
 5. corridor context — the trade-book geographic screen
    (corridor_concentration_alerts) for the entity's TBML review tab.
 
@@ -50,7 +53,7 @@ from anti_money_laundering_spark.sources import load_table  # noqa: E402
 
 
 def run_stages(spark: SparkSession, sf_dir: str) -> dict[str, int]:
-    """Execute the four triage stages; returns per-stage row counts."""
+    """Execute the five triage stages; returns per-stage row counts."""
     catalog = get_catalog()
 
     # 1. case seeds: fan-in motif middles + large-transfer senders
@@ -80,9 +83,17 @@ def run_stages(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         funnels.select(F.col("mid").alias("node"), "n_passthrough"), "node"
     )
 
-    # 4. carousel check: which case accounts' funds can RETURN to them
-    # (the round-trip face of the same levels the trace computed).
-    loops = catalog["funds_roundtrip_alerts"].fn(spark, sf_dir)
+    # 4. carousel check over the CASE seeds (not just the screen's
+    # large-mover seeds — a motif middle with a loop must be caught
+    # too; review finding): the same raw levels the library exposes,
+    # filtered to time-respecting self-returns through >= 1
+    # intermediary.
+    lv = temporal_reachability(edges, seeds, max_hops=3, aggregate=False)
+    loops = (
+        lv.filter((F.col("node") == F.col("seed")) & (F.col("hop") >= 2))
+        .select("seed")
+        .distinct()
+    )
 
     # 5. TBML tab: the corridor screen over the trade book.
     corridors = catalog["corridor_concentration_alerts"].fn(spark, sf_dir)
@@ -103,7 +114,7 @@ def main() -> int:
     print(f"case_seeds: {counts['case_seeds']} accounts (motif middles + large movers)")
     print(f"traced_reach: {counts['traced_reach']} (seed, account) rows within 3 hops")
     print(f"onward_funnels: {counts['onward_funnels']} traced accounts are pass-through flagged")
-    print(f"roundtrip_seeds: {counts['roundtrip_seeds']} seeds whose funds can return to them")
+    print(f"roundtrip_seeds: {counts['roundtrip_seeds']} case seeds whose funds can return to them")
     print(f"corridor_alerts: {counts['corridor_alerts']} over-concentrated trade corridors")
     assert counts["case_seeds"] > 0 and counts["traced_reach"] > 0
     assert counts["corridor_alerts"] > 0

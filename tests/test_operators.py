@@ -2272,15 +2272,19 @@ def test_funds_tracing_hand_case(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    orig = gq.load_table
-    gq.load_table = lambda spark, sf_dir, name: ev
+    import anti_money_laundering_spark.plans.fixture_graphs as fg
+
+    # the trace derives edges through fixture_graphs.flow_graph (the
+    # shared flow-edge rule), so BOTH load_table seams get the frame
+    orig, orig_fg = gq.load_table, fg.load_table
+    gq.load_table = fg.load_table = lambda spark, sf_dir, name: ev
     try:
         got = {
             (r.seed, r.node): r
             for r in gq.funds_tracing_alerts(spark, "x").collect()
         }
     finally:
-        gq.load_table = orig
+        gq.load_table, fg.load_table = orig, orig_fg
     assert set(got) == {(1, 2), (1, 3), (1, 4), (1, 5)}
     assert (got[(1, 2)].min_hops, got[(1, 2)].first_us) == (1, us(6))
     assert (got[(1, 3)].min_hops, got[(1, 3)].first_us) == (1, us(20))
@@ -2321,13 +2325,17 @@ def test_funds_roundtrip_hand_case(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    orig = gq.load_table
-    gq.load_table = lambda spark, sf_dir, name: ev
+    import anti_money_laundering_spark.plans.fixture_graphs as fg
+
+    # the trace derives edges through fixture_graphs.flow_graph (the
+    # shared flow-edge rule), so BOTH load_table seams get the frame
+    orig, orig_fg = gq.load_table, fg.load_table
+    gq.load_table = fg.load_table = lambda spark, sf_dir, name: ev
     try:
         got = {
             r.seed: r for r in gq.funds_roundtrip_alerts(spark, "x").collect()
         }
     finally:
-        gq.load_table = orig
+        gq.load_table, fg.load_table = orig, orig_fg
     assert set(got) == {1}
     assert (got[1].return_hops, got[1].first_return_us) == (2, us(20))

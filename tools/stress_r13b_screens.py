@@ -50,8 +50,13 @@ _HOT_SUPP_NATION = 13
 
 
 def _run_tables(module, spark, fn, tables, warmup=True):
-    orig = module.load_table
-    module.load_table = lambda _spark, _sf_dir, t: tables[t]
+    # patch BOTH load_table seams: the plan module's own import and
+    # fixture_graphs' (the tracing screens derive edges through
+    # fixture_graphs.flow_graph — the shared flow-edge rule)
+    import anti_money_laundering_spark.plans.fixture_graphs as fg
+
+    orig, orig_fg = module.load_table, fg.load_table
+    module.load_table = fg.load_table = lambda _spark, _sf_dir, t: tables[t]
     try:
         if warmup:
             fn(spark, "stress").collect()
@@ -59,7 +64,7 @@ def _run_tables(module, spark, fn, tables, warmup=True):
         rows = fn(spark, "stress").collect()
         return rows, time.perf_counter() - t0
     finally:
-        module.load_table = orig
+        module.load_table, fg.load_table = orig, orig_fg
 
 
 def _corridor_tables(spark, n_lineitems: int):
@@ -250,15 +255,18 @@ def stress_watchlist(spark, n_customers: int) -> None:
     assert plant_hits == [(n_customers * 2 + 1, 1), (listed, 0)], plant_hits
 
 
-def stress_tracing_ab(spark, n_events: int) -> None:
+def stress_tracing_ab(spark, n_events: int, n_pairs: int = 3) -> None:
     """Order-controlled A/B of the level-prefix recompute (default)
     vs persist_levels=True, per the r12 cache-trade protocol: one
-    untimed warmup of BOTH modes first, then alternating timed pairs;
-    cache cleared after every persist run so no pair contaminates the
-    next."""
+    untimed warmup of BOTH modes first, then ``n_pairs`` alternating
+    timed pairs; cache cleared after every persist run so no pair
+    contaminates the next. (The recorded SCALE.md verdict pooled 9
+    pairs across a 3-pair and a 6-pair run of this protocol.)"""
+    import anti_money_laundering_spark.plans.fixture_graphs as fg
+
     ev, _t0, _h = _tracing_events(spark, n_events)
-    orig = gq.load_table
-    gq.load_table = lambda _spark, _sf_dir, _t: ev
+    orig, orig_fg = gq.load_table, fg.load_table
+    gq.load_table = fg.load_table = lambda _spark, _sf_dir, _t: ev
 
     def run(persist: bool) -> float:
         t0 = time.perf_counter()
@@ -271,14 +279,16 @@ def stress_tracing_ab(spark, n_events: int) -> None:
 
     try:
         run(False), run(True)  # untimed warmup of BOTH paths
-        pairs = [(run(False), run(True)) for _ in range(3)]
+        pairs = [(run(False), run(True)) for _ in range(n_pairs)]
     finally:
-        gq.load_table = orig
-    rec = sorted(p[0] for p in pairs)[1]
-    per = sorted(p[1] for p in pairs)[1]
+        gq.load_table, fg.load_table = orig, orig_fg
+    import statistics
+
+    rec = statistics.median(p[0] for p in pairs)
+    per = statistics.median(p[1] for p in pairs)
     print(
         f"tracing-ab: {n_events} events; recompute median "
-        f"{rec:.1f}s vs persist_levels {per:.1f}s over 3 warm "
+        f"{rec:.1f}s vs persist_levels {per:.1f}s over {len(pairs)} warm "
         f"alternating pairs ({['%.1f/%.1f' % p for p in pairs]})"
     )
 
@@ -295,7 +305,8 @@ def main() -> int:
     if "tracing" in phases:
         stress_tracing(spark, n_events)
     if "tracing_ab" in phases:
-        stress_tracing_ab(spark, n_events)
+        n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        stress_tracing_ab(spark, n_events, n_pairs)
     if "watchlist" in phases:
         stress_watchlist(spark, n_events // 5)
     return 0
