@@ -83,7 +83,8 @@ _WINDOW_ROUND = 13
 #: ROUND-13 ROTATION (r12 verdict item 1): the 8-query flagship keep
 #: core re-attests as always; the 4 ``_R13_PLAN`` screens (registered
 #: during r12, after its window froze) get their first driver rows —
-#: after which the 249-query catalog is FULLY driver-attested again;
+#: after which the catalog (256 queries at the r13 close) is fully
+#: driver-attested again up to the enumerated _R14_PLAN debt;
 #: and the remaining 38 slots continue the oldest-ledger-first
 #: rotation: all 28 queries whose latest green row is still r7 (the
 #: r12 window re-rowed the alphabetically-first 7 of that cohort),
