@@ -1068,3 +1068,39 @@ def test_temporal_reachability_library_surface(spark):
         for r in temporal_reachability(edges, seeds, max_hops=2).collect()
     }
     assert (got2[(1, 3)].min_hops, got2[(1, 3)].first_us) == (2, 200)
+
+
+def test_temporal_reachability_persist_mode_parity(spark, sf_dir):
+    """persist_levels=True must return exactly the default recompute
+    plan's rows (it is a physical-plan trade, SCALE.md
+    §r13-corridor-tracing — never a semantic switch); cache cleared
+    afterwards so later tests see no cached levels."""
+    from pyspark.sql import functions as F
+
+    from anti_money_laundering_spark.graph import temporal_reachability
+    from anti_money_laundering_spark.plans.fixture_graphs import flow_graph
+    from anti_money_laundering_spark.sources import load_table
+
+    edges = flow_graph(spark, sf_dir).edges.select(
+        "src", "dst", F.unix_micros("ts").alias("us")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 200.0)
+        .select(F.col("user_id").alias("seed"))
+        .distinct()
+    )
+    base = sorted(
+        map(tuple, temporal_reachability(edges, seeds).collect())
+    )
+    try:
+        cached = sorted(
+            map(
+                tuple,
+                temporal_reachability(edges, seeds, persist_levels=True).collect(),
+            )
+        )
+    finally:
+        spark.catalog.clearCache()
+    assert cached == base
+    assert base, "fixture must trace at least one account"
