@@ -30,7 +30,9 @@ Run: python examples/investigation_workflow.py [sf_dir]
 (defaults to /root/testdata/sf0.001; prints one row-count line per
 stage, exits 0 on success). The onward-funnel intersection is
 legitimately empty at sf0.001 (10 seeds, sparse graph); sf0.01 traces
-124 seeds to 2,637 accounts of which 767 are pass-through flagged.
+124 case seeds across 2,637 (seed, account) reach rows, 26 DISTINCT
+reached accounts are pass-through flagged, and 14 case seeds have a
+time-respecting round trip.
 """
 
 from __future__ import annotations
@@ -71,24 +73,35 @@ def run_stages(spark: SparkSession, sf_dir: str) -> dict[str, int]:
 
     # 2. follow the money: 3-hop time-respecting reach over the SHARED
     # flow graph (fixture_graphs.flow_graph — the same edge derivation
-    # every flow screen uses), with event time as integer micros.
+    # every flow screen uses), with event time as integer micros. The
+    # raw exact-hop levels are computed ONCE and both faces derive
+    # from them (review finding: a separate aggregated call would run
+    # the hop-join pyramid twice).
     edges = flow_graph(spark, sf_dir).edges.select(
         "src", "dst", F.unix_micros("ts").alias("us")
     )
-    reach = temporal_reachability(edges, seeds, max_hops=3)
+    lv = temporal_reachability(edges, seeds, max_hops=3, aggregate=False)
+    reach = lv.groupBy("seed", "node").agg(
+        F.min("hop").alias("min_hops"),
+        F.min("us").cast("long").alias("first_us"),
+    )
 
-    # 3. context: traced accounts that are flagged funnels themselves.
+    # 3. context: DISTINCT traced accounts that are flagged funnels
+    # themselves (a funnel reached from several case seeds counts
+    # once — review finding: the raw join is (seed, node) pairs).
     funnels = catalog["passthrough_funds_alerts"].fn(spark, sf_dir)
-    hot = reach.join(
-        funnels.select(F.col("mid").alias("node"), "n_passthrough"), "node"
+    hot = (
+        reach.join(
+            funnels.select(F.col("mid").alias("node"), "n_passthrough"), "node"
+        )
+        .select("node")
+        .distinct()
     )
 
     # 4. carousel check over the CASE seeds (not just the screen's
     # large-mover seeds — a motif middle with a loop must be caught
-    # too; review finding): the same raw levels the library exposes,
-    # filtered to time-respecting self-returns through >= 1
-    # intermediary.
-    lv = temporal_reachability(edges, seeds, max_hops=3, aggregate=False)
+    # too): the same raw levels, filtered to time-respecting
+    # self-returns through >= 1 intermediary.
     loops = (
         lv.filter((F.col("node") == F.col("seed")) & (F.col("hop") >= 2))
         .select("seed")

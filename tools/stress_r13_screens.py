@@ -73,6 +73,13 @@ def _events(spark, n_events: int):
 def stress_sliding(spark, n_events: int) -> None:
     ev = _events(spark, n_events)
 
+    # untimed warmup of BOTH measured paths first (the r13
+    # measurement-ordering lesson: a fresh JVM's first phase reads
+    # ~1.5x its warm self, which biased this tool's original
+    # base-vs-sliding ratio — review finding)
+    _run(fq, spark, fq.coordinated_amount_clusters, ev)
+    _run(fq, spark, fq.coordinated_sliding_windows, ev)
+
     base_rows, base_wall = _run(fq, spark, fq.coordinated_amount_clusters, ev)
     base_ring = [r for r in base_rows if r.cents == _RING_CENTS]
     base_max = max((r.n_senders for r in base_ring), default=0)

@@ -245,7 +245,9 @@ def stress_watchlist(spark, n_customers: int) -> None:
     plant_hits = sorted(
         (r.cust_id, r.dist) for r in rows if r.list_id == listed
     )
-    n_list = n_customers // 199 + 1
+    # base ids 0..n_customers-1 divisible by 199, plus the planted
+    # listed entry (review finding: // undercounted by one)
+    n_list = (n_customers + 198) // 199 + 1
     print(
         f"watchlist: {n_customers + 3} names / {n_list} listed; "
         f"{len(rows)} hits in {wall:.1f}s (warm; digit-string name "

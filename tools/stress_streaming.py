@@ -197,9 +197,18 @@ def main() -> int:
         ev3 = read_events_stream(spark, data, max_files_per_trigger=1)
         cs = coordinated_sliding_stream(ev3, min_senders=3)
         res = run_query("coord_sliding", cs, os.path.join(scratch, "ck_coord"))
-        assert res["max_state_rows"] < 2 * n_events * 0.5, (
-            "sliding-coordination state must be horizon-bounded, not "
-            "cumulative over the replay"
+        # horizon-scaled bound (review finding: the original
+        # < n_events bound was so loose a half-broken eviction would
+        # pass): state is ~(events/day) x 2 grids x the ~73h
+        # dedup+agg horizon; 8 horizon-day-equivalents gives ~1.5x
+        # headroom over the measured 5.32M at 20M events / 40 days
+        # (re-verified against the tightened bound this session),
+        # while cumulative retention (~2x n_events) fails hard.
+        span_days = 40
+        horizon_bound = (n_events // span_days) * 2 * 8
+        assert res["max_state_rows"] < horizon_bound, (
+            f"sliding-coordination state must be horizon-bounded "
+            f"(< {horizon_bound}), not cumulative over the replay"
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
