@@ -93,7 +93,10 @@ def connected_components(
         raise ValueError(f"unknown edge_storage: {edge_storage!r} (bi|recompute)")
 
     labels = graph.vertices.select("id").distinct().withColumn("component", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    # lazy: the initial fixpoint sum below is the materializing action,
+    # so init is ONE job (checkpoint write + sum), not two (r13
+    # optimization round; was eager=True + a separate sum job).
+    labels = labels.localCheckpoint(eager=False)
 
     # Labels are monotonically non-increasing (each round takes a min over
     # a superset that includes the old label), so the label sum strictly
@@ -108,21 +111,43 @@ def connected_components(
     round_seconds: list[float] = []
     for _it in range(max_iter):
         _t0 = _time.perf_counter()
-        # Labels seen by each vertex via incoming propagation.
+        # Labels seen by each vertex via incoming propagation. ROUND 1
+        # SPECIALIZATION (r13 optimization round): the initial labels
+        # are the identity map, so joining the edge table against them
+        # is a no-op that still shuffles the full 2|E| edge set once on
+        # src and once more for the join — the source's label IS its
+        # id. Substituting src for the joined label removes one
+        # edge-scale shuffle + join from every CC run at any scale.
+        # Sound under the Graph endpoint-closure invariant (edges'
+        # endpoints ⊆ vertices — the same contract
+        # Graph.aggregate_messages trusts when it skips vertex joins);
+        # a dangling-src edge would now propagate its raw src id where
+        # the join used to drop it, so closure is the caller's
+        # contract, as it already was for aggregate_messages.
         if join_rounds:
-            incoming_min = (
-                bi.join(labels, bi.src == labels.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("component").alias("__inc"))
-            )
+            if _it == 0:
+                incoming_min = bi.groupBy(F.col("dst").alias("id")).agg(
+                    F.min("src").alias("__inc")
+                )
+            else:
+                incoming_min = (
+                    bi.join(labels, bi.src == labels.id)
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("component").alias("__inc"))
+                )
             new_labels = labels.join(incoming_min, "id", "left").select(
                 "id",
                 F.least(F.coalesce("__inc", "component"), "component").alias("component"),
             )
         else:
-            incoming = bi.join(labels, bi.src == labels.id).select(
-                F.col("dst").alias("id"), F.col("component")
-            )
+            if _it == 0:
+                incoming = bi.select(
+                    F.col("dst").alias("id"), F.col("src").alias("component")
+                )
+            else:
+                incoming = bi.join(labels, bi.src == labels.id).select(
+                    F.col("dst").alias("id"), F.col("component")
+                )
             new_labels = (
                 labels.select("id", "component")
                 .union(incoming)
