@@ -14,7 +14,22 @@ broadcasts small dimensions, avoids driver-side collects in data
 paths, and checkpoints iterative lineage.
 """
 
-from anti_money_laundering_spark.session import get_spark
+import os as _os
+
+# One BLAS thread per process — set BEFORE pyspark (which imports
+# numpy, which initializes the OpenBLAS pool at library load, reading
+# this env exactly once). Driver-side numpy runs table builds and
+# replays whose matrices are tiny; a 32-thread OpenBLAS pool
+# busy-spins after every call and burned ~3 CPU-s PER BENCH PASS of
+# pure spin on this box (measured on ann_lsh_topk: 5.1 CPU-s with the
+# pool vs 1.6 without, identical wall and output). Worker processes
+# fork from the JVM and inherit the same env; session.py adds the
+# executorEnv twin for cluster executors. setdefault so callers who
+# genuinely want a threaded driver BLAS can override via env.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
+from anti_money_laundering_spark.session import get_spark  # noqa: E402
 
 __version__ = "0.1.0"
 

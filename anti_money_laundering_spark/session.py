@@ -17,6 +17,14 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# One BLAS thread per process (the primary pin lives in the package
+# __init__, BEFORE pyspark→numpy load OpenBLAS — an after-load env is
+# ignored by the already-initialized pool; see the rationale there).
+# Re-assert here for direct `session` importers, and so the
+# executorEnv twin below always has a value to ship.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def get_secret(scope: str, key: str, default: str | None = None) -> str:
     """Secrets access (SURVEY §2.1 S11). The reference reads its API
@@ -68,6 +76,12 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         # parquet vectorized reader + pushdown are on by default; pin anyway
         "spark.sql.parquet.filterPushdown": "true",
+        # Cluster-mode twin of the process-env BLAS pin above: executors
+        # don't inherit the driver's environment, so ship the same
+        # one-thread-per-worker contract via executorEnv.
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": os.environ["OPENBLAS_NUM_THREADS"],
+        "spark.executorEnv.OMP_NUM_THREADS": os.environ["OMP_NUM_THREADS"],
+        "spark.executorEnv.MKL_NUM_THREADS": os.environ["MKL_NUM_THREADS"],
     }
     if extra_conf:
         conf.update(extra_conf)

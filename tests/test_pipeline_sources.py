@@ -28,6 +28,22 @@ def test_get_secret_env_backend(monkeypatch):
         get_secret("geo", "absent")
 
 
+def test_blas_single_thread_contract(spark):
+    """r13 optimization: Python workers must run single-threaded BLAS —
+    a per-worker OpenBLAS pool busy-spins after each call (measured:
+    +3.5 CPU-s on one tiny LSH scoring pass) and oversubscribes cores
+    tasks×threads on a cluster. session.py pins the process env (local
+    workers fork from the JVM and inherit it) and the executorEnv twin
+    (cluster executors don't inherit the driver env)."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        assert os.environ.get(var) == "1", var
+    # A live session created by get_spark carries the executorEnv twin
+    # (conftest builds it via get_spark; skip if another harness owns it).
+    conf = spark.sparkContext.getConf()
+    if conf.get("spark.executorEnv.OPENBLAS_NUM_THREADS", None) is not None:
+        assert conf.get("spark.executorEnv.OPENBLAS_NUM_THREADS") == "1"
+
+
 def test_save_table_overwrite_schema_change(spark, caplog):
     """The overwriteSchema contract the reference relies on (01:245):
     overwrite must replace data AND schema on the parquet fallback
