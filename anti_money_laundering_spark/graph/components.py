@@ -36,6 +36,7 @@ def connected_components(
     stats: dict | None = None,
     join_rounds: bool = False,
     edge_storage: str = "bi",
+    frontier: bool = True,
 ) -> DataFrame:
     """Return ``(id, component)`` with component = min id reachable.
 
@@ -82,6 +83,27 @@ def connected_components(
     every round's join regardless of a pre-``repartition``), so
     storage choice changes bytes HELD, not bytes SHUFFLED; the
     per-round shuffle model is in SCALE.md §CC.
+
+    ``frontier=True`` (default; r13 optimization round, guide §2.3
+    "shuffle fewer bytes") switches rounds 2+ to DELTA propagation:
+    only vertices whose label changed last round re-send. Soundness
+    invariant (induction): round 1 delivers every initial label to
+    every neighbor (min(src) over the full bidirectional edge set);
+    afterwards, a vertex whose label did NOT change in round k already
+    delivered its current label in some round <= k, so each neighbor
+    folded it into its own min then — re-sending is a no-op. The
+    pointer-jump shortcut also lowers labels, so jump-lowered vertices
+    are flagged into the frontier too. The label TRAJECTORY (and so
+    the round count and final labels) is identical to full
+    re-propagation; what changes is per-round cost: the message join
+    touches frontier-adjacent edges instead of all 2|E|, and the fold
+    back into the label table is a left join against the (small)
+    incoming-min aggregate instead of a full-label union+regroup, so
+    once the frontier collapses a round shuffles ~nothing. Implemented
+    join-shaped (no Union node), so it is also immune to the Catalyst
+    union-constraint crash class above; ``join_rounds`` is moot in
+    this mode. ``frontier=False`` keeps the historical full-propagation
+    loop for A/B tooling.
     """
     import time as _time
     edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
@@ -109,6 +131,74 @@ def connected_components(
     prev_sum = _label_sum(labels)
     rounds = 0
     round_seconds: list[float] = []
+
+    if frontier:
+        for _it in range(max_iter):
+            _t0 = _time.perf_counter()
+            if _it == 0:
+                # Round-1 specialization (same as the legacy loop):
+                # initial labels are the identity map, so min(src) per
+                # dst IS the round-1 incoming minimum — no label join,
+                # and it delivers EVERY initial label to every
+                # neighbor, which is what the frontier induction
+                # needs as its base case.
+                incoming_min = bi.groupBy(F.col("dst").alias("id")).agg(
+                    F.min("src").alias("__inc")
+                )
+            else:
+                fr = labels.filter("changed").select(
+                    F.col("id").alias("__fid"), F.col("component").alias("__fcomp")
+                )
+                incoming_min = (
+                    bi.join(fr, bi.src == F.col("__fid"))
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("__fcomp").alias("__inc"))
+                )
+            # Fold messages back: new label = min(old, incoming);
+            # changed = strictly lowered this round. `component` here
+            # is the OLD label (incoming_min carries only __inc).
+            new_labels = labels.join(incoming_min, "id", "left").select(
+                "id",
+                F.least(F.coalesce("__inc", "component"), "component").alias(
+                    "component"
+                ),
+                (F.col("__inc").isNotNull() & (F.col("__inc") < F.col("component"))).alias(
+                    "changed"
+                ),
+            )
+            # Pointer jumping, alternate rounds (see the legacy loop's
+            # rationale); a jump-lowered label joins the frontier.
+            if _it % 2 == 1:
+                parent = new_labels.select(
+                    F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+                )
+                new_labels = (
+                    new_labels.join(
+                        parent, new_labels.component == F.col("__pid"), "left"
+                    ).select(
+                        "id",
+                        F.coalesce("__pcomp", "component").alias("component"),
+                        (
+                            F.col("changed")
+                            | (
+                                F.col("__pcomp").isNotNull()
+                                & (F.col("__pcomp") < F.col("component"))
+                            )
+                        ).alias("changed"),
+                    )
+                )
+            new_labels = new_labels.localCheckpoint(eager=False)
+            new_sum = _label_sum(new_labels)
+            labels = new_labels
+            rounds += 1
+            round_seconds.append(round(_time.perf_counter() - _t0, 3))
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        if stats is not None:
+            stats.update(rounds=rounds, round_seconds=round_seconds)
+        return labels.select("id", "component")
+
     for _it in range(max_iter):
         _t0 = _time.perf_counter()
         # Labels seen by each vertex via incoming propagation. ROUND 1

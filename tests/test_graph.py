@@ -58,6 +58,31 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert len(cc) == 200
 
 
+def test_connected_components_frontier_equals_legacy(spark):
+    """r13 optimization: delta (frontier) propagation must reproduce the
+    full-propagation loop exactly — same labels AND same round count
+    (the trajectories are provably identical; a diverging round count
+    would mean the frontier dropped a live message). The mixed shape
+    (chain + star + isolated vertices) makes the frontier actually
+    collapse over several rounds rather than staying full."""
+    from anti_money_laundering_spark.graph.components import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 20)] + [(100, j) for j in range(101, 110)]
+    gr = g(spark, edges, vertices=list(range(1, 21)) + list(range(100, 110)) + [999])
+    st_f: dict = {}
+    st_l: dict = {}
+    got_f = {
+        r.id: r.component
+        for r in connected_components(gr, stats=st_f, frontier=True).collect()
+    }
+    got_l = {
+        r.id: r.component
+        for r in connected_components(gr, stats=st_l, frontier=False).collect()
+    }
+    assert got_f == got_l
+    assert st_f["rounds"] == st_l["rounds"]
+
+
 def test_motif_chain_and_attrs(spark):
     v = spark.createDataFrame([(1, "p"), (2, "q"), (3, "r")], "id long, kind string")
     e = spark.createDataFrame([(1, 2, 10.0), (2, 3, 20.0)], "src long, dst long, amount double")
