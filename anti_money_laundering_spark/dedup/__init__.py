@@ -562,12 +562,14 @@ def near_duplicate_clusters(
     from anti_money_laundering_spark.graph.components import connected_components
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    cc = connected_components(Graph(vertices, edges))
+    # No pre-distinct: connected_components dedups vertices itself, and
+    # verified pair lists are unique (id_a < id_b) by construction —
+    # dedup_edges=False skips that provably-no-op shuffle too (min-label
+    # propagation is duplicate-insensitive either way; r13 optimization
+    # round — these init shuffles were most of the cost of clustering a
+    # pair graph that is tiny relative to its corpus).
+    vertices = edges.select(F.col("src").alias("id")).union(edges.select("dst"))
+    cc = connected_components(Graph(vertices, edges), dedup_edges=False)
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),

@@ -37,6 +37,8 @@ def connected_components(
     join_rounds: bool = False,
     edge_storage: str = "bi",
     frontier: bool = True,
+    dedup_edges: bool = True,
+    dedup_vertices: bool = True,
 ) -> DataFrame:
     """Return ``(id, component)`` with component = min id reachable.
 
@@ -104,9 +106,23 @@ def connected_components(
     union-constraint crash class above; ``join_rounds`` is moot in
     this mode. ``frontier=False`` keeps the historical full-propagation
     loop for A/B tooling.
+
+    ``dedup_edges`` / ``dedup_vertices`` (r13 optimization round):
+    min-label propagation is duplicate-INSENSITIVE — a repeated edge
+    repeats a message into a min, a repeated vertex id repeats an
+    identical label row into a min-group — so the init distincts exist
+    purely to shrink the iterated tables, not for correctness. Callers
+    whose inputs are unique by construction (verified near-dup pairs
+    with id_a < id_b, an already-distinct projection) pass False and
+    skip one full-input shuffle each; the near-dup cluster graphs are
+    tiny relative to their corpus, so at fixture scale these shuffles
+    WERE the cost. Defaults stay True: at 100 TB an edge table with
+    heavy duplicate structure should shrink once before being iterated.
     """
     import time as _time
-    edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if dedup_edges:
+        edges = edges.distinct()
     # Undirected: propagate labels both ways.
     bi = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if edge_storage == "bi":
@@ -114,10 +130,13 @@ def connected_components(
     elif edge_storage != "recompute":
         raise ValueError(f"unknown edge_storage: {edge_storage!r} (bi|recompute)")
 
-    labels = graph.vertices.select("id").distinct().withColumn("component", F.col("id"))
-    # lazy: the initial fixpoint sum below is the materializing action,
-    # so init is ONE job (checkpoint write + sum), not two (r13
-    # optimization round; was eager=True + a separate sum job).
+    labels = graph.vertices.select("id")
+    if dedup_vertices:
+        labels = labels.distinct()
+    labels = labels.withColumn("component", F.col("id"))
+    # lazy: round 1 is the materializing action — init runs ZERO jobs
+    # (r13 optimization round; was eager=True + a separate sum job,
+    # then lazy + an initial sum job).
     labels = labels.localCheckpoint(eager=False)
 
     # Labels are monotonically non-increasing (each round takes a min over
@@ -128,7 +147,12 @@ def connected_components(
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    # No initial sum job: round 1 always lowers SOME label on any graph
+    # with at least one non-loop edge, so a round-1 fixpoint test can
+    # only fire on an edgeless input — where skipping it costs one
+    # extra (empty, cheap) confirm round instead of an up-front
+    # full-table aggregation job on EVERY run.
+    prev_sum = None
     rounds = 0
     round_seconds: list[float] = []
 
@@ -348,9 +372,15 @@ def bipartite_components(
     # join_rounds: the projection inputs are checkpointed LogicalRDDs,
     # which trip the union form's constraint rewrite (see
     # connected_components docstring); on the |R|-sized graph the extra
-    # per-round shuffle is noise.
+    # per-round shuffle is noise. star/right_vertices are already
+    # distinct'd above, so the inner loop skips its own dedup shuffles.
     right_labels = connected_components(
-        _G(right_vertices, star), max_iter=max_iter, stats=stats, join_rounds=True
+        _G(right_vertices, star),
+        max_iter=max_iter,
+        stats=stats,
+        join_rounds=True,
+        dedup_edges=False,
+        dedup_vertices=False,
     ).withColumnRenamed("component", "attr_comp")
 
     # Left vertices inherit their hub's attribute-component; the final
