@@ -248,10 +248,28 @@ def find_motif(
 
     assert result is not None
     # Attach vertex attribute structs for named vertex vars.
+    #
+    # id-only fast path (r13 optimization round, guide §2.4 "remove
+    # shuffles outright"): when the vertex table carries NOTHING but
+    # ``id``, the per-variable join adds no attributes, and under the
+    # Graph contract (unique vertex ids; edges' endpoints ⊆ vertices —
+    # the same endpoint-closure invariant aggregate_messages and the
+    # CC round-1 specialization trust) it can neither drop nor
+    # multiply matches: every binding IS an edge endpoint, so the
+    # inner join on a distinct id-only table matches exactly once.
+    # Each named vertex var therefore saves one join (and, for derived
+    # vertex tables like flow_graph's endpoints-union-distinct, one
+    # full re-derivation of that subtree per variable — the fan-in
+    # screen carried FOUR copies). The struct is built directly from
+    # the binding column instead.
+    id_only = vertex_cols == ["id"]
     out_cols: list = []
     for var in named_order:
         if var in seen_edges:
             out_cols.append(F.col(f"__e_{var}").alias(var))
+            continue
+        if id_only:
+            out_cols.append(F.struct(F.col(f"__v_{var}").alias("id")).alias(var))
             continue
         vstruct = graph.vertices.select(
             F.col("id").alias(f"__vid_{var}"), F.struct(*vertex_cols).alias(var)
