@@ -170,7 +170,13 @@ def extract_features(media: DataFrame, featurizer=fake_byte_features, schema=Non
             feats.insert(0, "media_id", pdf["media_id"].values)
             yield feats
 
-    return media.mapInPandas(run, schema=schema or FEATURE_SCHEMA)
+    # Explicit projection before the opaque function (guide §4): Spark
+    # cannot see which columns `run` touches, so without this select it
+    # ships — and reads from storage — every media column (mime_type,
+    # captions, ...) across the Arrow boundary for nothing.
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=schema or FEATURE_SCHEMA
+    )
 
 
 #: Deterministic stand-in label set (the reference uses ImageNet class

@@ -362,15 +362,22 @@ def synth_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with >1 person; each person's score = number of other
     members (shared attributes + co-members) in its component."""
     from anti_money_laundering_spark.graph import bipartite_components
+    from pyspark.sql.window import Window
 
     cc = bipartite_components(identity_graph(spark, sf_dir))
-    sizes = cc.groupBy("component").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("id") < 1000000, 1)).alias("person_ct"),
-    )
+    # Component sizes via a window over the SAME pass instead of a
+    # groupBy + join back: the join made `cc` — the whole bipartite
+    # assembly (projection + inner CC + label folding) — feed two
+    # consumers, and duplicate static subtrees re-execute on this
+    # Spark (r13 optimization round, the corridor precedent). The
+    # window shuffles once on component; a component is an identity
+    # cluster (people sharing attributes), whose size the screen
+    # itself treats as alert-grade — never corpus-scale.
+    wc = Window.partitionBy("component")
     return (
-        cc.filter(F.col("id") < 1000000)
-        .join(sizes.filter(F.col("person_ct") > 1), "component")
+        cc.withColumn("n", F.count(F.lit(1)).over(wc))
+        .withColumn("person_ct", F.count(F.when(F.col("id") < 1000000, 1)).over(wc))
+        .filter((F.col("id") < 1000000) & (F.col("person_ct") > 1))
         .select("component", F.col("id").alias("id0"), (F.col("n") - 1).cast("long").alias("synth_score"))
     )
 
