@@ -24,8 +24,11 @@ import os as _os
 # pure spin on this box (measured on ann_lsh_topk: 5.1 CPU-s with the
 # pool vs 1.6 without, identical wall and output). Worker processes
 # fork from the JVM and inherit the same env; session.py adds the
-# executorEnv twin for cluster executors. setdefault so callers who
-# genuinely want a threaded driver BLAS can override via env.
+# executorEnv twin for cluster executors. This is deliberately a
+# PROCESS-GLOBAL import side effect (the only point early enough to
+# beat numpy's one-shot env read); a host process that wants threaded
+# BLAS for its own large-matrix work must export the vars before
+# importing this package — setdefault always honors a pre-set value.
 for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
     _os.environ.setdefault(_v, "1")
 

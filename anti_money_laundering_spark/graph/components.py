@@ -95,9 +95,16 @@ def connected_components(
     delivered its current label in some round <= k, so each neighbor
     folded it into its own min then — re-sending is a no-op. The
     pointer-jump shortcut also lowers labels, so jump-lowered vertices
-    are flagged into the frontier too. The label TRAJECTORY (and so
-    the round count and final labels) is identical to full
-    re-propagation; what changes is per-round cost: the message join
+    are flagged into the frontier too. UNDER THE GRAPH CONTRACT
+    (edges' endpoints ⊆ vertices — the same endpoint-closure invariant
+    the hop-1 specialization and aggregate_messages already trust) the
+    label TRAJECTORY (and so the round count and final labels) is
+    identical to full re-propagation. A contract-VIOLATING dangling
+    intermediate vertex (present in edges, absent from vertices) never
+    gets a label row here and cannot relay, where the legacy
+    union+groupBy fold happened to create one — closure is the
+    caller's obligation either way, as it already was for the hop-1
+    specialization. What changes is per-round cost: the message join
     touches frontier-adjacent edges instead of all 2|E|, and the fold
     back into the label table is a left join against the (small)
     incoming-min aggregate instead of a full-label union+regroup, so
@@ -108,12 +115,15 @@ def connected_components(
     loop for A/B tooling.
 
     ``dedup_edges`` / ``dedup_vertices`` (r13 optimization round):
-    min-label propagation is duplicate-INSENSITIVE — a repeated edge
-    repeats a message into a min, a repeated vertex id repeats an
-    identical label row into a min-group — so the init distincts exist
-    purely to shrink the iterated tables, not for correctness. Callers
-    whose inputs are unique by construction (verified near-dup pairs
-    with id_a < id_b, an already-distinct projection) pass False and
+    repeated EDGES only repeat a message into a min — always harmless —
+    so ``dedup_edges`` is purely a size optimization. Repeated VERTEX
+    ids are only collapsed by the legacy union+groupBy fold; the
+    default frontier fold (a left join from the label table) would
+    emit one output row per duplicate, so ``dedup_vertices=False``
+    additionally REQUIRES unique vertex ids from the caller. Callers
+    whose inputs satisfy these contracts by construction (verified
+    near-dup pairs with id_a < id_b over endpoint-derived vertices,
+    an already-distinct projection) pass False and
     skip one full-input shuffle each; the near-dup cluster graphs are
     tiny relative to their corpus, so at fixture scale these shuffles
     WERE the cost. Defaults stay True: at 100 TB an edge table with
@@ -369,11 +379,13 @@ def bipartite_components(
     )
     from anti_money_laundering_spark.graph import Graph as _G
 
-    # join_rounds: the projection inputs are checkpointed LogicalRDDs,
-    # which trip the union form's constraint rewrite (see
-    # connected_components docstring); on the |R|-sized graph the extra
-    # per-round shuffle is noise. star/right_vertices are already
-    # distinct'd above, so the inner loop skips its own dedup shuffles.
+    # join_rounds: inert under the frontier default (which is
+    # join-shaped and never builds a Union), kept as frontier=False
+    # INSURANCE — the legacy union form's constraint rewrite crashes
+    # on these checkpointed-LogicalRDD inputs (see connected_components
+    # docstring), so anyone flipping frontier off here must keep this
+    # flag. star/right_vertices are already distinct'd above (and
+    # unique), so the inner loop skips its own dedup shuffles.
     right_labels = connected_components(
         _G(right_vertices, star),
         max_iter=max_iter,

@@ -78,10 +78,12 @@ def get_spark(
         "spark.sql.parquet.filterPushdown": "true",
         # Cluster-mode twin of the process-env BLAS pin above: executors
         # don't inherit the driver's environment, so ship the same
-        # one-thread-per-worker contract via executorEnv.
-        "spark.executorEnv.OPENBLAS_NUM_THREADS": os.environ["OPENBLAS_NUM_THREADS"],
-        "spark.executorEnv.OMP_NUM_THREADS": os.environ["OMP_NUM_THREADS"],
-        "spark.executorEnv.MKL_NUM_THREADS": os.environ["MKL_NUM_THREADS"],
+        # one-thread-per-worker contract via executorEnv. .get with the
+        # same default so a harness that scrubs the environment after
+        # import (monkeypatch.delenv) still gets a session.
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": os.environ.get("OPENBLAS_NUM_THREADS", "1"),
+        "spark.executorEnv.OMP_NUM_THREADS": os.environ.get("OMP_NUM_THREADS", "1"),
+        "spark.executorEnv.MKL_NUM_THREADS": os.environ.get("MKL_NUM_THREADS", "1"),
     }
     if extra_conf:
         conf.update(extra_conf)

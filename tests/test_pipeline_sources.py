@@ -36,12 +36,18 @@ def test_blas_single_thread_contract(spark):
     workers fork from the JVM and inherit it) and the executorEnv twin
     (cluster executors don't inherit the driver env)."""
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-        assert os.environ.get(var) == "1", var
-    # A live session created by get_spark carries the executorEnv twin
-    # (conftest builds it via get_spark; skip if another harness owns it).
+        # setdefault semantics: the var is always SET after import, but a
+        # caller's pre-exported value wins — so assert presence, not "1"
+        # (an HPC/CI image exporting OMP_NUM_THREADS=8 is honored by
+        # design and must not fail the suite).
+        assert os.environ.get(var), var
+    # A live session created by get_spark ships the SAME value to
+    # executors via the executorEnv twin — that process/cluster
+    # agreement is the actual contract.
     conf = spark.sparkContext.getConf()
-    if conf.get("spark.executorEnv.OPENBLAS_NUM_THREADS", None) is not None:
-        assert conf.get("spark.executorEnv.OPENBLAS_NUM_THREADS") == "1"
+    shipped = conf.get("spark.executorEnv.OPENBLAS_NUM_THREADS", None)
+    if shipped is not None:
+        assert shipped == os.environ["OPENBLAS_NUM_THREADS"]
 
 
 def test_save_table_overwrite_schema_change(spark, caplog):
