@@ -97,18 +97,24 @@ def main() -> None:
     headline = {n: q for n, q in catalog.items() if q.headline}
 
     for _ in range(WARMUPS):
-        for q in headline.values():
+        for name, q in headline.items():
+            spark.sparkContext.setJobDescription(f"warmup: {name}")
             q.fn(spark, SF_DIR).count()
 
     samples: dict[str, list[float]] = {n: [] for n in headline}
     cpu_samples: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(PASSES):
         for name, q in headline.items():
+            # Job labels (guide §1.5) make the UI/event-log readable per
+            # query; description is driver-side metadata — no effect on
+            # the timed work.
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).count()
             samples[name].append(time.perf_counter() - t0)
             cpu_samples[name].append(_tree_cpu_seconds() - c0)
+    spark.sparkContext.setJobDescription(None)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     cpu = {n: round(statistics.median(s), 3) for n, s in cpu_samples.items()}
