@@ -55,6 +55,42 @@ class Graph:
         if missing:
             raise ValueError(f"edges DataFrame missing columns: {sorted(missing)}")
 
+    def validate(self) -> "Graph":
+        """Opt-in DEBUG guard (r14; two aggregation jobs — never run it
+        in a hot path by default): assert the data-level Graph contract
+        that the structural ``__post_init__`` check cannot see —
+        (a) vertex ids are unique, (b) endpoint closure: every edge
+        src/dst appears in ``vertices``. The CC frontier fold and the
+        motif id-only fast path assume both; on violating inputs they
+        return DIFFERENT results than the lenient legacy folds did
+        (a dangling endpoint gets no label row and cannot relay; a
+        duplicate vertex id emits duplicate label rows) — this makes
+        such inputs fail loudly instead of silently diverging. Raises
+        ``ValueError`` naming the first offending id."""
+        dup = (
+            self.vertices.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"Graph contract violation: duplicate vertex id {dup[0]['id']!r}"
+            )
+        dangling = (
+            self.edges.select(F.explode(F.array("src", "dst")).alias("id"))
+            .join(self.vertices.select("id"), "id", "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if dangling:
+            raise ValueError(
+                "Graph contract violation: edge endpoint "
+                f"{dangling[0]['id']!r} is not in vertices (endpoint closure)"
+            )
+        return self
+
     # -- G2: per-vertex degree (in+out), 01_aml_network_analysis.py:123
     def degrees(self) -> DataFrame:
         """Vertex degree = in + out. One explode + one partial-agg'd
@@ -90,8 +126,10 @@ class Graph:
         )
         return Graph(kept, edges)
 
-    def connected_components(self, max_iter: int = 100, stats: dict | None = None) -> DataFrame:
-        return connected_components(self, max_iter=max_iter, stats=stats)
+    def connected_components(
+        self, max_iter: int = 100, stats: dict | None = None, **kwargs
+    ) -> DataFrame:
+        return connected_components(self, max_iter=max_iter, stats=stats, **kwargs)
 
     def find(
         self,

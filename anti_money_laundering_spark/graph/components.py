@@ -25,9 +25,80 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 if TYPE_CHECKING:
     from anti_money_laundering_spark.graph import Graph
+
+#: Default edge-row budget (bidirectional rows = 2|E|) below which the
+#: whole fixpoint is replaced by ONE single-task vectorized pass
+#: (r14 optimization round; guide §1.2 "the distributed algorithm" /
+#: §2.6 scheduling floors). Sized for worker memory, not speed: 2M
+#: int64 pairs are ~32 MB of Arrow batches plus a few transient numpy
+#: copies (sort + inverse) — comfortably inside a default Python
+#: worker. Above it, per-round shuffles dominate the scheduling floor
+#: and the distributed loop is the right shape anyway.
+SMALL_GRAPH_COLLAPSE_ROWS = 2_000_000
+
+#: Integral id types the single-task collapse handles: numpy's sort
+#: order on these provably matches Spark's (min-label semantics need
+#: identical ordering). Strings are excluded — UTF8 binary collation
+#: vs Python codepoint ordering can diverge on non-ASCII ids.
+_COLLAPSE_ID_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _collapse_small_graph(bi: DataFrame) -> DataFrame:
+    """Exact min-label connected components of a SMALL edge list in one
+    task: all (src, dst) rows are funneled into a single mapInPandas
+    task (coalesce(1) over the already-materialized checkpoint blocks —
+    no shuffle) and solved with vectorized min-label propagation +
+    full pointer compression per pass (O(|E|) numpy work per pass,
+    O(log n) passes). Returns (id, component = min member id) for every
+    vertex incident to an edge; isolated vertices are the caller's
+    left-join fold. Distributed-safe by construction: the caller gates
+    on a counted row budget (SMALL_GRAPH_COLLAPSE_ROWS), so the task's
+    memory is bounded no matter what the full dataset size is."""
+    dt = bi.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id", dt), T.StructField("component", dt)]
+    )
+
+    def _unionfind(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [], []
+        for b in batches:
+            if len(b):
+                srcs.append(b["src"].to_numpy())
+                dsts.append(b["dst"].to_numpy())
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        ea, eb = inv[: len(src)], inv[len(src) :]
+        # ids is sorted ascending, so index order == id order and the
+        # min INDEX per component is the min ID's index.
+        label = np.arange(len(ids))
+        while True:
+            before = label
+            m = np.minimum(label[ea], label[eb])
+            label = label.copy()
+            np.minimum.at(label, ea, m)
+            np.minimum.at(label, eb, m)
+            # pointer jumping to a fully-compressed forest: labels only
+            # decrease, so label[label] <= label elementwise
+            while True:
+                nl = label[label]
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            if np.array_equal(label, before):
+                break
+        yield pd.DataFrame({"id": ids, "component": ids[label]})
+
+    return bi.coalesce(1).mapInPandas(_unionfind, out_schema)
 
 
 def connected_components(
@@ -39,6 +110,8 @@ def connected_components(
     frontier: bool = True,
     dedup_edges: bool = True,
     dedup_vertices: bool = True,
+    collapse_rows: int | None = SMALL_GRAPH_COLLAPSE_ROWS,
+    validate: bool = False,
 ) -> DataFrame:
     """Return ``(id, component)`` with component = min id reachable.
 
@@ -128,8 +201,38 @@ def connected_components(
     tiny relative to their corpus, so at fixture scale these shuffles
     WERE the cost. Defaults stay True: at 100 TB an edge table with
     heavy duplicate structure should shrink once before being iterated.
+
+    ``collapse_rows`` (r14 optimization round; guide §1.2/§2.6): when
+    the bidirectional edge table is SMALL — its counted row count is at
+    most this budget — the whole fixpoint is replaced by ONE
+    single-task vectorized pass (:func:`_collapse_small_graph`): the
+    iterative loop's per-round cost at this size is almost entirely the
+    per-job scheduling floor (~0.25 s/round on the bench box), so a
+    13-round chain-graph fixpoint pays ~3 s to move kilobytes. The
+    collapse is scale-adaptive, not fixture-tuned: a 100 TB edge table
+    fails the gate and runs the distributed loop unchanged, and the
+    gate is an exact count of the just-checkpointed edge blocks (one
+    cheap scan the loop was about to materialize anyway). Labels are
+    identical by construction (same min-label semantics; equality
+    pinned in tests/test_graph.py against both loop modes). Only
+    integral id types take the fast path (numpy vs Spark ordering is
+    provably identical there; strings can collate differently).
+    ``stats`` gets ``rounds=0, collapsed=True``. ``None`` disables (the
+    A/B and round-instrumentation tools do this);
+    ``edge_storage="recompute"`` also skips it, since the collapse
+    wants the counted, materialized checkpoint blocks.
+
+    ``validate=True`` (r14, opt-in debug guard): assert the Graph
+    contract — unique vertex ids and endpoint closure — with two cheap
+    aggregation jobs before running, raising ``ValueError`` on
+    violation. The frontier fold and the motif id-only fast path
+    silently produce different results on contract-violating inputs
+    than the lenient legacy folds did; this flag makes such inputs fail
+    loudly instead. Default off (two extra jobs per call).
     """
     import time as _time
+    if validate:
+        graph.validate()
     edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if dedup_edges:
         edges = edges.distinct()
@@ -140,10 +243,27 @@ def connected_components(
     elif edge_storage != "recompute":
         raise ValueError(f"unknown edge_storage: {edge_storage!r} (bi|recompute)")
 
-    labels = graph.vertices.select("id")
+    vertex_ids = graph.vertices.select("id")
     if dedup_vertices:
-        labels = labels.distinct()
-    labels = labels.withColumn("component", F.col("id"))
+        vertex_ids = vertex_ids.distinct()
+
+    # Small-graph collapse (see docstring): count the materialized
+    # bidirectional checkpoint; at or under budget, solve in one task.
+    if (
+        collapse_rows is not None
+        and edge_storage == "bi"
+        and isinstance(bi.schema["src"].dataType, _COLLAPSE_ID_TYPES)
+        and bi.count() <= collapse_rows
+    ):
+        comp_map = _collapse_small_graph(bi)
+        out = vertex_ids.join(comp_map, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+        if stats is not None:
+            stats.update(rounds=0, round_seconds=[], collapsed=True)
+        return out
+
+    labels = vertex_ids.withColumn("component", F.col("id"))
     # lazy: round 1 is the materializing action — init runs ZERO jobs
     # (r13 optimization round; was eager=True + a separate sum job,
     # then lazy + an initial sum job).

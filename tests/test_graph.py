@@ -50,10 +50,15 @@ def test_connected_components_chain_diameter(spark):
 
 def test_connected_components_long_chain_log_rounds(spark):
     # pointer jumping: a 200-node chain must converge in O(log n)
-    # rounds — max_iter=12 would never finish under plain propagation
+    # rounds — max_iter=12 would never finish under plain propagation.
+    # collapse_rows=None so the LOOP is what this test exercises (the
+    # r14 small-graph collapse would solve the chain in one task).
     chain = [(i, i + 1) for i in range(1, 200)]
     gr = g(spark, chain)
-    cc = {r.id: r.component for r in gr.connected_components(max_iter=12).collect()}
+    cc = {
+        r.id: r.component
+        for r in gr.connected_components(max_iter=12, collapse_rows=None).collect()
+    }
     assert set(cc.values()) == {1}
     assert len(cc) == 200
 
@@ -73,14 +78,75 @@ def test_connected_components_frontier_equals_legacy(spark):
     st_l: dict = {}
     got_f = {
         r.id: r.component
-        for r in connected_components(gr, stats=st_f, frontier=True).collect()
+        for r in connected_components(
+            gr, stats=st_f, frontier=True, collapse_rows=None
+        ).collect()
     }
     got_l = {
         r.id: r.component
-        for r in connected_components(gr, stats=st_l, frontier=False).collect()
+        for r in connected_components(
+            gr, stats=st_l, frontier=False, collapse_rows=None
+        ).collect()
     }
     assert got_f == got_l
     assert st_f["rounds"] == st_l["rounds"]
+
+
+def test_connected_components_collapse_equals_loops(spark):
+    """r14 optimization: the small-graph single-task collapse (the
+    default path for any graph under SMALL_GRAPH_COLLAPSE_ROWS) must
+    reproduce BOTH distributed loops' labels exactly on the same mixed
+    shape the frontier equality test uses (chain + star + isolated
+    vertex — multi-round propagation, pointer jumping, and the
+    isolated-vertex left-join fold all engage), plus duplicate edges
+    and both edge orientations (min-label is direction-insensitive)."""
+    from anti_money_laundering_spark.graph.components import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(1, 20)]
+        + [(100, j) for j in range(101, 110)]
+        + [(2, 1), (5, 4), (1, 2)]  # reversed + duplicate edges
+    )
+    gr = g(spark, edges, vertices=list(range(1, 21)) + list(range(100, 110)) + [999])
+    st_c: dict = {}
+    got_c = {
+        r.id: r.component
+        for r in connected_components(gr, stats=st_c).collect()
+    }
+    assert st_c.get("collapsed") is True and st_c["rounds"] == 0
+    got_f = {
+        r.id: r.component
+        for r in connected_components(gr, frontier=True, collapse_rows=None).collect()
+    }
+    got_l = {
+        r.id: r.component
+        for r in connected_components(gr, frontier=False, collapse_rows=None).collect()
+    }
+    assert got_c == got_f == got_l
+    assert got_c[999] == 999 and got_c[20] == 1 and got_c[109] == 100
+
+
+def test_graph_validate_guard(spark):
+    """r14 (verdict item 8 / advice): the opt-in validate flag makes
+    contract-violating graphs fail loudly — the frontier fold and the
+    motif id-only fast path assume unique vertex ids and endpoint
+    closure, and silently diverge from the lenient legacy folds when
+    those are violated."""
+    import pytest
+
+    from anti_money_laundering_spark.graph import Graph
+    from anti_money_laundering_spark.graph.components import connected_components
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    dup_v = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+    with pytest.raises(ValueError, match="duplicate vertex id"):
+        connected_components(Graph(dup_v, e), validate=True)
+    open_v = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="endpoint closure"):
+        connected_components(Graph(open_v, e), validate=True)
+    # a contract-satisfying graph passes and returns the graph
+    ok_v = spark.createDataFrame([(1,), (2,)], "id long")
+    assert Graph(ok_v, e).validate() is not None
 
 
 def test_motif_chain_and_attrs(spark):
@@ -466,7 +532,9 @@ def test_cc_hub_skew_bounded_rounds_and_correct(spark):
     edges = hub.union(chain).union(bridge)
     verts = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
     stats: dict = {}
-    cc = connected_components(Graph(verts, edges), max_iter=20, stats=stats)
+    cc = connected_components(
+        Graph(verts, edges), max_iter=20, stats=stats, collapse_rows=None
+    )
     comps = cc.select("component").distinct().collect()
     assert [r.component for r in comps] == [0]
     assert cc.count() == 10065

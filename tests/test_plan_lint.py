@@ -114,8 +114,18 @@ EXCHANGE_BUDGET = {
     "motif_fanin_capped": 8,
     "ann_lsh_topk": 1,
     "dedup_minhash_near_dups": 0,
-    "corpus_clean_pipeline": 3,
-    "connected_components": 0,
+    # r14: the cluster step's small-graph collapse ends the query in a
+    # LIVE plan (pair-vertex distinct + the label left join around the
+    # single-task MapInPandas) instead of a checkpoint scan — one more
+    # static exchange in the stitch plan, ~10 fewer executed per run
+    # (the 2-round cluster fixpoint's per-round shuffles are gone)
+    "corpus_clean_pipeline": 4,
+    # r14: same trade — the pinned 0 was a checkpoint-scan artifact
+    # (every per-round shuffle hidden behind the loop's materializations,
+    # pinned in PLANS.md/SCALE.md); the small-graph collapse returns a
+    # live plan whose TOTAL executed shuffles are the vertex distinct +
+    # the label join (2) vs 5 rounds x (join+agg) before
+    "connected_components": 2,
     "pregel_risk_propagation": 0,
     "pricing_summary": 2,
     "sessionize_events": 1,

@@ -34,7 +34,15 @@ def main() -> int:
             stats: dict = {}
             t0 = time.perf_counter()
             cc = connected_components(
-                g, max_iter=30, stats=stats, join_rounds=True, edge_storage=variant
+                g,
+                max_iter=30,
+                stats=stats,
+                join_rounds=True,
+                edge_storage=variant,
+                # this harness A/Bs the LOOP's storage variants; the
+                # small-graph collapse would replace the loop outright
+                # at small synth sizes
+                collapse_rows=None,
             )
             n = cc.count()
             wall = time.perf_counter() - t0

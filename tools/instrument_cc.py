@@ -55,7 +55,9 @@ def main() -> None:
         stats: dict = {}
         t0 = time.perf_counter()
         g = identity_graph(spark, SF_DIR)
-        n = connected_components(g, stats=stats).count()
+        # collapse_rows=None: this tool diagnoses the LOOP's per-round
+        # behavior; the small-graph collapse replaces it at fixture scale
+        n = connected_components(g, stats=stats, collapse_rows=None).count()
         wall = round(time.perf_counter() - t0, 3)
         j1, s1 = _job_stage_counts(sc)
         rec = {
