@@ -333,6 +333,21 @@ def _app_id(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def clear_shared_memos() -> None:
+    """Evict ALL per-session derivation memos (LSH state, verified
+    pairs, TF-IDF weights) regardless of application. bench.py calls
+    this between its warmup and timed phases (r13 verdict item 3) so
+    the FIRST timed pass of the memo-riding queries re-derives from the
+    parquet inputs and records an honest cold figure — the memos'
+    steady-state otherwise makes those medians measure a count over
+    checkpointed blocks, not the pipeline. The memos stay per-process
+    and are rebuilt from source on the next lookup; nothing persists
+    across runs."""
+    _LSH_SHARED.clear()
+    _PAIRS_SHARED.clear()
+    _TFIDF_W_SHARED.clear()
+
+
 def _evict_dead_sessions(spark: SparkSession) -> None:
     """Drop memo entries from other (stopped/replaced) applications so
     a long-lived process that restarts Spark doesn't pin dead sessions

@@ -101,6 +101,18 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"warmup: {name}")
             q.fn(spark, SF_DIR).count()
 
+    # Protocol v4 (r14; r13 verdict item 3): evict the per-session
+    # LSH/pairs/TF-IDF derivation memos AFTER the warmups so the FIRST
+    # timed pass re-derives from the parquet inputs — its per-query
+    # times are emitted as ``cold_first_pass``. Without this the
+    # memo-riding queries' every timed figure measures a count over
+    # warm checkpointed blocks, not the pipeline. The MEDIAN stays the
+    # steady-state figure (passes 2..N ride the rebuilt memo), so
+    # medians remain comparable with every prior round's floors.
+    from anti_money_laundering_spark.plans.llm_queries import clear_shared_memos
+
+    clear_shared_memos()
+
     samples: dict[str, list[float]] = {n: [] for n in headline}
     cpu_samples: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(PASSES):
@@ -129,27 +141,45 @@ def main() -> None:
         for n, s in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cpu_s": cpu,
-                "total_cpu_s": round(sum(cpu.values()), 3),
-                "dispersion": dispersion,
-                "protocol": {
-                    "version": 3,
-                    "warmups": WARMUPS,
-                    "passes": PASSES,
-                    "stat": "median",
-                    "cpu": "process-tree user+sys seconds per timed run",
-                },
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    cold_first = {n: round(s[0], 3) for n, s in samples.items()}
+    protocol = {
+        "version": 4,
+        "warmups": WARMUPS,
+        "passes": PASSES,
+        "stat": "median",
+        "cpu": "process-tree user+sys seconds per timed run",
+        # v4 (r14): shared derivation memos are evicted between warmup
+        # and the first timed pass; cold_first_pass records that pass.
+        "memos_evicted_after_warmup": True,
+    }
+    # The one-line stdout contract (driver-parsed). r14 (r13 verdict
+    # item 2): BENCH_r12's line was lost to tail truncation — the line
+    # had grown to several KB of dispersion detail and the driver's
+    # tail capture cut its head. The stdout line now carries the
+    # parse-critical keys only (metric/value/queries/cpu/sf, ~1.5 KB);
+    # the FULL record including the dispersion block is mirrored to
+    # BENCH_LAST.json next to this script for any reader that wants
+    # the noise-band detail.
+    line_record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "queries": timings,
+        "cpu_s": cpu,
+        "total_cpu_s": round(sum(cpu.values()), 3),
+        "cold_first_pass": cold_first,
+        "protocol": protocol,
+    }
+    full_record = dict(line_record, dispersion=dispersion)
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full_record, f, indent=2)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
+    print(json.dumps(line_record))
 
 
 if __name__ == "__main__":
