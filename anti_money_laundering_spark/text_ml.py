@@ -288,30 +288,57 @@ def ngram_lm_scores(
     step that normally needs a pretrained KenLM shipped to executors.
 
     P(cur|prev) = (c(prev,cur) + k) / (c(prev) + k*V), V = corpus
-    vocabulary size. Plan: bigrams from ONE lead() window per document
-    (codegen'd, no lambda — the winnowing lesson); pair counts and
-    context counts are two aggregations of that same stream (context
-    counts derive from pair counts, vocabulary-sized); V rides as a
-    broadcast 1-row cross join. The scoring join is keyed by the pair
-    — corpus-sized but perfectly partitionable; no step is driver-side
-    and nothing materializes pairwise doc x doc state. Documents with
-    fewer than two tokens have no bigram evidence and are dropped.
+    vocabulary size.
+
+    Plan (r14 optimization round; guide §2.4 "remove shuffles
+    outright"): bigrams come from a SHUFFLE-FREE array zip on the scan
+    — ``arrays_zip(toks, slice(toks ++ [null], 2, size))`` pairs every
+    token with its successor-or-NULL, all codegen (no lambda beyond the
+    tokenizer's linear filter; the winnowing lesson). The old lead()
+    window needed a full corpus shuffle on doc_id — and its stream fed
+    THREE consumers (scoring join, pair counts, vocabulary), so the
+    tokenize+window subtree executed three times per run. Now ALL
+    counting derives from ONE aggregation of the zipped stream
+    (``cab_all``, distinct (prev, cur) incl. the (last-token, NULL)
+    rows): pair counts = the non-NULL rows, context counts = their
+    per-prev sums, and V = countDistinct(prev) over cab_all — every
+    token appears as ``prev`` exactly once per occurrence, including
+    single-token documents and final tokens, so V keeps its all-token
+    semantics. cab_all is vocabulary²-bounded (distinct word pairs,
+    never corpus-sized) and is lazily checkpointed because it feeds
+    three plan branches (the r8/r9 tiny-frame-many-consumers rule).
+    The corpus is tokenized exactly TWICE (counting pass + scoring
+    pass) instead of four times, with zero window shuffles; the
+    scoring join stays keyed by the pair — corpus-sized but perfectly
+    partitionable; no step is driver-side and nothing materializes
+    pairwise doc x doc state. Documents with fewer than two tokens
+    have no bigram evidence and are dropped.
 
     Returns (id_col, n_bigrams, avg_logprob), natural log."""
-    from pyspark.sql.window import Window
-
     from anti_money_laundering_spark.functions import tokens
 
-    clean = docs.select(id_col, F.posexplode(tokens(text_col)).alias("pos", "term"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    pairs = clean.select(
+    toked = docs.select(id_col, tokens(text_col).alias("__t"))
+    nxt = F.slice(
+        F.concat(F.col("__t"), F.array(F.lit(None).cast("string"))),
+        2,
+        F.size("__t"),
+    )
+    seq = toked.select(
+        id_col, F.explode(F.arrays_zip(F.col("__t"), nxt.alias("__nx"))).alias("__bg")
+    ).select(
         id_col,
-        F.col("term").alias("prev"),
-        F.lead("term").over(w).alias("cur"),
-    ).filter(F.col("cur").isNotNull())
-    cab = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_ab"))
+        F.col("__bg.__t").alias("prev"),
+        F.col("__bg.__nx").alias("cur"),
+    )
+    cab_all = (
+        seq.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    cab = cab_all.filter(F.col("cur").isNotNull())
     cprev = cab.groupBy("prev").agg(F.sum("n_ab").alias("n_prev"))
-    voc = clean.agg(F.countDistinct("term").alias("v"))
+    voc = cab_all.agg(F.countDistinct("prev").alias("v"))
+    pairs = seq.filter(F.col("cur").isNotNull())
     logprob = F.log(
         (F.col("n_ab") + F.lit(add_k)) / (F.col("n_prev") + F.lit(add_k) * F.col("v"))
     )
