@@ -217,17 +217,26 @@ def rebalance_to_min_source(
     change the selected set.
 
     Plan: per-source counts via one tiny agg (|sources| rows,
-    broadcast back), the global min as a scalar inside that same
-    broadcast row — the filter is then pure codegen'd row arithmetic.
-    No window over the full corpus, no shuffle of the data itself."""
+    broadcast back) with the global min folded into that SAME frame by
+    an unpartitioned window (r14 optimization round, guide §2.4: the
+    former separate ``counts.agg(min)`` branch re-executed the
+    corpus-scale scan+agg subtree for its own broadcast — AQE reuses
+    identical exchanges, not duplicate static subtrees). The window's
+    single reducer sees |sources| rows (a handful of crawl sources —
+    a schema constant, never corpus-sized), and the filter stays pure
+    codegen'd row arithmetic. No window over the full corpus, no
+    shuffle of the data itself."""
+    from pyspark.sql.window import Window
+
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_src"))
-    n_min = counts.agg(F.min("__n_src").alias("__n_min"))
+    counts = counts.withColumn(
+        "__n_min", F.min("__n_src").over(Window.partitionBy())
+    )
     keep = hash_bucket(id_col, resolution, salt=salt) * F.col("__n_src") < F.lit(
         resolution
     ) * F.col("__n_min")
     return (
         df.join(F.broadcast(counts), source_col)
-        .crossJoin(F.broadcast(n_min))
         .filter(keep)
         .drop("__n_src", "__n_min")
     )
@@ -366,8 +375,15 @@ def rebalance_to_target_mix(
     Sources absent from ``weights`` are dropped (weight 0).
 
     Same plan shape as the uniform case: one tiny per-source count agg
-    broadcast back, the binding K as a scalar in the same broadcast,
-    codegen'd filter — no window, no data shuffle."""
+    broadcast back, the binding K folded into that same broadcast by an
+    unpartitioned window over the |sources|-row frame (r14, guide
+    §2.4 — the former separate ``sized.filter.agg(min)`` branch
+    re-executed the corpus scan+agg for its own broadcast; min ignores
+    the NULL the ``when`` leaves on zero-weight rows, so K is still
+    the min over positively-weighted sources only), codegen'd filter —
+    no window over the corpus, no data shuffle."""
+    from pyspark.sql.window import Window
+
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
     total = sum(weights.values())
@@ -377,9 +393,11 @@ def rebalance_to_target_mix(
         *[F.when(F.col(source_col) == s, F.lit(w)) for s, w in norm.items()],
         F.lit(0.0),
     )
-    sized = counts.select(source_col, "__n_src", w_expr.alias("__w"))
-    k = sized.filter(F.col("__w") > 0).agg(
-        F.min(F.col("__n_src") / F.col("__w")).alias("__k")
+    sized = counts.select(source_col, "__n_src", w_expr.alias("__w")).withColumn(
+        "__k",
+        F.min(
+            F.when(F.col("__w") > 0, F.col("__n_src") / F.col("__w"))
+        ).over(Window.partitionBy()),
     )
     keep = (
         F.col("__w") > 0
@@ -389,7 +407,6 @@ def rebalance_to_target_mix(
     )
     return (
         df.join(F.broadcast(sized), source_col)
-        .crossJoin(F.broadcast(k))
         .filter(keep)
         .drop("__n_src", "__w", "__k")
     )

@@ -991,17 +991,39 @@ def bipartite_project(
     its classic failure mode, quadratic fanout on hub items (one item
     with 1M buyers emits 5*10^11 pairs), is removed BEFORE the join by
     the ``hub_cap`` degree filter (<= cap entities per item), the same
-    stop-token discipline as vocabulary-keyed joins. Plan: one distinct
-    shuffle on (entity, item), one count shuffle on item, the pair join
-    keyed on item, one pair-count shuffle. Stress-measured with a
-    planted hub in tools/stress_graph.py (SCALE.md §bipartite
-    projection).
+    stop-token discipline as vocabulary-keyed joins.
+
+    Plan (r14 optimization round, guide §2.4): one distinct shuffle on
+    (entity, item), then the item degree comes from a COUNT WINDOW
+    partitioned by item instead of a separate groupBy + join-back —
+    the old freq branch re-executed the corpus-scale basket-distinct
+    subtree once per consumer (4 static copies in the co-purchase
+    plan; AQE reuses identical exchanges, not duplicate subtrees), and
+    its SortMergeJoin shuffled the relation by item a second time. The
+    window's output is already hash-partitioned AND sorted by item, so
+    the pair self-join adds NO exchange; one pair-count shuffle
+    finishes. Measured on the co-purchase query at sf0.1:
+    1.86-2.06 -> 1.59-1.62 s warm, static plan 16 -> 8 scans. Skew
+    note: each window partition buffers ONE item's rows (spilling
+    past the in-memory threshold); the rows a 1M-buyer hub item buffers
+    here are exactly the rows the old plan shuffled to a single join
+    task before dropping them, so the hub exposure is unchanged — the
+    cap filter still prevents any hub pair fan-out.
+    Stress-measured with a planted hub in tools/stress_graph.py
+    (SCALE.md §bipartite projection).
 
     ``baskets`` rows need not be distinct; duplicates are collapsed so
     multiplicity never inflates shared counts."""
+    from pyspark.sql.window import Window
+
     b = baskets.select(F.col(entity_col).alias("__ent"), F.col(item_col).alias("__item")).distinct()
-    freq = b.groupBy("__item").agg(F.count(F.lit(1)).alias("__nf"))
-    keep = b.join(freq.filter(F.col("__nf") <= hub_cap).select("__item"), "__item")
+    keep = (
+        b.withColumn(
+            "__nf", F.count(F.lit(1)).over(Window.partitionBy("__item"))
+        )
+        .filter(F.col("__nf") <= hub_cap)
+        .drop("__nf")
+    )
     a_side = keep.select(F.col("__ent").alias(f"{entity_col}_a"), "__item")
     b_side = keep.select(F.col("__ent").alias(f"{entity_col}_b"), "__item")
     return (

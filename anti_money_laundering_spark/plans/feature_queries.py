@@ -2185,8 +2185,12 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (share_b - share_a) * ln(share_b / share_a) with 0.5 Laplace
     smoothing so a bin observed in only ONE period contributes a
     finite term instead of ln(0) (bins empty in both periods emit no
-    row — identically on both engines). One scan, one bounded groupBy (rows = bins), totals joined
-    back by broadcast — the 100 TB shape is the aggregation's."""
+    row — identically on both engines). One scan, one bounded groupBy
+    (rows = bins), period totals folded into the bin table by an
+    unpartitioned window (r14, guide §2.4: the former separate
+    ``per_bin.agg`` branch re-executed the events scan+agg subtree for
+    its broadcast; the window's single reducer sees <= _PSI_BINS rows,
+    a fixture constant) — the 100 TB shape is the aggregation's."""
     ev = load_table(spark, sf_dir, "events")
     binned = ev.select(
         F.least(
@@ -2196,15 +2200,20 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("in_a"),
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.sum("in_a").cast("long").alias("n_a"),
-        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    glob = Window.partitionBy()
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        )
+        .withColumn("ta", F.sum("n_a").over(glob))
+        .withColumn("tb", F.sum("n_b").over(glob))
     )
-    tot = per_bin.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     smooth = F.lit(_PSI_BINS * 0.5)
     sa = (F.col("n_a") + 0.5) / (F.col("ta") + smooth)
     sb = (F.col("n_b") + 0.5) / (F.col("tb") + smooth)
-    return per_bin.crossJoin(F.broadcast(tot)).select(
+    return per_bin.select(
         "bin", "n_a", "n_b", F.round((sb - sa) * F.log(sb / sa), 6).alias("psi_term")
     )
 

@@ -132,15 +132,24 @@ def heavy_hitters(
     bucketed = marked.select(
         *[F.when(F.col("__hh"), F.col(c)).alias(c) for c in cols]
     )
+    # Total rows = sum over ALL recount groups (the NULL-key fold group
+    # included), folded into the counts frame by an unpartitioned
+    # window (r14, guide §2.4): the former separate ``counts.agg(sum)``
+    # branch re-executed the corpus scan + candidate join + agg subtree
+    # for its own broadcast. The window's single reducer sees at most
+    # candidates + 1 rows (the recount's NULL-fold bounds group count
+    # by construction), never the key cardinality.
+    from pyspark.sql.window import Window
+
     counts = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
+    counts = counts.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
     keys_present = F.lit(True)
     for c in cols:
         keys_present = keys_present & F.col(c).isNotNull()
-    return (
-        counts.filter(keys_present)
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") > F.lit(phi) * F.col("total"))
+    return counts.filter(keys_present).filter(
+        F.col("cnt") > F.lit(phi) * F.col("total")
     )
 
 
@@ -158,7 +167,13 @@ def _heavy_hitters_bucket(
         return F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(num_buckets))
 
     # One scan for both histograms: each row contributes one count to
-    # its bucket under each hash (explode of a 2-element array).
+    # its bucket under each hash (explode of a 2-element array). The
+    # histogram frame is bounded (<= 2*num_buckets rows) and feeds
+    # FOUR plan branches (total, the two heavy-bucket broadcasts, and
+    # through them the final threshold) — lazily checkpointed so the
+    # corpus scan + histogram agg run ONCE instead of once per branch
+    # (r14; the r8/r9 tiny-frame-many-consumers rule, guide §2.4 —
+    # AQE reuses identical exchanges, not duplicate static subtrees).
     hist = (
         df.select(
             F.explode(
@@ -170,6 +185,7 @@ def _heavy_hitters_bucket(
         )
         .groupBy(F.col("tb.h").alias("h"), F.col("tb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("bcnt"))
+        .localCheckpoint(eager=False)
     )
     total = hist.filter(F.col("h") == 1).agg(F.sum("bcnt").alias("total"))
     heavy = (

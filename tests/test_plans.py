@@ -285,11 +285,23 @@ def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
 
 def test_rebalance_no_window_no_data_shuffle(spark, sf_dir):
     """Mix rebalancing must be per-source counts broadcast back + a
-    codegen'd filter: no window function over the corpus, no
-    sort-merge join of the data against its own counts."""
+    codegen'd filter: no window function over the corpus (the ONE
+    allowed Window is the r14 unpartitioned min-fold over the
+    |sources|-row counts frame — it sits INSIDE the broadcast branch,
+    above the counts aggregate, never over document rows), no
+    sort-merge join of the data against its own counts, and the
+    corpus scanned exactly twice (main branch + counts branch; the
+    pre-r14 shape re-ran the counts subtree a third time for the
+    separate global-min broadcast)."""
     plan = explain_str(CATALOG["rebalance_uniform_mix"].fn(spark, sf_dir))
-    assert "Window" not in plan
+    assert plan.count("Window") <= 2  # one Window node + its detail entry
+    # the Window must consume the counts AGGREGATE, not corpus rows:
+    # in the formatted plan the node above the window's child is a
+    # HashAggregate — assert no Sort over doc_id feeds a Window
+    assert "Sort" not in plan.split("Window")[0]
     assert plan.count("BroadcastHashJoin") >= 1  # counts joined by broadcast
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 4  # 2 scans x (tree + detail) entries
     assert "BatchEvalPython" not in plan
 
 
