@@ -289,16 +289,55 @@ def lang_trigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID next to the stopword heuristic,
     with an agreement flag — the two-heuristic consensus view a corpus
     language audit starts from. Both classifiers are pure codegen'd
-    column arithmetic; the trigram CASE is one shared SQL text replayed
-    verbatim by the oracle."""
-    from anti_money_laundering_spark.functions import lang_id, lang_id_trigram
+    column arithmetic; the oracle replays the same argmax SQL text.
+
+    Plan (r14 optimization round, guide §1.2 per-task work): the
+    per-language scores are computed ONCE each in a dedicated
+    projection layer, and the argmax CASE + agreement flag run over
+    the score/label COLUMNS. The single-expression form repeated each
+    9-replace() score ~7x inside the CASE's pairwise comparisons
+    (codegen subexpression elimination does not hoist from conditional
+    CASE branches) and evaluated the whole classifier twice more for
+    the agree flag — ~500 full-text replace() passes per row; the
+    layered form does 4 trigram + 4 stopword score evaluations total.
+    CollapseProject keeps the layers separate because the score
+    aliases are non-cheap and multiply referenced. Values are
+    identical: same score arithmetic, same argmax_case_sql tie-break,
+    applied to columns instead of inline expressions."""
+    from anti_money_laundering_spark.functions import (
+        STOPWORDS,
+        TRIGRAM_PROFILES,
+        _stop_count_sql,
+        _trigram_score_sql,
+        argmax_case_sql,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    scored = docs.select(
         "doc_id",
-        lang_id_trigram("text").alias("lang_tri"),
-        lang_id("text").alias("lang_sw"),
-        (lang_id_trigram("text") == lang_id("text")).alias("agree"),
+        *[
+            F.expr(_trigram_score_sql("text", g)).alias(f"__t_{lang}")
+            for lang, g in TRIGRAM_PROFILES.items()
+        ],
+        *[
+            F.expr(_stop_count_sql("text", ws)).alias(f"__w_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    labeled = scored.select(
+        "doc_id",
+        F.expr(
+            argmax_case_sql({lang: f"__t_{lang}" for lang in TRIGRAM_PROFILES})
+        ).alias("lang_tri"),
+        F.expr(
+            argmax_case_sql({lang: f"__w_{lang}" for lang in STOPWORDS})
+        ).alias("lang_sw"),
+    )
+    return labeled.select(
+        "doc_id",
+        "lang_tri",
+        "lang_sw",
+        (F.col("lang_tri") == F.col("lang_sw")).alias("agree"),
     )
 
 

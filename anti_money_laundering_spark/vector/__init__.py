@@ -29,6 +29,79 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from anti_money_laundering_spark.sources import ensure_parallelism
+
+#: Work gate for widening a narrow corpus scan before a broadcast-query
+#: scoring pass (r14, guide §2.6/§4). The scoring cost is
+#: ~ n_queries x corpus_bytes (every corpus element is multiplied
+#: against every query); widening a single-partition scan costs a tiny
+#: round-robin shuffle plus ~0.25 s of extra python-task dispatch on
+#: local[32]. Measured serial GEMM throughput on this box is
+#: ~3e9 byte-query units/s (the 10x scaling fixture's 2.6e10-unit
+#: cosine pass ran 8.1 s in one task), so the crossover where the
+#: parallel win clears the dispatch overhead sits near 8e8 units;
+#: 2e9 adds safety margin (sf0.1's 2.6e8-unit pass measured FASTER
+#: unwidened: 0.40 vs 0.65 s — never widen there). At cluster scale a
+#: real corpus arrives with hundreds of partitions and the widen is a
+#: no-op either way — the gate only decides for pathologically narrow
+#: inputs.
+_WIDEN_WORK_THRESHOLD = 2e9
+
+
+def _batch_topk_frame(
+    q_ids: np.ndarray,
+    sims: np.ndarray,
+    n_ids: np.ndarray,
+    kk: int,
+    disallowed: np.ndarray,
+    with_cosine: bool = True,
+) -> "pd.DataFrame | None":
+    """Vectorized per-batch partial top-k over a (n_queries, batch)
+    similarity matrix — ONE DataFrame per batch instead of one per
+    (query, batch) (r14, guide §4: the per-query python loop yielded
+    n_queries x n_partitions tiny frames; at the 10x scaling fixture
+    that was 64k pandas constructions per pass).
+
+    Exact tie-break parity with the old per-query
+    ``lexsort((n_ids, -row))``: columns are ordered by neighbor id
+    once, then a STABLE argsort of -sims keeps the smaller neighbor id
+    first among equal cosines. ``disallowed`` (n_q x B bool) marks
+    pairs to exclude (self-matches / non-candidates); their sims
+    become -inf, which no real cosine can reach, and survivors are
+    filtered on finiteness."""
+    colorder = np.argsort(n_ids, kind="stable")
+    nid = n_ids[colorder]
+    s = np.where(disallowed[:, colorder], -np.inf, sims[:, colorder])
+    kk = min(kk, s.shape[1])
+    if kk <= 0:
+        return None
+    order = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+    top = np.take_along_axis(s, order, axis=1)
+    qi, ci = np.nonzero(np.isfinite(top))
+    if qi.size == 0:
+        return None
+    data = {"query_id": q_ids[qi], "neighbor_id": nid[order[qi, ci]]}
+    if with_cosine:
+        data["cosine"] = top[qi, ci]
+    return pd.DataFrame(data)
+
+
+def _widen_for_work(corpus: DataFrame, n_queries: int) -> DataFrame:
+    """Widen ``corpus`` to defaultParallelism ONLY when the estimated
+    scoring work (n_queries x plan-size bytes) is large enough that a
+    serial single-partition pass would dominate the query (see
+    _WIDEN_WORK_THRESHOLD). Plan-size stats are plan-time only — no
+    job runs here."""
+    try:
+        size = float(
+            str(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # stats unavailable: fall back to always-widen
+        return ensure_parallelism(corpus, corpus.sparkSession)
+    if n_queries * size < _WIDEN_WORK_THRESHOLD:
+        return corpus
+    return ensure_parallelism(corpus, corpus.sparkSession)
+
 __all__ = [
     "cosine_topk",
     "cosine_topk_blas",
@@ -162,26 +235,24 @@ def cosine_topk_blas(
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             sims = mat @ v.T  # (n_queries, batch)
             n_ids = pdf[id_col].to_numpy()
-            # self-match mask, then per-query partial top-k within batch
-            kk = min(k, sims.shape[1])
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                mask = n_ids != ids[qi]
-                cand = np.flatnonzero(mask)
-                if cand.size == 0:
-                    continue
-                # order by (-cosine, neighbor_id) so boundary ties keep
-                # the same winners the final window rank would
-                take = cand[np.lexsort((n_ids[cand], -row[cand]))[:kk]]
-                yield pd.DataFrame(
-                    {
-                        "query_id": ids[qi],
-                        "neighbor_id": n_ids[take],
-                        "cosine": row[take],
-                    }
-                )
+            # vectorized per-batch partial top-k ordered by
+            # (-cosine, neighbor_id) so boundary ties keep the same
+            # winners the final window rank would (_batch_topk_frame)
+            out = _batch_topk_frame(
+                ids, sims, n_ids, k, disallowed=n_ids[None, :] == ids[:, None]
+            )
+            if out is not None:
+                yield out
 
-    partial = vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    # r14 (guide §2.6 / §4): the corpus scoring pass is the whole cost
+    # of this function, and a small single-file parquet scan arrives as
+    # ONE partition — the GEMM then runs serially in a single task
+    # (measured on the 10x scaling fixture: 8.1 s wall ~ 8.6 CPU-s,
+    # zero parallelism, identical wall at 8 and 32 cores). Widened
+    # work-gated (see _widen_for_work) so fixture-scale passes keep
+    # their cheaper unwidened floor.
+    corpus = _widen_for_work(vectors.select(id_col, vec_col), len(q_rows))
+    partial = corpus.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -243,7 +314,12 @@ def cosine_pairs_blas(
                     {"id_a": b_ids[bi], "id_b": all_ids[ci], "cosine": sims[bi, ci]}
                 )
 
-    return vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    # r14: widen a single-partition corpus scan before the all-pairs
+    # scoring pass (work-gated; all-pairs work ~ n x corpus bytes —
+    # see cosine_topk_blas, serial otherwise).
+    return _widen_for_work(
+        vectors.select(id_col, vec_col), len(rows)
+    ).mapInPandas(score, schema=out_schema)
 
 
 def _hyperplanes(num_planes: int, num_tables: int, dim: int, seed: int = 0) -> np.ndarray:
@@ -435,26 +511,16 @@ def _ann_lsh_topk_broadcast(
             if total == 0:
                 continue
             if total > 0.25 * B * n_q:
-                # dense: one GEMM, mask non-candidates/self, top-k per query
+                # dense: one GEMM, mask non-candidates/self, then the
+                # vectorized per-batch top-k (one frame per batch)
                 sims = qn @ vn.T  # (nq, B)
                 allowed = np.zeros((n_q, B), dtype=bool)
                 for i, idx in enumerate(cand):
                     allowed[idx, i] = True
                 allowed &= ids[:, None] != n_ids[None, :]
-                frames = []
-                for qi in range(n_q):
-                    cols = np.flatnonzero(allowed[qi])
-                    if cols.size == 0:
-                        continue
-                    row = sims[qi]
-                    take = cols[np.lexsort((n_ids[cols], -row[cols]))[: min(k, cols.size)]]
-                    frames.append(
-                        pd.DataFrame(
-                            {"query_id": ids[qi], "neighbor_id": n_ids[take], "cosine": row[take]}
-                        )
-                    )
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
+                out = _batch_topk_frame(ids, sims, n_ids, k, disallowed=~allowed)
+                if out is not None:
+                    yield out
             else:
                 # sparse: gather candidate pairs, einsum, grouped top-k
                 bi = np.repeat(np.arange(B), [c.size for c in cand])
@@ -479,7 +545,10 @@ def _ann_lsh_topk_broadcast(
                     }
                 )
 
-    partial = vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    # r14: widen a single-partition corpus scan before the hash+score
+    # pass (work-gated — see cosine_topk_blas, serial otherwise).
+    corpus = _widen_for_work(vectors.select(id_col, vec_col), len(q_rows))
+    partial = corpus.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -644,18 +713,25 @@ def ann_quantized_topk(
             norms = np.maximum(np.linalg.norm(deq, axis=1), 1e-300)
             sims = mat @ (deq / norms[:, None]).T  # approx cosine
             n_ids = pdf[id_col].to_numpy()
-            kk = min(shortlist_n, sims.shape[1])
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                cand = np.flatnonzero(n_ids != ids[qi])
-                if cand.size == 0:
-                    continue
-                take = cand[np.lexsort((n_ids[cand], -row[cand]))[:kk]]
-                yield pd.DataFrame({"query_id": ids[qi], "neighbor_id": n_ids[take]})
+            out = _batch_topk_frame(
+                ids,
+                sims,
+                n_ids,
+                shortlist_n,
+                disallowed=n_ids[None, :] == ids[:, None],
+                with_cosine=False,
+            )
+            if out is not None:
+                yield out
 
     if quantized is None:
         quantized = quantize_int8(vectors, id_col=id_col, vec_col=vec_col)
-    candidates = quantized.mapInPandas(shortlist, schema=cand_schema)
+    # r14: widen a single-partition quantized corpus before the
+    # shortlist pass (work-gated — see cosine_topk_blas, serial
+    # otherwise).
+    candidates = _widen_for_work(quantized, len(q_rows)).mapInPandas(
+        shortlist, schema=cand_schema
+    )
     if exact_rerank:
         exact_pairs = cosine_topk_blas(
             queries, vectors, id_col=id_col, vec_col=vec_col, k=k
