@@ -871,6 +871,12 @@ def modularity(graph: "Graph", labels: DataFrame, label_col: str = "label") -> D
             F.sum(F.coalesce("__deg", F.lit(0))).cast("long").alias("d_total"),
         )
     )
+    # NOTE (r14 negative result): deriving m from a checkpointed degree
+    # table (handshake identity sum(deg) = 2m, und consumers 3 -> 2)
+    # measured SLOWER at sf0.1 (1.983 -> 2.081 s warm median) — und's
+    # distinct sits below an exchange, so runtime exchange reuse
+    # already covers the duplicate subtree, and the extra checkpoint
+    # materialization job costs a scheduling floor. Kept as-is.
     m_tot = und.agg(F.count(F.lit(1)).cast("double").alias("__m"))
     return (
         per_comm.join(e_in, "community", "left")
@@ -922,8 +928,16 @@ def hits(graph: "Graph", max_iter: int = 2) -> DataFrame:
             .groupBy(F.col(out_key).alias("id"))
             .agg(F.sum(col).alias(out_col))
         )
-        full = ids.join(summed, "id", "left").select(
-            "id", F.coalesce(out_col, F.lit(0.0)).alias(out_col)
+        full = (
+            ids.join(summed, "id", "left")
+            .select("id", F.coalesce(out_col, F.lit(0.0)).alias(out_col))
+            # the zero-filled half-step state feeds TWO consumers (the
+            # L2-norm agg and the normalized output) — without a
+            # checkpoint the edge⋈state join above executes twice per
+            # half-step (r14, guide §2.4: Spark reuses identical
+            # exchanges, not duplicate static subtrees). Vertex-scale,
+            # the same scale the per-iteration state checkpoint holds.
+            .localCheckpoint(eager=False)
         )
         norm = full.agg(F.sqrt(F.sum(F.col(out_col) ** 2)).alias("__n"))
         return full.crossJoin(F.broadcast(norm)).select(

@@ -224,21 +224,34 @@ def test_feature_queries_no_cartesian_no_udf(spark, sf_dir):
 def test_bm25_stats_and_df_broadcast(spark, sf_dir):
     # Corpus stats (1 row) and per-term document frequencies (k rows)
     # must broadcast onto the postings — the only big shuffle at scale
-    # is the postings aggregation itself.
+    # is the postings aggregation itself. (r14 negative result: a
+    # zero-shuffle per-doc array-expression rewrite measured 30% SLOWER
+    # at sf0.1 — exchange reuse already dedups the dl/tf subtrees; see
+    # OPTIMIZATION_r14.md §negative-results.)
     plan = explain_str(CATALOG["bm25_doc_scores"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
 
 
-def test_profile_single_scan_stack_pivot(spark, sf_dir):
-    # One scan + one (expanded) aggregate; the per-column reshape is a
-    # generator, never a driver collect or a union of per-column scans.
+def test_profile_per_column_pruned_branches(spark, sf_dir):
+    # r14 shape (operators.profile_table per_column=True, the measured
+    # 6.4x win over the single-aggregate Expand plan): one two-level
+    # aggregation branch per profiled column, each over its own
+    # SINGLE-COLUMN pruned scan, unioned to rows — no Expand row
+    # multiplication, no driver collect. The scan count equals the
+    # profiled column count and every ReadSchema carries exactly one
+    # field (pruning reached parquet per branch).
+    from anti_money_laundering_spark.plans.feature_queries import _PROFILE_COLS
+
     plan = explain_str(CATALOG["profile_orders"].fn(spark, sf_dir))
     import re
 
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(scan_nodes) == 1, scan_nodes
-    assert "Expand" in plan  # multi-distinct rewrite, single pass
+    assert len(scan_nodes) == len(_PROFILE_COLS), scan_nodes
+    assert "Expand" not in plan
+    assert "Union" in plan
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas and all(s.count(":") == 1 for s in read_schemas), read_schemas
 
 
 def test_doc_keywords_broadcasts_idf(spark, sf_dir):
