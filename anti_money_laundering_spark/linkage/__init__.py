@@ -28,7 +28,9 @@ partial-aggregated scan of the cached gamma table.
 from __future__ import annotations
 
 import math
+from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from dataclasses import dataclass, field
 
@@ -464,60 +466,124 @@ def jaro_winkler_udf():
     comparator Splink configs commonly use alongside levenshtein
     (reference delegates to Splink 2.x, 03_aml_entity_resolution.py:56).
     Spark ships no jaro_winkler builtin, so this is the documented
-    Python-when-expressions-can't case: a pandas_udf over Arrow
-    batches with a tight per-pair scalar loop (names are short; the
-    batch transfer, not the loop, is the cost). Bit-identical to
-    DuckDB's jaro_winkler_similarity (pinned by the catalog oracle),
-    so scores hash-verify cross-engine.
+    Python-when-expressions-can't case. Bit-identical to DuckDB's
+    jaro_winkler_similarity (pinned by the catalog oracle), so scores
+    hash-verify cross-engine.
+
+    Rows that are non-null, non-empty and pure ASCII — i.e. where
+    DuckDB's byte-oriented comparator provably equals the codepoint
+    definition — are scored in bulk by the embedded DuckDB kernel
+    (single-threaded per task; Spark owns the parallelism), one
+    vectorized call per Arrow batch instead of a per-pair Python loop.
+    The remaining rows (NULLs -> NaN; ''=='' -> 1.0 here but 0.0 in
+    DuckDB; multi-byte codepoints, where DuckDB matches UTF-8 BYTES)
+    keep the reference scalar loop, so the function's values are
+    unchanged on every input (tests/test_linkage.py pins the hybrid
+    against the loop on exactly those edge classes).
     """
     from pyspark.sql.functions import pandas_udf
 
-    def _jaro(s1: str, s2: str) -> float:
-        if s1 == s2:
-            return 1.0
-        l1, l2 = len(s1), len(s2)
-        if not l1 or not l2:
-            return 0.0
-        win = max(l1, l2) // 2 - 1
-        m1 = [False] * l1
-        m2 = [False] * l2
-        matches = 0
-        for i, c in enumerate(s1):
-            lo, hi = max(0, i - win), min(l2, i + win + 1)
-            for j in range(lo, hi):
-                if not m2[j] and s2[j] == c:
-                    m1[i] = m2[j] = True
-                    matches += 1
-                    break
-        if not matches:
-            return 0.0
-        t = 0
-        k = 0
-        for i in range(l1):
-            if m1[i]:
-                while not m2[k]:
-                    k += 1
-                if s1[i] != s2[k]:
-                    t += 1
-                k += 1
-        t //= 2
-        return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
-
-    def _jw(s1, s2) -> float:
-        if s1 is None or s2 is None:
-            return float("nan")
-        j = _jaro(s1, s2)
-        if j <= 0.7:
-            return j
-        prefix = 0
-        for a, b in zip(s1[:4], s2[:4]):
-            if a != b:
-                break
-            prefix += 1
-        return j + prefix * 0.1 * (1 - j)
-
     @pandas_udf("double")
-    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([_jw(x, y) for x, y in zip(a, b)])
+    def jw(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        import duckdb
+
+        con = duckdb.connect()  # once per task (guide §4.5)
+        con.execute("SET threads TO 1")  # Spark owns the parallelism
+        for a, b in batches:
+            yield _jw_score_batch(a, b, con)
 
     return jw
+
+
+def _jaro_ref(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    win = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - win), min(l2, i + win + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+
+
+def _jw_ref(s1, s2) -> float:
+    """Reference scalar Jaro-Winkler — the pre-r14 per-pair loop,
+    kept verbatim as the slow path for rows the DuckDB kernel may not
+    score identically (NULL / empty / non-ASCII) and as the parity
+    target for tests."""
+    if s1 is None or s2 is None:
+        return float("nan")
+    j = _jaro_ref(s1, s2)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * 0.1 * (1 - j)
+
+
+def _jw_score_batch(a: pd.Series, b: pd.Series, con) -> pd.Series:
+    """Score one Arrow batch: DuckDB kernel for the provably-equal
+    fast-path rows (non-null, non-empty, pure ASCII), reference loop
+    for the rest. Values identical to mapping :func:`_jw_ref`."""
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    n = len(av)
+    fast = np.empty(n, dtype=bool)
+    for i in range(n):
+        x, y = av[i], bv[i]
+        fast[i] = (
+            isinstance(x, str)
+            and isinstance(y, str)
+            and bool(x)
+            and bool(y)
+            and x.isascii()
+            and y.isascii()
+        )
+    out = np.empty(n, dtype=np.float64)
+    if fast.all():
+        batch = pd.DataFrame({"a": av, "b": bv})
+        con.register("jw_batch", batch)
+        out[:] = con.execute(
+            "SELECT jaro_winkler_similarity(a, b) AS s FROM jw_batch"
+        ).fetchnumpy()["s"]
+    else:
+        idx = np.flatnonzero(fast)
+        if idx.size:
+            batch = pd.DataFrame({"a": av[idx], "b": bv[idx]})
+            con.register("jw_batch", batch)
+            out[idx] = con.execute(
+                "SELECT jaro_winkler_similarity(a, b) AS s FROM jw_batch"
+            ).fetchnumpy()["s"]
+        for i in np.flatnonzero(~fast):
+            x, y = av[i], bv[i]
+            out[i] = _jw_ref(
+                x if isinstance(x, str) else None,
+                y if isinstance(y, str) else None,
+            )
+    return pd.Series(out)

@@ -125,13 +125,36 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, mergeable, constant memory). For attestation the query also
     computes the exact count and emits |approx-exact|/exact <= 0.05 as
     a hash-covered boolean (the sketch estimate itself is
-    engine-specific and stays out of the compared columns)."""
-    return (
+    engine-specific and stays out of the compared columns).
+
+    r14 (guide §2.3): mixing countDistinct with the HLL in one agg made
+    Spark's single-distinct rewrite evaluate partial_approx_count_
+    distinct per (suppkey, partkey) group and shuffle the 410-word
+    sketch buffer FOR EVERY DISTINCT PAIR (a 412-column exchange,
+    ~3 KB/row; a plain ``.distinct()`` re-fuses into the same shape).
+    Repartitioning by supplier first makes that the ONLY exchange —
+    hashpartitioning(l_suppkey) satisfies both the pair dedup and the
+    supplier aggregate, so the shuffle carries two bigints per raw row
+    and every sketch lives and dies inside one post-shuffle stage. HLL
+    insertion is idempotent (multiset sketch == set sketch), so the
+    estimate is bit-identical (same inserted hash set -> same
+    registers). Trade recorded: the narrow exchange drops partial
+    map-side dedup, but raw pairs are ~200x smaller than the sketch
+    rows they replace; a pathologically hot supplier concentrates on
+    one reducer — suppliers scale with the dataset, and the 0.02-rsd
+    use case is per-supplier cardinality, so the key is never
+    constant."""
+    pairs = (
         load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_suppkey")
+        .select("l_suppkey", "l_partkey")
+        .repartition("l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("l_suppkey")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("exact_parts"),
         )
         .select(
             "l_suppkey",

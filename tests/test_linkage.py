@@ -140,3 +140,47 @@ def test_em_fit_empty_pairs_raises(spark):
     empty = spark.createDataFrame([], "uid_l long, uid_r long, gamma_name int")
     with pytest.raises(ValueError, match="no candidate pairs"):
         em_fit(empty, comps)
+
+
+def test_jw_hybrid_matches_reference_loop_on_every_edge_class():
+    """The r14 DuckDB-kernel fast path must be value-identical to the
+    reference per-pair loop on every input class it routes: bulk ASCII
+    (fast path), NULLs, empty strings (''=='' is 1.0 here, 0.0 in raw
+    DuckDB), non-ASCII (DuckDB compares UTF-8 bytes, the reference
+    compares codepoints), mixed batches, and high-collision alphabets
+    that stress the match/transposition scan."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from anti_money_laundering_spark.linkage import _jw_ref, _jw_score_batch
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 1")
+
+    random.seed(20260818)
+    cases = [
+        (None, "x"), ("x", None), (None, None),
+        ("", ""), ("", "a"), ("a", ""),
+        ("élève", "éleve"), ("żółć", "zolc"), ("a", "à"),
+        ("same", "same"), ("a", "a"), ("ab", "ba"),
+        ("martha", "marhta"), ("dwayne", "duane"), ("dixon", "dicksonx"),
+    ]
+    for alpha in ("ab", "abcde", "abcdefghijklmnopqrstuvwxyz0123456789#, .-'"):
+        for _ in range(4000):
+            s1 = "".join(random.choice(alpha) for _ in range(random.randint(1, 25)))
+            s2 = "".join(random.choice(alpha) for _ in range(random.randint(1, 25)))
+            cases.append((s1, s2))
+    a = pd.Series([c[0] for c in cases], dtype=object)
+    b = pd.Series([c[1] for c in cases], dtype=object)
+    got = _jw_score_batch(a, b, con).to_numpy()
+    exp = np.array(
+        [_jw_ref(x, y) for x, y in zip(a.to_numpy(object), b.to_numpy(object))],
+        dtype=np.float64,
+    )
+    same = (got == exp) | (np.isnan(got) & np.isnan(exp))
+    assert same.all(), [
+        (a[i], b[i], got[i], exp[i]) for i in np.flatnonzero(~same)[:5]
+    ]
