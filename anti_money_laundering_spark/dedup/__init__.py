@@ -187,17 +187,46 @@ def cut_spans(
     a fully-covered doc yields the empty string (drop or keep is again
     caller policy).
 
-    Plan: tokens posexplode, a left join onto spans keyed on the doc id
-    with the range-containment residual (spans per doc are few, so the
-    id-keyed join is cheap and never pairwise), then one per-doc
-    reassembly agg. Reassembly sorts each doc's surviving (pos, tok)
+    Plan (r14, guide §2.4 — remove shuffles outright): the span set is
+    first MERGED into disjoint per-doc intervals (classic
+    gaps-and-islands over the tiny span table: a position is cut iff it
+    lies in the UNION of [start, end] ranges, and the union of
+    intervals equals the union of their disjoint merge). With disjoint
+    intervals every token position matches AT MOST ONE span, so the
+    id-keyed left join is cardinality-preserving and the old
+    collapse-overlaps groupBy(id, pos, tok) — a full shuffle +
+    aggregate of the corpus token stream whose only job was deduping
+    double-joined positions — is gone; one per-doc reassembly agg
+    remains. Reassembly sorts each doc's surviving (pos, tok)
     structs — per-doc arrays, bounded by doc length; at 100 TB keep
     the output tokenized (skip the array_join) and feed the arrays
     straight to the tokenizer."""
     toks = docs.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
-    sp = spans.select(
+    by_start = Window.partitionBy(id_col).orderBy("span_start", "span_end")
+    prev_end = F.max("span_end").over(
+        by_start.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.select(id_col, "span_start", "span_end")
+        .withColumn(
+            # new island when this span starts past every earlier end;
+            # adjacent intervals stay separate — still disjoint, and
+            # the covered-position union is identical either way
+            "__new",
+            F.when(F.col("span_start") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn("__isl", F.sum("__new").over(by_start))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+    )
+    sp = merged.select(
         F.col(id_col), F.col("span_start"), F.col("span_end"), F.lit(True).alias("__cut")
     )
     marked = toks.join(
@@ -208,11 +237,8 @@ def cut_spans(
             F.col("pos") <= F.col("span_end"),
         ],
         how="left",
-    ).select(toks[id_col], "pos", "tok", "__cut")
-    # a position inside two overlapping spans joins twice — collapse
-    # before counting cuts
-    marked = marked.groupBy(id_col, "pos", "tok").agg(
-        F.max(F.coalesce("__cut", F.lit(False))).alias("__cut")
+    ).select(
+        toks[id_col], "pos", "tok", F.coalesce("__cut", F.lit(False)).alias("__cut")
     )
     cleaned = marked.groupBy(id_col).agg(
         F.coalesce(
@@ -492,17 +518,23 @@ def jaccard_pairs(
             F.col(id_col).alias("__id"), F.array_distinct(unit).alias("__set")
         ).localCheckpoint(eager=False)
     if pairs is None:
-        tok = sets_.select(F.col("__id").alias("doc"), F.explode("__set").alias("tok"))
+        # __n (shingles per doc) rides the explode as size(__set) —
+        # recomputing it with a per-doc count window made a second
+        # Window pass over every shingle instance (r14, guide §2.3)
+        tok = sets_.select(
+            F.col("__id").alias("doc"),
+            F.size("__set").alias("__n"),
+            F.explode("__set").alias("tok"),
+        )
         doc_freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
         w_rank = Window.partitionBy("doc").orderBy("__df", "tok")
-        w_doc = Window.partitionBy("doc")
         prefix = (
             tok.join(doc_freq, "tok")
             .select(
                 "doc",
                 "tok",
                 F.row_number().over(w_rank).alias("__rn"),
-                F.count(F.lit(1)).over(w_doc).alias("__n"),
+                "__n",
             )
             .filter(
                 F.col("__rn")
