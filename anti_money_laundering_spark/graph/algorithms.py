@@ -21,7 +21,13 @@ from typing import TYPE_CHECKING, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+from anti_money_laundering_spark.graph.components import (
+    _COLLAPSE_ID_TYPES,
+    SMALL_GRAPH_COLLAPSE_ROWS,
+)
 
 if TYPE_CHECKING:
     from anti_money_laundering_spark.graph import Graph
@@ -170,6 +176,7 @@ def betweenness(
     graph: "Graph",
     sources: Sequence,
     max_iter: int = 20,
+    collapse_rows: int | None = SMALL_GRAPH_COLLAPSE_ROWS,
 ) -> DataFrame:
     """Landmark betweenness centrality (Brandes 2001 restricted to a
     FIXED source set): for each vertex v, the sum over the given
@@ -190,17 +197,25 @@ def betweenness(
       level-(d-1) predecessors' sigmas;
     - backward: dependency accumulation from the deepest level up,
       delta(v) = sum over shortest-path successors w of
-      sigma_v / sigma_w * (1 + delta(w)); levels are filters over the
-      checkpointed forward frame, so each round joins one level
-      against the next.
+      sigma_v / sigma_w * (1 + delta(w)); the forward pass keeps one
+      checkpointed frame PER LEVEL (r14 — no re-checkpointed running
+      union), so each backward round joins one level frame against
+      the next.
 
     Returns (id, betweenness) for every vertex (0.0 when no shortest
     path passes through). Sources sit at level 0 and interior vertices
     at level >= 1, so endpoint exclusion falls out of the level
     structure. ~2 * diameter rounds total.
+
+    ``collapse_rows`` (r14; the connected_components small-graph
+    collapse applied to Brandes): when the counted distinct-edge table
+    times the landmark count is at most this budget, both passes run
+    in ONE single-task vectorized pass (:func:`_brandes_collapse`)
+    instead of ~2 x diameter scheduling-floor-bound rounds. Exact same
+    level/sigma/delta arithmetic; ``None`` disables (A/B tooling).
     """
     verts = graph.vertices.select("id")
-    acc, _ = _brandes(graph, sources, max_iter, want_edges=False)
+    acc, _ = _brandes(graph, sources, max_iter, want_edges=False, collapse_rows=collapse_rows)
     if acc is None:
         return verts.select("id", F.lit(0.0).alias("betweenness"))
     totals = acc.groupBy("v").agg(F.sum("delta").alias("betweenness"))
@@ -213,6 +228,7 @@ def edge_betweenness(
     graph: "Graph",
     sources: Sequence,
     max_iter: int = 20,
+    collapse_rows: int | None = SMALL_GRAPH_COLLAPSE_ROWS,
 ) -> DataFrame:
     """Landmark EDGE betweenness (the Girvan-Newman 2002 primitive):
     for each distinct simple edge (v, w), the summed pair-dependency
@@ -223,13 +239,14 @@ def edge_betweenness(
     ``betweenness`` (the per-edge terms are the backward pass's inner
     sum, captured before the per-vertex aggregation, including the
     level-0 source out-edges that vertex betweenness never needs).
-    Returns (src, dst, betweenness) for every distinct simple edge."""
+    Returns (src, dst, betweenness) for every distinct simple edge.
+    ``collapse_rows``: see :func:`betweenness`."""
     edges = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    _, e_acc = _brandes(graph, sources, max_iter, want_edges=True)
+    _, e_acc = _brandes(graph, sources, max_iter, want_edges=True, collapse_rows=collapse_rows)
     if e_acc is None:
         return edges.select("src", "dst", F.lit(0.0).alias("betweenness"))
     totals = (
@@ -241,14 +258,146 @@ def edge_betweenness(
     )
 
 
+def _brandes_collapse(
+    edges: DataFrame, sources_present: list[int], max_iter: int, want_edges: bool
+) -> DataFrame:
+    """Exact landmark Brandes over a SMALL distinct-edge list in one
+    task (the :func:`components._collapse_small_graph` pattern): all
+    (src, dst) rows funnel into a single ``mapInPandas`` task
+    (coalesce(1) over the already-materialized checkpoint blocks — no
+    shuffle) and both passes run as vectorized per-level numpy masks —
+    identical level structure, sigma sums (integer-valued doubles,
+    order-exact) and delta/dep arithmetic as the distributed loop, so
+    the only divergence class is float SUMMATION ORDER inside a
+    delta/dep sum, the same class the Spark loop's own partial
+    aggregation already leaves unspecified (both are pinned within
+    1e-9 of textbook Brandes by tests/test_graph.py and at round(6) by
+    the catalog oracles). Distributed-safe by construction: the caller
+    gates on counted |edges| x |landmarks| work (a 100 TB edge table
+    never collapses). Returns the (s, v, delta) vertex frame or the
+    (s, v, w, dep) edge-term frame per ``want_edges``; raises the same
+    still-expanding RuntimeError as the loop when ``max_iter`` levels
+    do not exhaust a landmark's reachable set."""
+    dt = edges.schema["src"].dataType
+    if want_edges:
+        out_schema = T.StructType(
+            [
+                T.StructField("s", dt),
+                T.StructField("v", dt),
+                T.StructField("w", dt),
+                T.StructField("dep", T.DoubleType()),
+            ]
+        )
+    else:
+        out_schema = T.StructType(
+            [
+                T.StructField("s", dt),
+                T.StructField("v", dt),
+                T.StructField("delta", T.DoubleType()),
+            ]
+        )
+
+    def _run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [], []
+        for b in batches:
+            if len(b):
+                srcs.append(b["src"].to_numpy())
+                dsts.append(b["dst"].to_numpy())
+        if not srcs:
+            return
+        esrc = np.concatenate(srcs)
+        edst = np.concatenate(dsts)
+        ids, inv = np.unique(np.concatenate([esrc, edst]), return_inverse=True)
+        ea, eb = inv[: len(esrc)], inv[len(esrc) :]
+        n = len(ids)
+        pos = {int(x): i for i, x in enumerate(ids)}
+        rows_s, rows_v, rows_w, rows_x = [], [], [], []
+        for s in sources_present:
+            si = pos.get(int(s))
+            if si is None:
+                continue  # landmark with no incident edge: nothing to emit
+            dist = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n, dtype=np.float64)
+            dist[si] = 0
+            sigma[si] = 1.0
+            depth = 0
+            while depth < max_iter:
+                at_d = dist[ea] == depth
+                new = at_d & (dist[eb] == -1)
+                if not new.any():
+                    break
+                dist[eb[new]] = depth + 1
+                # shortest-path edges d -> d+1 (including into vertices
+                # other in-edges of this round just reached)
+                lv = at_d & (dist[eb] == depth + 1)
+                np.add.at(sigma, eb[lv], sigma[ea[lv]])
+                depth += 1
+            else:
+                still = (dist[ea] == max_iter) & (dist[eb] == -1)
+                if still.any():
+                    raise RuntimeError(
+                        f"betweenness BFS still expanding after max_iter={max_iter} "
+                        "levels; raise max_iter above the landmark eccentricity"
+                    )
+            delta = np.zeros(n, dtype=np.float64)
+            for lvl in range(depth - 1, -1 if want_edges else 0, -1):
+                m = (dist[ea] == lvl) & (dist[eb] == lvl + 1)
+                if not m.any():
+                    continue
+                ve, we = ea[m], eb[m]
+                dep = sigma[ve] / sigma[we] * (1.0 + delta[we])
+                np.add.at(delta, ve, dep)
+                if want_edges:
+                    rows_s.append(np.full(ve.shape, s, dtype=ids.dtype))
+                    rows_v.append(ids[ve])
+                    rows_w.append(ids[we])
+                    rows_x.append(dep)
+            if not want_edges and depth >= 2:
+                sel = (dist >= 1) & (dist <= depth - 1)
+                if sel.any():
+                    rows_s.append(np.full(int(sel.sum()), s, dtype=ids.dtype))
+                    rows_v.append(ids[sel])
+                    rows_x.append(delta[sel])
+        if not rows_s:
+            return
+        if want_edges:
+            yield pd.DataFrame(
+                {
+                    "s": np.concatenate(rows_s),
+                    "v": np.concatenate(rows_v),
+                    "w": np.concatenate(rows_w),
+                    "dep": np.concatenate(rows_x),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "s": np.concatenate(rows_s),
+                    "v": np.concatenate(rows_v),
+                    "delta": np.concatenate(rows_x),
+                }
+            )
+
+    return edges.coalesce(1).mapInPandas(_run, out_schema)
+
+
 def _brandes(
-    graph: "Graph", sources: Sequence, max_iter: int, want_edges: bool
+    graph: "Graph",
+    sources: Sequence,
+    max_iter: int,
+    want_edges: bool,
+    collapse_rows: int | None = None,
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """Shared Brandes passes. Returns (vertex_deltas, edge_terms):
     vertex_deltas = (s, v, delta) for interior levels >= 1;
     edge_terms = (s, v, w, dep) per shortest-path edge, only when
     ``want_edges`` (the vertex-only loop stops at level 1, keeping its
     round count — and pinned plan shape — unchanged)."""
+    from functools import reduce
+
     src_list = [int(x) for x in sources]
     edges = (
         graph.edges.select("src", "dst")
@@ -256,7 +405,45 @@ def _brandes(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    frontier = (
+    # Small-graph collapse (r14): |edges| x |landmarks| bounds the
+    # single task's work (each landmark is one BFS over the edge
+    # arrays), so the gate is work-proportional, not just size-
+    # proportional — the _widen_for_work precedent. The count
+    # materializes checkpoint blocks the loop was about to scan anyway.
+    # Integral ids only: numpy and Spark agree on their ordering.
+    if (
+        collapse_rows is not None
+        and src_list
+        and isinstance(edges.schema["src"].dataType, _COLLAPSE_ID_TYPES)
+        and edges.count() * len(src_list) <= collapse_rows
+    ):
+        # Mirror the loop's frontier seeding: only landmarks present in
+        # the vertex table participate (contract: vertex ids unique).
+        present = sorted(
+            int(r[0])
+            for r in graph.vertices.select("id")
+            .filter(F.col("id").isin(src_list))
+            .distinct()
+            .collect()
+        )
+        acc = _brandes_collapse(edges, present, max_iter, want_edges)
+        # Materialize eagerly: the loop path already runs its forward
+        # pass at call time (per-round isEmpty actions), and its
+        # still-expanding guard raises a driver-side RuntimeError —
+        # preserve both behaviors by checkpointing the (work-gated,
+        # small) result now and translating the worker-side guard back.
+        try:
+            acc = acc.localCheckpoint(eager=True)
+        except Exception as exc:
+            if "still expanding" in str(exc):
+                raise RuntimeError(
+                    f"betweenness BFS still expanding after max_iter={max_iter} "
+                    "levels; raise max_iter above the landmark eccentricity"
+                ) from exc
+            raise
+        return (None, acc) if want_edges else (acc, None)
+
+    level0 = (
         graph.vertices.select("id")
         .filter(F.col("id").isin(src_list))
         .select(
@@ -265,8 +452,22 @@ def _brandes(
             F.lit(0).alias("d"),
             F.lit(1.0).alias("sigma"),
         )
+        .localCheckpoint(eager=False)
     )
-    visited = frontier.localCheckpoint(eager=False)
+    # r14: one checkpointed frame PER LEVEL instead of a re-checkpointed
+    # running `visited` union — the old shape re-wrote every earlier
+    # level's rows once per round (O(levels x visited) checkpoint bytes;
+    # each level is already checkpointed, so the running union is pure
+    # duplication), and the backward pass then re-filtered the full
+    # union twice per level. The anti-join visibility set is the lazy
+    # union of the per-level checkpoints (same bytes read, nothing
+    # re-written), and the backward pass indexes levels[lvl] directly.
+    levels: list[DataFrame] = [level0]
+
+    def _seen() -> DataFrame:
+        return reduce(DataFrame.union, [lv.select("s", "v") for lv in levels])
+
+    frontier = level0
     depth = 0
     for _ in range(max_iter):
         nxt = (
@@ -274,7 +475,7 @@ def _brandes(
             .select("s", F.col("dst").alias("v"), "sigma")
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
-            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .join(_seen(), ["s", "v"], "left_anti")
             .withColumn("d", F.lit(depth + 1))
             .select("s", "v", "d", "sigma")
             .localCheckpoint(eager=False)
@@ -282,7 +483,7 @@ def _brandes(
         if nxt.isEmpty():
             break
         depth += 1
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        levels.append(nxt)
         frontier = nxt
     else:
         # Truncating the BFS would not just omit far vertices — the
@@ -295,7 +496,7 @@ def _brandes(
         probe = (
             frontier.join(edges, frontier["v"] == edges["src"])
             .select("s", F.col("dst").alias("v"))
-            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .join(_seen(), ["s", "v"], "left_anti")
         )
         if not probe.isEmpty():
             raise RuntimeError(
@@ -304,15 +505,13 @@ def _brandes(
             )
 
     # Backward pass: delta at the deepest level is 0 (no successors).
-    level_delta = visited.filter(F.col("d") == depth).select(
-        "s", "v", F.lit(0.0).alias("delta")
-    )
+    level_delta = levels[depth].select("s", "v", F.lit(0.0).alias("delta"))
     v_acc = None
     e_acc = None
     for lvl in range(depth - 1, -1 if want_edges else 0, -1):
-        cur = visited.filter(F.col("d") == lvl).select("s", "v", "sigma")
+        cur = levels[lvl].select("s", "v", "sigma")
         succ = (
-            visited.filter(F.col("d") == lvl + 1)
+            levels[lvl + 1]
             .select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
             .join(level_delta.select("s", F.col("v").alias("w"), "delta"), ["s", "w"])
         )
@@ -328,6 +527,13 @@ def _brandes(
             )
         )
         if want_edges:
+            # Each level's terms join feeds TWO consumers — the
+            # per-vertex contrib aggregate (below, via the checkpointed
+            # level_delta) and the final e_acc union — and a join
+            # output has no exchange for AQE to reuse (the r14b
+            # graph_hits lesson), so without this checkpoint every
+            # backward join re-executes when e_acc is consumed.
+            terms = terms.localCheckpoint(eager=False)
             e_acc = terms if e_acc is None else e_acc.union(terms)
         contrib = terms.groupBy("s", "v").agg(F.sum("dep").alias("delta"))
         level_delta = (

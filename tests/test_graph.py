@@ -956,6 +956,50 @@ def test_edge_betweenness_equals_brandes(spark):
     assert got_c == {(0, 1): 3.0, (1, 2): 2.0, (2, 3): 1.0}
 
 
+def test_betweenness_collapse_equals_loop(spark):
+    """The r14 single-task collapse (default, gated on |edges| x
+    |landmarks|) and the distributed per-level loop
+    (``collapse_rows=None``) must agree on random multigraphs and
+    shapes with ties/unreachable pockets — within float summation
+    order (<=1e-9; measured divergence is ulp-scale, 12 orders under
+    the round(6) surface both catalog queries emit). Keeps the loop
+    path exercised in CI now that small fixtures take the collapse,
+    and pins the truncation guard's eager RuntimeError on BOTH paths."""
+    import random
+
+    from anti_money_laundering_spark.graph import Graph, betweenness, edge_betweenness
+
+    for seed in (5, 21):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (a, b)
+            for a, b in {(rng.randrange(n), rng.randrange(n)) for _ in range(110)}
+            if a != b
+        ]
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        v_df = e_df.select(F.col("src").alias("id")).union(e_df.select("dst")).distinct()
+        g = Graph(v_df, e_df)
+        sources = [0, 1, 2]
+        fast = {r.id: r.betweenness for r in betweenness(g, sources).collect()}
+        slow = {r.id: r.betweenness for r in betweenness(g, sources, collapse_rows=None).collect()}
+        assert set(fast) == set(slow)
+        assert all(abs(fast[v] - slow[v]) < 1e-9 for v in fast), seed
+        efast = {(r.src, r.dst): r.betweenness for r in edge_betweenness(g, sources).collect()}
+        eslow = {
+            (r.src, r.dst): r.betweenness
+            for r in edge_betweenness(g, sources, collapse_rows=None).collect()
+        }
+        assert set(efast) == set(eslow)
+        assert all(abs(efast[e] - eslow[e]) < 1e-9 for e in efast), seed
+    # truncation guard raises eagerly on both paths
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    v = chain.select(F.col("src").alias("id")).union(chain.select("dst")).distinct()
+    for rows in (None, 2_000_000):
+        with pytest.raises(RuntimeError, match="still expanding"):
+            betweenness(Graph(v, chain), [0], max_iter=2, collapse_rows=rows)
+
+
 def test_modularity_matches_hand_computation(spark):
     """Two triangles joined by one bridge, communities = the triangles:
     m=7, e_c=3, d_c=7 each -> q = 3/7 - (7/14)^2 = 0.17857...; Q sums
