@@ -1205,8 +1205,92 @@ def weighted_sssp(
     return dist
 
 
+def _densest_peel_collapse(
+    und: DataFrame, verts: DataFrame, eps: float, max_rounds: int
+) -> list[tuple]:
+    """Exact peel trajectory of a SMALL graph in one task (the
+    small-graph-collapse pattern): edge and vertex rows funnel into a
+    single ``mapInPandas`` task tagged apart by a boolean column (no
+    NULL ids — a nullable int column would arrive as float64 and lose
+    precision past 2^53), and the peel runs as vectorized membership
+    masks. Arithmetic is IDENTICAL to the distributed loop: integer
+    |V|/|E|/degree counts, rho = the same python float division, the
+    same deg > 2(1+eps)rho double comparison — so the trajectory is
+    bit-equal, not merely close (pinned by
+    tests/test_graph.py::test_densest_peel_matches_python_simulation,
+    which both paths must satisfy exactly)."""
+    tagged = und.select("a", "b", F.lit(False).alias("__isv")).unionByName(
+        verts.select(
+            F.col("id").alias("a"), F.col("id").alias("b"), F.lit(True).alias("__isv")
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType()),
+            T.StructField("n_vertices", T.LongType()),
+            T.StructField("n_edges", T.LongType()),
+            T.StructField("rho", T.DoubleType()),
+        ]
+    )
+
+    def _run(batches):
+        import numpy as np
+        import pandas as pd
+
+        a_p, b_p, v_p = [], [], []
+        for batch in batches:
+            if len(batch):
+                a_p.append(batch["a"].to_numpy())
+                b_p.append(batch["b"].to_numpy())
+                v_p.append(batch["__isv"].to_numpy())
+        if not a_p:
+            return
+        A = np.concatenate(a_p)
+        B = np.concatenate(b_p)
+        isv = np.concatenate(v_p)
+        vert_ids = np.unique(A[isv])
+        ea_raw, eb_raw = A[~isv], B[~isv]
+        ids = np.unique(np.concatenate([vert_ids, ea_raw, eb_raw]))
+        # the loop seeds from graph.vertices only; a contract-violating
+        # dangling endpoint never enters s, so its edges never survive
+        # the per-round semi-joins — replicated by the initial mask
+        active = np.isin(ids, vert_ids)
+        ea = np.searchsorted(ids, ea_raw)
+        eb = np.searchsorted(ids, eb_raw)
+        rows = []
+        for i in range(max_rounds):
+            n_v = int(active.sum())
+            if n_v == 0:
+                break
+            em = active[ea] & active[eb]
+            n_e = int(em.sum())
+            rho = n_e / n_v
+            rows.append((i, n_v, n_e, rho))
+            deg = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(deg, ea[em], 1)
+            np.add.at(deg, eb[em], 1)
+            active = active & (deg > 2.0 * (1.0 + eps) * rho)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "round": np.array([r[0] for r in rows], dtype=np.int32),
+                    "n_vertices": np.array([r[1] for r in rows], dtype=np.int64),
+                    "n_edges": np.array([r[2] for r in rows], dtype=np.int64),
+                    "rho": np.array([r[3] for r in rows], dtype=np.float64),
+                }
+            )
+
+    got = tagged.coalesce(1).mapInPandas(_run, out_schema).collect()
+    return sorted(
+        (int(r.round), int(r.n_vertices), int(r.n_edges), float(r.rho)) for r in got
+    )
+
+
 def densest_subgraph_peel(
-    graph: "Graph", eps: float = 0.5, max_rounds: int = 6
+    graph: "Graph",
+    eps: float = 0.5,
+    max_rounds: int = 6,
+    collapse_rows: int | None = SMALL_GRAPH_COLLAPSE_ROWS,
 ) -> list[tuple]:
     """Parallel densest-subgraph peel (Bahmani-Kumar-Vassilvitskii,
     VLDB 2012): repeatedly delete every vertex whose degree is at most
@@ -1224,11 +1308,26 @@ def densest_subgraph_peel(
     distributed joins/aggregations over the undirected simple graph.
     The best round (max rho, earliest on ties) is the approximation's
     witness; callers re-derive its vertex set by re-running the peel
-    or capturing ``subgraphs`` via the optional out-param."""
+    or capturing ``subgraphs`` via the optional out-param.
+
+    ``collapse_rows`` (r14, the small-graph-collapse pattern): when the
+    counted undirected edge table plus the vertex table fits the
+    budget, the whole trajectory is computed in ONE single-task
+    vectorized pass (:func:`_densest_peel_collapse`) instead of
+    ~3 jobs x rounds of scheduling floor; integer counts and the same
+    python-float rho make the trajectory bit-equal to the loop's.
+    ``None`` disables (A/B tooling). The function is eager either way
+    (it returns driver-side rows)."""
     if not 0.0 < eps:
         raise ValueError(f"densest_subgraph_peel: eps must be > 0, got {eps}")
     und = _canonical_undirected(graph.edges).localCheckpoint(eager=False)
     s = graph.vertices.select("id").localCheckpoint(eager=False)
+    if (
+        collapse_rows is not None
+        and isinstance(und.schema["a"].dataType, _COLLAPSE_ID_TYPES)
+        and und.count() + s.count() <= collapse_rows
+    ):
+        return _densest_peel_collapse(und, s, eps, max_rounds)
     rows: list[tuple] = []
     for i in range(max_rounds):
         e = (

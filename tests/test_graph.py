@@ -1173,6 +1173,13 @@ def test_densest_peel_matches_python_simulation(spark):
         assert [(r[0], r[1], r[2], round(r[3], 9)) for r in got] == [
             (i, v, e, round(r, 9)) for i, v, e, r in want
         ], trial
+        # the r14 single-task collapse (default on small graphs) must be
+        # BIT-equal to the distributed loop — integer counts + the same
+        # python-float rho, so exact equality, not a tolerance
+        loop = densest_subgraph_peel(
+            Graph(verts, edges), eps=eps, max_rounds=6, collapse_rows=None
+        )
+        assert got == loop, trial
         best_rho = max(r[3] for r in got)
         assert best_rho >= (15 / 6) / (1 + 1)  # clique density within approx factor
     with pytest.raises(ValueError, match="eps"):
